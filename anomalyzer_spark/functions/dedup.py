@@ -1,0 +1,306 @@
+"""Deduplication operators for training-data pipelines.
+
+Five flavors, all DataFrame-first:
+
+  * exact_dedup           — md5-hash groupBy (one shuffle on a 16-byte key)
+  * ngram_jaccard_pairs   — exact n-gram-shingle Jaccard via shingle self-join
+  * minhash_lsh_pairs     — MinHash + banded LSH candidate generation, then
+                            exact-Jaccard verification of candidates only
+  * simhash               — 32-bit SimHash signatures + near-pair mining
+  * embedding near-dup    — see similarity.cosine_pairs (cosine > threshold)
+
+Hash choice: md5 (not murmur) everywhere a signature participates in
+results, because md5 is bit-identical across engines — the DuckDB oracle can
+reproduce every signature, band bucket, and candidate pair. md5 costs more
+than murmur3 per call but stays JVM-side and vectorized; at 100 TB the
+dominant cost is the shingle-explode shuffle, not the hash.
+
+Scale notes (100 TB):
+  * shingle self-joins explode quadratically on hot shingles → optional
+    ``max_shingle_freq`` drops shingles occurring in more than N docs
+    (stop-shingles carry ~no signal for near-dup);
+  * MinHash-LSH is the scale path: candidates are generated per band bucket,
+    so the join key is the bucket hash, AQE handles residual skew;
+  * pair outputs are canonicalized (id_a < id_b) so downstream
+    connected-components / keep-first policies are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized(text: Column) -> Column:
+    """lowercase, non-alnum → space, collapse whitespace, trim (shared with
+    functions.text.fingerprint)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "), r"\s+", " ")
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, normalize: bool = True
+) -> DataFrame:
+    """Exact duplicate groups keyed by content hash.
+
+    Returns (id, content_hash, group_size, canonical_id, is_duplicate):
+    canonical = min id in the group; is_duplicate marks rows a keep-first
+    policy would drop. Plan: project → hash → one groupBy shuffle on the
+    digest → broadcast-friendly join back (the grouped side is tiny).
+    """
+    t = F.col(text_col)
+    h = F.md5((normalized(t) if normalize else t).cast("binary")).alias("content_hash")
+    hashed = df.select(F.col(id_col), h)
+    groups = hashed.groupBy("content_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min(id_col).alias("canonical_id"),
+    )
+    return (
+        hashed.join(groups, "content_hash")
+        .select(
+            id_col,
+            "content_hash",
+            "group_size",
+            "canonical_id",
+            (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+        )
+    )
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles of the normalized text (array<string>).
+
+    Documents with fewer than k words yield their full word sequence as a
+    single shingle (so short docs still participate)."""
+    words = F.split(normalized(text), " ")
+    nshingles = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), nshingles),
+            lambda i: F.array_join(F.slice(words, i, k), " "),
+        )
+    )
+
+
+def _shingle_exploded(
+    df: DataFrame, text_col: str, id_col: str, k: int, max_shingle_freq: int | None
+) -> DataFrame:
+    """(id, n_shingles, shingle) rows; optionally drops hot shingles."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), k).alias("_shingles")
+    ).select(
+        F.col(id_col),
+        F.size("_shingles").alias("n_shingles"),
+        F.explode("_shingles").alias("shingle"),
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.where(F.col("_df") <= max_shingle_freq), "shingle").drop("_df")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-k-gram shingle sets, for all pairs
+    sharing ≥1 shingle. Returns (id_a, id_b, n_common, n_a, n_b, jaccard)
+    with id_a < id_b and jaccard >= threshold.
+
+    Exact but quadratic in per-shingle document frequency — use
+    ``max_shingle_freq`` or prefer minhash_lsh_pairs beyond ~10M docs.
+    """
+    sh = _shingle_exploded(df, text_col, id_col, k, max_shingle_freq)
+    a = sh.select(
+        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        pairs.select("id_a", "id_b", "n_common", "n_a", "n_b",
+                     F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """MinHash signatures over word-k-gram shingles.
+
+    Hash family i (0-based): md5(i || ':' || shingle); the signature element
+    is the lexicographic MIN digest — equivalent to min over a random
+    permutation of the shingle universe. Returns (id, sig array<string>).
+    """
+    shingles = word_shingles(F.col(text_col), k)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                shingles,
+                lambda s: F.md5(F.concat_ws(":", i.cast("string"), s).cast("binary")),
+            )
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + banded LSH + exact verification.
+
+    Pipeline: signature → split into ``bands`` bands of num_hashes/bands rows
+    → band bucket = md5(band index || minhashes) → self-join per bucket for
+    candidates → exact shingle-set Jaccard on candidates only → filter.
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    with_sig = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
+    buckets = with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        b.cast("string"),
+                        F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ","),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        buckets.alias("x")
+        .join(buckets.alias("y"), "bucket")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
+    return (
+        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa")), "id_a")
+        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32
+) -> DataFrame:
+    """SimHash signature over normalized words.
+
+    Bit j of a word's hash = top bit of the j-th nibble of md5(word) — i.e.
+    hex digit >= '8'. Signature bit j = sign of Σ_words (±1). This
+    hex-digit construction is deliberately engine-portable (any SQL engine
+    with md5+substr reproduces it). Returns (id, simhash bigint, n_words).
+    """
+    assert bits <= 32
+    words = F.split(normalized(F.col(text_col)), " ")
+    hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
+    bit_sums = F.transform(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        lambda j: F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.substring(h, 1, 32).substr(j + 1, F.lit(1)).isin(
+                "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
+        ),
+    )
+    sim = F.aggregate(
+        F.zip_with(
+            bit_sums,
+            F.sequence(F.lit(0), F.lit(bits - 1)),
+            lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(
+        F.col(id_col), sim.alias("simhash"), F.size(words).alias("n_words")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Banding: two signatures within Hamming d must agree exactly on at least
+    one of d+1 equal bit-blocks → self-join per block value, verify with
+    bit_count(xor). Returns (id_a, id_b, hamming)."""
+    sigs = simhash(df, text_col, id_col, bits=bits)
+    nblocks = max_hamming + 1
+    width = bits // nblocks
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(nblocks - 1)),
+                lambda b: F.struct(
+                    b.alias("block_id"),
+                    F.shiftrightunsigned(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+                    .alias("block_val"),
+                ),
+            )
+        ).alias("blk"),
+    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+
+    x, y = blocks.alias("x"), blocks.alias("y")
+    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    return (
+        x.join(y, ["block_id", "block_val"])
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

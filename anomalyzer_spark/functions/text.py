@@ -1,0 +1,159 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All operators are pure Column expressions (JVM-side, codegen-friendly, no
+Python in the hot path) over a string column, so they scan-prune, push down,
+and scale linearly with no shuffle at all — at 100 TB these are map-only.
+
+Semantics are pinned so a DuckDB oracle can reproduce them exactly:
+token = maximal run of non-whitespace; word = maximal run of [a-z0-9] after
+lowercasing; fingerprint = md5 of whitespace-normalized lowercased
+alphanumeric text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny embedded stopword lists per language for the lang-id heuristic.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "es": ("el", "la", "de", "que", "los", "las", "una", "por", "con", "del"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"),
+    "fr": ("le", "les", "des", "est", "une", "dans", "pour", "qui", "pas", "sur"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ("a", "an", "on", "at", "by", "be", "as", "are", "with", "this")
+
+
+def n_tokens(text: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_tokens(text: Column) -> Column:
+    """BPE-ish lexical split: lowercase words, digit runs, single symbols."""
+    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+
+
+def _count_re(text: Column, pattern: str) -> Column:
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
+
+    Columns: n_chars, n_tokens, n_words, avg_word_len, punct_ratio,
+    digit_ratio, upper_ratio, stopword_ratio, quality_score (all doubles
+    except counts). quality_score ∈ [0,1]: length-normality × lexical ratios
+    (deterministic formula, see code — the score is a heuristic; the CONTRACT
+    is determinism + monotonicity in its inputs, not linguistics).
+    """
+    t = F.col(text_col)
+    nc = F.length(t).cast("double")
+    ntok = n_tokens(t).cast("double")
+    nwords = _count_re(F.lower(t), "[a-z]+").cast("double")
+    word_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
+    punct = _count_re(t, r"[.,;:!?]").cast("double")
+    digits = _count_re(t, "[0-9]").cast("double")
+    uppers = _count_re(t, "[A-Z]").cast("double")
+    stops = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(t)), r"\s+"),
+            lambda w: w.isin(*EN_STOPWORDS),
+        )
+    ).cast("double")
+
+    safe_nc = F.when(nc > 0, nc)
+    safe_ntok = F.when(ntok > 0, ntok)
+    stopword_ratio = F.coalesce(stops / safe_ntok, F.lit(0.0))
+    punct_ratio = F.coalesce(punct / safe_nc, F.lit(0.0))
+    digit_ratio = F.coalesce(digits / safe_nc, F.lit(0.0))
+    upper_ratio = F.coalesce(uppers / safe_nc, F.lit(0.0))
+    avg_word_len = F.coalesce(word_chars / F.when(nwords > 0, nwords), F.lit(0.0))
+
+    # Composite score: reward moderate length & wordiness, punish symbol soup.
+    length_term = F.least(nc / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = F.coalesce(word_chars / safe_nc, F.lit(0.0))
+    quality = F.greatest(
+        F.least(
+            F.lit(0.4) * length_term
+            + F.lit(0.4) * alpha_ratio
+            + F.lit(0.2) * (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))),
+            F.lit(1.0),
+        ),
+        F.lit(0.0),
+    )
+
+    return df.select(
+        F.col(id_col),
+        nc.cast("long").alias("n_chars"),
+        ntok.cast("long").alias("n_tokens"),
+        nwords.cast("long").alias("n_words"),
+        F.round(avg_word_len, 6).alias("avg_word_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(digit_ratio, 6).alias("digit_ratio"),
+        F.round(upper_ratio, 6).alias("upper_ratio"),
+        F.round(stopword_ratio, 6).alias("stopword_ratio"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/marker-word language-ID heuristic.
+
+    Scores = count of language marker words (whole-word matches over the
+    lowercased text) per language, plus a CJK-codepoint count for 'zh'.
+    Prediction = argmax with deterministic tie-break (lang name asc).
+    Returns (id, lang_pred, score_<lang>...).
+    """
+    t = F.lower(F.col(text_col))
+    scores: dict[str, Column] = {}
+    for lang, markers in LANG_MARKERS.items():
+        pat = r"\b(" + "|".join(markers) + r")\b"
+        scores[lang] = _count_re(t, pat).cast("long")
+    # CJK ideographs — Java regex syntax; the DuckDB oracle uses \x{...}
+    scores["zh"] = _count_re(F.col(text_col), r"[一-鿿]").cast("long")
+
+    pairs = F.array(
+        *[F.struct(scores[lang].alias("s"), F.lit(lang).alias("l"))
+          for lang in sorted(scores)]
+    )
+    # max score wins; ties → lexicographically first language
+    best = F.aggregate(
+        pairs,
+        F.struct(F.lit(-1).cast("long").alias("s"), F.lit("").alias("l")),
+        lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
+    )
+    cols = [F.col(id_col), best["l"].alias("lang_pred")]
+    cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
+    return df.select(*cols)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    non-alphanumeric → space, whitespace collapsed, trimmed). Identical
+    normalization is expressible in any SQL engine → oracle-checkable."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+            r"\s+", " ",
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.length(norm).alias("norm_len"),
+    )
+
+
+def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
+    return df.select(
+        F.col(id_col),
+        n_tokens(F.col(text_col)).alias("ws_tokens"),
+        F.size(word_tokens(F.col(text_col))).alias("lex_tokens"),
+    )

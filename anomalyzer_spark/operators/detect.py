@@ -1,0 +1,157 @@
+"""Public batch detection API.
+
+``detect(df, keys, ...)`` answers the reference's ``Eval`` question — "what
+is the anomaly probability of the latest behavior?" — for EVERY key in a
+long-format DataFrame ``(keys..., ts, value)`` in one distributed pass
+(/root/reference/anomalyze.go:145-192; one Go ``Anomalyzer`` instance per
+series becomes one group per key).
+
+Plan shape (SURVEY.md §3.4):
+
+    scan (pushed filters/pruned columns)
+      → [optional horizon pre-filter: partial-agg max(ts) per key + join]
+      → single hash exchange on keys
+      → row_number tail-N (bounded state, §2.6.2)
+      → groupBy keys → ordered tail array
+      → per-test columns: pure-column tests inline (JVM),
+        Monte-Carlo tests via one Arrow pandas-UDF struct
+      → combiner expression
+
+100 TB note: ``row_number`` alone would shuffle the FULL history. Pass
+``horizon`` (max time span that can contain window_size points per key) —
+the pre-filter computes ``max(ts)`` per key (map-side partial agg, tiny
+shuffle), joins it back, and drops old rows BEFORE the heavy exchange, so the
+big shuffle carries O(keys · window) rows, not O(total history). Better yet,
+give ``detect`` an already time-bounded ``df`` so the predicate is pushed
+into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..config import AnomalyzerConf
+from . import columnar
+from .combine import combined_prob, merge_probs
+from .kernel import MC_METHODS, key_seed_col, mc_probs_udf
+
+DETERMINISTIC = {"fence", "magnitude", "cdf"}
+
+
+def tail_window(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    n: int,
+    tiebreak_cols: list[str] | None = None,
+    horizon=None,
+) -> DataFrame:
+    """Last ``n`` points per key as an ascending-ordered array column ``vec``.
+
+    Output: one row per key with (keys..., vec array<double>, n_points,
+    last_ts). Ordering inside ``vec`` is by (ts, *tiebreak_cols) ascending —
+    pass a unique tiebreak (e.g. an event id) for fully deterministic order
+    when timestamps can collide.
+    """
+    tiebreak_cols = tiebreak_cols or []
+    cols = [*keys, ts_col, *tiebreak_cols, value_col]
+    out = df.select(*dict.fromkeys(cols))  # dedup, keep order
+
+    if horizon is not None:
+        recent = out.groupBy(*keys).agg(F.max(ts_col).alias("_max_ts"))
+        out = out.join(recent, keys).where(
+            F.col(ts_col) >= F.col("_max_ts") - horizon
+        ).drop("_max_ts")
+
+    order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    tail = out.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n)
+
+    point = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(f"_tb{i}") for i, c in enumerate(tiebreak_cols)],
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    return tail.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(point)).alias("_pts"),
+        F.count(F.lit(1)).alias("n_points"),
+        F.max(ts_col).alias("last_ts"),
+    ).withColumn("vec", F.col("_pts._v")).drop("_pts")
+
+
+def _prob_columns(
+    vec: Column, conf: AnomalyzerConf, kseed: Column
+) -> dict[str, Column]:
+    """Per-test prob columns (raw, pre-cap) for every configured method."""
+    probs: dict[str, Column] = {}
+    s = columnar.WindowSlices(vec, conf)
+    if "fence" in conf.methods:
+        probs["fence"] = columnar.fence_prob(s)
+    if "magnitude" in conf.methods:
+        probs["magnitude"] = columnar.magnitude_prob(s)
+    if "cdf" in conf.methods:
+        probs["cdf"] = columnar.cdf_prob(s)
+
+    mc = tuple(m for m in conf.methods if m in MC_METHODS)
+    if mc:
+        kernel = mc_probs_udf(conf, mc)
+        st = kernel(vec, kseed)
+        for m in mc:
+            probs[m] = st.getField(m)
+    return probs
+
+
+def detect(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    conf: AnomalyzerConf | None = None,
+    tiebreak_cols: list[str] | None = None,
+    horizon=None,
+) -> DataFrame:
+    """Combined anomaly probability of the latest window, per key.
+
+    Returns (keys..., n_points, last_ts, prob).
+    """
+    conf = conf or AnomalyzerConf()
+    tails = tail_window(
+        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
+    )
+    probs = _prob_columns(F.col("vec"), conf, key_seed_col(keys))
+    merged = merge_probs(probs, conf.methods)
+    prob = combined_prob(merged, conf, F.col("n_points"))
+    return tails.select(*keys, "n_points", "last_ts", prob.alias("prob"))
+
+
+def detect_by_test(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    conf: AnomalyzerConf | None = None,
+    tiebreak_cols: list[str] | None = None,
+    horizon=None,
+) -> DataFrame:
+    """EvalByTest surface (anomalyze.go:195-221): per-test probs + weights
+    + the combined prob, per key. Columns: prob_<entry>, weight_<entry>,
+    prob (highrank/lowrank folded into 'rank')."""
+    conf = conf or AnomalyzerConf()
+    tails = tail_window(
+        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
+    )
+    probs = _prob_columns(F.col("vec"), conf, key_seed_col(keys))
+    merged = merge_probs(probs, conf.methods)
+    from .combine import weight_col
+
+    cols = [*keys, "n_points", "last_ts"]
+    for name, p in merged.items():
+        cols.append(p.alias(f"prob_{name}"))
+        cols.append(
+            F.when(p.isNotNull(), weight_col(name, p)).alias(f"weight_{name}")
+        )
+    cols.append(combined_prob(merged, conf, F.col("n_points")).alias("prob"))
+    return tails.select(*cols)
