@@ -1,10 +1,24 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship detection query on sf0.001.
+``queries()`` — every implemented operator from SURVEY.md §2 (+ the extended
+LLM-pipeline operators), each as (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — matching DuckDB SQL for every SQL-expressible query.
+
+Determinism rules shared by both sides (so the value-hash compare passes):
+  * event-time ordering is by microsecond timestamps (DuckDB truncates the
+    parquet TIMESTAMP(NANOS) to µs; our loader exposes the same µs column)
+    with a unique id tiebreak;
+  * double aggregations over many rows go through exact DECIMAL sums, then
+    cast back to double (distributed partial-agg order would otherwise
+    change last-bit results);
+  * per-row double arithmetic (folds over small arrays) is sequential
+    left-to-right in both engines (verified: DuckDB list_sum /
+    list_dot_product == Spark F.aggregate fold bit-for-bit);
+  * every float output column is rounded to 6 digits on both sides;
+  * Monte-Carlo tests (highrank/lowrank/diff/ks) use the seeded NumPy kernel
+    (not SQL-expressible → no oracle entry; the driver's rows-only check +
+    the pytest suite's bit-exact oracle comparison cover them).
 """
 
 from __future__ import annotations
@@ -12,27 +26,680 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from anomalyzer_spark import AnomalyzerConf, detect, detect_by_test
+from anomalyzer_spark.functions import dedup, similarity, text
+from anomalyzer_spark.operators.asof import asof_join
+from anomalyzer_spark.sources import load_table
+
+# ---------------------------------------------------------------------------
+# shared configs
+# ---------------------------------------------------------------------------
+
+#: deterministic methods only → fully SQL-expressible (oracle below)
+DET_CONF = AnomalyzerConf(
+    active_size=2, n_seasons=4, methods=("magnitude", "fence", "cdf"),
+    upper_bound=500.0, lower_bound=0.0, sensitivity=0.1,
+)
+#: reference defaults (anomalyze.go:33-48): magnitude + ks, Monte-Carlo
+DEFAULT_CONF = AnomalyzerConf(active_size=2, n_seasons=4)
+#: all seven tests
+FULL_CONF = AnomalyzerConf(
+    active_size=2, n_seasons=4,
+    methods=("magnitude", "diff", "highrank", "lowrank", "fence", "ks", "cdf"),
+    upper_bound=500.0, lower_bound=0.0, perm_count=200,
+)
+
+JACCARD_THRESHOLD = 0.05
+COSINE_THRESHOLD = 0.35
+TOPK = 5
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: all-7-test anomaly detection per event_type on sf0.001."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    return detect(ev, ["event_type"], "ts", "value", FULL_CONF,
+                  tiebreak_cols=["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    for c in cols:
+        df = df.withColumn(c, F.round(F.col(c), 6))
+    return df
+
+
+def q_detect_det(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["event_type"], "ts", "value", DET_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
+
+
+def q_detect_det_users(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["user_id"], "ts", "value", DET_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("user_id", "n_points", "prob"), "prob")
+
+
+def q_detect_bytest_det(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_by_test(ev, ["event_type"], "ts", "value", DET_CONF,
+                         tiebreak_cols=["event_id"])
+    return _round6(
+        out.select("event_type", "n_points", "prob_magnitude", "prob_fence",
+                   "prob_cdf", "weight_magnitude", "weight_fence",
+                   "weight_cdf", "prob"),
+        "prob_magnitude", "prob_fence", "prob_cdf", "prob",
+    )
+
+
+def q_detect_default(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["event_type"], "ts", "value", DEFAULT_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
+
+
+def q_detect_full(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["event_type"], "ts", "value", FULL_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
+
+
+def q_text_stats(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.text_stats(d, "text", "doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return text.lang_id(d, "text", "doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = text.fingerprint(d, "text", "doc_id")
+    return out.withColumn("norm_len", F.col("norm_len").cast("long"))
+
+
+def q_token_count(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = text.token_count(d, "text", "doc_id")
+    return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
+                      F.col("lex_tokens").cast("long").alias("lex_tokens"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d, "text", "doc_id")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3,
+                                    threshold=JACCARD_THRESHOLD)
+    return out.withColumn("n_a", F.col("n_a").cast("long")).withColumn(
+        "n_b", F.col("n_b").cast("long"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=16,
+                                   bands=8, threshold=JACCARD_THRESHOLD)
+
+
+def q_simhash(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    out = dedup.simhash(d, "text", "doc_id", bits=32)
+    return out.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    out = similarity.cosine_topk(
+        e, e.where(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=TOPK)
+    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
+
+
+def q_cosine_pairs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    out = similarity.cosine_pairs(e, id_col="vec_id", vec_col="embedding",
+                                  threshold=COSINE_THRESHOLD)
+    return _round6(out, "cos_sim")
+
+
+def q_lsh_topk(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    out = similarity.lsh_topk(
+        e, e.where(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=TOPK,
+        n_planes=16, bands=4, dim=64, seed=7)
+    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
+
+
+def _dec(c: str, p: int = 18, s: int = 2) -> F.Column:
+    return F.col(c).cast(f"decimal({p},{s})")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (engine-general agg coverage)."""
+    # l_shipdate is parquet timestamp[ms]; session TZ is pinned to UTC so
+    # this literal matches DuckDB's naive TIMESTAMP '2000-12-01'
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(20,4)")
+    charge = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              * (1 + F.col("l_tax"))).cast("decimal(24,6)")
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+        F.sum(disc_price).cast("double").alias("sum_disc_price"),
+        F.sum(charge).cast("double").alias("sum_charge"),
+        F.round(F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_qty"),
+        F.round(F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_price"),
+        F.round(F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1)), 6
+                ).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return out
+
+
+def q_top_customers(spark, sf_dir):
+    """Broadcast-join star query: revenue per customer with nation/region."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    out = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("c_custkey", "c_name", "n_name", "r_name")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+    return out
+
+
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets coverage)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "sum_price", "n")
+    )
+
+
+def q_running_totals(spark, sf_dir):
+    """Window functions: running revenue + in-customer order rank."""
+    from pyspark.sql.window import Window
+    o = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wr = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.sum(_dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+        F.row_number().over(wr).cast("long").alias("price_rank"),
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """JSON prop extraction + keyed aggregation over the events stream table."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        ev.select("event_type", (k % 5).alias("k_mod"), "value")
+        .groupBy("event_type", "k_mod")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast("decimal(12,2)")).cast("double")
+             .alias("sum_value"))
+    )
+
+
+def q_asof_join(spark, sf_dir):
+    """As-of enrichment: each order picks the latest event of its user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", (F.col("o_custkey") % 150).alias("user_key"),
+        F.col("o_orderdate"))
+    out = asof_join(
+        o, ev.withColumnRenamed("user_id", "user_key"),
+        on="user_key", left_ts="o_orderdate", right_ts="ts",
+        payload_cols=["event_id", "value"], tiebreak="event_id")
+    return _round6(
+        out.select("o_orderkey", "user_key",
+                   F.col("asof_event_id").alias("event_id"),
+                   F.col("asof_value").alias("last_value")),
+        "last_value")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "detect_det": q_detect_det,
+        "detect_det_users": q_detect_det_users,
+        "detect_bytest_det": q_detect_bytest_det,
+        "detect_default": q_detect_default,
+        "detect_full": q_detect_full,
+        "text_stats": q_text_stats,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "token_count": q_token_count,
+        "exact_dedup": q_exact_dedup,
+        "ngram_jaccard": q_ngram_jaccard,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "cosine_pairs": q_cosine_pairs,
+        "lsh_topk": q_lsh_topk,
+        "pricing_summary": q_pricing_summary,
+        "top_customers": q_top_customers,
+        "orders_rollup": q_orders_rollup,
+        "running_totals": q_running_totals,
+        "events_json": q_events_json,
+        "asof_join": q_asof_join,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle SQL
+# ---------------------------------------------------------------------------
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text),"
+         "'[^a-z0-9]+',' ','g'),'\\s+',' ','g'))")
+
+_STOPWORDS = ("'the','and','of','to','is','in','that','it','was','for',"
+              "'a','an','on','at','by','be','as','are','with','this'")
+
+
+def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False) -> str:
+    """DuckDB SQL implementing detect() for deterministic methods
+    (magnitude, fence, cdf) — mirrors oracle.py / operators/columnar.py."""
+    a, r = conf.active_size, conf.reference_size
+    n_win = conf.window_size
+    half = (conf.upper_bound - conf.lower_bound) / 2.0
+    mid = conf.lower_bound + half
+    sens = conf.sensitivity
+    per_test = """
+        round(p_mag, 6) AS prob_magnitude, round(p_fence, 6) AS prob_fence,
+        round(p_cdf, 6) AS prob_cdf,
+        CASE WHEN p_mag IS NOT NULL THEN w_mag END AS weight_magnitude,
+        CASE WHEN p_fence IS NOT NULL THEN w_fence END AS weight_fence,
+        (CASE WHEN p_cdf IS NOT NULL THEN 0.5 END)::DOUBLE AS weight_cdf,"""
+    return f"""
+WITH ranked AS (
+  SELECT {key} AS k, value,
+         row_number() OVER (PARTITION BY {key}
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+),
+tails AS (
+  SELECT k, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
+  FROM ranked WHERE rn <= {n_win} GROUP BY k
+),
+feat AS (
+  SELECT k, n_points, vec, len(vec) AS n,
+         least({a}, len(vec)) AS act_n,
+         least({r}, len(vec) - least({a}, len(vec))) AS ref_n
+  FROM tails
+),
+sliced AS (
+  SELECT *,
+    list_sum(vec[n - act_n + 1 : n]) / act_n AS act_mean,
+    CASE WHEN ref_n > 0
+         THEN list_sum(vec[n - act_n - ref_n + 1 : n - act_n]) / ref_n
+    END AS ref_mean,
+    list_transform(range(2, n + 1), i -> abs(vec[i] - vec[i-1])) AS adiffs
+  FROM feat
+),
+dfeat AS (
+  SELECT *, len(adiffs) AS nd,
+         least({a}, len(adiffs)) AS dact_n,
+         least({r - 1}, len(adiffs) - least({a}, len(adiffs))) AS dref_n
+  FROM sliced
+),
+praw AS (
+  SELECT k, n_points,
+    (pow(10, greatest(least(abs(act_mean - {mid}) / {half}, 1.0), 0.0)) - 1) / 9
+      AS p_fence_raw,
+    CASE WHEN ref_n < 1 THEN NULL
+         WHEN ref_mean = 0 THEN (CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END)
+         ELSE abs(act_mean - ref_mean) / ref_mean END AS p_mag_raw,
+    CASE WHEN dref_n < {a} THEN NULL
+         ELSE 2 * abs(0.5 - (
+            len(list_filter(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n],
+                x -> x <= (list_sum(adiffs[nd - dact_n + 1 : nd]) / dact_n
+                     - list_sum(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n])
+                       / dref_n)))::DOUBLE / dref_n))
+    END AS p_cdf_raw
+  FROM dfeat
+),
+capped AS (
+  -- NULL (NA) must survive the cap: DuckDB least/greatest skip NULLs like
+  -- Spark's, so guard explicitly (same fix as operators/combine._cap01)
+  SELECT k, n_points,
+    CASE WHEN p_fence_raw IS NULL THEN NULL
+         ELSE greatest(least(p_fence_raw, 1.0), 0.0) END AS p_fence,
+    CASE WHEN p_mag_raw IS NULL THEN NULL
+         ELSE greatest(least(p_mag_raw, 1.0), 0.0) END AS p_mag,
+    CASE WHEN p_cdf_raw IS NULL THEN NULL
+         ELSE greatest(least(p_cdf_raw, 1.0), 0.0) END AS p_cdf
+  FROM praw
+),
+weighted AS (
+  SELECT *,
+    (CASE WHEN p_fence > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_fence,
+    (CASE WHEN p_mag > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_mag
+  FROM capped
+),
+combined AS (
+  SELECT *,
+    coalesce(p_mag * w_mag, 0) + coalesce(p_fence * w_fence, 0)
+      + coalesce(p_cdf * 0.5, 0) AS num,
+    (CASE WHEN p_mag IS NOT NULL THEN w_mag ELSE 0 END)
+      + (CASE WHEN p_fence IS NOT NULL THEN w_fence ELSE 0 END)
+      + (CASE WHEN p_cdf IS NOT NULL THEN 0.5 ELSE 0 END) AS den
+  FROM weighted
+)
+SELECT k AS {key}, n_points,{per_test if bytest else ''}
+  round(CASE WHEN p_mag IS NOT NULL AND p_mag < {sens} THEN 0.0
+             WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS prob
+FROM combined"""
+
+
+_SHINGLES = f"""
+docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
+sh AS (SELECT doc_id,
+         list_distinct(list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                       i -> array_to_string(w[i:i+2], ' '))) AS shingles
+       FROM w)"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    sql: dict[str, str] = {}
+
+    sql["detect_det"] = _detect_sql("event_type", DET_CONF)
+    sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
+    sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
+    # detect_default / detect_full / lsh_topk: seeded Monte-Carlo / LSH paths
+    # are not SQL-expressible → rows-only checks (pytest covers bit-exactness
+    # against the seeded NumPy oracle).
+
+    sql["text_stats"] = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    length(text)::DOUBLE AS nc,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END::DOUBLE AS ntok,
+    len(regexp_extract_all(lower(text), '[a-z]+'))::DOUBLE AS nwords,
+    length(regexp_replace(lower(text), '[^a-z]', '', 'g'))::DOUBLE AS word_chars,
+    len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE AS punct,
+    len(regexp_extract_all(text, '[0-9]'))::DOUBLE AS digits,
+    len(regexp_extract_all(text, '[A-Z]'))::DOUBLE AS uppers,
+    len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+        x -> x IN ({_STOPWORDS})))::DOUBLE AS stops
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, nc, ntok, nwords, word_chars,
+    coalesce(stops / nullif(ntok, 0), 0.0) AS stopword_ratio,
+    coalesce(punct / nullif(nc, 0), 0.0) AS punct_ratio,
+    coalesce(digits / nullif(nc, 0), 0.0) AS digit_ratio,
+    coalesce(uppers / nullif(nc, 0), 0.0) AS upper_ratio,
+    coalesce(word_chars / nullif(nwords, 0), 0.0) AS avg_word_len,
+    coalesce(word_chars / nullif(nc, 0), 0.0) AS alpha_ratio
+  FROM base
+)
+SELECT doc_id, nc::BIGINT AS n_chars, ntok::BIGINT AS n_tokens,
+  nwords::BIGINT AS n_words,
+  round(avg_word_len, 6) AS avg_word_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(digit_ratio, 6) AS digit_ratio,
+  round(upper_ratio, 6) AS upper_ratio,
+  round(stopword_ratio, 6) AS stopword_ratio,
+  round(greatest(least(
+      0.4 * least(nc / 500.0, 1.0) + 0.4 * alpha_ratio
+      + 0.2 * (1.0 - least(punct_ratio * 5.0, 1.0)), 1.0), 0.0), 6)
+    AS quality_score
+FROM ratios"""
+
+    langs = {
+        "de": "der|die|und|das|ist|nicht|ein|mit|auf|den",
+        "en": "the|and|of|to|is|in|that|it|was|for",
+        "es": "el|la|de|que|los|las|una|por|con|del",
+        "fr": "le|les|des|est|une|dans|pour|qui|pas|sur",
+    }
+    score_cols = ",\n    ".join(
+        f"len(regexp_extract_all(lower(text), '\\b({pat})\\b'))::BIGINT AS score_{lang}"
+        for lang, pat in langs.items()
+    )
+    order = ["de", "en", "es", "fr", "zh"]
+    branches = "\n    ".join(
+        "WHEN " + " AND ".join(
+            f"score_{l} >= score_{o}" for o in order if o != l
+        ) + f" THEN '{l}'"
+        for l in order[:-1]
+    )
+    sql["lang_id"] = f"""
+WITH scores AS (
+  SELECT doc_id,
+    {score_cols},
+    len(regexp_extract_all(text, '[一-鿿]'))::BIGINT AS score_zh
+  FROM documents
+)
+SELECT doc_id,
+  CASE
+    {branches}
+    ELSE 'zh' END AS lang_pred,
+  score_de, score_en, score_es, score_fr, score_zh
+FROM scores"""
+
+    sql["fingerprint"] = f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint, length({_NORM}) AS norm_len
+FROM documents"""
+
+    sql["token_count"] = """
+SELECT doc_id,
+  CASE WHEN length(trim(text)) = 0 THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+    AS lex_tokens
+FROM documents"""
+
+    sql["exact_dedup"] = f"""
+WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
+groups AS (
+  SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+  FROM hashed GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
+       h.doc_id != g.canonical_id AS is_duplicate
+FROM hashed h JOIN groups g USING (content_hash)"""
+
+    sql["ngram_jaccard"] = f"""
+WITH {_SHINGLES},
+ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
+         count(*) AS n_common
+  FROM ex a JOIN ex b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4)
+SELECT id_a, id_b, n_common, n_a, n_b,
+       round(n_common / (n_a + n_b - n_common), 6) AS jaccard
+FROM pairs
+WHERE round(n_common / (n_a + n_b - n_common), 6) >= {JACCARD_THRESHOLD}"""
+
+    nh, nb = 16, 8
+    rpb = nh // nb
+    sql["minhash_lsh"] = f"""
+WITH {_SHINGLES},
+sigs AS (
+  SELECT doc_id, shingles,
+    list_transform(range(0, {nh}), i ->
+      list_aggregate(list_transform(shingles,
+                     s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+  FROM sh),
+buckets AS (
+  SELECT doc_id,
+    unnest(list_transform(range(0, {nb}), b ->
+      md5(b::VARCHAR || '|' ||
+          array_to_string(sig[b * {rpb} + 1 : b * {rpb} + {rpb}], ',')))) AS bucket
+  FROM sigs),
+cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM buckets x JOIN buckets y USING (bucket)
+  WHERE x.doc_id < y.doc_id),
+verified AS (
+  SELECT id_a, id_b,
+    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+    sql["simhash"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
+h AS (SELECT doc_id, len(words) AS n_words,
+             list_transform(words, x -> md5(x)) AS hs FROM w),
+bits AS (
+  SELECT doc_id, n_words,
+    list_transform(range(0, 32), j ->
+      CASE WHEN list_sum(list_transform(hs, hx ->
+             CASE WHEN substr(hx, j + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS terms
+  FROM h)
+SELECT doc_id, list_sum(terms)::BIGINT AS simhash, n_words FROM bits"""
+
+    cos = ("list_dot_product(qv, cv) / "
+           "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
+    sql["cosine_topk"] = f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+s AS (SELECT query_id, neighbor_id, {cos} AS cos_sim FROM q CROSS JOIN c),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM s WHERE cos_sim IS NOT NULL)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOPK}"""
+
+    pcos = ("list_dot_product(va, va)", "list_dot_product(vb, vb)",
+            "list_dot_product(va, vb)")
+    sql["cosine_pairs"] = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        {pcos[2].replace('va', 'a.v').replace('vb', 'b.v')} /
+        (sqrt({pcos[0].replace('va', 'a.v')}) *
+         sqrt({pcos[1].replace('vb', 'b.v')})) AS cos_sim
+      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+FROM p WHERE cos_sim >= {COSINE_THRESHOLD}"""
+
+    sql["pricing_summary"] = """
+SELECT l_returnflag, l_linestatus,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  sum(l_extendedprice::DECIMAL(18,2))::DOUBLE AS sum_base_price,
+  sum((l_extendedprice * (1 - l_discount))::DECIMAL(20,4))::DOUBLE
+    AS sum_disc_price,
+  sum((l_extendedprice * (1 - l_discount) * (1 + l_tax))::DECIMAL(24,6))::DOUBLE
+    AS sum_charge,
+  round(sum(l_quantity::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_qty,
+  round(sum(l_extendedprice::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_price,
+  round(sum(l_discount::DECIMAL(18,2))::DOUBLE / count(*), 6) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+GROUP BY l_returnflag, l_linestatus"""
+
+    sql["top_customers"] = """
+SELECT c_custkey, c_name, n_name, r_name,
+  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS revenue,
+  count(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY c_custkey, c_name, n_name, r_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20"""
+
+    sql["orders_rollup"] = """
+SELECT coalesce(o_orderstatus, 'ALL') AS status,
+  coalesce(o_orderpriority, 'ALL') AS priority,
+  sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS sum_price,
+  count(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+    sql["running_totals"] = """
+SELECT o_orderkey, o_custkey,
+  (sum(o_totalprice::DECIMAL(18,2)) OVER (
+     PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE
+    AS running_total,
+  row_number() OVER (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey ASC) AS price_rank
+FROM orders"""
+
+    sql["events_json"] = """
+SELECT event_type,
+  json_extract_string(props, '$.k')::BIGINT % 5 AS k_mod,
+  count(*) AS n,
+  sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
+FROM events
+GROUP BY event_type, k_mod"""
+
+    sql["asof_join"] = """
+WITH comb AS (
+  SELECT user_id AS user_key, ts, 0 AS tag, event_id, value,
+         NULL::BIGINT AS o_orderkey
+  FROM events
+  UNION ALL
+  SELECT o_custkey % 150 AS user_key, o_orderdate AS ts, 1 AS tag,
+         NULL::BIGINT AS event_id, NULL::DOUBLE AS value, o_orderkey
+  FROM orders
+),
+carried AS (
+  SELECT user_key, tag, o_orderkey,
+    last_value(event_id IGNORE NULLS) OVER (
+      PARTITION BY user_key ORDER BY ts ASC, tag ASC, event_id ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_id,
+    last_value(value IGNORE NULLS) OVER (
+      PARTITION BY user_key ORDER BY ts ASC, tag ASC, event_id ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+  FROM comb
+)
+SELECT o_orderkey, user_key, event_id, round(last_value, 6) AS last_value
+FROM carried WHERE tag = 1"""
+
+    return sql

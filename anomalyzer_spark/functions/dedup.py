@@ -243,13 +243,13 @@ def simhash(
                 "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
         ),
     )
+    # 2^j via a literal power table (shiftleft needs a non-Column bit count)
+    powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     sim = F.aggregate(
         F.zip_with(
             bit_sums,
-            F.sequence(F.lit(0), F.lit(bits - 1)),
-            lambda s, j: F.when(s > 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                F.lit(0).cast("long")
-            ),
+            powers,
+            lambda s, p: F.when(s > 0, p).otherwise(F.lit(0).cast("long")),
         ),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,

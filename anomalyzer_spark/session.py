@@ -17,6 +17,7 @@ def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = No
     builder = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

@@ -1,0 +1,81 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Each query is forced
+end-to-end with the noop sink (full materialization, no driver transfer) and
+timed individually.
+
+Usage: python bench.py [--sf-dir DIR] [--repeat N] [query ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from anomalyzer_spark.session import get_spark  # noqa: E402
+
+#: headline set — detection (few/many keys, MC + deterministic), dedup,
+#: similarity, text, joins/aggregation/window coverage
+HEADLINE = (
+    "detect_full",
+    "detect_default",
+    "detect_det_users",
+    "text_stats",
+    "minhash_lsh",
+    "ngram_jaccard",
+    "simhash",
+    "cosine_topk",
+    "pricing_summary",
+    "top_customers",
+    "running_totals",
+    "asof_join",
+)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    names = tuple(args.queries) or HEADLINE
+    spark = get_spark("anomalyzer-bench")
+    qs = entry_mod.queries()
+    sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm the JVM + parquet footers with a trivial scan
+    spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(args.repeat):
+            t0 = time.perf_counter()
+            qs[name](spark, args.sf_dir).write.mode("overwrite").format(
+                "noop").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
