@@ -113,36 +113,48 @@ def q_detect_full(spark, sf_dir):
     return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
+def _docs(spark, sf_dir):
+    """documents spread across cores (single local file → 1 split otherwise)."""
+    return load_table(spark, sf_dir, "documents",
+                      repartition=spark.sparkContext.defaultParallelism)
+
+
+def _embs(spark, sf_dir):
+    e = load_table(spark, sf_dir, "embeddings",
+                   repartition=spark.sparkContext.defaultParallelism)
+    return e.withColumn("embedding", F.col("embedding").cast("array<double>"))
+
+
 def q_text_stats(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.text_stats(d, "text", "doc_id")
 
 
 def q_lang_id(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return text.lang_id(d, "text", "doc_id")
 
 
 def q_fingerprint(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = text.fingerprint(d, "text", "doc_id")
     return out.withColumn("norm_len", F.col("norm_len").cast("long"))
 
 
 def q_token_count(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = text.token_count(d, "text", "doc_id")
     return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
                       F.col("lex_tokens").cast("long").alias("lex_tokens"))
 
 
 def q_exact_dedup(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return dedup.exact_dedup(d, "text", "doc_id")
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3,
                                     threshold=JACCARD_THRESHOLD)
     return out.withColumn("n_a", F.col("n_a").cast("long")).withColumn(
@@ -150,20 +162,19 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=16,
-                                   bands=8, threshold=JACCARD_THRESHOLD)
+    d = _docs(spark, sf_dir)
+    return dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=128,
+                                   bands=32, threshold=JACCARD_THRESHOLD)
 
 
 def q_simhash(spark, sf_dir):
-    d = load_table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     out = dedup.simhash(d, "text", "doc_id", bits=32)
     return out.withColumn("n_words", F.col("n_words").cast("long"))
 
 
 def q_cosine_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>"))
+    e = _embs(spark, sf_dir)
     out = similarity.cosine_topk(
         e, e.where(F.col("vec_id") < 20), id_col="vec_id",
         vec_col="embedding", query_id_col="vec_id", k=TOPK)
@@ -171,16 +182,14 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_pairs(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>"))
+    e = _embs(spark, sf_dir)
     out = similarity.cosine_pairs(e, id_col="vec_id", vec_col="embedding",
                                   threshold=COSINE_THRESHOLD)
     return _round6(out, "cos_sim")
 
 
 def q_lsh_topk(spark, sf_dir):
-    e = load_table(spark, sf_dir, "embeddings").withColumn(
-        "embedding", F.col("embedding").cast("array<double>"))
+    e = _embs(spark, sf_dir)
     out = similarity.lsh_topk(
         e, e.where(F.col("vec_id") < 20), id_col="vec_id",
         vec_col="embedding", query_id_col="vec_id", k=TOPK,
@@ -554,21 +563,32 @@ SELECT id_a, id_b, n_common, n_a, n_b,
 FROM pairs
 WHERE round(n_common / (n_a + n_b - n_common), 6) >= {JACCARD_THRESHOLD}"""
 
-    nh, nb = 16, 8
+    nh, nb = 128, 32
     rpb = nh // nb
+    mod32 = 1 << 32
     sql["minhash_lsh"] = f"""
 WITH {_SHINGLES},
-sigs AS (
+hs AS (
   SELECT doc_id, shingles,
-    list_transform(range(0, {nh}), i ->
-      list_aggregate(list_transform(shingles,
-                     s -> md5(i::VARCHAR || ':' || s)), 'min')) AS sig
+    list_transform(shingles, s -> md5(s)) AS hx
   FROM sh),
+cw AS (
+  SELECT doc_id, shingles,
+    list_transform(hx, h -> ('0x' || substr(h, 1, 8))::BIGINT) AS h1s,
+    list_transform(hx, h -> ('0x' || substr(h, 9, 8))::BIGINT) AS h2s
+  FROM hs),
+sigs AS (
+  SELECT doc_id,
+    list_transform(range(0, {nh}), i ->
+      list_aggregate(list_transform(range(1, len(h1s) + 1),
+                     j -> (h1s[j] + i * h2s[j]) % {mod32}), 'min')) AS sig
+  FROM cw),
 buckets AS (
   SELECT doc_id,
     unnest(list_transform(range(0, {nb}), b ->
       md5(b::VARCHAR || '|' ||
-          array_to_string(sig[b * {rpb} + 1 : b * {rpb} + {rpb}], ',')))) AS bucket
+          array_to_string(list_transform(sig[b * {rpb} + 1 : b * {rpb} + {rpb}],
+                          v -> v::VARCHAR), ',')))) AS bucket
   FROM sigs),
 cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b

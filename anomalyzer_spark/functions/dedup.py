@@ -72,14 +72,22 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of the normalized text (array<string>).
 
     Documents with fewer than k words yield their full word sequence as a
-    single shingle (so short docs still participate)."""
+    single shingle (so short docs still participate).
+
+    Built as k-1 chained zip_withs over shifted slices of the word array
+    (O(k) array allocations per doc) rather than one slice+join per
+    position (O(n·k)) — higher-order functions run interpreted (outside
+    whole-stage codegen), so per-element allocation dominates their cost.
+    """
     words = F.split(normalized(text), " ")
-    nshingles = F.greatest(F.size(words) - (k - 1), F.lit(1))
+    n = F.size(words)
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), nshingles),
-            lambda i: F.array_join(F.slice(words, i, k), " "),
-        )
+        F.when(n >= k, full).otherwise(F.array(F.array_join(words, " ")))
     )
 
 
@@ -116,16 +124,35 @@ def ngram_jaccard_pairs(
     Exact but quadratic in per-shingle document frequency — use
     ``max_shingle_freq`` or prefer minhash_lsh_pairs beyond ~10M docs.
     """
-    sh = _shingle_exploded(df, text_col, id_col, k, max_shingle_freq)
-    a = sh.select(
-        F.col(id_col).alias("id_a"), F.col("n_shingles").alias("n_a"), "shingle"
-    )
-    b = sh.select(
-        F.col(id_col).alias("id_b"), F.col("n_shingles").alias("n_b"), "shingle"
+    ex = _shingle_exploded(df, text_col, id_col, k, None)
+    # One shuffle on shingle; co-occurring docs collected per shingle and
+    # pairs generated in-memory (df(shingle) is small once stop-shingles are
+    # capped) — this computes the shingles ONCE, where a shingle self-join
+    # would re-derive them for both sides and shuffle twice.
+    per_sh = ex.groupBy("shingle").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"),
+                                    F.col("n_shingles").alias("n")))
+        ).alias("docs")
+    ).where(F.size("docs") > 1)
+    if max_shingle_freq is not None:
+        per_sh = per_sh.where(F.size("docs") <= max_shingle_freq)
+    nd = F.size(F.col("docs"))
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, nd),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"), x["n"].alias("n_a"),
+                    y["id"].alias("id_b"), y["n"].alias("n_b"),
+                ),
+            ),
+        )
     )
     pairs = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
+        per_sh.select(F.explode(pair_arr).alias("p"))
+        .select("p.id_a", "p.n_a", "p.id_b", "p.n_b")
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -137,28 +164,43 @@ def ngram_jaccard_pairs(
     )
 
 
+_MOD32 = 1 << 32  # Carter-Wegman universe: uint32 arithmetic in a BIGINT
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     *,
     k: int = 3,
-    num_hashes: int = 16,
+    num_hashes: int = 128,
 ) -> DataFrame:
-    """MinHash signatures over word-k-gram shingles.
+    """MinHash signatures over word-k-gram shingles (Carter-Wegman family).
 
-    Hash family i (0-based): md5(i || ':' || shingle); the signature element
-    is the lexicographic MIN digest — equivalent to min over a random
-    permutation of the shingle universe. Returns (id, sig array<string>).
+    One md5 per shingle; hash family i is the universal-hash mix
+    ``(h1 + i*h2) mod 2^32`` with h1/h2 = the digest's first/second 32-bit
+    words — the standard trick to avoid ``num_hashes`` full hash passes.
+    The whole signature is ONE fold over the shingle array (md5 evaluated
+    once per shingle, not once per family — higher-order-function subtrees
+    are re-evaluated per element, so the md5 must live inside the fold
+    input, not be referenced from ``num_hashes`` separate expressions).
+
+    Returns (id, sig array<bigint>), each element in [0, 2^32).
     """
     shingles = word_shingles(F.col(text_col), k)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                shingles,
-                lambda s: F.md5(F.concat_ws(":", i.cast("string"), s).cast("binary")),
-            )
+    pairs = F.transform(
+        F.transform(shingles, lambda s: F.md5(s.cast("binary"))),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(h, 9, 8), 16, 10).cast("long").alias("h2"),
+        ),
+    )
+    fams = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.aggregate(
+        pairs,
+        F.array_repeat(F.lit(_MOD32).cast("long"), num_hashes),
+        lambda acc, p: F.zip_with(
+            acc, fams, lambda m, i: F.least(m, (p["h1"] + i * p["h2"]) % _MOD32)
         ),
     )
     return df.select(F.col(id_col), sig.alias("sig"))
@@ -170,8 +212,8 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     *,
     k: int = 3,
-    num_hashes: int = 16,
-    bands: int = 4,
+    num_hashes: int = 128,
+    bands: int = 32,
     threshold: float = 0.5,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
@@ -180,6 +222,11 @@ def minhash_lsh_pairs(
     → band bucket = md5(band index || minhashes) → self-join per bucket for
     candidates → exact shingle-set Jaccard on candidates only → filter.
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+
+    Default 128 hashes / 32 bands (4 rows per band): candidate probability
+    is 1-(1-J^4)^32 — ~87% recall at J=0.5, ~0.3% of random pairs — which
+    keeps the bucket self-join from exploding at scale. Lower rows-per-band
+    (more bands for the same num_hashes) trades join size for recall.
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -194,7 +241,13 @@ def minhash_lsh_pairs(
                     F.concat_ws(
                         "|",
                         b.cast("string"),
-                        F.array_join(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), ","),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
                     ).cast("binary")
                 ),
             )
@@ -210,7 +263,18 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    # Exact verification touches only candidate docs: semi-join the corpus
+    # down BEFORE recomputing shingles, so verify cost scales with the
+    # candidate count, not the corpus (at 100 TB candidates ≪ corpus).
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        df.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+    )
     jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
     return (
         cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa")), "id_a")
@@ -233,13 +297,18 @@ def simhash(
     assert bits <= 32
     words = F.split(normalized(F.col(text_col)), " ")
     hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
-    bit_sums = F.transform(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        lambda j: F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.substring(h, 1, 32).substr(j + 1, F.lit(1)).isin(
+    # ONE fold over the word hashes accumulating all 32 bit-sums at once
+    # (md5 evaluated once per word; a per-bit aggregate would re-evaluate
+    # the hash array `bits` times — higher-order subtrees are not CSE'd).
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    bit_sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, j: a
+            + F.when(h.substr(j + 1, F.lit(1)).isin(
                 "8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(-1),
         ),
     )

@@ -33,7 +33,17 @@ NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, repartition: int | None = None
+) -> DataFrame:
+    """Load a fixture table.
+
+    ``repartition``: spread the scan across N partitions. The local fixture
+    is one small parquet file → one input split → compute-heavy per-row
+    operators (shingling, hashing) would run single-threaded without it. On
+    a real multi-file dataset the scan parallelizes naturally and callers
+    should pass None (no shuffle).
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLS.get(name, ()):
@@ -41,6 +51,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+    if repartition:
+        df = df.repartition(repartition)
     return df
 
 
