@@ -307,6 +307,35 @@ def q_asof_join(spark, sf_dir):
         "last_value")
 
 
+def q_detect_stream(spark, sf_dir):
+    """Structured Streaming detect drained over the events table
+    (availableNow); must equal batch detect → same SQL oracle."""
+    from anomalyzer_spark.streaming import run_stream_on_dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    res = run_stream_on_dir(
+        spark, f"{sf_dir}/events*.parquet", schema, ["event_type"],
+        "ts", "value", DET_CONF, "event_id",
+        query_name="q_detect_stream_mem")
+    return _round6(res.select("event_type", "n_points", "prob"), "prob")
+
+
+def q_multimodal_meta(spark, sf_dir):
+    """Binary-column metadata (size/md5/magic) over synthesized payloads."""
+    from anomalyzer_spark.functions import multimodal
+    d = _docs(spark, sf_dir)
+    with_payload = multimodal.attach_payload(d, "text", "doc_id")
+    return multimodal.payload_meta(with_payload, "content", "doc_id")
+
+
+def q_multimodal_features(spark, sf_dir):
+    """mapInPandas byte-level feature extraction (decode-shaped pipeline)."""
+    from anomalyzer_spark.functions import multimodal
+    d = _docs(spark, sf_dir)
+    with_payload = multimodal.attach_payload(d, "text", "doc_id")
+    return multimodal.byte_features(with_payload, "content", "doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_det": q_detect_det,
@@ -331,6 +360,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "events_json": q_events_json,
         "asof_join": q_asof_join,
+        "detect_stream": q_detect_stream,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
     }
 
 
@@ -455,6 +487,12 @@ def oracle_sql() -> dict[str, str]:
     sql["detect_det"] = _detect_sql("event_type", DET_CONF)
     sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
+    # the streaming path must converge to the same answer as batch detect
+    sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
+    sql["multimodal_meta"] = """
+SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+       md5(text) AS content_md5, 'unknown' AS format
+FROM documents"""
     # detect_default / detect_full / lsh_topk: seeded Monte-Carlo / LSH paths
     # are not SQL-expressible → rows-only checks (pytest covers bit-exactness
     # against the seeded NumPy oracle).

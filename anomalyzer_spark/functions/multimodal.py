@@ -1,0 +1,176 @@
+"""Multimodal (binary) column plumbing for training-data pipelines.
+
+Images/audio/video are opaque ``binary`` columns with typed metadata. The
+Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
+signatures, partitioning behavior — is real and tested; the actual media
+decoding is STUBBED (the decode libs are not in this container): a real
+decoder raises ``NotImplementedError`` unless its library is importable,
+and a deterministic byte-level fake stands in so pipelines are testable
+end-to-end.
+
+At 100 TB: binary payloads dominate row size — these operators are map-only
+(no shuffle), so they scale with scan bandwidth; keep payload columns OUT of
+any shuffle by projecting features before joins/aggregations.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
+    StructType,
+)
+
+#: magic prefixes → format tag (the usual suspects; extend as needed)
+MAGIC = {
+    b"\x89PNG": "png",
+    b"\xff\xd8\xff": "jpeg",
+    b"RIFF": "riff",  # wav/avi container
+    b"GIF8": "gif",
+    b"%PDF": "pdf",
+}
+
+
+def attach_payload(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Demo helper: materialize a ``binary`` payload column (UTF-8 bytes of
+    the text) + typed metadata, standing in for real media bytes."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return df.select(
+        F.col(id_col),
+        payload.alias("content"),
+        F.struct(
+            F.octet_length(F.col(text_col)).cast("long").alias("n_bytes"),
+            F.lit("text/plain").alias("mime"),
+        ).alias("meta"),
+    )
+
+
+def payload_meta(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Pure-column metadata over a binary payload: size, md5, magic sniff.
+
+    JVM-side only — no Python, map-only, scales with scan bandwidth.
+    """
+    c = F.col(content_col)
+    fmt = F.lit("unknown")
+    for magic, tag in MAGIC.items():
+        hexpat = magic.hex()
+        fmt = F.when(
+            F.hex(F.substring(c, 1, len(magic))) == hexpat.upper(), F.lit(tag)
+        ).otherwise(fmt)
+    return df.select(
+        F.col(id_col),
+        F.octet_length(c).cast("long").alias("n_bytes"),
+        F.md5(c).alias("content_md5"),
+        fmt.alias("format"),
+    )
+
+
+_FEATURES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_mean", DoubleType()),
+    StructField("byte_std", DoubleType()),
+    StructField("byte_entropy", DoubleType()),
+])
+
+
+def byte_features(df: DataFrame, content_col: str = "content",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Deterministic byte-level features via ``mapInPandas`` (Arrow batches).
+
+    This is the exact execution shape a real decode-and-featurize takes
+    (one Python worker pass per partition, vectorized inside the batch);
+    swap the numpy body for the real decoder when the library exists.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf[id_col], pdf[content_col]):
+                b = np.frombuffer(bytes(raw), dtype=np.uint8)
+                if len(b) == 0:
+                    rows.append((int(did), 0, 0.0, 0.0, 0.0))
+                    continue
+                counts = np.bincount(b, minlength=256)
+                p = counts[counts > 0] / len(b)
+                rows.append((
+                    int(did), int(len(b)),
+                    round(float(b.mean()), 6),
+                    round(float(b.std()), 6),
+                    round(float(-(p * np.log2(p)).sum()), 6),
+                ))
+            yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        fn, _FEATURES_SCHEMA)
+
+
+def decode_image(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id", *, size: tuple[int, int] = (64, 64)):
+    """Decode + resize images to fixed-size float arrays.
+
+    REAL decode path — requires PIL, which this container does not ship;
+    the function raises ``NotImplementedError`` at plan-build time when the
+    library is missing (schema + batch shape below are the contract).
+    Output schema: (id, pixels array<double> of h*w grayscale in [0,1]).
+    """
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode needs PIL; this environment does not provide it — "
+            "use byte_features for the library-free path"
+        ) from e
+
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("pixels", ArrayType(DoubleType())),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf[id_col], pdf[content_col]):
+                img = Image.open(io.BytesIO(bytes(raw))).convert("L").resize(size)
+                px = (np.asarray(img, dtype=np.float64) / 255.0).ravel()
+                rows.append((int(did), px.tolist()))
+            yield pd.DataFrame(rows, columns=["doc_id", "pixels"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(fn, schema)
+
+
+def frame_sample(df: DataFrame, content_col: str = "content",
+                 id_col: str = "doc_id", *, n_frames: int = 4) -> DataFrame:
+    """Deterministic frame sampling STUB: slices the payload into
+    ``n_frames`` evenly spaced byte windows (stand-in for video keyframes;
+    a real implementation would demux with ffmpeg/pyav). Output:
+    (id, frame_idx, frame binary) — exploded, one row per frame."""
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame", BinaryType()),
+    ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for did, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw)
+                if not b:
+                    continue
+                w = max(len(b) // n_frames, 1)
+                for i in range(min(n_frames, len(b))):
+                    out.append((int(did), i, b[i * w:(i + 1) * w]))
+            yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(fn, schema)

@@ -1,0 +1,59 @@
+"""Automated driver-contract cross-check: every oracle_sql() query must
+hash-match its Spark implementation. Full sweep at sf0.01 lives in
+tools/check_correctness.py; here a fast representative subset runs at
+sf0.001 so pytest stays quick but the contract is continuously guarded."""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+from tools.check_correctness import TABLES, compare
+
+FAST_QUERIES = (
+    "detect_det",
+    "detect_bytest_det",
+    "text_stats",
+    "lang_id",
+    "fingerprint",
+    "token_count",
+    "exact_dedup",
+    "ngram_jaccard",
+    "simhash",
+    "cosine_topk",
+    "pricing_summary",
+    "orders_rollup",
+    "running_totals",
+    "events_json",
+    "asof_join",
+    "multimodal_meta",
+)
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", FAST_QUERIES)
+def test_query_matches_oracle(spark, sf_dir, duck, name):
+    spark_pdf = entry_mod.queries()[name](spark, sf_dir).toPandas()
+    duck_pdf = duck.sql(entry_mod.oracle_sql()[name]).df()
+    problems = compare(name, spark_pdf, duck_pdf)
+    assert not problems, problems
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(osql) <= set(qs), "every oracle needs a query"
+    assert len(osql) >= 19

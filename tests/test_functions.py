@@ -1,0 +1,176 @@
+"""Unit tests for the LLM-pipeline operator modules (dedup, similarity,
+text, multimodal, asof) on small hand-built frames."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import dedup, multimodal, similarity, text
+from anomalyzer_spark.operators.asof import asof_join
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "The quick brown fox jumps over the lazy dog"),
+        (1, "The quick brown fox jumps over the lazy cat"),
+        (2, "the quick  brown FOX jumps over the lazy dog!"),  # norm-dup of 0
+        (3, "Entirely different content about Spark engines"),
+        (4, ""),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_semantics(spark):
+    df = spark.createDataFrame([(0, "a b c d"), (1, "a b"), (2, "x")],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["sh"] for r in df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    assert got[0] == ["a b c", "b c d"]
+    assert got[1] == ["a b"]   # short doc → whole sequence as one shingle
+    assert got[2] == ["x"]
+
+
+def test_exact_dedup_groups(spark, docs):
+    out = {r["doc_id"]: r for r in
+           dedup.exact_dedup(docs, "text", "doc_id").collect()}
+    assert out[0]["canonical_id"] == 0 and not out[0]["is_duplicate"]
+    assert out[2]["canonical_id"] == 0 and out[2]["is_duplicate"]
+    assert out[2]["group_size"] == 2
+    assert not out[3]["is_duplicate"]
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
+                                    k=3, threshold=0.2).collect()
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert pairs[(0, 2)] == 1.0          # normalized duplicates
+    # docs 0/1 share 5 of their 7-shingle sets minus the differing tail
+    assert (0, 1) in pairs and 0.5 < pairs[(0, 1)] < 1.0
+    assert all(a < b for a, b in pairs)
+
+
+def test_minhash_finds_near_dups(spark, docs):
+    out = dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3,
+                                  num_hashes=128, bands=32,
+                                  threshold=0.2).collect()
+    got = {(r["id_a"], r["id_b"]) for r in out}
+    assert (0, 2) in got  # exact dup always collides in every band
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out}
+    assert jac[(0, 2)] == 1.0
+
+
+def test_simhash_similar_docs_close(spark, docs):
+    rows = {r["doc_id"]: r["simhash"] for r in
+            dedup.simhash(docs, "text", "doc_id").collect()}
+    assert rows[0] == rows[2]  # identical normalized text → identical hash
+    ham = bin(rows[0] ^ rows[1]).count("1")
+    assert ham <= 10  # near-dup → small Hamming distance
+    far = bin(rows[0] ^ rows[3]).count("1")
+    assert far > ham
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((30, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk(df, df.where(F.col("vec_id") < 3), k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rnk"], r["neighbor_id"]))
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = sorted(range(30), key=lambda j: (-sims[q, j], j))[:4]
+        assert [n for _, n in sorted(got[q])] == order
+
+
+def test_lsh_topk_subset_of_exact_ranking(spark):
+    rng = np.random.default_rng(4)
+    vecs = rng.standard_normal((50, 16))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") < 2)
+    approx = similarity.lsh_topk(df, q, k=5, n_planes=8, bands=4, dim=16)
+    # every returned neighbor carries its TRUE cosine, ranked consistently
+    for r in approx.collect():
+        a, b = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert r["cos_sim"] == pytest.approx(true_cos, abs=1e-9)
+
+
+def test_text_stats_hand_values(spark):
+    df = spark.createDataFrame(
+        [(0, "The cat sat."), (1, ""), (2, "123 456!!!")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.text_stats(df, "text", "doc_id").collect()}
+    assert out[0]["n_tokens"] == 3
+    assert out[0]["n_words"] == 3
+    assert out[0]["stopword_ratio"] == pytest.approx(1 / 3)
+    assert out[1]["n_chars"] == 0 and out[1]["quality_score"] == 0.2
+    assert out[2]["n_words"] == 0 and out[2]["digit_ratio"] == 0.6
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog of the house"),
+         (1, "el gato y la casa de los perros"),
+         (2, "der Hund und die Katze ist nicht da"),
+         (3, "xyzzy")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["lang_pred"] for r in
+           text.lang_id(df, "text", "doc_id").collect()}
+    assert out[0] == "en" and out[1] == "es" and out[2] == "de"
+    assert out[3] == "de"  # all-zero scores → deterministic first language
+
+
+def test_multimodal_roundtrip(spark, docs):
+    wp = multimodal.attach_payload(docs, "text", "doc_id")
+    meta = {r["doc_id"]: r for r in
+            multimodal.payload_meta(wp, "content", "doc_id").collect()}
+    assert meta[0]["n_bytes"] == len("The quick brown fox jumps over the lazy dog")
+    assert meta[4]["n_bytes"] == 0
+    feats = {r["doc_id"]: r for r in
+             multimodal.byte_features(wp, "content", "doc_id").collect()}
+    b = np.frombuffer(b"The quick brown fox jumps over the lazy dog", np.uint8)
+    assert feats[0]["byte_mean"] == pytest.approx(b.mean(), abs=1e-6)
+    assert feats[4]["byte_entropy"] == 0.0
+    frames = multimodal.frame_sample(wp, "content", "doc_id", n_frames=4)
+    f0 = sorted((r["frame_idx"], bytes(r["frame"])) for r in
+                frames.where(F.col("doc_id") == 0).collect())
+    assert b"".join(x for _, x in f0).startswith(b"The quick")
+
+
+def test_multimodal_decode_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(None)
+
+
+def test_asof_join_matches_pandas(spark):
+    rng = np.random.default_rng(6)
+    right = pd.DataFrame({
+        "k": rng.integers(0, 3, 40),
+        "ts": np.sort(rng.integers(0, 1000, 40)).astype(np.int64),
+        "rid": np.arange(40, dtype=np.int64),
+        "v": rng.normal(size=40).round(3),
+    })
+    left = pd.DataFrame({
+        "k": rng.integers(0, 3, 25),
+        "ts": np.sort(rng.integers(0, 1000, 25)).astype(np.int64),
+        "lid": np.arange(25, dtype=np.int64),
+    })
+    out = asof_join(
+        spark.createDataFrame(left), spark.createDataFrame(right),
+        on="k", left_ts="ts", right_ts="ts",
+        payload_cols=["rid", "v"], tiebreak="rid")
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"]) for r in out.collect()}
+    exp = pd.merge_asof(
+        left.sort_values(["ts", "lid"]), right.sort_values(["ts", "rid"]),
+        on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        rid = None if pd.isna(row["rid"]) else int(row["rid"])
+        assert got[row["lid"]][0] == rid, row["lid"]

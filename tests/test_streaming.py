@@ -1,0 +1,92 @@
+"""Batch/stream equivalence (SURVEY.md §5.2.5): the same series fed through
+the stateful streaming path must produce bit-identical final probs."""
+
+import os
+import shutil
+
+import numpy as np
+import pytest
+
+from anomalyzer_spark import AnomalyzerConf, detect
+from anomalyzer_spark.sources import load_table
+from anomalyzer_spark.streaming import run_stream_on_dir
+
+DET_CONF = AnomalyzerConf(
+    active_size=2, methods=("magnitude", "fence", "cdf"),
+    upper_bound=500.0, lower_bound=0.0,
+)
+MC_CONF = AnomalyzerConf(active_size=2, perm_count=100)  # magnitude+ks seeded
+
+
+@pytest.mark.parametrize("conf", [DET_CONF, MC_CONF], ids=["deterministic", "mc"])
+def test_stream_equals_batch_multi_batch(spark, sf_dir, tmp_path, conf):
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.select("event_type", "ts_ns", "event_id", "value")
+
+    stream_dir = str(tmp_path / f"stream_in_{conf.methods[0]}_{len(conf.methods)}")
+    os.makedirs(stream_dir, exist_ok=True)
+    pdf = cols.toPandas().sort_values("ts_ns")
+    for i, chunk in enumerate(np.array_split(pdf, 4)):
+        chunk.to_parquet(f"{stream_dir}/part{i}.parquet", index=False)
+
+    res = run_stream_on_dir(
+        spark, stream_dir, cols.schema, ["event_type"], "ts_ns", "value",
+        conf, "event_id", query_name=f"eq_{abs(hash(conf)) % 10**8}",
+        max_files_per_trigger=1,
+    )
+    got = {r["event_type"]: (r["prob"], r["n_points"]) for r in res.collect()}
+    exp = {
+        r["event_type"]: (r["prob"], r["n_points"])
+        for r in detect(ev, ["event_type"], "ts_ns", "value", conf,
+                        tiebreak_cols=["event_id"]).collect()
+    }
+    assert got == exp
+
+
+def test_stream_out_of_order_within_window(spark, tmp_path):
+    """Late points that still fall inside the retained window are re-sorted
+    into place — the final prob must match the batch result on sorted data."""
+    import pandas as pd
+
+    conf = AnomalyzerConf(active_size=2, methods=("magnitude", "cdf"))
+    rng = np.random.default_rng(5)
+    n = 14
+    vals = rng.normal(10, 1, n)
+    ts = np.arange(n, dtype=np.int64)
+    sdir = str(tmp_path / "ooo")
+    os.makedirs(sdir)
+    # batch 1: all points except ts=11 (arrives late); batch 2: the straggler
+    pdf = pd.DataFrame({"k": "x", "ts": ts, "eid": ts, "value": vals})
+    pdf[pdf.ts != 11].to_parquet(f"{sdir}/p0.parquet", index=False)
+    pdf[pdf.ts == 11].to_parquet(f"{sdir}/p1.parquet", index=False)
+
+    df = spark.createDataFrame(pdf)
+    res = run_stream_on_dir(
+        spark, sdir, df.schema, ["k"], "ts", "value", conf, "eid",
+        query_name="ooo_q", max_files_per_trigger=1)
+    got = res.collect()[0]["prob"]
+    exp = detect(df, ["k"], "ts", "value", conf,
+                 tiebreak_cols=["eid"]).collect()[0]["prob"]
+    assert got == exp
+
+
+def test_stream_state_truncation(spark, tmp_path):
+    """State is bounded to window_size points (reference Update truncation,
+    anomalyze.go:127-131) — n_points never exceeds it."""
+    import pandas as pd
+
+    conf = AnomalyzerConf(active_size=1, n_seasons=4)  # window = 5
+    sdir = str(tmp_path / "trunc")
+    os.makedirs(sdir)
+    pdf = pd.DataFrame({
+        "k": ["a"] * 50, "ts": np.arange(50, dtype=np.int64),
+        "eid": np.arange(50, dtype=np.int64),
+        "value": np.random.default_rng(0).normal(5, 1, 50),
+    })
+    pdf.to_parquet(f"{sdir}/p0.parquet", index=False)
+    df = spark.createDataFrame(pdf)
+    res = run_stream_on_dir(spark, sdir, df.schema, ["k"], "ts", "value",
+                            conf, "eid", query_name="trunc_q")
+    row = res.collect()[0]
+    assert row["n_points"] == conf.window_size == 5
+    assert row["total_seen"] == 50
