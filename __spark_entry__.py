@@ -289,6 +289,27 @@ def q_events_json(spark, sf_dir):
     )
 
 
+def q_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per key (engine-general agg)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT / UNION ALL coverage over user cohorts."""
+    ev = load_table(spark, sf_dir, "events")
+    high = ev.where(F.col("value") > 300).select("user_id").distinct()
+    err = ev.where(F.col("event_type") == "error").select("user_id").distinct()
+    both = high.intersect(err).select("user_id", F.lit("both").alias("tag"))
+    only_high = high.exceptAll(err).select(
+        "user_id", F.lit("only_high").alias("tag"))
+    return both.unionAll(only_high)
+
+
 def q_asof_join(spark, sf_dir):
     """As-of enrichment: each order picks the latest event of its user."""
     ev = load_table(spark, sf_dir, "events").select(
@@ -305,6 +326,54 @@ def q_asof_join(spark, sf_dir):
                    F.col("asof_event_id").alias("event_id"),
                    F.col("asof_value").alias("last_value")),
         "last_value")
+
+
+def q_ks_stat(spark, sf_dir):
+    """Grid-interpolated two-sample KS statistic per key (the deterministic
+    core of the reference's ks test, algorithms.go:255-288) as a pure-column
+    query — the Monte-Carlo wrapper uses the same math in the kernel."""
+    from anomalyzer_spark.operators import columnar
+    from anomalyzer_spark.operators.detect import tail_window
+    ev = load_table(spark, sf_dir, "events")
+    tails = tail_window(ev, ["event_type"], "ts", "value",
+                        DET_CONF.window_size, ["event_id"])
+    s = columnar.WindowSlices(F.col("vec"), DET_CONF)
+    return _round6(
+        tails.select("event_type", "n_points",
+                     columnar.ks_stat_col(s).alias("ks")),
+        "ks")
+
+
+def q_detect_rolling(spark, sf_dir):
+    """Per-point anomaly probs over the full history (one window pass)."""
+    from anomalyzer_spark.operators.rolling import detect_rolling
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_rolling(ev, ["event_type"], "ts", "value", DET_CONF,
+                         tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "event_id", "n_points", "prob"),
+                   "prob")
+
+
+def q_resample(spark, sf_dir):
+    """Raw events → daily bucket series per key (downsampling step)."""
+    from anomalyzer_spark.operators.resample import resample
+    ev = load_table(spark, sf_dir, "events")
+    out = resample(ev, ["event_type"], "ts", "value",
+                   every_seconds=86400, agg="avg")
+    return _round6(
+        out.select("event_type", "bucket", "bucket_ts", "value", "n_raw"),
+        "value")
+
+
+def q_detect_resampled(spark, sf_dir):
+    """Composed pipeline: resample to daily buckets → detect. The shape the
+    reference documents (regular samples in, windows over samples)."""
+    from anomalyzer_spark.operators.resample import resample
+    ev = load_table(spark, sf_dir, "events")
+    series = resample(ev, ["event_type"], "ts", "value",
+                      every_seconds=86400, agg="avg")
+    out = detect(series, ["event_type"], "bucket", "value", DET_CONF)
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
 def q_detect_stream(spark, sf_dir):
@@ -359,7 +428,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_rollup": q_orders_rollup,
         "running_totals": q_running_totals,
         "events_json": q_events_json,
+        "percentiles": q_percentiles,
+        "set_ops": q_set_ops,
         "asof_join": q_asof_join,
+        "ks_stat": q_ks_stat,
+        "resample": q_resample,
+        "detect_resampled": q_detect_resampled,
+        "detect_rolling": q_detect_rolling,
         "detect_stream": q_detect_stream,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -377,14 +452,19 @@ _STOPWORDS = ("'the','and','of','to','is','in','that','it','was','for',"
               "'a','an','on','at','by','be','as','are','with','this'")
 
 
-def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False) -> str:
+def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
+                src: str = "events",
+                order_cols: tuple = ("ts", "event_id")) -> str:
     """DuckDB SQL implementing detect() for deterministic methods
-    (magnitude, fence, cdf) — mirrors oracle.py / operators/columnar.py."""
+    (magnitude, fence, cdf) — mirrors oracle.py / operators/columnar.py.
+    ``src`` may be a table name or a parenthesized subquery; ``order_cols``
+    is the event-time ordering (+ unique tiebreak) inside each key."""
     a, r = conf.active_size, conf.reference_size
     n_win = conf.window_size
     half = (conf.upper_bound - conf.lower_bound) / 2.0
     mid = conf.lower_bound + half
     sens = conf.sensitivity
+    order_desc = ", ".join(f"{c} DESC" for c in order_cols)
     per_test = """
         round(p_mag, 6) AS prob_magnitude, round(p_fence, 6) AS prob_fence,
         round(p_cdf, 6) AS prob_cdf,
@@ -395,8 +475,8 @@ def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False) -> str:
 WITH ranked AS (
   SELECT {key} AS k, value,
          row_number() OVER (PARTITION BY {key}
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+                            ORDER BY {order_desc}) AS rn
+  FROM {src}
 ),
 tails AS (
   SELECT k, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
@@ -472,6 +552,75 @@ SELECT k AS {key}, n_points,{per_test if bytest else ''}
 FROM combined"""
 
 
+def _rolling_sql(key: str, conf: AnomalyzerConf) -> str:
+    """DuckDB SQL for detect_rolling (per-row window-frame eval)."""
+    a, r = conf.active_size, conf.reference_size
+    half = (conf.upper_bound - conf.lower_bound) / 2.0
+    mid = conf.lower_bound + half
+    sens = conf.sensitivity
+    part = f"PARTITION BY {key} ORDER BY ts, event_id"
+    return f"""
+WITH d AS (
+  SELECT {key}, event_id, ts, value,
+    abs(value - lag(value) OVER ({part})) AS dv
+  FROM events),
+wagg AS (
+  SELECT {key}, event_id,
+    count(value) OVER wall AS n_points,
+    avg(value) OVER wact AS act_mean,
+    avg(value) OVER wref AS ref_mean,
+    count(value) OVER wref AS ref_n,
+    avg(dv) OVER wact AS dact_mean,
+    avg(dv) OVER wdref AS dref_mean,
+    count(dv) OVER wdref AS dref_n,
+    list(dv) OVER wdref AS dref_arr
+  FROM d
+  WINDOW
+    wall AS ({part} ROWS BETWEEN {a + r - 1} PRECEDING AND CURRENT ROW),
+    wact AS ({part} ROWS BETWEEN {a - 1} PRECEDING AND CURRENT ROW),
+    wref AS ({part} ROWS BETWEEN {a + r - 1} PRECEDING AND {a} PRECEDING),
+    wdref AS ({part} ROWS BETWEEN {a + r - 2} PRECEDING AND {a} PRECEDING)
+),
+praw AS (
+  SELECT {key}, event_id, n_points,
+    (pow(10, greatest(least(abs(act_mean - {mid}) / {half}, 1.0), 0.0)) - 1) / 9
+      AS p_fence_raw,
+    CASE WHEN ref_n < 1 THEN NULL
+         WHEN ref_mean = 0 THEN (CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END)
+         ELSE abs(act_mean - ref_mean) / ref_mean END AS p_mag_raw,
+    CASE WHEN dref_n < {a} THEN NULL
+         ELSE 2 * abs(0.5 - (len(list_filter(dref_arr,
+              x -> x <= (dact_mean - dref_mean)))::DOUBLE / dref_n))
+    END AS p_cdf_raw
+  FROM wagg),
+capped AS (
+  SELECT {key}, event_id, n_points,
+    CASE WHEN p_fence_raw IS NULL THEN NULL
+         ELSE greatest(least(p_fence_raw, 1.0), 0.0) END AS p_fence,
+    CASE WHEN p_mag_raw IS NULL THEN NULL
+         ELSE greatest(least(p_mag_raw, 1.0), 0.0) END AS p_mag,
+    CASE WHEN p_cdf_raw IS NULL THEN NULL
+         ELSE greatest(least(p_cdf_raw, 1.0), 0.0) END AS p_cdf
+  FROM praw),
+weighted AS (
+  SELECT *,
+    (CASE WHEN p_fence > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_fence,
+    (CASE WHEN p_mag > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_mag
+  FROM capped),
+combined AS (
+  SELECT *,
+    coalesce(p_mag * w_mag, 0) + coalesce(p_fence * w_fence, 0)
+      + coalesce(p_cdf * 0.5, 0) AS num,
+    (CASE WHEN p_mag IS NOT NULL THEN w_mag ELSE 0 END)
+      + (CASE WHEN p_fence IS NOT NULL THEN w_fence ELSE 0 END)
+      + (CASE WHEN p_cdf IS NOT NULL THEN 0.5 ELSE 0 END) AS den
+  FROM weighted)
+SELECT {key}, event_id, n_points,
+  round(CASE WHEN p_mag IS NOT NULL AND p_mag < {sens} THEN 0.0
+             WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS prob
+FROM combined"""
+
+
 _SHINGLES = f"""
 docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
 w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM docs),
@@ -489,6 +638,57 @@ def oracle_sql() -> dict[str, str]:
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
     # the streaming path must converge to the same answer as batch detect
     sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
+    sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)
+
+    a_, r_ = DET_CONF.active_size, DET_CONF.reference_size
+    sql["ks_stat"] = f"""
+WITH ranked AS (
+  SELECT event_type AS k, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events),
+tails AS (
+  SELECT k, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
+  FROM ranked WHERE rn <= {a_ + r_} GROUP BY k),
+feat AS (
+  SELECT k, n_points, vec, len(vec) AS n,
+         least({a_}, len(vec)) AS act_n,
+         least({r_}, len(vec) - least({a_}, len(vec))) AS ref_n
+  FROM tails),
+sliced AS (
+  SELECT k, n_points, act_n, ref_n,
+    vec[n - act_n + 1 : n] AS act,
+    CASE WHEN ref_n > 0 THEN vec[n - act_n - ref_n + 1 : n - act_n]
+         ELSE [] END AS ref
+  FROM feat),
+grid AS (
+  SELECT k, n_points, act_n, ref_n, act, ref,
+    least(list_aggregate(ref, 'min'), list_aggregate(act, 'min')) AS mn,
+    (greatest(list_aggregate(ref, 'max'), list_aggregate(act, 'max'))
+     - least(list_aggregate(ref, 'min'), list_aggregate(act, 'min')))
+      / (act_n + ref_n - 1) AS step
+  FROM sliced)
+SELECT k AS event_type, n_points,
+  CASE WHEN ref_n < {a_} OR ref_n % act_n != 0 THEN NULL
+       ELSE round(list_aggregate(list_transform(range(0, act_n + ref_n), i ->
+         abs(len(list_filter(act, x -> x <= mn + step * i))::DOUBLE / act_n
+           - len(list_filter(ref, x -> x <= mn + step * i))::DOUBLE / ref_n)),
+         'max'), 6)
+  END AS ks
+FROM grid"""
+
+    day_us = 86400 * 1_000_000
+    resample_src = f"""(
+  SELECT event_type, (epoch_us(ts) // {day_us})::BIGINT AS bucket,
+         sum(value::DECIMAL(28,6))::DOUBLE / count(value) AS value,
+         count(*) AS n_raw
+  FROM events GROUP BY 1, 2)"""
+    sql["resample"] = f"""
+SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
+       round(value, 6) AS value, n_raw
+FROM {resample_src} t"""
+    sql["detect_resampled"] = _detect_sql(
+        "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
     sql["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5, 'unknown' AS format
@@ -736,6 +936,20 @@ SELECT event_type,
   sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
 FROM events
 GROUP BY event_type, k_mod"""
+
+    sql["percentiles"] = """
+SELECT event_type,
+  round(quantile_cont(value, 0.5), 6) AS p50,
+  round(quantile_cont(value, 0.95), 6) AS p95,
+  count(*) AS n
+FROM events GROUP BY event_type"""
+
+    sql["set_ops"] = """
+WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
+err AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+SELECT user_id, 'both' AS tag FROM (SELECT * FROM high INTERSECT SELECT * FROM err)
+UNION ALL
+SELECT user_id, 'only_high' AS tag FROM (SELECT * FROM high EXCEPT SELECT * FROM err)"""
 
     sql["asof_join"] = """
 WITH comb AS (

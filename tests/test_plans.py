@@ -1,0 +1,75 @@
+"""Plan-property regression tests (SURVEY.md §4.3 scale contract).
+
+These pin the physical-plan shapes that make the engine viable at 100 TB:
+a refactor that adds a shuffle, drops predicate pushdown, or stops
+broadcasting a dimension join fails HERE, not on the cluster.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark import AnomalyzerConf, detect
+from anomalyzer_spark.plans import assert_plan, count_exchanges, explain_str
+from anomalyzer_spark.sources import load_table
+
+DET = AnomalyzerConf(active_size=2, methods=("magnitude", "fence", "cdf"),
+                     upper_bound=500.0, lower_bound=0.0)
+
+
+def test_detect_single_shuffle_with_maplocal_tail(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = detect(ev, ["event_type"], "ts", "value", DET,
+                tiebreak_cols=["event_id"])
+    plan = assert_plan(df, max_exchanges=1, requires=("WindowGroupLimit",))
+    # tail-N limit must run MAP-SIDE (below the exchange): the shuffle then
+    # carries O(keys·window·input_splits), never the full history
+    assert plan.index("WindowGroupLimit") > plan.index("Exchange") or \
+        plan.count("WindowGroupLimit") >= 2
+
+
+def test_detect_scan_prunes_columns(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    df = detect(ev.where(F.col("event_type") == "error"),
+                ["event_type"], "ts", "value", DET,
+                tiebreak_cols=["event_id"])
+    plan = explain_str(df)
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,error)]" in plan
+    read = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "props" not in read and "user_id" not in read  # pruned
+
+
+def test_top_customers_broadcasts_dims(spark, sf_dir):
+    import __spark_entry__ as e
+    df = e.q_top_customers(spark, sf_dir)
+    assert_plan(df, min_broadcasts=3, requires=("BroadcastHashJoin",))
+
+
+def test_asof_join_single_shuffle_per_side(spark, sf_dir):
+    import __spark_entry__ as e
+    df = e.q_asof_join(spark, sf_dir)
+    plan = explain_str(df)
+    # union of two scans → one exchange for the window; no join node at all
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert count_exchanges(plan) <= 2  # one per union branch pre-AQE
+
+
+def test_rolling_single_window_pass(spark, sf_dir):
+    from anomalyzer_spark.operators.rolling import detect_rolling
+    ev = load_table(spark, sf_dir, "events")
+    df = detect_rolling(ev, ["event_type"], "ts", "value", DET,
+                        tiebreak_cols=["event_id"])
+    assert_plan(df, max_exchanges=1)
+
+
+def test_text_ops_no_shuffle(spark, sf_dir):
+    from anomalyzer_spark.functions import text
+    d = load_table(spark, sf_dir, "documents")  # no repartition
+    for op in (text.text_stats, text.lang_id, text.fingerprint,
+               text.token_count):
+        assert_plan(op(d, "text", "doc_id"), max_exchanges=0)
+
+
+def test_pricing_summary_pushes_filter(spark, sf_dir):
+    import __spark_entry__ as e
+    plan = explain_str(e.q_pricing_summary(spark, sf_dir))
+    assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
