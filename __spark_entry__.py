@@ -51,6 +51,13 @@ FULL_CONF = AnomalyzerConf(
     upper_bound=500.0, lower_bound=0.0, perm_count=200,
 )
 
+#: the reference's largest documented window: act=2, NSeasons=59 → ref=118
+#: (EXAMPLES.md:36, the CPU use case)
+WIDE_CONF = AnomalyzerConf(
+    active_size=2, n_seasons=59, methods=("magnitude", "fence", "cdf"),
+    upper_bound=500.0, lower_bound=0.0,
+)
+
 JACCARD_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.35
 TOPK = 5
@@ -97,6 +104,14 @@ def q_detect_bytest_det(spark, sf_dir):
                    "weight_cdf", "prob"),
         "prob_magnitude", "prob_fence", "prob_cdf", "prob",
     )
+
+
+def q_detect_wide(spark, sf_dir):
+    """Reference's largest documented window (act=2, NSeasons=59)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["event_type"], "ts", "value", WIDE_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
 def q_detect_default(spark, sf_dir):
@@ -410,6 +425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_det": q_detect_det,
         "detect_det_users": q_detect_det_users,
         "detect_bytest_det": q_detect_bytest_det,
+        "detect_wide": q_detect_wide,
         "detect_default": q_detect_default,
         "detect_full": q_detect_full,
         "text_stats": q_text_stats,
@@ -636,6 +652,7 @@ def oracle_sql() -> dict[str, str]:
     sql["detect_det"] = _detect_sql("event_type", DET_CONF)
     sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
+    sql["detect_wide"] = _detect_sql("event_type", WIDE_CONF)
     # the streaming path must converge to the same answer as batch detect
     sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
     sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)

@@ -48,9 +48,11 @@ from ..config import AnomalyzerConf
 class _DetectProcessor(StatefulProcessor):
     """Per-key bounded window state + eval on every batch."""
 
-    def __init__(self, conf: AnomalyzerConf, n_keys: int):
+    def __init__(self, conf: AnomalyzerConf, n_keys: int,
+                 state_ttl_ms: int | None = None):
         self.conf = conf
         self.n_keys = n_keys
+        self.state_ttl_ms = state_ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self.window = handle.getValueState(
@@ -61,6 +63,7 @@ class _DetectProcessor(StatefulProcessor):
                 StructField("value", ArrayType(DoubleType())),
                 StructField("total_seen", LongType()),
             ]),
+            ttlDurationMs=self.state_ttl_ms,
         )
 
     def handleInputRows(
@@ -124,6 +127,7 @@ def detect_stream(
     conf: AnomalyzerConf | None = None,
     tiebreak_col: str | None = None,
     impl: str = "auto",
+    state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming ``detect``: one output row per key per micro-batch.
 
@@ -137,6 +141,12 @@ def detect_stream(
     'apply' (applyInPandasWithState, Spark 3.4+), or 'auto' (tws when its
     protobuf dependency is importable, else apply). Both paths share the
     same merge/eval kernel and emit identical results.
+
+    ``state_ttl_ms``: drop a key's window state this long after its last
+    update (processing time). At unbounded key cardinality (100 TB streams:
+    user ids, session ids) state must expire or the store grows forever —
+    the reference never faces this because each Anomalyzer is one in-process
+    series. None = keep state indefinitely.
     """
     conf = conf or AnomalyzerConf()
     if impl == "auto":
@@ -169,10 +179,10 @@ def detect_stream(
 
     if impl == "tws":
         out = prepared.groupBy(*keys).transformWithStateInPandas(
-            statefulProcessor=_DetectProcessor(conf, n_keys),
+            statefulProcessor=_DetectProcessor(conf, n_keys, state_ttl_ms),
             outputStructType=out_schema,
             outputMode="Update",
-            timeMode="None",
+            timeMode="ProcessingTime" if state_ttl_ms else "None",
         )
     else:
         state_schema = StructType([
@@ -182,7 +192,12 @@ def detect_stream(
             StructField("total_seen", LongType()),
         ])
 
+        ttl = state_ttl_ms
+
         def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+            if state.hasTimedOut:
+                state.remove()
+                return
             new = pd.concat(list(pdfs), ignore_index=True)
             if state.exists:
                 ts0, tb0, val0, seen0 = state.get
@@ -200,6 +215,8 @@ def detect_stream(
                 seen = len(new)
             ts, tb, val, out_pdf = _merge_and_eval(conf, n_keys, key, ts, tb, val, seen)
             state.update((ts.tolist(), tb.tolist(), val.tolist(), seen))
+            if ttl:
+                state.setTimeoutDuration(ttl)
             yield out_pdf
 
         from pyspark.sql.streaming.state import GroupStateTimeout
@@ -209,7 +226,8 @@ def detect_stream(
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="Update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(GroupStateTimeout.ProcessingTimeTimeout if ttl
+                         else GroupStateTimeout.NoTimeout),
         )
     return out.select(
         *[F.col(f"k{i}").alias(k) for i, k in enumerate(keys)],

@@ -27,6 +27,9 @@ HEADLINE = (
     "detect_full",
     "detect_default",
     "detect_det_users",
+    "detect_wide",
+    "detect_rolling",
+    "detect_resampled",
     "text_stats",
     "minhash_lsh",
     "ngram_jaccard",

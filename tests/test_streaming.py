@@ -70,6 +70,73 @@ def test_stream_out_of_order_within_window(spark, tmp_path):
     assert got == exp
 
 
+def test_resample_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Watermarked tumbling-window resample: every emitted bucket must equal
+    the batch floor-div bucket (append mode withholds buckets newer than the
+    final watermark — emitted ⊂ batch, values identical)."""
+    from anomalyzer_spark.operators.resample import resample
+    from anomalyzer_spark.streaming import resample_stream
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.select("event_type", "ts", "value")
+    sdir = str(tmp_path / "rs_in")
+    cols.coalesce(1).write.mode("overwrite").parquet(sdir)
+
+    stream = spark.readStream.schema(cols.schema).parquet(sdir)
+    out = resample_stream(stream, ["event_type"], "ts", "value",
+                          every_seconds=86400, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("rs_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["event_type"], r["bucket"]): (r["value"], r["n_raw"])
+           for r in spark.table("rs_t").collect()}
+    exp = {(r["event_type"], r["bucket"]): (r["value"], r["n_raw"])
+           for r in resample(ev, ["event_type"], "ts", "value",
+                             every_seconds=86400).collect()}
+    assert len(got) > 0.5 * len(exp)  # only the watermark tail withheld
+    for key, val in got.items():
+        assert val == exp[key], key
+
+
+def test_stream_state_ttl_drops_idle_keys(spark, tmp_path):
+    """state_ttl_ms: idle keys are evicted — a fresh point after eviction
+    sees an EMPTY window (n_points resets), not the old history."""
+    import time
+
+    import pandas as pd
+
+    conf = AnomalyzerConf(active_size=2, methods=("magnitude", "cdf"))
+    sdir = str(tmp_path / "ttl_in")
+    os.makedirs(sdir)
+    pd.DataFrame({"k": ["a"] * 8, "ts": np.arange(8, dtype=np.int64),
+                  "eid": np.arange(8, dtype=np.int64),
+                  "value": np.linspace(1, 8, 8)}).to_parquet(
+        f"{sdir}/p0.parquet", index=False)
+
+    from anomalyzer_spark.streaming import detect_stream
+    schema = "k string, ts long, eid long, value double"
+    stream = spark.readStream.schema(schema).parquet(sdir)
+    out = detect_stream(stream, ["k"], "ts", "value", conf, "eid",
+                        state_ttl_ms=1)
+    q = (out.writeStream.format("memory").queryName("ttl_t")
+         .outputMode("update").trigger(processingTime="2 seconds").start())
+    try:
+        time.sleep(6)  # batch 1 processes p0; ttl expires afterwards
+        pd.DataFrame({"k": ["a"], "ts": [100], "eid": [100],
+                      "value": [9.0]}).to_parquet(f"{sdir}/p1.parquet",
+                                                  index=False)
+        for _ in range(20):
+            rows = spark.table("ttl_t").collect()
+            if any(r["last_ts"] == 100 for r in rows):
+                break
+            time.sleep(1)
+    finally:
+        q.stop()
+    rows = {r["last_ts"]: r for r in spark.table("ttl_t").collect()}
+    assert rows[7]["n_points"] == 8  # first batch saw full history
+    assert rows[100]["n_points"] == 1  # state was evicted in between
+
+
 def test_stream_state_truncation(spark, tmp_path):
     """State is bounded to window_size points (reference Update truncation,
     anomalyze.go:127-131) — n_points never exceeds it."""
