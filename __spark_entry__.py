@@ -163,6 +163,14 @@ def q_token_count(spark, sf_dir):
                       F.col("lex_tokens").cast("long").alias("lex_tokens"))
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints, one row per fingerprint."""
+    d = _docs(spark, sf_dir)
+    out = text.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    return out.select("doc_id", "n_grams",
+                      F.explode("fingerprints").alias("fp"))
+
+
 def q_exact_dedup(spark, sf_dir):
     d = _docs(spark, sf_dir)
     return dedup.exact_dedup(d, "text", "doc_id")
@@ -209,6 +217,16 @@ def q_lsh_topk(spark, sf_dir):
         e, e.where(F.col("vec_id") < 20), id_col="vec_id",
         vec_col="embedding", query_id_col="vec_id", k=TOPK,
         n_planes=16, bands=4, dim=64, seed=7)
+    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF approximate top-k (KMeans coarse quantizer, seeded)."""
+    e = _embs(spark, sf_dir)
+    out = similarity.ivf_topk(
+        e, e.where(F.col("vec_id") < 20), id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=TOPK,
+        n_clusters=8, n_probe=3, seed=42)
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
 
 
@@ -432,6 +450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
@@ -439,6 +458,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
+        "ivf_topk": q_ivf_topk,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
@@ -794,6 +814,21 @@ SELECT doc_id,
   len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
     AS lex_tokens
 FROM documents"""
+
+    sql["winnow"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+g AS (SELECT doc_id, norm, greatest(length(norm) - 7, 0) AS ngrams FROM docs),
+h AS (SELECT doc_id,
+  CASE WHEN ngrams > 0 THEN
+    list_transform(range(1, ngrams + 1), i ->
+      ('0x' || substr(md5(substr(norm, i::INT, 8)), 1, 8))::BIGINT)
+  ELSE [] END AS hashes FROM g),
+m AS (SELECT doc_id, len(hashes) AS n_grams,
+  CASE WHEN len(hashes) > 0 THEN
+    list_transform(range(1, greatest(len(hashes) - 3, 1) + 1), i ->
+      list_aggregate(hashes[i : i + 3], 'min'))
+  ELSE [] END AS mins FROM h)
+SELECT doc_id, n_grams, unnest(list_distinct(mins)) AS fp FROM m"""
 
     sql["exact_dedup"] = f"""
 WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),

@@ -202,6 +202,72 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+
+    Train ``n_clusters`` centroids on the corpus (MLlib KMeans, seeded →
+    deterministic), assign every corpus vector to its nearest centroid
+    (the inverted lists), then search each query only in its ``n_probe``
+    nearest cells with exact cosine re-ranking.
+
+    Scale path: centroids are a tiny broadcast model; candidate volume is
+    ~``n_probe/n_clusters`` of the corpus per query. For 100 TB embeddings,
+    persist the assignment (cluster id column, partitioned/bucketed by it)
+    so repeated queries prune to probed cells at scan time.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    query_id_col = query_id_col or id_col
+    train = corpus.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+
+    def _nearest_cells(vec_expr, n: int):
+        """Columns of the n nearest centroid ids by cosine (literal
+        centroids — the model broadcasts as plan constants)."""
+        cents = [c.tolist() for c in model.clusterCenters()]
+        scored = F.array(*[
+            F.struct(
+                (-cosine(vec_expr, F.array(*[F.lit(float(x)) for x in c])))
+                .alias("neg"),
+                F.lit(i).alias("cid"),
+            )
+            for i, c in enumerate(cents)
+        ])
+        return F.slice(F.array_sort(scored), 1, n)["cid"]
+
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        _nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+    )
+    q_assigned = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        F.explode(_nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+    )
+    scored = (
+        c_assigned.join(q_assigned, "cell")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+        .where(F.col("cos_sim").isNotNull())
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k)
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

@@ -157,3 +157,74 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         n_tokens(F.col(text_col)).alias("ws_tokens"),
         F.size(word_tokens(F.col(text_col))).alias("lex_tokens"),
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03): the
+    local-minimum selection over rolling k-gram hashes that powers
+    plagiarism/near-dup detection at document-fragment granularity.
+
+    Hash of the k-gram at position i = first 8 hex digits of md5(k-gram) as
+    a uint32 (positionally computed; semantically identical to a rolling
+    hash and engine-portable, which a true Rabin hash's incremental state
+    is not). A window of ``window`` consecutive hashes selects its minimum;
+    the distinct set of selected mins is the document's fingerprint set.
+    Guarantees: any shared substring of length >= window+k-1 contributes at
+    least one common fingerprint.
+
+    Returns (id, n_grams, fingerprints array<bigint> sorted distinct).
+    Map-only (no shuffle); the fingerprint set is the join key for
+    fragment-level matching downstream.
+    """
+    from pyspark.sql.window import Window
+
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
+            r"\s+", " ",
+        )
+    )
+    ngrams = F.greatest(F.length(norm) - (k - 1), F.lit(0))
+    # Relational formulation: one row per k-gram position, md5 inside
+    # whole-stage codegen (an array-of-hashes higher-order expression would
+    # re-evaluate the array per sliding position — O(n²) hashing,
+    # interpreted), then the sliding-window minimum is a plain row frame.
+    ex = (
+        df.select(F.col(id_col), norm.alias("_norm"), ngrams.alias("_ng"))
+        .where(F.col("_ng") > 0)
+        .select(
+            F.col(id_col), F.col("_ng"),
+            F.explode(F.sequence(F.lit(1), F.col("_ng"))).alias("_i"),
+            F.col("_norm"),
+        )
+        .select(
+            F.col(id_col), F.col("_ng"), F.col("_i"),
+            F.conv(
+                F.substring(
+                    F.md5(F.col("_norm").substr(F.col("_i"), F.lit(k))
+                          .cast("binary")), 1, 8),
+                16, 10,
+            ).cast("long").alias("_h"),
+        )
+    )
+    w = (
+        Window.partitionBy(id_col).orderBy("_i")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    nwin = F.greatest(F.col("_ng") - (window - 1), F.lit(1))
+    return (
+        ex.withColumn("_winmin", F.min("_h").over(w))
+        .where(F.col("_i") <= nwin)
+        .groupBy(id_col)
+        .agg(
+            F.max("_ng").cast("long").alias("n_grams"),
+            F.array_sort(F.collect_set("_winmin")).alias("fingerprints"),
+        )
+    )

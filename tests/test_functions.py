@@ -103,6 +103,48 @@ def test_lsh_topk_subset_of_exact_ranking(spark):
         assert r["cos_sim"] == pytest.approx(true_cos, abs=1e-9)
 
 
+def test_ivf_topk_recall_on_clustered_data(spark):
+    """IVF must achieve high recall@k when the data is genuinely clustered
+    (each query's true neighbors live in its probed cells)."""
+    rng = np.random.default_rng(8)
+    centers = rng.standard_normal((6, 16)) * 10
+    vecs = np.concatenate([
+        c + rng.standard_normal((40, 16)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id").isin([0, 40, 80]))
+    approx = similarity.ivf_topk(df, q, k=5, n_clusters=6, n_probe=2, seed=1)
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = total = 0
+    for qid in (0, 40, 80):
+        true = set(sorted(range(len(vecs)),
+                          key=lambda j: (-sims[qid, j], j))[:5])
+        hits += len(true & got.get(qid, set()))
+        total += 5
+    assert hits / total >= 0.8
+
+
+def test_winnow_shared_fragment_shares_fingerprint(spark):
+    """Winnowing guarantee: a shared substring of length >= w+k-1 yields at
+    least one common fingerprint."""
+    from anomalyzer_spark.functions.text import winnow_fingerprints
+    shared = "the identical stolen paragraph lives here"
+    df = spark.createDataFrame(
+        [(0, "intro text. " + shared + " more content."),
+         (1, "completely other start. " + shared + " different end."),
+         (2, "nothing in common with those two documents at all")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: set(r["fingerprints"]) for r in
+           winnow_fingerprints(df, "text", "doc_id", k=8, window=4).collect()}
+    assert out[0] & out[1], "shared fragment must share a fingerprint"
+    assert not (out[0] & out[1] & out[2])
+
+
 def test_text_stats_hand_values(spark):
     df = spark.createDataFrame(
         [(0, "The cat sat."), (1, ""), (2, "123 456!!!")],

@@ -69,6 +69,28 @@ def test_text_ops_no_shuffle(spark, sf_dir):
         assert_plan(op(d, "text", "doc_id"), max_exchanges=0)
 
 
+def test_bucketed_detect_zero_shuffle(spark, sf_dir):
+    """Pre-bucketed storage removes detection's only exchange entirely."""
+    from anomalyzer_spark.sources.bucketing import read_bucketed, save_bucketed
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts_ns", "event_id", "value")
+    save_bucketed(ev, "ev_bucketed_test", ["event_type"], 8,
+                  sort_cols=["ts_ns", "event_id"])
+    try:
+        b = read_bucketed(spark, "ev_bucketed_test")
+        df = detect(b, ["event_type"], "ts_ns", "value", DET,
+                    tiebreak_cols=["event_id"])
+        assert_plan(df, max_exchanges=0)
+        # and it still computes the same answer as the unbucketed path
+        a = {r["event_type"]: r["prob"] for r in df.collect()}
+        c = {r["event_type"]: r["prob"] for r in
+             detect(ev, ["event_type"], "ts_ns", "value", DET,
+                    tiebreak_cols=["event_id"]).collect()}
+        assert a == c
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ev_bucketed_test")
+
+
 def test_pricing_summary_pushes_filter(spark, sf_dir):
     import __spark_entry__ as e
     plan = explain_str(e.q_pricing_summary(spark, sf_dir))
