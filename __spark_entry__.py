@@ -128,6 +128,14 @@ def q_detect_full(spark, sf_dir):
     return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
+def q_detect_full_users(spark, sf_dir):
+    """All 7 tests per user — the Monte-Carlo kernel on the many-keys axis."""
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["user_id"], "ts", "value", FULL_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("user_id", "n_points", "prob"), "prob")
+
+
 def _docs(spark, sf_dir):
     """documents spread across cores (single local file → 1 split otherwise)."""
     return load_table(spark, sf_dir, "documents",
@@ -446,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_wide": q_detect_wide,
         "detect_default": q_detect_default,
         "detect_full": q_detect_full,
+        "detect_full_users": q_detect_full_users,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -908,6 +917,44 @@ bits AS (
            THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS terms
   FROM h)
 SELECT doc_id, list_sum(terms)::BIGINT AS simhash, n_words FROM bits"""
+
+    # lsh_topk oracle: the seeded hyperplanes are deterministic literals —
+    # inline them so DuckDB reproduces signatures, buckets, candidates, and
+    # the exact cosine re-rank (dot-product folds are bit-identical across
+    # the engines, verified).
+    planes = similarity.hyperplanes(64, 16, seed=7)
+    rows_per_band = 16 // 4
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+    band_exprs = []
+    for b in range(4):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, pl[{b * rows_per_band + j + 1}]) >= 0 "
+            "THEN 1 ELSE 0 END)::VARCHAR"
+            for j in range(rows_per_band))
+        band_exprs.append(f"struct_pack(band := {b}, bucket := {bits})")
+    sql["lsh_topk"] = f"""
+WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
+       FROM e, pl),
+corpus_b AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
+query_b AS (SELECT vec_id AS query_id, v AS qv, band, bucket
+            FROM corpus_b WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
+  FROM corpus_b c JOIN query_b q USING (band, bucket)),
+s AS (SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          AS cos_sim
+      FROM cand),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM s WHERE cos_sim IS NOT NULL)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOPK}"""
 
     cos = ("list_dot_product(qv, cv) / "
            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")

@@ -14,6 +14,17 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = None):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    spark = _build(app, cpus, shuffle_partitions)
+    # Warm Spark 4's ICU-backed Unicode casing ONCE, single-threaded: the
+    # first non-ASCII lower()/upper() triggers CollationAwareUTF8String's
+    # static init (~4-6s here). If 32 concurrent tasks race that class
+    # init instead, contention blows it up to minutes (observed >400s CPU)
+    # — pay it deterministically at session start.
+    spark.sql("select lower('İstanbul 中文 ÉΑΒΓ')").collect()
+    return spark
+
+
+def _build(app: str, cpus: str, shuffle_partitions: int | None):
     builder = (
         SparkSession.builder.appName(app)
         .master(f"local[{cpus}]")
@@ -23,7 +34,11 @@ def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = No
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or 32))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # local mode runs all 32 task slots in the driver JVM: an 8g heap
+        # GC-thrashes once object-heavy stages (higher-order exprs, Arrow
+        # batches) accumulate — benchmarks showed every query after the
+        # kernel stage slowing 3-10x. 32g on the 128 GiB box keeps GC flat.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

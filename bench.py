@@ -27,6 +27,7 @@ HEADLINE = (
     "detect_full",
     "detect_default",
     "detect_det_users",
+    "detect_full_users",
     "detect_wide",
     "detect_rolling",
     "detect_resampled",

@@ -121,7 +121,14 @@ def test_stream_state_ttl_drops_idle_keys(spark, tmp_path):
     q = (out.writeStream.format("memory").queryName("ttl_t")
          .outputMode("update").trigger(processingTime="2 seconds").start())
     try:
-        time.sleep(6)  # batch 1 processes p0; ttl expires afterwards
+        # wait until batch 1 (p0) is fully processed before adding the late
+        # file — a fixed sleep races slow batch startup and would merge both
+        # files into one batch (no eviction in between)
+        for _ in range(30):
+            if any(r["last_ts"] == 7 for r in spark.table("ttl_t").collect()):
+                break
+            time.sleep(1)
+        time.sleep(2)  # ttl (1ms) certainly expired relative to batch 1
         pd.DataFrame({"k": ["a"], "ts": [100], "eid": [100],
                       "value": [9.0]}).to_parquet(f"{sdir}/p1.parquet",
                                                   index=False)
