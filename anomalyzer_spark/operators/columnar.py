@@ -76,6 +76,79 @@ class WindowSlices:
         ).otherwise(F.array().cast("array<double>"))
 
 
+# --------------------------------------------------------------------------
+# Staged evaluation.
+#
+# Interpreted higher-order expressions (slice/aggregate/zip_with with lambda
+# variables) are EXCLUDED from Catalyst's subexpression elimination, so a
+# single deep tree that references `adiffs` or a window mean k times
+# re-evaluates the whole subtree k times — measured 10-15x slower than
+# evaluating each shared intermediate once. The staged builders below split
+# the computation across successive projections with NAMED columns;
+# CollapseProject keeps projections separate when a non-cheap producer is
+# referenced more than once, so every intermediate is computed exactly once.
+# --------------------------------------------------------------------------
+
+#: stage-column name prefix (dropped from final output)
+_P = "_cx_"
+
+
+def stage1_cols(vec: Column, conf: AnomalyzerConf) -> dict[str, Column]:
+    """Shared window stats straight off the tail vector."""
+    s = WindowSlices(vec, conf)
+    return {
+        f"{_P}act_mean": s.active_mean,
+        f"{_P}ref_mean": s.ref_mean,
+        f"{_P}ref_n": s.ref_n,
+        f"{_P}adiffs": s.adiffs,
+    }
+
+
+def stage2_cols(conf: AnomalyzerConf) -> dict[str, Column]:
+    """Diff-window stats reading the named stage-1 columns."""
+    ad = F.col(f"{_P}adiffs")
+    nd = F.size(ad)
+    dact_n = F.least(F.lit(conf.active_size), nd)
+    dref_n = F.least(F.lit(conf.reference_size - 1), nd - dact_n)
+    dactive = F.slice(ad, nd - dact_n + 1, conf.active_size)
+    dref = F.when(
+        dref_n > 0, F.slice(ad, nd - dact_n - dref_n + 1, dref_n)
+    ).otherwise(F.array().cast("array<double>"))
+    return {
+        f"{_P}dref_n": dref_n,
+        f"{_P}dact_mean": _mean(dactive),
+        f"{_P}dref_mean": _mean(dref),
+        f"{_P}dref": dref,
+    }
+
+
+def staged_fence_prob(conf: AnomalyzerConf) -> Column:
+    x = F.col(f"{_P}act_mean")
+    if conf.lower_bound is None:
+        distance = x / F.lit(float(conf.upper_bound))
+    else:
+        half = (conf.upper_bound - conf.lower_bound) / 2.0
+        mid = conf.lower_bound + half
+        distance = F.abs(x - F.lit(mid)) / F.lit(half)
+    return (F.pow(F.lit(10.0), _cap01(distance)) - 1.0) / 9.0
+
+
+def staged_magnitude_prob(conf: AnomalyzerConf) -> Column:
+    am, rm, rn = (F.col(f"{_P}act_mean"), F.col(f"{_P}ref_mean"),
+                  F.col(f"{_P}ref_n"))
+    return F.when(rn < 1, F.lit(None).cast("double")).otherwise(
+        F.when(rm == 0.0, F.when(am == 0.0, 0.0).otherwise(1.0)).otherwise(
+            F.abs(am - rm) / rm))
+
+
+def staged_cdf_prob(conf: AnomalyzerConf) -> Column:
+    q = F.col(f"{_P}dact_mean") - F.col(f"{_P}dref_mean")
+    drn = F.col(f"{_P}dref_n")
+    pct = F.size(F.filter(F.col(f"{_P}dref"), lambda x: x <= q)) / drn
+    return F.when(drn < conf.active_size, F.lit(None).cast("double")).otherwise(
+        2.0 * F.abs(F.lit(0.5) - pct))
+
+
 def fence_prob(s: WindowSlices) -> Column:
     """FenceTest (algorithms.go:73-93): distance of active mean from bounds,
     sharpened by weightExp(·, 10) = (10^x - 1)/9."""

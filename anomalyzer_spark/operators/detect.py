@@ -82,26 +82,43 @@ def tail_window(
     ).withColumn("vec", F.col("_pts._v")).drop("_pts")
 
 
-def _prob_columns(
-    vec: Column, conf: AnomalyzerConf, kseed: Column
-) -> dict[str, Column]:
-    """Per-test prob columns (raw, pre-cap) for every configured method."""
-    probs: dict[str, Column] = {}
-    s = columnar.WindowSlices(vec, conf)
-    if "fence" in conf.methods:
-        probs["fence"] = columnar.fence_prob(s)
-    if "magnitude" in conf.methods:
-        probs["magnitude"] = columnar.magnitude_prob(s)
-    if "cdf" in conf.methods:
-        probs["cdf"] = columnar.cdf_prob(s)
+def _staged_probs(
+    tails: DataFrame, keys: list[str], conf: AnomalyzerConf, kseed: Column
+) -> tuple[DataFrame, dict[str, Column]]:
+    """Stage the shared window stats as named columns across projections,
+    then return (staged frame, per-test prob columns reading them).
 
+    Staging matters: interpreted higher-order expressions are excluded from
+    subexpression elimination, so one flat tree re-evaluates every shared
+    slice/mean per reference — measured 10-15x slower (columnar.py notes).
+    """
+    deterministic = [m for m in conf.methods if m in DETERMINISTIC]
+    carry = [*keys, "n_points", "last_ts"]
     mc = tuple(m for m in conf.methods if m in MC_METHODS)
+    staged = tails
+    if deterministic:
+        s1 = columnar.stage1_cols(F.col("vec"), conf)
+        staged = staged.select(
+            *carry, "vec", *[c.alias(n) for n, c in s1.items()])
+        if "cdf" in conf.methods:
+            s2 = columnar.stage2_cols(conf)
+            staged = staged.select(
+                *carry, "vec", *[F.col(n) for n in s1],
+                *[c.alias(n) for n, c in s2.items()])
+
+    probs: dict[str, Column] = {}
+    if "fence" in conf.methods:
+        probs["fence"] = columnar.staged_fence_prob(conf)
+    if "magnitude" in conf.methods:
+        probs["magnitude"] = columnar.staged_magnitude_prob(conf)
+    if "cdf" in conf.methods:
+        probs["cdf"] = columnar.staged_cdf_prob(conf)
     if mc:
         kernel = mc_probs_udf(conf, mc)
-        st = kernel(vec, kseed)
+        st = kernel(F.col("vec"), kseed)
         for m in mc:
             probs[m] = st.getField(m)
-    return probs
+    return staged, probs
 
 
 def detect(
@@ -121,10 +138,16 @@ def detect(
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
     )
-    probs = _prob_columns(F.col("vec"), conf, key_seed_col(keys))
-    merged = merge_probs(probs, conf.methods)
+    staged, probs = _staged_probs(tails, keys, conf, key_seed_col(keys))
+    # stage the raw per-test probs too: the combiner references each several
+    # times (cap, weight, numerator, denominator, gate)
+    withp = staged.select(
+        *keys, "n_points", "last_ts",
+        *[c.alias(f"_p_{m}") for m, c in probs.items()])
+    merged = merge_probs(
+        {m: F.col(f"_p_{m}") for m in probs}, conf.methods)
     prob = combined_prob(merged, conf, F.col("n_points"))
-    return tails.select(*keys, "n_points", "last_ts", prob.alias("prob"))
+    return withp.select(*keys, "n_points", "last_ts", prob.alias("prob"))
 
 
 def detect_by_test(
@@ -143,8 +166,12 @@ def detect_by_test(
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
     )
-    probs = _prob_columns(F.col("vec"), conf, key_seed_col(keys))
-    merged = merge_probs(probs, conf.methods)
+    staged, probs = _staged_probs(tails, keys, conf, key_seed_col(keys))
+    withp = staged.select(
+        *keys, "n_points", "last_ts",
+        *[c.alias(f"_p_{m}") for m, c in probs.items()])
+    merged = merge_probs(
+        {m: F.col(f"_p_{m}") for m in probs}, conf.methods)
     from .combine import weight_col
 
     cols = [*keys, "n_points", "last_ts"]
@@ -154,4 +181,4 @@ def detect_by_test(
             F.when(p.isNotNull(), weight_col(name, p)).alias(f"weight_{name}")
         )
     cols.append(combined_prob(merged, conf, F.col("n_points")).alias("prob"))
-    return tails.select(*cols)
+    return withp.select(*cols)
