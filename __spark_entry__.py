@@ -204,6 +204,31 @@ def q_simhash(spark, sf_dir):
     return out.withColumn("n_words", F.col("n_words").cast("long"))
 
 
+def q_data_pipeline(spark, sf_dir):
+    """Composed LLM-data curation pipeline: exact-dedup keep-first →
+    quality filter → language split → corpus stats. One declarative plan —
+    Catalyst fuses the whole chain into scan → map stages → one shuffle."""
+    d = _docs(spark, sf_dir)
+    keep = dedup.exact_dedup(d, "text", "doc_id").where(
+        ~F.col("is_duplicate")).select("doc_id")
+    stats = text.text_stats(d, "text", "doc_id")
+    langs = text.lang_id(d, "text", "doc_id").select("doc_id", "lang_pred")
+    return (
+        d.join(keep, "doc_id", "left_semi")
+        .join(stats, "doc_id")
+        .join(langs, "doc_id")
+        .where(F.col("quality_score") >= 0.4)
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("n_tokens")).alias("total_tokens"),
+            F.round(
+                F.sum(F.col("quality_score").cast("decimal(10,6)"))
+                .cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        )
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = _embs(spark, sf_dir)
     out = similarity.cosine_topk(
@@ -464,6 +489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "simhash": q_simhash,
+        "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
@@ -955,6 +981,29 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
       FROM s WHERE cos_sim IS NOT NULL)
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOPK}"""
+
+    # composed pipeline: reuse the per-operator oracle SQL as CTEs
+    sql["data_pipeline"] = f"""
+WITH keep AS (
+  SELECT doc_id FROM (
+    WITH hashed AS (SELECT doc_id, md5({_NORM}) AS h FROM documents),
+    g AS (SELECT h, min(doc_id) AS canon FROM hashed GROUP BY h)
+    SELECT h.doc_id FROM hashed h JOIN g USING (h) WHERE h.doc_id = g.canon)),
+stats AS (__STATS__),
+langs AS (__LANGS__)
+SELECT l.lang_pred,
+  count(*) AS n_docs,
+  sum(s.n_tokens) AS total_tokens,
+  round(sum(s.quality_score::DECIMAL(10,6))::DOUBLE / count(*), 6)
+    AS avg_quality
+FROM documents d
+JOIN keep USING (doc_id)
+JOIN stats s USING (doc_id)
+JOIN langs l USING (doc_id)
+WHERE s.quality_score >= 0.4
+GROUP BY l.lang_pred""".replace(
+        "__STATS__", sql["text_stats"].strip()).replace(
+        "__LANGS__", sql["lang_id"].strip())
 
     cos = ("list_dot_product(qv, cv) / "
            "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))")
