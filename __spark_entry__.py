@@ -326,6 +326,20 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
+def q_lineitem_cube(spark, sf_dir):
+    """CUBE over (returnflag, linestatus) — full grouping-sets coverage."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+            "sum_qty", "n")
+    )
+
+
 def q_running_totals(spark, sf_dir):
     """Window functions: running revenue + in-customer order rank."""
     from pyspark.sql.window import Window
@@ -497,6 +511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
+        "lineitem_cube": q_lineitem_cube,
         "running_totals": q_running_totals,
         "events_json": q_events_json,
         "percentiles": q_percentiles,
@@ -1066,6 +1081,14 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
   count(*) AS n
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
+
+    sql["lineitem_cube"] = """
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+  coalesce(l_linestatus, 'ALL') AS ls,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)"""
 
     sql["running_totals"] = """
 SELECT o_orderkey, o_custkey,

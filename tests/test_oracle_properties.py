@@ -1,0 +1,129 @@
+"""Hypothesis property tests over the NumPy oracle (the executable spec).
+
+These run without Spark (fast) and pin spec-level invariants: output
+ranges, gates, invariances under transformations the statistics must
+respect. Spark equality with the oracle is covered elsewhere; here we check
+the oracle itself behaves like the reference's math must.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from anomalyzer_spark import oracle
+from anomalyzer_spark.config import AnomalyzerConf
+
+finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
+                   allow_infinity=False, width=64)
+vectors = st.lists(finite, min_size=5, max_size=40).map(
+    lambda xs: np.asarray(xs, dtype=np.float64))
+seeds = st.integers(min_value=0, max_value=2**32 - 1)
+
+DET = AnomalyzerConf(active_size=2, methods=("magnitude", "fence", "cdf"),
+                     upper_bound=1e6, lower_bound=-1e6)
+MC = AnomalyzerConf(active_size=2, methods=("highrank", "lowrank", "diff", "ks"),
+                    perm_count=50)
+
+
+@given(vectors, seeds)
+@settings(max_examples=200, deadline=None)
+def test_eval_prob_in_unit_interval(v, kseed):
+    for conf in (DET, MC):
+        p = oracle.eval_prob(v, conf, kseed)
+        assert 0.0 <= p <= 1.0
+
+
+@given(vectors, seeds)
+@settings(max_examples=100, deadline=None)
+def test_eval_truncation_invariance_deterministic(v, kseed):
+    """Points beyond window_size never affect deterministic results
+    (§2.6.2 spec). NOT asserted for Monte-Carlo tests at the oracle level:
+    the reference shuffles the WHOLE retained vector (algorithms.go:126),
+    so vector length changes the permutation draw — that's exactly why
+    detect/tail_window truncate BEFORE the kernel runs (the engine-level
+    truncation-invariance test in test_properties.py covers that path)."""
+    tail = v[-DET.window_size:]
+    assert oracle.eval_prob(v, DET, kseed) == \
+        oracle.eval_prob(tail, DET, kseed)
+
+
+pos_vectors = st.lists(
+    st.floats(min_value=0.1, max_value=1e6, allow_nan=False, width=64),
+    min_size=5, max_size=40).map(lambda xs: np.asarray(xs, np.float64))
+
+
+@given(pos_vectors)
+@settings(max_examples=100, deadline=None)
+def test_magnitude_scale_invariance(v):
+    """|act-ref|/ref is invariant under positive scaling (asserted on
+    positive data — near-zero means hit catastrophic cancellation where
+    relative error is unbounded, which is the reference's behavior too)."""
+    c = AnomalyzerConf(active_size=2, methods=("magnitude",))
+    m1 = oracle.magnitude_test(v, c)
+    m2 = oracle.magnitude_test(v * 3.0, c)
+    assert m2 == pytest_approx(m1)
+
+
+def pytest_approx(x, rel=1e-9):
+    import pytest
+    return pytest.approx(x, rel=rel, abs=1e-12)
+
+
+int_vectors = st.lists(
+    st.integers(min_value=-10**6, max_value=10**6), min_size=5, max_size=40
+).map(lambda xs: np.asarray(xs, np.float64))
+
+
+@given(vectors)
+@settings(max_examples=100, deadline=None)
+def test_cdf_bounds(v):
+    c = AnomalyzerConf(active_size=2, methods=("cdf",))
+    p = oracle.cdf_test(v, c)
+    if p is not None:
+        assert 0.0 <= p <= 1.0 + 1e-12
+
+
+@given(int_vectors)
+@settings(max_examples=100, deadline=None)
+def test_cdf_shift_invariance_exact_arithmetic(v):
+    """First differences are shift-invariant — asserted on integer-valued
+    data where v+100 is exact (float cancellation on tiny values changes
+    diffs, which is the reference's float64 behavior too)."""
+    c = AnomalyzerConf(active_size=2, methods=("cdf",))
+    p1 = oracle.cdf_test(v, c)
+    p2 = oracle.cdf_test(v + 100.0, c)
+    assert p1 == p2
+
+
+@given(seeds)
+@settings(max_examples=50, deadline=None)
+def test_rank_tests_directional(kseed):
+    """A strictly increasing series puts its maximum in the active window:
+    highrank must be near 1, lowrank near 0 (and vice versa for a
+    decreasing series). highrank/lowrank use independent RNG streams, so
+    hi+lo<=1 does NOT hold in general — only this directional behavior."""
+    c = AnomalyzerConf(active_size=2, methods=("highrank", "lowrank"),
+                       perm_count=100)
+    up = np.arange(10.0)
+    assert oracle.rank_test(up, c, kseed, reverse=False) > 0.8
+    assert oracle.rank_test(up, c, kseed, reverse=True) < 0.2
+    down = up[::-1].copy()
+    assert oracle.rank_test(down, c, kseed, reverse=False) < 0.2
+    assert oracle.rank_test(down, c, kseed, reverse=True) > 0.8
+
+
+@given(vectors)
+@settings(max_examples=100, deadline=None)
+def test_ks_stat_range(v):
+    c = AnomalyzerConf(active_size=2, n_seasons=4, methods=("ks",))
+    d = oracle.ks_stat(v, c)
+    if d is not None:
+        assert 0.0 <= d <= 1.0
+
+
+@given(vectors, seeds)
+@settings(max_examples=50, deadline=None)
+def test_seed_determinism(v, kseed):
+    p1 = oracle.eval_prob(v, MC, kseed)
+    p2 = oracle.eval_prob(v.copy(), MC, kseed)
+    assert p1 == p2

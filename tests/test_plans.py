@@ -69,6 +69,29 @@ def test_text_ops_no_shuffle(spark, sf_dir):
         assert_plan(op(d, "text", "doc_id"), max_exchanges=0)
 
 
+def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
+    """With horizon set, the heavy exchange's input is filtered by the
+    per-key max-ts join — old rows drop BEFORE the big shuffle."""
+    import pyspark.sql.functions as F
+
+    from anomalyzer_spark.plans import explain_str
+    ev = load_table(spark, sf_dir, "events")
+    df = detect(ev, ["event_type"], "ts", "value", DET,
+                tiebreak_cols=["event_id"],
+                horizon=F.expr("INTERVAL 7 DAYS"))
+    plan = explain_str(df)
+    assert "_max_ts" in plan  # the pre-filter join is in the plan
+    # and results equal the unfiltered run when the horizon is generous
+    wide = detect(ev, ["event_type"], "ts", "value", DET,
+                  tiebreak_cols=["event_id"],
+                  horizon=F.expr("INTERVAL 365 DAYS"))
+    base = detect(ev, ["event_type"], "ts", "value", DET,
+                  tiebreak_cols=["event_id"])
+    a = {r["event_type"]: r["prob"] for r in wide.collect()}
+    b = {r["event_type"]: r["prob"] for r in base.collect()}
+    assert a == b
+
+
 def test_bucketed_detect_zero_shuffle(spark, sf_dir):
     """Pre-bucketed storage removes detection's only exchange entirely."""
     from anomalyzer_spark.sources.bucketing import read_bucketed, save_bucketed
