@@ -424,6 +424,19 @@ def q_ks_stat(spark, sf_dir):
         "ks")
 
 
+def q_detect_multi(spark, sf_dir):
+    """Multivariate detection: raw value + a derived metric per key, one
+    prob per (event_type, metric) in a single-shuffle plan."""
+    from anomalyzer_spark.operators.detect import detect_multi
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_multi(
+        ev, ["event_type"], "ts",
+        {"value": F.col("value"), "log1p": F.log(F.lit(1.0) + F.col("value"))},
+        DET_CONF, tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "metric", "n_points", "prob"),
+                   "prob")
+
+
 def q_detect_rolling(spark, sf_dir):
     """Per-point anomaly probs over the full history (one window pass)."""
     from anomalyzer_spark.operators.rolling import detect_rolling
@@ -494,6 +507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_default": q_detect_default,
         "detect_full": q_detect_full,
         "detect_full_users": q_detect_full_users,
+        "detect_multi": q_detect_multi,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -541,6 +555,7 @@ _STOPWORDS = ("'the','and','of','to','is','in','that','it','was','for',"
 def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
                 src: str = "events",
                 order_cols: tuple = ("ts", "event_id")) -> str:
+    """``key`` may be a single column or a comma-separated list."""
     """DuckDB SQL implementing detect() for deterministic methods
     (magnitude, fence, cdf) — mirrors oracle.py / operators/columnar.py.
     ``src`` may be a table name or a parenthesized subquery; ``order_cols``
@@ -551,6 +566,7 @@ def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
     mid = conf.lower_bound + half
     sens = conf.sensitivity
     order_desc = ", ".join(f"{c} DESC" for c in order_cols)
+    key_list = key
     per_test = """
         round(p_mag, 6) AS prob_magnitude, round(p_fence, 6) AS prob_fence,
         round(p_cdf, 6) AS prob_cdf,
@@ -559,17 +575,17 @@ def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
         (CASE WHEN p_cdf IS NOT NULL THEN 0.5 END)::DOUBLE AS weight_cdf,"""
     return f"""
 WITH ranked AS (
-  SELECT {key} AS k, value,
+  SELECT {key}, value,
          row_number() OVER (PARTITION BY {key}
                             ORDER BY {order_desc}) AS rn
   FROM {src}
 ),
 tails AS (
-  SELECT k, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
-  FROM ranked WHERE rn <= {n_win} GROUP BY k
+  SELECT {key}, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
+  FROM ranked WHERE rn <= {n_win} GROUP BY {key}
 ),
 feat AS (
-  SELECT k, n_points, vec, len(vec) AS n,
+  SELECT {key}, n_points, vec, len(vec) AS n,
          least({a}, len(vec)) AS act_n,
          least({r}, len(vec) - least({a}, len(vec))) AS ref_n
   FROM tails
@@ -590,7 +606,7 @@ dfeat AS (
   FROM sliced
 ),
 praw AS (
-  SELECT k, n_points,
+  SELECT {key_list}, n_points,
     (pow(10, greatest(least(abs(act_mean - {mid}) / {half}, 1.0), 0.0)) - 1) / 9
       AS p_fence_raw,
     CASE WHEN ref_n < 1 THEN NULL
@@ -608,7 +624,7 @@ praw AS (
 capped AS (
   -- NULL (NA) must survive the cap: DuckDB least/greatest skip NULLs like
   -- Spark's, so guard explicitly (same fix as operators/combine._cap01)
-  SELECT k, n_points,
+  SELECT {key_list}, n_points,
     CASE WHEN p_fence_raw IS NULL THEN NULL
          ELSE greatest(least(p_fence_raw, 1.0), 0.0) END AS p_fence,
     CASE WHEN p_mag_raw IS NULL THEN NULL
@@ -632,7 +648,7 @@ combined AS (
       + (CASE WHEN p_cdf IS NOT NULL THEN 0.5 ELSE 0 END) AS den
   FROM weighted
 )
-SELECT k AS {key}, n_points,{per_test if bytest else ''}
+SELECT {key_list}, n_points,{per_test if bytest else ''}
   round(CASE WHEN p_mag IS NOT NULL AND p_mag < {sens} THEN 0.0
              WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS prob
 FROM combined"""
@@ -723,6 +739,13 @@ def oracle_sql() -> dict[str, str]:
     sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
     sql["detect_wide"] = _detect_sql("event_type", WIDE_CONF)
+    multi_src = """(
+  SELECT event_type, 'value' AS metric, ts, event_id, value FROM events
+  UNION ALL
+  SELECT event_type, 'log1p' AS metric, ts, event_id, ln(1 + value) AS value
+  FROM events)"""
+    sql["detect_multi"] = _detect_sql("event_type, metric", DET_CONF,
+                                      src=multi_src)
     # the streaming path must converge to the same answer as batch detect
     sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
     sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)

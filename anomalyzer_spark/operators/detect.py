@@ -150,6 +150,44 @@ def detect(
     return withp.select(*keys, "n_points", "last_ts", prob.alias("prob"))
 
 
+def detect_multi(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_cols: list[str] | dict[str, Column] = ("value",),
+    conf: AnomalyzerConf | None = None,
+    tiebreak_cols: list[str] | None = None,
+    metric_col: str = "metric",
+) -> DataFrame:
+    """Multivariate detection: one probability per (key, metric).
+
+    ``value_cols`` is either a list of column names or a dict
+    {metric_name: Column expression} (derived metrics welcome). The frame
+    is unpivoted to long format — (keys..., metric, ts, value) — and
+    detection runs with ``metric`` as an extra key, so every metric of
+    every series shares the single-shuffle plan; the metric dimension just
+    multiplies the key cardinality (the cheap axis).
+    """
+    conf = conf or AnomalyzerConf()
+    if not isinstance(value_cols, dict):
+        value_cols = {c: F.col(c) for c in value_cols}
+    tiebreak_cols = tiebreak_cols or []
+    stacked = df.select(
+        *keys, ts_col, *tiebreak_cols,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(name).alias("_metric"),
+                         expr.cast("double").alias("_value"))
+                for name, expr in value_cols.items()
+            ])
+        ).alias("_m"),
+    ).select(*keys, ts_col, *tiebreak_cols,
+             F.col("_m._metric").alias(metric_col),
+             F.col("_m._value").alias("_value"))
+    return detect(stacked, [*keys, metric_col], ts_col, "_value", conf,
+                  tiebreak_cols=tiebreak_cols)
+
+
 def detect_by_test(
     df: DataFrame,
     keys: list[str],
