@@ -198,6 +198,16 @@ def q_minhash_lsh(spark, sf_dir):
                                    bands=32, threshold=JACCARD_THRESHOLD)
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pairs resolved to connected-component groups (keep-first
+    canonicalization) — only docs in a multi-doc group are returned."""
+    d = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=128,
+                                    bands=32, threshold=JACCARD_THRESHOLD)
+    groups = dedup.duplicate_groups(d, pairs, "doc_id")
+    return groups.where(F.col("group_size") > 1)
+
+
 def q_simhash(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = dedup.simhash(d, "text", "doc_id", bits=32)
@@ -516,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
@@ -966,6 +977,23 @@ verified AS (
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
+
+    # components over the SAME minhash pair set, via recursive reachability
+    sql["dedup_groups"] = f"""
+WITH RECURSIVE pairs AS ({sql['minhash_lsh']}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM pairs),
+reach(id, l) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.l FROM reach r JOIN edges e ON e.src = r.id),
+lbl AS (SELECT id, min(l) AS group_id FROM reach GROUP BY id),
+sz AS (SELECT group_id, count(*) AS group_size FROM lbl GROUP BY group_id)
+SELECT l.id AS doc_id, l.group_id, s.group_size
+FROM lbl l JOIN sz s USING (group_id)
+WHERE s.group_size > 1"""
 
     sql["simhash"] = f"""
 WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),

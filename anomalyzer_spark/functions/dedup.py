@@ -284,6 +284,66 @@ def minhash_lsh_pairs(
     )
 
 
+def duplicate_groups(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Resolve near-duplicate PAIRS into connected-component GROUPS.
+
+    ``pairs`` is any (id_a, id_b) edge list (minhash_lsh_pairs,
+    ngram_jaccard_pairs, cosine_pairs…). Returns (id, group_id, group_size)
+    where group_id = the MIN id in the connected component (singletons get
+    their own id) — the deterministic canonical for a keep-first policy.
+
+    Distributed min-label propagation: every node starts labeled with its
+    own id; each round every node takes the min of its label and its
+    neighbors' labels; converges in O(component diameter) rounds —
+    near-dup clusters are shallow, so a handful of joins. Each round is a
+    shuffle on the edge key (no driver-side graph state), which is the
+    scalable shape; a Catalyst plan cannot express the loop, so the loop
+    lives here with checkpoint-free reuse (cluster plans stay small because
+    labels is re-derived, not unioned).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = df.select(F.col(id_col).alias("id"),
+                       F.col(id_col).alias("label"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy("dst").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.id == nbr_min.dst, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(F.col("id").alias(id_col),
+                F.col("label").alias("group_id"), "group_size")
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32
 ) -> DataFrame:
