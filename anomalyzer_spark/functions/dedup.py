@@ -327,6 +327,11 @@ def duplicate_groups(
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
+        # materialize + truncate lineage each round: without this, round i
+        # re-executes all prior rounds (the convergence check and the next
+        # join would each replay the whole chain) and the plan grows
+        # unboundedly
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
