@@ -1059,7 +1059,7 @@ stats AS (__STATS__),
 langs AS (__LANGS__)
 SELECT l.lang_pred,
   count(*) AS n_docs,
-  sum(s.n_tokens) AS total_tokens,
+  sum(s.n_tokens)::BIGINT AS total_tokens,
   round(sum(s.quality_score::DECIMAL(10,6))::DOUBLE / count(*), 6)
     AS avg_quality
 FROM documents d
@@ -1173,27 +1173,30 @@ SELECT user_id, 'both' AS tag FROM (SELECT * FROM high INTERSECT SELECT * FROM e
 UNION ALL
 SELECT user_id, 'only_high' AS tag FROM (SELECT * FROM high EXCEPT SELECT * FROM err)"""
 
+    # row-atomic carry: ONE struct per right row (matches operators/asof.py)
+    # so every payload field comes from the same latest right row even when
+    # individual payload values are NULL.
     sql["asof_join"] = """
 WITH comb AS (
-  SELECT user_id AS user_key, ts, 0 AS tag, event_id, value,
-         NULL::BIGINT AS o_orderkey
+  SELECT user_id AS user_key, ts, 0 AS tag,
+         struct_pack(event_id := event_id, value := value) AS pay,
+         event_id AS tb, NULL::BIGINT AS o_orderkey
   FROM events
   UNION ALL
   SELECT o_custkey % 150 AS user_key, o_orderdate AS ts, 1 AS tag,
-         NULL::BIGINT AS event_id, NULL::DOUBLE AS value, o_orderkey
+         NULL::STRUCT(event_id BIGINT, value DOUBLE) AS pay,
+         NULL::BIGINT AS tb, o_orderkey
   FROM orders
 ),
 carried AS (
   SELECT user_key, tag, o_orderkey,
-    last_value(event_id IGNORE NULLS) OVER (
-      PARTITION BY user_key ORDER BY ts ASC, tag ASC, event_id ASC NULLS FIRST
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_id,
-    last_value(value IGNORE NULLS) OVER (
-      PARTITION BY user_key ORDER BY ts ASC, tag ASC, event_id ASC NULLS FIRST
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_value
+    last_value(pay IGNORE NULLS) OVER (
+      PARTITION BY user_key ORDER BY ts ASC, tag ASC, tb ASC NULLS FIRST
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prow
   FROM comb
 )
-SELECT o_orderkey, user_key, event_id, round(last_value, 6) AS last_value
+SELECT o_orderkey, user_key, prow.event_id AS event_id,
+       round(prow.value, 6) AS last_value
 FROM carried WHERE tag = 1"""
 
     return sql

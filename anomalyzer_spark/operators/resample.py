@@ -44,12 +44,11 @@ def resample(
     """Aggregate values into fixed time buckets per key.
 
     Returns (keys..., bucket, bucket_ts, value, n_raw) where ``bucket`` is
-    ``floor(epoch_us / every_us)`` (int64, oracle-portable), ``bucket_ts``
-    its start in epoch seconds, and ``value`` the chosen aggregate. For
-    ``avg`` the aggregation is an exact decimal-free sum/count division
-    ONLY when inputs merit it — here plain double sum is used; pipe through
-    decimals upstream if bit-exact cross-engine results are required for
-    high-cardinality buckets.
+    ``epoch_us div every_us`` (exact int64 floor-division, oracle-portable),
+    ``bucket_ts`` its start in epoch seconds, and ``value`` the chosen
+    aggregate. ``avg``/``sum`` aggregate through DECIMAL(28,6) (see AGGS)
+    so distributed partial-agg order cannot perturb low bits and DuckDB
+    reproduces the result exactly.
     """
     if agg not in AGGS:
         raise ValueError(f"agg must be one of {sorted(AGGS)}")
@@ -61,9 +60,17 @@ def resample(
     )
     every_us = every_seconds * 1_000_000
     v = F.col(value_col).cast("double")
-    bucket = F.floor(epoch_us / F.lit(every_us)).cast("long")
     return (
-        df.select(*keys, bucket.alias("bucket"), v.alias("_v"))
+        # exact int64 floor division: `div` never round-trips through
+        # double (Spark's `/` on longs is floating-point), so bucket ids
+        # at large epoch magnitudes are bit-identical to the integer
+        # division the DuckDB oracle performs.
+        df.select(*keys, epoch_us.alias("_us"), v.alias("_v"))
+        .select(
+            *keys,
+            F.expr(f"_us div {every_us}").cast("long").alias("bucket"),
+            "_v",
+        )
         .groupBy(*keys, "bucket")
         .agg(
             AGGS[agg](F.col("_v"), None).alias(value_col),

@@ -216,3 +216,33 @@ def test_asof_join_matches_pandas(spark):
     for _, row in exp.iterrows():
         rid = None if pd.isna(row["rid"]) else int(row["rid"])
         assert got[row["lid"]][0] == rid, row["lid"]
+
+
+def test_asof_join_null_payload_row_atomic(spark):
+    """A legitimately-NULL payload value in the latest right row must stay
+    NULL — not be back-filled from an older right row — and all payload
+    columns must come from the SAME right row."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType)
+    rschema = StructType([
+        StructField("k", LongType()), StructField("ts", LongType()),
+        StructField("rid", LongType()), StructField("v", DoubleType()),
+        StructField("s", StringType())])
+    right = spark.createDataFrame(
+        [(1, 10, 100, 1.5, "old"),
+         (1, 20, 200, None, None),   # latest row: v and s are NULL
+         (2, 10, 300, None, "x"),
+         (2, 30, 400, 4.0, None)],
+        rschema)
+    left = spark.createDataFrame(
+        [(1, 25, 0), (2, 35, 1), (2, 20, 2), (3, 5, 3)],
+        StructType([StructField("k", LongType()), StructField("ts", LongType()),
+                    StructField("lid", LongType())]))
+    out = asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                    payload_cols=["rid", "v", "s"], tiebreak="rid")
+    got = {r["lid"]: (r["asof_rid"], r["asof_v"], r["asof_s"])
+           for r in out.collect()}
+    assert got[0] == (200, None, None)   # NULLs NOT back-filled from rid=100
+    assert got[1] == (400, 4.0, None)
+    assert got[2] == (300, None, "x")
+    assert got[3] == (None, None, None)  # no qualifying right row at all
