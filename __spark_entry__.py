@@ -16,9 +16,11 @@ Determinism rules shared by both sides (so the value-hash compare passes):
     left-to-right in both engines (verified: DuckDB list_sum /
     list_dot_product == Spark F.aggregate fold bit-for-bit);
   * every float output column is rounded to 6 digits on both sides;
-  * Monte-Carlo tests (highrank/lowrank/diff/ks) use the seeded NumPy kernel
-    (not SQL-expressible → no oracle entry; the driver's rows-only check +
-    the pytest suite's bit-exact oracle comparison cover them).
+  * Monte-Carlo tests (highrank/lowrank/diff/ks) use an engine-portable
+    hash permutation — replicate r of an n-point window permutes by argsort
+    of md5(seed|key|test|r|j) over positions j (oracle.perm_matrix) — so
+    the MC detect queries have FULL DuckDB oracles too (list_sort over the
+    same md5 preimages).
 """
 
 from __future__ import annotations
@@ -563,27 +565,195 @@ _STOPWORDS = ("'the','and','of','to','is','in','that','it','was','for',"
               "'a','an','on','at','by','be','as','are','with','this'")
 
 
+#: short SQL column suffix per combiner entry
+_ENT = {"magnitude": "mag", "fence": "fence", "cdf": "cdf",
+        "rank": "rank", "diff": "diff", "ks": "ks"}
+_MC_METHODS = ("highrank", "lowrank", "diff", "ks")
+#: permutation hash-stream ids — MUST equal oracle._TEST_ID
+_TID = {"diff": 1, "highrank": 2, "lowrank": 3, "ks": 4}
+
+
+def _perms_sql(tid: int, perm_count: int) -> str:
+    """List of `perm_count` permutations of positions 0..n-1; permutation
+    `rep` = argsort of md5(kpre || tid|rep|j) over j — the engine-portable
+    shuffle spec of oracle.perm_matrix (identical in NumPy and here)."""
+    return (
+        f"list_transform(range(0, {perm_count}), rep -> "
+        f"list_transform(list_sort(list_transform(range(0, n), j -> "
+        f"struct_pack(h := md5(kpre || '{tid}|' || rep::VARCHAR || '|' || "
+        f"j::VARCHAR), j := j))), s -> s.j))")
+
+
+def _ks_sql(w: str) -> str:
+    """Grid-interpolated two-sample KS over bound list var ``w`` whose first
+    ref_n entries are the reference and last act_n the active window
+    (oracle.ks_stat / algorithms.go:255-288)."""
+    return (
+        f"list_transform([struct_pack(mn := list_aggregate({w}, 'min'), "
+        f"st := (list_aggregate({w}, 'max') - list_aggregate({w}, 'min')) "
+        f"/ (act_n + ref_n - 1))], m -> "
+        f"list_aggregate(list_transform(range(0, act_n + ref_n), i -> "
+        f"abs(len(list_filter({w}[ref_n + 1 : ref_n + act_n], "
+        f"x -> x <= m.mn + m.st * i))::DOUBLE / act_n "
+        f"- len(list_filter({w}[1 : ref_n], "
+        f"x -> x <= m.mn + m.st * i))::DOUBLE / ref_n)), 'max'))[1]")
+
+
 def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
                 src: str = "events",
                 order_cols: tuple = ("ts", "event_id")) -> str:
-    """``key`` may be a single column or a comma-separated list."""
-    """DuckDB SQL implementing detect() for deterministic methods
-    (magnitude, fence, cdf) — mirrors oracle.py / operators/columnar.py.
-    ``src`` may be a table name or a parenthesized subquery; ``order_cols``
-    is the event-time ordering (+ unique tiebreak) inside each key."""
+    """DuckDB SQL implementing detect() for ANY method set — deterministic
+    (magnitude, fence, cdf; mirrors operators/columnar.py) AND Monte-Carlo
+    (highrank, lowrank, diff, ks; mirrors oracle.perm_matrix + the kernel —
+    the hash-based permutation spec makes the MC tests SQL-expressible).
+
+    ``key`` may be a single column or a comma-separated list; ``src`` a
+    table name or parenthesized subquery; ``order_cols`` the event-time
+    ordering (+ unique tiebreak) inside each key.
+
+    Caveat (diff test only): a zero value inside a window makes the NumPy
+    rel-diff ±inf but DuckDB's float division NULL — sf0.01 (the driver
+    gate) has no zero values; don't hand-run the MC oracle at sf0.1.
+    """
+    methods = conf.methods
     a, r = conf.active_size, conf.reference_size
-    n_win = conf.window_size
-    half = (conf.upper_bound - conf.lower_bound) / 2.0
-    mid = conf.lower_bound + half
-    sens = conf.sensitivity
+    n_win, sens, P = conf.window_size, conf.sensitivity, conf.perm_count
+    entries = []  # combiner entries in probmap (= conf.methods) order
+    for m in methods:
+        e = "rank" if m in ("highrank", "lowrank") else m
+        if e not in entries:
+            entries.append(e)
+    mc = [m for m in methods if m in _MC_METHODS]
     order_desc = ", ".join(f"{c} DESC" for c in order_cols)
-    key_list = key
-    per_test = """
-        round(p_mag, 6) AS prob_magnitude, round(p_fence, 6) AS prob_fence,
-        round(p_cdf, 6) AS prob_cdf,
-        CASE WHEN p_mag IS NOT NULL THEN w_mag END AS weight_magnitude,
-        CASE WHEN p_fence IS NOT NULL THEN w_fence END AS weight_fence,
-        (CASE WHEN p_cdf IS NOT NULL THEN 0.5 END)::DOUBLE AS weight_cdf,"""
+    key_cols = [c.strip() for c in key.split(",")]
+
+    # ---- observed-stats columns (emit only what the method set needs)
+    sliced_cols, dfeat_cols = [], []
+    if {"fence", "magnitude"} & set(methods):
+        sliced_cols += [
+            "list_sum(vec[n - act_n + 1 : n]) / act_n AS act_mean",
+            "CASE WHEN ref_n > 0 THEN "
+            "list_sum(vec[n - act_n - ref_n + 1 : n - act_n]) / ref_n "
+            "END AS ref_mean"]
+    if "cdf" in methods:
+        sliced_cols.append(
+            "list_transform(range(2, n + 1), i -> abs(vec[i] - vec[i-1])) "
+            "AS adiffs")
+    if "diff" in methods:
+        sliced_cols.append(
+            "list_transform(range(2, n + 1), i -> "
+            "abs((vec[i] - vec[i-1]) / vec[i-1])) AS rdiffs")
+    if {"highrank", "lowrank"} & set(methods):
+        sliced_cols.append(
+            "list_transform(vec, x -> len(list_filter(vec, y -> y < x))) "
+            "AS rks")
+    if {"cdf", "diff"} & set(methods):
+        dfeat_cols += [
+            "n - 1 AS nd",
+            f"least({a}, n - 1) AS dact_n",
+            f"least({r - 1}, n - 1 - least({a}, n - 1)) AS dref_n"]
+    if {"highrank", "lowrank"} & set(methods):
+        dfeat_cols.append(
+            "list_sum(rks[n - act_n + 1 : n]) AS obs_rank_sum")
+    if "ks" in methods:
+        dfeat_cols.append(
+            f"CASE WHEN ref_n < {a} OR ref_n % act_n != 0 THEN NULL "
+            f"ELSE list_transform([vec], w -> {_ks_sql('w')})[1] "
+            f"END AS obs_ks")
+    obs_diff = (  # rank of each active |reldiff| within ALL |reldiff|s
+        "list_sum(list_transform(rdiffs[nd - dact_n + 1 : nd], "
+        "x -> len(list_filter(rdiffs, y -> y < x))))")
+
+    # ---- per-test raw probabilities
+    praw_cols = []
+    if "fence" in methods:
+        if conf.lower_bound is None:  # one-sided (reference NA LowerBound)
+            dist = f"act_mean / {conf.upper_bound}"
+        else:
+            half = (conf.upper_bound - conf.lower_bound) / 2.0
+            mid = conf.lower_bound + half
+            dist = f"abs(act_mean - {mid}) / {half}"
+        praw_cols.append(
+            f"(pow(10, greatest(least({dist}, 1.0), 0.0)) - 1) / 9 "
+            "AS p_fence_raw")
+    if "magnitude" in methods:
+        praw_cols.append(
+            "CASE WHEN ref_n < 1 THEN NULL "
+            "WHEN ref_mean = 0 THEN "
+            "(CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END) "
+            "ELSE abs(act_mean - ref_mean) / ref_mean END AS p_mag_raw")
+    if "cdf" in methods:
+        praw_cols.append(f"""CASE WHEN dref_n < {a} THEN NULL
+         ELSE 2 * abs(0.5 - (
+            len(list_filter(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n],
+                x -> x <= (list_sum(adiffs[nd - dact_n + 1 : nd]) / dact_n
+                     - list_sum(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n])
+                       / dref_n)))::DOUBLE / dref_n))
+    END AS p_cdf_raw""")
+    for m, cmp_op in (("highrank", "<"), ("lowrank", ">")):
+        if m in methods:
+            praw_cols.append(
+                f"CASE WHEN ref_n < {a} THEN NULL ELSE "
+                f"len(list_filter(list_transform({_perms_sql(_TID[m], P)}, "
+                f"p -> list_sum(list_transform(p[n - act_n + 1 : n], "
+                f"jj -> rks[jj + 1]))), s -> s {cmp_op} obs_rank_sum))::DOUBLE "
+                f"/ {P} END AS p_{'hr' if m == 'highrank' else 'lr'}_raw")
+    if "diff" in methods:
+        praw_cols.append(
+            f"CASE WHEN dref_n < {a} THEN NULL ELSE "
+            f"len(list_filter(list_transform({_perms_sql(_TID['diff'], P)}, "
+            f"p -> list_transform([list_transform(range(2, n + 1), i -> "
+            f"abs((vec[p[i] + 1] - vec[p[i - 1] + 1]) / vec[p[i - 1] + 1]))], "
+            f"d -> list_sum(list_transform(d[nd - dact_n + 1 : nd], "
+            f"x -> len(list_filter(d, y -> y < x)))))[1]), "
+            f"s -> s < {obs_diff}))::DOUBLE / {P} END AS p_diff_raw")
+    if "ks" in methods:
+        praw_cols.append(
+            f"CASE WHEN obs_ks IS NULL THEN NULL ELSE "
+            f"len(list_filter(list_transform({_perms_sql(_TID['ks'], P)}, "
+            f"p -> list_transform([list_transform(p, jj -> vec[jj + 1])], "
+            f"w -> {_ks_sql('w')})[1]), kk -> kk < obs_ks))::DOUBLE "
+            f"/ {P} END AS p_ks_raw")
+
+    # ---- cap [0,1] (NULL = NA passes through), fold highrank/lowrank
+    raw_names = [c.rsplit(" AS ", 1)[1].strip() for c in praw_cols]
+    capped_cols = [
+        f"CASE WHEN {rn} IS NULL THEN NULL "
+        f"ELSE greatest(least({rn}, 1.0), 0.0) END AS {rn[:-4]}"
+        for rn in raw_names]
+    merged_cols = []  # only 'rank' needs folding; other p_* already exist
+    if "rank" in entries:
+        pair = [f"p_{'hr' if m == 'highrank' else 'lr'}"
+                for m in ("highrank", "lowrank") if m in methods]
+        # DuckDB greatest skips NULLs (like Spark) = "NA dropped / max"
+        expr = pair[0] if len(pair) == 1 else f"greatest({pair[0]}, {pair[1]})"
+        merged_cols.append(f"{expr} AS p_rank")
+
+    # ---- dynamic weights + weighted mean in probmap order
+    weight = {e: (f"(CASE WHEN p_{_ENT[e]} > 0.8 THEN 5.0 ELSE 0.5 "
+                  "END)::DOUBLE")
+              if e in ("magnitude", "fence") else "0.5" for e in entries}
+    weighted_cols = [f"{weight[e]} AS w_{_ENT[e]}" for e in entries
+                     if e in ("magnitude", "fence")]
+    wref = {e: f"w_{_ENT[e]}" if e in ("magnitude", "fence") else "0.5"
+            for e in entries}
+    num = " + ".join(f"coalesce(p_{_ENT[e]} * {wref[e]}, 0)" for e in entries)
+    den = " + ".join(
+        f"(CASE WHEN p_{_ENT[e]} IS NOT NULL THEN {wref[e]} ELSE 0 END)"
+        for e in entries)
+
+    gate = (f"WHEN p_mag IS NOT NULL AND p_mag < {sens} THEN 0.0 "
+            if "magnitude" in methods else "")
+    delay = (f"WHEN n_points < {n_win} THEN 0.0 " if conf.delay else "")
+    per_test = "\n" + "\n".join(
+        f"  round(p_{_ENT[e]}, 6) AS prob_{e},"
+        f"  (CASE WHEN p_{_ENT[e]} IS NOT NULL THEN {wref[e]} "
+        f"END)::DOUBLE AS weight_{e}," for e in entries)
+
+    kpre = (f", '{conf.seed}|' || concat_ws('|', "
+            + ", ".join(f"{c}::VARCHAR" for c in key_cols)
+            + ") || '|' AS kpre" if mc else "")
+    nl = ",\n    "
     return f"""
 WITH ranked AS (
   SELECT {key}, value,
@@ -598,70 +768,41 @@ tails AS (
 feat AS (
   SELECT {key}, n_points, vec, len(vec) AS n,
          least({a}, len(vec)) AS act_n,
-         least({r}, len(vec) - least({a}, len(vec))) AS ref_n
+         least({r}, len(vec) - least({a}, len(vec))) AS ref_n{kpre}
   FROM tails
 ),
 sliced AS (
-  SELECT *,
-    list_sum(vec[n - act_n + 1 : n]) / act_n AS act_mean,
-    CASE WHEN ref_n > 0
-         THEN list_sum(vec[n - act_n - ref_n + 1 : n - act_n]) / ref_n
-    END AS ref_mean,
-    list_transform(range(2, n + 1), i -> abs(vec[i] - vec[i-1])) AS adiffs
+  SELECT *{nl if sliced_cols else ''}{nl.join(sliced_cols)}
   FROM feat
 ),
 dfeat AS (
-  SELECT *, len(adiffs) AS nd,
-         least({a}, len(adiffs)) AS dact_n,
-         least({r - 1}, len(adiffs) - least({a}, len(adiffs))) AS dref_n
+  SELECT *{nl if dfeat_cols else ''}{nl.join(dfeat_cols)}
   FROM sliced
 ),
 praw AS (
-  SELECT {key_list}, n_points,
-    (pow(10, greatest(least(abs(act_mean - {mid}) / {half}, 1.0), 0.0)) - 1) / 9
-      AS p_fence_raw,
-    CASE WHEN ref_n < 1 THEN NULL
-         WHEN ref_mean = 0 THEN (CASE WHEN act_mean = 0 THEN 0.0 ELSE 1.0 END)
-         ELSE abs(act_mean - ref_mean) / ref_mean END AS p_mag_raw,
-    CASE WHEN dref_n < {a} THEN NULL
-         ELSE 2 * abs(0.5 - (
-            len(list_filter(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n],
-                x -> x <= (list_sum(adiffs[nd - dact_n + 1 : nd]) / dact_n
-                     - list_sum(adiffs[nd - dact_n - dref_n + 1 : nd - dact_n])
-                       / dref_n)))::DOUBLE / dref_n))
-    END AS p_cdf_raw
+  SELECT *{nl if praw_cols else ''}{nl.join(praw_cols)}
   FROM dfeat
 ),
 capped AS (
-  -- NULL (NA) must survive the cap: DuckDB least/greatest skip NULLs like
-  -- Spark's, so guard explicitly (same fix as operators/combine._cap01)
-  SELECT {key_list}, n_points,
-    CASE WHEN p_fence_raw IS NULL THEN NULL
-         ELSE greatest(least(p_fence_raw, 1.0), 0.0) END AS p_fence,
-    CASE WHEN p_mag_raw IS NULL THEN NULL
-         ELSE greatest(least(p_mag_raw, 1.0), 0.0) END AS p_mag,
-    CASE WHEN p_cdf_raw IS NULL THEN NULL
-         ELSE greatest(least(p_cdf_raw, 1.0), 0.0) END AS p_cdf
+  SELECT *{nl if capped_cols else ''}{nl.join(capped_cols)}
   FROM praw
 ),
-weighted AS (
-  SELECT *,
-    (CASE WHEN p_fence > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_fence,
-    (CASE WHEN p_mag > 0.8 THEN 5.0 ELSE 0.5 END)::DOUBLE AS w_mag
+merged AS (
+  SELECT *{nl if merged_cols else ''}{nl.join(merged_cols)}
   FROM capped
+),
+weighted AS (
+  SELECT *{nl if weighted_cols else ''}{nl.join(weighted_cols)}
+  FROM merged
 ),
 combined AS (
   SELECT *,
-    coalesce(p_mag * w_mag, 0) + coalesce(p_fence * w_fence, 0)
-      + coalesce(p_cdf * 0.5, 0) AS num,
-    (CASE WHEN p_mag IS NOT NULL THEN w_mag ELSE 0 END)
-      + (CASE WHEN p_fence IS NOT NULL THEN w_fence ELSE 0 END)
-      + (CASE WHEN p_cdf IS NOT NULL THEN 0.5 ELSE 0 END) AS den
+    {num} AS num,
+    {den} AS den
   FROM weighted
 )
-SELECT {key_list}, n_points,{per_test if bytest else ''}
-  round(CASE WHEN p_mag IS NOT NULL AND p_mag < {sens} THEN 0.0
-             WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS prob
+SELECT {key}, n_points,{per_test if bytest else ''}
+  round(CASE {delay}{gate}WHEN den > 0 THEN num / den ELSE 0.0 END, 6) AS prob
 FROM combined"""
 
 
@@ -814,9 +955,13 @@ FROM {resample_src} t"""
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5, 'unknown' AS format
 FROM documents"""
-    # detect_default / detect_full / lsh_topk: seeded Monte-Carlo / LSH paths
-    # are not SQL-expressible → rows-only checks (pytest covers bit-exactness
-    # against the seeded NumPy oracle).
+    # Monte-Carlo detect queries: the hash-based permutation spec
+    # (oracle.perm_matrix) is plain md5 + argsort, so the MC tests — the
+    # reference's DEFAULT method set (anomalyze.go:33-36) — get full DuckDB
+    # oracles too.
+    sql["detect_default"] = _detect_sql("event_type", DEFAULT_CONF)
+    sql["detect_full"] = _detect_sql("event_type", FULL_CONF)
+    sql["detect_full_users"] = _detect_sql("user_id", FULL_CONF)
 
     sql["text_stats"] = f"""
 WITH base AS (

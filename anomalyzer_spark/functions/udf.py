@@ -6,13 +6,13 @@ Here the equivalent ad-hoc surface is a registered SQL function over an
 ordered value array, so ``spark.sql`` users can score windows without the
 DataFrame API:
 
-    SELECT series_id, anomaly_prob(vec, crc32(series_id)) AS prob
+    SELECT series_id, anomaly_prob(vec, series_id) AS prob
     FROM (SELECT series_id, collect_sorted_tail(...) AS vec ...)
 
 Registration binds a validated ``AnomalyzerConf`` (configs are plan-time
 constants, never per-row) — register multiple names for multiple configs.
-The kernel is the same seeded NumPy implementation as batch/streaming, so
-all three surfaces agree bit-for-bit.
+The kernel is the same hash-permutation NumPy implementation as
+batch/streaming, so all three surfaces agree bit-for-bit.
 """
 
 from __future__ import annotations
@@ -34,21 +34,21 @@ def register_anomaly_prob(
     conf: AnomalyzerConf | None = None,
     name: str = "anomaly_prob",
 ) -> None:
-    """Register ``name(vec array<double>, kseed bigint) -> double``.
+    """Register ``name(vec array<double>, key string) -> double``.
 
     ``vec`` must be the per-key tail window in ascending time order (the
-    caller owns ordering/truncation — e.g. via ``tail_window``); ``kseed``
-    seeds the Monte-Carlo tests per key (pass crc32 of the key, or any
-    stable per-series integer; the same seed reproduces the same prob).
+    caller owns ordering/truncation — e.g. via ``tail_window``); ``key``
+    keys the Monte-Carlo permutation streams per series (pass the series
+    id / '|'-joined key string; the same key reproduces the same prob).
     """
     conf = conf or AnomalyzerConf()
 
     @F.pandas_udf(DoubleType())
     def _prob(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.Series]:
-        for vecs, seeds in it:
+        for vecs, keys in it:
             out = [
-                oracle.eval_prob(np.asarray(v, dtype=np.float64), conf, int(s))
-                for v, s in zip(vecs, seeds)
+                oracle.eval_prob(np.asarray(v, dtype=np.float64), conf, str(k))
+                for v, k in zip(vecs, keys)
             ]
             yield pd.Series(out, dtype="float64")
 

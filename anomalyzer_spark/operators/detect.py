@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 from ..config import AnomalyzerConf
 from . import columnar
 from .combine import combined_prob, merge_probs
-from .kernel import MC_METHODS, key_seed_col, mc_probs_udf
+from .kernel import MC_METHODS, key_str_col, mc_probs_udf
 
 DETERMINISTIC = {"fence", "magnitude", "cdf"}
 
@@ -83,7 +83,7 @@ def tail_window(
 
 
 def _staged_probs(
-    tails: DataFrame, keys: list[str], conf: AnomalyzerConf, kseed: Column
+    tails: DataFrame, keys: list[str], conf: AnomalyzerConf, key_str: Column
 ) -> tuple[DataFrame, dict[str, Column]]:
     """Stage the shared window stats as named columns across projections,
     then return (staged frame, per-test prob columns reading them).
@@ -96,6 +96,16 @@ def _staged_probs(
     carry = [*keys, "n_points", "last_ts"]
     mc = tuple(m for m in conf.methods if m in MC_METHODS)
     staged = tails
+    if mc:
+        # The MC kernel is per-KEY CPU-bound (perm_count · n md5+argsort per
+        # key), but AQE coalesces the post-agg exchange by BYTES — a few
+        # thousand tiny key rows collapse into 1 partition and the kernel
+        # runs serial (measured 7.5x slower at sf0.1). Round-robin the
+        # aggregated rows (one per key — negligible data) across the full
+        # parallelism so kernel CPU scales with cores regardless of how
+        # small the aggregated frame is.
+        staged = staged.repartition(
+            tails.sparkSession.sparkContext.defaultParallelism)
     if deterministic:
         s1 = columnar.stage1_cols(F.col("vec"), conf)
         staged = staged.select(
@@ -115,7 +125,7 @@ def _staged_probs(
         probs["cdf"] = columnar.staged_cdf_prob(conf)
     if mc:
         kernel = mc_probs_udf(conf, mc)
-        st = kernel(F.col("vec"), kseed)
+        st = kernel(F.col("vec"), key_str)
         for m in mc:
             probs[m] = st.getField(m)
     return staged, probs
@@ -138,7 +148,7 @@ def detect(
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
     )
-    staged, probs = _staged_probs(tails, keys, conf, key_seed_col(keys))
+    staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     # stage the raw per-test probs too: the combiner references each several
     # times (cap, weight, numerator, denominator, gate)
     withp = staged.select(
@@ -204,7 +214,7 @@ def detect_by_test(
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
     )
-    staged, probs = _staged_probs(tails, keys, conf, key_seed_col(keys))
+    staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     withp = staged.select(
         *keys, "n_points", "last_ts",
         *[c.alias(f"_p_{m}") for m, c in probs.items()])

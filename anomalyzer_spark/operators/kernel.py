@@ -9,8 +9,10 @@ microseconds per key; parallelism comes from the number of keys — the
 100 TB axis (SURVEY.md §2.5, §4.3).
 
 The kernel shares its math with the NumPy oracle (``anomalyzer_spark.oracle``)
-— oracle and engine are literally the same code, seeded identically from
-``crc32(key)``, so batch results are reproducible and testable.
+— oracle and engine are literally the same code, keyed identically by the
+'|'-joined key string (the hash-permutation spec in oracle.perm_matrix), so
+batch results are reproducible, testable, AND reproducible by the DuckDB
+correctness oracle in plain SQL.
 
 Design note: this is a scalar ``pandas_udf`` over an already-aggregated
 array column, NOT ``applyInPandas`` — the groupBy that built the arrays is
@@ -41,37 +43,37 @@ _RESULT_TYPE = StructType(
 def mc_probs_udf(conf: AnomalyzerConf, methods: tuple[str, ...]):
     """Build a pandas UDF computing the requested MC probs.
 
-    Signature: (vec array<double>, kseed bigint) -> struct<diff,highrank,
-    lowrank,ks double>. Methods not requested come back NULL (and cost
-    nothing).
+    Signature: (vec array<double>, key string) -> struct<diff,highrank,
+    lowrank,ks double>. ``key`` is the '|'-joined key string feeding the
+    hash-permutation spec (oracle.perm_matrix). Methods not requested come
+    back NULL (and cost nothing).
     """
     want = tuple(m for m in MC_METHODS if m in methods)
 
     @F.pandas_udf(_RESULT_TYPE)
     def _kernel(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
-        for vecs, seeds in it:
+        for vecs, keys in it:
             out = {m: [] for m in MC_METHODS}
-            for vec, kseed in zip(vecs, seeds):
+            for vec, key in zip(vecs, keys):
                 v = np.asarray(vec, dtype=np.float64)
-                ks = int(kseed)
+                k = str(key)
                 for m in MC_METHODS:
                     if m not in want:
                         out[m].append(None)
                     elif m == "diff":
-                        out[m].append(oracle.diff_test(v, conf, ks))
+                        out[m].append(oracle.diff_test(v, conf, k))
                     elif m == "highrank":
-                        out[m].append(oracle.rank_test(v, conf, ks, reverse=False))
+                        out[m].append(oracle.rank_test(v, conf, k, reverse=False))
                     elif m == "lowrank":
-                        out[m].append(oracle.rank_test(v, conf, ks, reverse=True))
+                        out[m].append(oracle.rank_test(v, conf, k, reverse=True))
                     else:
-                        out[m].append(oracle.bootstrap_ks_test(v, conf, ks))
+                        out[m].append(oracle.bootstrap_ks_test(v, conf, k))
             yield pd.DataFrame(out, dtype="float64")
 
     return _kernel
 
 
-def key_seed_col(key_cols: list[str]) -> Column:
-    """crc32 of the '|'-joined key string — matches ``oracle.key_seed``."""
-    return F.crc32(
-        F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols]).cast("binary")
-    )
+def key_str_col(key_cols: list[str]) -> Column:
+    """'|'-joined key string — the per-key component of the permutation-hash
+    preimage; DuckDB reproduces it with ``concat_ws('|', key::VARCHAR, ...)``."""
+    return F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])

@@ -20,33 +20,29 @@ SURVEY.md §7.4 requires pinning):
     rounding ~1e-15 and both our engine and this oracle use the same formula.
 
 Determinism: the reference shuffles with the unseeded global RNG
-(algorithms.go:126,189,300). We seed ``numpy.random.default_rng`` with
-``[conf.seed, key_seed, TEST_ID]`` so each Monte-Carlo test is reproducible
-and independent of which other methods are enabled.
+(algorithms.go:126,189,300), so the shuffle spec is ours to pin. We use an
+ENGINE-PORTABLE hash permutation: replicate ``r``'s permutation of an
+``n``-point window is the argsort of
+``md5(f"{conf.seed}|{key}|{TEST_ID}|{r}|{j}")`` over positions
+``j = 0..n-1`` (lexicographic on the 32-char lowercase hex digest; md5
+collisions are ~2^-64 so ties never occur, and the position ``j`` is a
+deterministic tiebreak anyway). The exact same permutation is computed by
+this NumPy oracle, the Spark kernel (same code), and plain DuckDB SQL
+(``list_sort`` over ``md5(...)`` structs) — which is what lets the driver's
+DuckDB gate verify the Monte-Carlo tests end-to-end.
 """
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 
 import numpy as np
 
 from .config import AnomalyzerConf
 
-# Per-test RNG stream ids (keeps streams independent across methods).
+# Per-test hash-stream ids (keeps permutation streams independent across
+# methods, so enabling one test never changes another's replicates).
 _TEST_ID = {"diff": 1, "highrank": 2, "lowrank": 3, "ks": 4}
-
-
-def key_seed(key: str) -> int:
-    """Stable per-key seed component: crc32 of the '|'-joined key string.
-
-    Spark computes the same value with ``F.crc32(F.concat_ws('|', *keys))``.
-    """
-    return zlib.crc32(key.encode("utf-8")) & 0xFFFFFFFF
-
-
-def _rng(conf: AnomalyzerConf, kseed: int, test: str) -> np.random.Generator:
-    return np.random.default_rng([conf.seed, kseed, _TEST_ID[test]])
 
 
 def extract_windows(v: np.ndarray, ref_size: int, active_size: int, min_ref_size: int):
@@ -168,12 +164,32 @@ def _interpolate(mn: float, mx: float, npoints: int) -> np.ndarray:
     return mn + step * np.arange(npoints, dtype=np.float64)
 
 
-def _perm_matrix(rng: np.random.Generator, perm_count: int, n: int) -> np.ndarray:
-    """(perm_count, n) matrix of independent uniform permutation indices."""
-    return np.argsort(rng.random((perm_count, n)), axis=1)
+def perm_matrix(
+    conf_seed: int, key: str, test: str, perm_count: int, n: int
+) -> np.ndarray:
+    """(perm_count, n) matrix of engine-portable permutation indices.
+
+    Row r = argsort of ``md5(f"{conf_seed}|{key}|{TEST_ID[test]}|{r}|{j}")``
+    over j (see module docstring). ``key`` is the '|'-joined key string —
+    Spark passes ``concat_ws('|', *keys)``, DuckDB builds the identical
+    preimage with ``concat``.
+    """
+    tid = _TEST_ID[test]
+    prefix = f"{conf_seed}|{key}|{tid}|"
+    out = np.empty((perm_count, n), dtype=np.int64)
+    digests = np.empty(n, dtype="<U32")
+    for r in range(perm_count):
+        pre = f"{prefix}{r}|".encode()
+        for j in range(n):
+            digests[j] = hashlib.md5(pre + str(j).encode()).hexdigest()
+        # lexicographic order of fixed-width lowercase hex == numeric order
+        # of the 128-bit digest; 'stable' pins tie order to ascending j
+        # (matching DuckDB's list_sort over (hash, j) structs).
+        out[r] = np.argsort(digests, kind="stable")
+    return out
 
 
-def rank_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int, *, reverse: bool) -> float | None:
+def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -> float | None:
     """highrank/lowrank (algorithms.go:142-205).
 
     p = fraction of permutations whose active rank-sum is below (highrank)
@@ -190,8 +206,8 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int, *, reverse: bool)
     act_n = len(active)
 
     # rank(perm(v)) == perm(rank(v)): reuse the observed ranks.
-    rng = _rng(conf, kseed, "lowrank" if reverse else "highrank")
-    idx = _perm_matrix(rng, conf.perm_count, len(v))
+    idx = perm_matrix(conf.seed, key, "lowrank" if reverse else "highrank",
+                      conf.perm_count, len(v))
     perm_sums = ranks[idx[:, -act_n:]].sum(axis=1)
     if reverse:
         significant = int((perm_sums > active_sum).sum())
@@ -200,7 +216,7 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int, *, reverse: bool)
     return significant / conf.perm_count
 
 
-def diff_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float | None:
+def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
     """algorithms.go:105-140 — permutation test on ranks of |RelDiff|.
 
     Each replicate re-shuffles the RAW vector then recomputes reldiff+rank
@@ -215,8 +231,7 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float | None:
     active_sum = float(active.sum())
     act_n = len(active)
 
-    rng = _rng(conf, kseed, "diff")
-    idx = _perm_matrix(rng, conf.perm_count, len(v))
+    idx = perm_matrix(conf.seed, key, "diff", conf.perm_count, len(v))
     perm = v[idx]  # (P, n)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.abs((perm[:, 1:] - perm[:, :-1]) / perm[:, :-1])
@@ -226,7 +241,7 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float | None:
     return significant / conf.perm_count
 
 
-def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float | None:
+def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
     """algorithms.go:290-309 — p = fraction of permutations with KS < observed."""
     obs = ks_stat(v, conf)
     if obs is None:
@@ -236,8 +251,7 @@ def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float 
     refs = min(conf.reference_size, n - act)
     n1, n2 = refs, act
 
-    rng = _rng(conf, kseed, "ks")
-    idx = _perm_matrix(rng, conf.perm_count, n)
+    idx = perm_matrix(conf.seed, key, "ks", conf.perm_count, n)
     perm = v[idx][:, n - act - refs :]  # windows of each permutation
     ref = perm[:, :n1]
     active = perm[:, n1:]
@@ -258,7 +272,7 @@ def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int) -> float 
 # ------------------------------------------------------------- combiner ----
 
 
-def eval_by_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int = 0):
+def eval_by_test(v: np.ndarray, conf: AnomalyzerConf, key: str = ""):
     """Per-test probs + weights (anomalyze.go:195-221).
 
     Returns (probmap, weightmap); highrank/lowrank merged into 'rank' via max;
@@ -273,13 +287,13 @@ def eval_by_test(v: np.ndarray, conf: AnomalyzerConf, kseed: int = 0):
         elif method == "cdf":
             p = cdf_test(v, conf)
         elif method == "highrank":
-            p = rank_test(v, conf, kseed, reverse=False)
+            p = rank_test(v, conf, key, reverse=False)
         elif method == "lowrank":
-            p = rank_test(v, conf, kseed, reverse=True)
+            p = rank_test(v, conf, key, reverse=True)
         elif method == "diff":
-            p = diff_test(v, conf, kseed)
+            p = diff_test(v, conf, key)
         elif method == "ks":
-            p = bootstrap_ks_test(v, conf, kseed)
+            p = bootstrap_ks_test(v, conf, key)
         else:  # pragma: no cover — config validation forbids this
             raise ValueError(method)
         if p is None:
@@ -302,12 +316,12 @@ def get_weight(name: str, prob: float) -> float:
     return 0.5
 
 
-def eval_prob(v: np.ndarray, conf: AnomalyzerConf, kseed: int = 0) -> float:
+def eval_prob(v: np.ndarray, conf: AnomalyzerConf, key: str = "") -> float:
     """Full Eval (anomalyze.go:145-192): delay gate, per-test probs,
     magnitude sensitivity hard gate, dynamic weights, weighted mean."""
     if conf.delay and len(v) < conf.window_size:
         return 0.0
-    probmap, weightmap = eval_by_test(v, conf, kseed)
+    probmap, weightmap = eval_by_test(v, conf, key)
     if "magnitude" in probmap and probmap["magnitude"] < conf.sensitivity:
         return 0.0  # hard gate, anomalyze.go:173-175
     num = sum(probmap[m] * weightmap[m] for m in probmap)

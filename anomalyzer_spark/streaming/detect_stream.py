@@ -22,7 +22,6 @@ deviation; the reference has no notion of event time at all.
 
 from __future__ import annotations
 
-import zlib
 from typing import Any, Iterator
 
 import numpy as np
@@ -107,8 +106,7 @@ def _merge_and_eval(conf, n_keys, key, ts, tb, val, seen):
     order = np.lexsort((tb, ts))[-conf.window_size:]
     ts, tb, val = ts[order], tb[order], val[order]
     kstr = "|".join(str(k) for k in key[:n_keys])
-    kseed = zlib.crc32(kstr.encode("utf-8")) & 0xFFFFFFFF
-    prob = oracle.eval_prob(val, conf, kseed)
+    prob = oracle.eval_prob(val, conf, kstr)
     out = pd.DataFrame({
         **{f"k{i}": [key[i]] for i in range(n_keys)},
         "n_points": [len(val)],

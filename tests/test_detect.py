@@ -16,7 +16,7 @@ def _expected_per_key(pdf, keys, conf, ts="ts", value="value", tiebreak=None):
         g = g.sort_values(sort_cols)
         v = g[value].to_numpy(dtype=np.float64)[-conf.window_size :]
         kstr = "|".join(str(k) for k in (key if isinstance(key, tuple) else (key,)))
-        out[key] = oracle.eval_prob(v, conf, oracle.key_seed(kstr))
+        out[key] = oracle.eval_prob(v, conf, kstr)
     return out
 
 

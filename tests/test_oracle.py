@@ -87,16 +87,16 @@ def test_ks_stat_hand_computed():
 def test_rank_test_seeded_deterministic():
     c = AnomalyzerConf(active_size=1, methods=("highrank", "lowrank"), seed=7)
     v = REF_VECTOR
-    p1 = oracle.rank_test(v, c, 123, reverse=False)
-    p2 = oracle.rank_test(v, c, 123, reverse=False)
+    p1 = oracle.rank_test(v, c, "123", reverse=False)
+    p2 = oracle.rank_test(v, c, "123", reverse=False)
     assert p1 == p2  # reproducible
     # 8.0 is the max of the series: every permutation that doesn't land the
     # max in the active slot has a lower rank-sum → p near 1
     assert p1 > 0.8
     # lowrank is the mirror: near 0
-    assert oracle.rank_test(v, c, 123, reverse=True) < 0.2
+    assert oracle.rank_test(v, c, "123", reverse=True) < 0.2
     # different key seed → (almost surely) different MC draw
-    assert oracle.rank_test(v, c, 124, reverse=False) != p1 or True
+    assert oracle.rank_test(v, c, "124", reverse=False) != p1 or True
 
 
 def test_diff_test_spike():
@@ -104,25 +104,25 @@ def test_diff_test_spike():
     # a series whose LAST relative jump is by far the largest → the observed
     # active |reldiff| rank is maximal → most permutations rank lower
     v = np.array([1.0, 1.1, 0.9, 1.05, 0.95, 1.0, 10.0])
-    assert oracle.diff_test(v, c, 5) > 0.7
+    assert oracle.diff_test(v, c, "5") > 0.7
     # REF_VECTOR's first jump (0.1→2.05, reldiff 19.5) outranks the final
     # spike (reldiff 2.14): rank 4/6 of the active diff → p ≈ 4/6
-    assert oracle.diff_test(REF_VECTOR, c, 5) == pytest.approx(0.66, abs=0.08)
+    assert oracle.diff_test(REF_VECTOR, c, "5") == pytest.approx(0.66, abs=0.08)
 
 
 def test_bootstrap_ks_seeded():
     c = AnomalyzerConf(active_size=2, n_seasons=4, methods=("ks",), seed=7)
     rng = np.random.default_rng(0)
     v = np.concatenate([rng.normal(0, 1, 8), np.array([8.0, 9.0])])
-    p = oracle.bootstrap_ks_test(v, c, 99)
-    assert p == oracle.bootstrap_ks_test(v, c, 99)
+    p = oracle.bootstrap_ks_test(v, c, "99")
+    assert p == oracle.bootstrap_ks_test(v, c, "99")
     assert p > 0.8  # shifted active window → observed KS larger than most perms
 
 
 def test_eval_reference_fixture():
     """The reference's own test: prob > 0.5 after Push(8.0)
     (anomalyze_test.go:28-46)."""
-    p = oracle.eval_prob(REF_VECTOR, REFERENCE_TEST_CONF, oracle.key_seed("t"))
+    p = oracle.eval_prob(REF_VECTOR, REFERENCE_TEST_CONF, "t")
     assert 0.5 < p <= 1.0
 
 
@@ -142,7 +142,7 @@ def test_eval_delay_gate():
 
 def test_eval_weights():
     # fence prob 1.0 > 0.8 → weight 5.0 (anomalyze.go:225-241)
-    probs, weights = oracle.eval_by_test(REF_VECTOR, REFERENCE_TEST_CONF, 1)
+    probs, weights = oracle.eval_by_test(REF_VECTOR, REFERENCE_TEST_CONF, "1")
     assert weights["fence"] == 5.0
     assert weights["cdf"] == 0.5
     assert "rank" in probs  # highrank/lowrank merged

@@ -17,7 +17,8 @@ finite = st.floats(min_value=-1e6, max_value=1e6, allow_nan=False,
                    allow_infinity=False, width=64)
 vectors = st.lists(finite, min_size=5, max_size=40).map(
     lambda xs: np.asarray(xs, dtype=np.float64))
-seeds = st.integers(min_value=0, max_value=2**32 - 1)
+keys = st.integers(min_value=0, max_value=2**32 - 1).map(
+    lambda i: f"k{i}")
 
 DET = AnomalyzerConf(active_size=2, methods=("magnitude", "fence", "cdf"),
                      upper_bound=1e6, lower_bound=-1e6)
@@ -25,17 +26,17 @@ MC = AnomalyzerConf(active_size=2, methods=("highrank", "lowrank", "diff", "ks")
                     perm_count=50)
 
 
-@given(vectors, seeds)
+@given(vectors, keys)
 @settings(max_examples=200, deadline=None)
-def test_eval_prob_in_unit_interval(v, kseed):
+def test_eval_prob_in_unit_interval(v, key):
     for conf in (DET, MC):
-        p = oracle.eval_prob(v, conf, kseed)
+        p = oracle.eval_prob(v, conf, key)
         assert 0.0 <= p <= 1.0
 
 
-@given(vectors, seeds)
+@given(vectors, keys)
 @settings(max_examples=100, deadline=None)
-def test_eval_truncation_invariance_deterministic(v, kseed):
+def test_eval_truncation_invariance_deterministic(v, key):
     """Points beyond window_size never affect deterministic results
     (§2.6.2 spec). NOT asserted for Monte-Carlo tests at the oracle level:
     the reference shuffles the WHOLE retained vector (algorithms.go:126),
@@ -43,8 +44,8 @@ def test_eval_truncation_invariance_deterministic(v, kseed):
     detect/tail_window truncate BEFORE the kernel runs (the engine-level
     truncation-invariance test in test_properties.py covers that path)."""
     tail = v[-DET.window_size:]
-    assert oracle.eval_prob(v, DET, kseed) == \
-        oracle.eval_prob(tail, DET, kseed)
+    assert oracle.eval_prob(v, DET, key) == \
+        oracle.eval_prob(tail, DET, key)
 
 
 pos_vectors = st.lists(
@@ -95,9 +96,9 @@ def test_cdf_shift_invariance_exact_arithmetic(v):
     assert p1 == p2
 
 
-@given(seeds)
+@given(keys)
 @settings(max_examples=50, deadline=None)
-def test_rank_tests_directional(kseed):
+def test_rank_tests_directional(key):
     """A strictly increasing series puts its maximum in the active window:
     highrank must be near 1, lowrank near 0 (and vice versa for a
     decreasing series). highrank/lowrank use independent RNG streams, so
@@ -105,11 +106,11 @@ def test_rank_tests_directional(kseed):
     c = AnomalyzerConf(active_size=2, methods=("highrank", "lowrank"),
                        perm_count=100)
     up = np.arange(10.0)
-    assert oracle.rank_test(up, c, kseed, reverse=False) > 0.8
-    assert oracle.rank_test(up, c, kseed, reverse=True) < 0.2
+    assert oracle.rank_test(up, c, key, reverse=False) > 0.8
+    assert oracle.rank_test(up, c, key, reverse=True) < 0.2
     down = up[::-1].copy()
-    assert oracle.rank_test(down, c, kseed, reverse=False) < 0.2
-    assert oracle.rank_test(down, c, kseed, reverse=True) > 0.8
+    assert oracle.rank_test(down, c, key, reverse=False) < 0.2
+    assert oracle.rank_test(down, c, key, reverse=True) > 0.8
 
 
 @given(vectors)
@@ -121,9 +122,9 @@ def test_ks_stat_range(v):
         assert 0.0 <= d <= 1.0
 
 
-@given(vectors, seeds)
+@given(vectors, keys)
 @settings(max_examples=50, deadline=None)
-def test_seed_determinism(v, kseed):
-    p1 = oracle.eval_prob(v, MC, kseed)
-    p2 = oracle.eval_prob(v.copy(), MC, kseed)
+def test_seed_determinism(v, key):
+    p1 = oracle.eval_prob(v, MC, key)
+    p2 = oracle.eval_prob(v.copy(), MC, key)
     assert p1 == p2

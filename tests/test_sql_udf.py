@@ -13,10 +13,10 @@ def test_anomaly_prob_sql(spark):
     register_anomaly_prob(spark, conf, "anomaly_prob_t")
     vec = [0.1, 2.05, 1.5, 2.5, 2.55]
     row = spark.sql(
-        "SELECT anomaly_prob_t(array({}), 7) AS p".format(
+        "SELECT anomaly_prob_t(array({}), 'series7') AS p".format(
             ",".join(f"{v}D" for v in vec))
     ).collect()[0]
-    exp = oracle.eval_prob(np.asarray(vec), conf, 7)
+    exp = oracle.eval_prob(np.asarray(vec), conf, "series7")
     assert row["p"] == pytest.approx(exp, abs=1e-15)
 
 
@@ -37,7 +37,7 @@ def test_anomaly_prob_over_grouped_view(spark, sf_dir):
                            -{conf.window_size}, {conf.window_size}).value AS vec
               FROM ev_udf_test GROUP BY event_type)
             SELECT event_type,
-                   anomaly_prob_g(vec, crc32(cast(event_type AS binary))) AS p
+                   anomaly_prob_g(vec, event_type) AS p
             FROM tails""").collect()
     }
     exp = {
