@@ -63,6 +63,7 @@ WIDE_CONF = AnomalyzerConf(
 JACCARD_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.35
 TOPK = 5
+MAX_SHINGLE_FREQ = 1000  # hot-shingle df cap (pre-agg filter, dedup.py)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -187,9 +188,13 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs with the hot-shingle pre-filter active
+    (df(shingle) > MAX_SHINGLE_FREQ dropped BEFORE aggregation — the bound
+    that keeps a stop-shingle from OOMing one executor at corpus scale)."""
     d = _docs(spark, sf_dir)
     out = dedup.ngram_jaccard_pairs(d, "text", "doc_id", k=3,
-                                    threshold=JACCARD_THRESHOLD)
+                                    threshold=JACCARD_THRESHOLD,
+                                    max_shingle_freq=MAX_SHINGLE_FREQ)
     return out.withColumn("n_a", F.col("n_a").cast("long")).withColumn(
         "n_b", F.col("n_b").cast("long"))
 
@@ -250,9 +255,15 @@ def q_cosine_topk(spark, sf_dir):
 
 
 def q_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs via LSH band buckets (the 100 TB path —
+    candidate generation is a bucket equi-join, no cartesian product; exact
+    cosine verification runs on candidates only). The exact all-pairs path
+    stays available as ``use_lsh=False`` for small-scale recall checks
+    (tests/test_functions.py)."""
     e = _embs(spark, sf_dir)
     out = similarity.cosine_pairs(e, id_col="vec_id", vec_col="embedding",
-                                  threshold=COSINE_THRESHOLD)
+                                  threshold=COSINE_THRESHOLD, use_lsh=True,
+                                  n_planes=16, bands=4, dim=64, seed=7)
     return _round6(out, "cos_sim")
 
 
@@ -1070,7 +1081,10 @@ FROM hashed h JOIN groups g USING (content_hash)"""
 
     sql["ngram_jaccard"] = f"""
 WITH {_SHINGLES},
-ex AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+ex0 AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM sh),
+hot AS (SELECT shingle FROM ex0 GROUP BY shingle
+        HAVING count(*) > {MAX_SHINGLE_FREQ}),
+ex AS (SELECT * FROM ex0 ANTI JOIN hot USING (shingle)),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b,
          count(*) AS n_common
@@ -1230,15 +1244,23 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOPK}"""
 
-    pcos = ("list_dot_product(va, va)", "list_dot_product(vb, vb)",
-            "list_dot_product(va, vb)")
+    # cosine_pairs oracle mirrors the LSH-bucketed Spark path (same seed-7
+    # plane literals as lsh_topk): candidates = pairs sharing >=1 band
+    # bucket, exact cosine on candidates only.
     sql["cosine_pairs"] = f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        {pcos[2].replace('va', 'a.v').replace('vb', 'b.v')} /
-        (sqrt({pcos[0].replace('va', 'a.v')}) *
-         sqrt({pcos[1].replace('vb', 'b.v')})) AS cos_sim
-      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
+       FROM e, pl),
+eb AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+  FROM eb x JOIN eb y USING (band, bucket) WHERE x.vec_id < y.vec_id),
+p AS (SELECT id_a, id_b,
+        list_dot_product(va, vb) /
+        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+          AS cos_sim
+      FROM cand)
 SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
 FROM p WHERE cos_sim >= {COSINE_THRESHOLD}"""
 

@@ -115,28 +115,32 @@ def ngram_jaccard_pairs(
     *,
     k: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact Jaccard similarity over word-k-gram shingle sets, for all pairs
     sharing ≥1 shingle. Returns (id_a, id_b, n_common, n_a, n_b, jaccard)
     with id_a < id_b and jaccard >= threshold.
 
-    Exact but quadratic in per-shingle document frequency — use
-    ``max_shingle_freq`` or prefer minhash_lsh_pairs beyond ~10M docs.
+    Exact but quadratic in per-shingle document frequency, so shingles with
+    ``df(shingle) > max_shingle_freq`` are dropped BEFORE aggregation (a
+    count + semi-join — no aggregation buffer ever materializes a hot
+    shingle's doc list, which would OOM an executor on a stop-shingle at
+    corpus scale). Default cap 1000 bounds per-shingle work at ~500k pairs;
+    pass None to disable (exact, small corpora only). Prefer
+    minhash_lsh_pairs beyond ~10M docs.
     """
-    ex = _shingle_exploded(df, text_col, id_col, k, None)
+    ex = _shingle_exploded(df, text_col, id_col, k, max_shingle_freq)
     # One shuffle on shingle; co-occurring docs collected per shingle and
-    # pairs generated in-memory (df(shingle) is small once stop-shingles are
-    # capped) — this computes the shingles ONCE, where a shingle self-join
-    # would re-derive them for both sides and shuffle twice.
+    # pairs generated in-memory (df(shingle) is bounded by the PRE-agg
+    # frequency filter above) — this computes the shingles ONCE, where a
+    # shingle self-join would re-derive them for both sides and shuffle
+    # twice.
     per_sh = ex.groupBy("shingle").agg(
         F.sort_array(
             F.collect_list(F.struct(F.col(id_col).alias("id"),
                                     F.col("n_shingles").alias("n")))
         ).alias("docs")
     ).where(F.size("docs") > 1)
-    if max_shingle_freq is not None:
-        per_sh = per_sh.where(F.size("docs") <= max_shingle_freq)
     nd = F.size(F.col("docs"))
     pair_arr = F.flatten(
         F.transform(
@@ -298,14 +302,21 @@ def duplicate_groups(
     where group_id = the MIN id in the connected component (singletons get
     their own id) — the deterministic canonical for a keep-first policy.
 
-    Distributed min-label propagation: every node starts labeled with its
-    own id; each round every node takes the min of its label and its
-    neighbors' labels; converges in O(component diameter) rounds —
-    near-dup clusters are shallow, so a handful of joins. Each round is a
-    shuffle on the edge key (no driver-side graph state), which is the
-    scalable shape; a Catalyst plan cannot express the loop, so the loop
-    lives here with checkpoint-free reuse (cluster plans stay small because
-    labels is re-derived, not unioned).
+    Distributed min-label propagation over EDGE-TOUCHED nodes only: only a
+    node incident to an edge can ever change label, so the loop's joins and
+    shuffles scale with |edges| (the near-dup fraction), never with the
+    corpus — singletons are unioned back label=own-id AFTER convergence.
+    Each round takes the min of own and neighbor labels, then pointer-jumps
+    (label := label's label) so deep chains converge in O(log diameter)
+    rounds instead of O(diameter). No driver-side graph state; a Catalyst
+    plan cannot express the loop, so the loop lives here, truncating
+    lineage per round (reliable ``checkpoint()`` when the session has a
+    checkpoint dir — survives executor loss on a real cluster —
+    ``localCheckpoint`` otherwise).
+
+    Raises a ``RuntimeWarning`` if the loop exhausts ``max_iterations``
+    without converging (partially-merged components would silently keep
+    extra copies under a keep-first policy).
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -313,25 +324,65 @@ def duplicate_groups(
             pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
     )
-    labels = df.select(F.col(id_col).alias("id"),
-                       F.col(id_col).alias("label"))
+    labels = _propagate_labels(edges, max_iterations)
+    # singletons (no incident edge) never change label — skip the loop
+    # entirely and union them in at the end.
+    singletons = (
+        df.select(F.col(id_col).alias("id"))
+        .join(labels.select("id"), "id", "left_anti")
+        .withColumn("label", F.col("id"))
+    )
+    all_labels = labels.unionByName(singletons)
+    sizes = all_labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("group_size"))
+    return (
+        all_labels.join(sizes, "label")
+        .select(F.col("id").alias(id_col),
+                F.col("label").alias("group_id"), "group_size")
+    )
+
+
+def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
+    """Min-label propagation over the nodes of ``edges`` (must contain both
+    edge directions). Returns (id, label) for edge-touched nodes ONLY."""
+    import warnings
+
+    spark = edges.sparkSession
+    reliable = spark.sparkContext.getCheckpointDir() is not None
+
+    def _ckpt(frame: DataFrame) -> DataFrame:
+        # materialize + truncate lineage each round: without this, round i
+        # re-executes all prior rounds and the plan grows unboundedly.
+        return frame.checkpoint(eager=True) if reliable \
+            else frame.localCheckpoint(eager=True)
+
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")))
+    converged = False
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(nbr_min, labels.id == nbr_min.dst, "left")
             .select(
                 "id",
                 F.least("label", F.coalesce("nbr_label", "label")).alias("label"),
             )
         )
-        # materialize + truncate lineage each round: without this, round i
-        # re-executes all prior rounds (the convergence check and the next
-        # join would each replay the whole chain) and the plan grows
-        # unboundedly
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # pointer-jumping shortcut: follow one's label's label — collapses
+        # chains exponentially (large-star/small-star style O(log n)).
+        hop = stepped.select(F.col("id").alias("_lid"),
+                             F.col("label").alias("_llabel"))
+        new_labels = (
+            stepped.join(hop, stepped.label == hop._lid, "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("_llabel", "label")).alias("label"),
+            )
+        )
+        new_labels = _ckpt(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -340,13 +391,15 @@ def duplicate_groups(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
-    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(F.col("id").alias(id_col),
-                F.col("label").alias("group_id"), "group_size")
-    )
+    if not converged:
+        warnings.warn(
+            f"duplicate_groups: label propagation did not converge in "
+            f"{max_iterations} iterations — components deeper than that "
+            f"are only partially merged (raise max_iterations)",
+            RuntimeWarning, stacklevel=3)
+    return labels
 
 
 def simhash(

@@ -51,6 +51,96 @@ def test_ngram_jaccard_exact_values(spark, docs):
     assert all(a < b for a, b in pairs)
 
 
+def test_ngram_jaccard_hot_shingle_filtered_pre_agg(spark):
+    """Shingles above max_shingle_freq must be excluded BEFORE the
+    per-shingle aggregation: (a) pairs connected ONLY through a hot
+    shingle disappear, (b) the plan's collect_list aggregate sits above
+    the frequency filter join, so no hot doc-list buffer can form."""
+    from anomalyzer_spark.plans import explain_str
+    # 5 docs all share shingle "x y z" (df=5 > cap=4); docs 0/1 also share
+    # a rare tail
+    rows = [(i, f"x y z unique{i} tail{i} more{i}") for i in range(5)]
+    rows[1] = (1, "x y z unique0 tail0 different")
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    capped = dedup.ngram_jaccard_pairs(df, "text", "doc_id", k=3,
+                                       threshold=0.01, max_shingle_freq=4)
+    plan = explain_str(capped)  # BEFORE collect: AQE rewrites executed plans
+    got = {(r["id_a"], r["id_b"]): r["n_common"] for r in capped.collect()}
+    # hot-shingle-only pairs (e.g. (2,3)) are gone; 0/1 keep rare overlap
+    assert (0, 1) in got and all(p == (0, 1) for p in got)
+    # n_common counts only surviving shingles
+    uncapped = {(r["id_a"], r["id_b"]): r["n_common"]
+                for r in dedup.ngram_jaccard_pairs(
+                    df, "text", "doc_id", k=3, threshold=0.01,
+                    max_shingle_freq=None).collect()}
+    assert uncapped[(0, 1)] == got[(0, 1)] + 1  # + the hot "x y z"
+    # plan order: frequency-filter join BELOW the collect_list aggregate
+    # (formatted explain numbers nodes bottom-up: lower id = deeper)
+    import re
+    blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.MULTILINE)
+    agg_ids, join_ids = [], []
+    for b in blocks:
+        m = re.match(r"\((\d+)\) (\S+)", b)
+        if not m:
+            continue
+        if "Aggregate" in m.group(2) and "collect_list" in b:
+            agg_ids.append(int(m.group(1)))
+        if "Join" in m.group(2):
+            join_ids.append(int(m.group(1)))
+    assert agg_ids and join_ids
+    assert min(join_ids) < min(agg_ids)  # the filter join is deeper
+
+
+def test_duplicate_groups_components_and_singletons(spark):
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(20)], "doc_id long")
+    # two components: chain 0-1-2-3 and pair 10-11; rest singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    out = {r["doc_id"]: (r["group_id"], r["group_size"])
+           for r in dedup.duplicate_groups(corpus, pairs).collect()}
+    assert all(out[i] == (0, 4) for i in range(4))
+    assert out[10] == (10, 2) and out[11] == (10, 2)
+    assert out[7] == (7, 1)  # singleton keeps its own id
+    assert len(out) == 20
+
+
+def test_duplicate_groups_propagation_scales_with_edges(spark):
+    """The propagation loop must only ever hold EDGE-TOUCHED nodes — its
+    per-round shuffles scale with |edges|, not the corpus."""
+    from anomalyzer_spark.functions.dedup import _propagate_labels
+    pairs = spark.createDataFrame([(3, 4), (4, 5)], "id_a long, id_b long")
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("id_b").alias("src"),
+                                       F.col("id_a").alias("dst"))))
+    labels = _propagate_labels(edges, 20)
+    assert labels.count() == 3  # nodes 3,4,5 — never the corpus
+
+
+def test_duplicate_groups_deep_chain_pointer_jumping(spark):
+    """A 64-deep chain converges well within max_iterations thanks to the
+    pointer-jump shortcut (plain propagation would need 64 rounds)."""
+    import warnings
+    corpus = spark.createDataFrame([(i,) for i in range(64)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # warn would raise
+        out = dedup.duplicate_groups(corpus, pairs, max_iterations=10)
+        assert {r["group_id"] for r in out.collect()} == {0}
+
+
+def test_duplicate_groups_nonconvergence_warns(spark):
+    import warnings
+    corpus = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(39)], "id_a long, id_b long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        dedup.duplicate_groups(corpus, pairs, max_iterations=2).collect()
+        assert any("did not converge" in str(x.message) for x in w)
+
+
 def test_minhash_finds_near_dups(spark, docs):
     out = dedup.minhash_lsh_pairs(docs, "text", "doc_id", k=3,
                                   num_hashes=128, bands=32,

@@ -69,6 +69,44 @@ def test_text_ops_no_shuffle(spark, sf_dir):
         assert_plan(op(d, "text", "doc_id"), max_exchanges=0)
 
 
+def test_cosine_pairs_lsh_no_cartesian(spark, sf_dir):
+    """The LSH pair path must be a bucket equi-join — a CartesianProduct
+    node means the O(n^2) scale-killer leaked back in."""
+    from anomalyzer_spark.functions import similarity
+    import pyspark.sql.functions as F
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    df = similarity.cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.35,
+        use_lsh=True, n_planes=16, bands=4, dim=64, seed=7)
+    assert_plan(df, forbids=("CartesianProduct",))
+
+
+def test_cosine_pairs_lsh_subset_of_exact(spark, sf_dir):
+    """LSH candidates verify with EXACT cosine, so every LSH pair must
+    appear in the exact all-pairs result with the identical similarity
+    (LSH only loses recall, never precision)."""
+    from anomalyzer_spark.functions import similarity
+    import pyspark.sql.functions as F
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    kw = dict(id_col="vec_id", vec_col="embedding", threshold=0.35)
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"]
+           for r in similarity.cosine_pairs(
+               e, use_lsh=True, n_planes=16, bands=4, dim=64, seed=7,
+               **kw).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"]
+             for r in similarity.cosine_pairs(e, **kw).collect()}
+    assert lsh, "LSH path found no pairs at all"
+    assert set(lsh) <= set(exact)
+    assert all(exact[p] == s for p, s in lsh.items())
+    # recall floor: threshold 0.35 is a WEAK-similarity setting (~69° —
+    # far below where 4-bit-band LSH concentrates); ~0.5 recall there is
+    # expected, and recall rises with similarity. Precision (subset +
+    # identical sims above) is the hard contract.
+    assert len(lsh) >= 0.4 * len(exact)
+
+
 def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
     """With horizon set, the heavy exchange's input is filtered by the
     per-key max-ts join — old rows drop BEFORE the big shuffle."""
