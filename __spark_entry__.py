@@ -59,6 +59,13 @@ WIDE_CONF = AnomalyzerConf(
     active_size=2, n_seasons=59, methods=("magnitude", "fence", "cdf"),
     upper_bound=500.0, lower_bound=0.0,
 )
+#: one-sided fence — LowerBound NA, the reference's own doc example
+#: (/root/reference/anomalyze_test.go:48-68, README.md:45): distance is
+#: act_mean/upper_bound instead of the two-sided midpoint form
+ONESIDED_CONF = AnomalyzerConf(
+    active_size=2, n_seasons=4, methods=("magnitude", "fence", "cdf"),
+    upper_bound=500.0, lower_bound=None, sensitivity=0.1,
+)
 
 JACCARD_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.35
@@ -107,6 +114,14 @@ def q_detect_bytest_det(spark, sf_dir):
                    "weight_cdf", "prob"),
         "prob_magnitude", "prob_fence", "prob_cdf", "prob",
     )
+
+
+def q_detect_det_onesided(spark, sf_dir):
+    """One-sided fence (lower_bound=None == the reference's NA LowerBound)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(ev, ["event_type"], "ts", "value", ONESIDED_CONF,
+                 tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
 def q_detect_wide(spark, sf_dir):
@@ -276,14 +291,55 @@ def q_lsh_topk(spark, sf_dir):
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
 
 
+IVF_SAMPLE_N = 256   # quantizer training sample: vec_id < IVF_SAMPLE_N
+IVF_CLUSTERS = 8
+IVF_PROBE = 3
+
+
+def _ivf_centroids(rows) -> list[list[float]]:
+    """Shared centroid fit for query + oracle: deterministic NumPy Lloyd
+    over the vec_id-sorted sample (similarity.train_ivf_centroids)."""
+    import numpy as np
+    rows = sorted(rows, key=lambda r: r[0])
+    return similarity.train_ivf_centroids(
+        np.asarray([r[1] for r in rows], dtype=np.float64), IVF_CLUSTERS)
+
+
 def q_ivf_topk(spark, sf_dir):
-    """IVF approximate top-k (KMeans coarse quantizer, seeded)."""
+    """IVF approximate top-k. The coarse quantizer trains on a bounded,
+    deterministic SAMPLE (vec_id < IVF_SAMPLE_N) collected to the driver —
+    the standard scale shape: the index model is tiny and broadcasts as
+    plan literals; only the sample, never the corpus, leaves the executors.
+    The DuckDB oracle reruns the identical NumPy fit on the same sample."""
     e = _embs(spark, sf_dir)
+    sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
+        .select("vec_id", "embedding").collect()
+    cents = _ivf_centroids([(r["vec_id"], r["embedding"]) for r in sample])
     out = similarity.ivf_topk(
         e, e.where(F.col("vec_id") < 20), id_col="vec_id",
         vec_col="embedding", query_id_col="vec_id", k=TOPK,
-        n_clusters=8, n_probe=3, seed=42)
+        n_clusters=IVF_CLUSTERS, n_probe=IVF_PROBE, centroids=cents)
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
+
+
+def q_sketch_stats(spark, sf_dir):
+    """Approximate sketches (SURVEY §2.7): HyperLogLog distinct counting +
+    GK-sketch percentile per order priority. Cross-engine contract: the HLL
+    estimate is engine-specific, so the query emits the EXACT distinct
+    count plus a boolean asserting the sketch landed within 4x its
+    documented rsd (0.05) — deterministic for fixed data; the GK percentile
+    is run with accuracy >= group size, where the sketch returns an exact
+    data element that DuckDB's quantile_disc reproduces."""
+    o = load_table(spark, sf_dir, "orders")
+    apx = F.approx_count_distinct("o_custkey")
+    exact = F.count_distinct(F.col("o_custkey"))
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact.alias("n_cust_exact"),
+        (F.abs(apx - exact) / exact <= 0.2).alias("hll_within_bound"),
+        F.percentile_approx("o_totalprice", 0.5, 100000)
+        .alias("p50_totalprice"),
+    )
 
 
 def _dec(c: str, p: int = 18, s: int = 2) -> F.Column:
@@ -505,6 +561,22 @@ def q_detect_stream(spark, sf_dir):
     return _round6(res.select("event_type", "n_points", "prob"), "prob")
 
 
+def q_resample_stream(spark, sf_dir):
+    """Watermarked streaming resample (tumbling event-time windows, append
+    mode, availableNow drain). Every emitted bucket equals the batch
+    resample bucket exactly; buckets whose window end passes the FINAL
+    watermark (max event time - 1h) are withheld — the oracle encodes the
+    same cutoff, so the late-data path is value-hash checked."""
+    from anomalyzer_spark.streaming import run_resample_stream_on_dir
+    res = run_resample_stream_on_dir(
+        spark, f"{sf_dir}/events*.parquet", ["event_type"], "ts", "value",
+        every_seconds=86400, watermark="1 hour",
+        query_name="q_resample_stream_mem")
+    return _round6(
+        res.select("event_type", "bucket", "bucket_ts", "value", "n_raw"),
+        "value")
+
+
 def q_multimodal_meta(spark, sf_dir):
     """Binary-column metadata (size/md5/magic) over synthesized payloads."""
     from anomalyzer_spark.functions import multimodal
@@ -524,6 +596,7 @@ def q_multimodal_features(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "detect_det": q_detect_det,
+        "detect_det_onesided": q_detect_det_onesided,
         "detect_det_users": q_detect_det_users,
         "detect_bytest_det": q_detect_bytest_det,
         "detect_wide": q_detect_wide,
@@ -553,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_totals": q_running_totals,
         "events_json": q_events_json,
         "percentiles": q_percentiles,
+        "sketch_stats": q_sketch_stats,
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "ks_stat": q_ks_stat,
@@ -560,6 +634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_resampled": q_detect_resampled,
         "detect_rolling": q_detect_rolling,
         "detect_stream": q_detect_stream,
+        "resample_stream": q_resample_stream,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -899,6 +974,7 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["detect_det"] = _detect_sql("event_type", DET_CONF)
+    sql["detect_det_onesided"] = _detect_sql("event_type", ONESIDED_CONF)
     sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
     sql["detect_wide"] = _detect_sql("event_type", WIDE_CONF)
@@ -962,10 +1038,51 @@ SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
 FROM {resample_src} t"""
     sql["detect_resampled"] = _detect_sql(
         "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
+    # streaming watermarked resample: emitted = batch buckets whose window
+    # END has passed the final watermark (max event time - 1h); exact
+    # integer-µs comparison mirrors Spark's append-mode emission rule.
+    sql["resample_stream"] = f"""
+SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
+       round(value, 6) AS value, n_raw
+FROM {resample_src} t
+WHERE (bucket + 1) * 86400000000 <=
+      (SELECT max(epoch_us(ts)) - 3600000000 FROM events)"""
     sql["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5, 'unknown' AS format
 FROM documents"""
+    # byte-level features over the UTF-8 payload: mirrors
+    # multimodal.byte_features exactly (integer byte sums, order-free
+    # mean/std, entropy over ascending byte values — list_histogram keys
+    # come back sorted).
+    sql["multimodal_features"] = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text))::BIGINT AS n_bytes
+  FROM documents),
+bs AS (
+  SELECT doc_id, n_bytes,
+    list_transform(range(0, n_bytes::INT), i ->
+      ('0x' || substr(hx, (2*i + 1)::INT, 2))::BIGINT) AS bytes
+  FROM b),
+feat AS (
+  SELECT doc_id, n_bytes,
+    list_sum(bytes)::DOUBLE AS s1,
+    list_sum(list_transform(bytes, x -> x * x))::DOUBLE AS s2,
+    list_transform(map_values(list_histogram(bytes)), c -> c::DOUBLE) AS cnts
+  FROM bs)
+SELECT doc_id, n_bytes,
+  CASE WHEN n_bytes = 0 THEN 0.0
+       ELSE round(s1 / n_bytes, 6) END AS byte_mean,
+  CASE WHEN n_bytes = 0 THEN 0.0
+       ELSE round(sqrt(greatest(
+              s2 / n_bytes - (s1 / n_bytes) * (s1 / n_bytes), 0.0)), 6)
+  END AS byte_std,
+  CASE WHEN n_bytes = 0 THEN 0.0
+       ELSE round(-list_sum(list_transform(cnts, c ->
+              (c / n_bytes) * log2(c / n_bytes))), 6)
+  END AS byte_entropy
+FROM feat"""
     # Monte-Carlo detect queries: the hash-based permutation spec
     # (oracle.perm_matrix) is plain md5 + argsort, so the MC tests — the
     # reference's DEFAULT method set (anomalyze.go:33-36) — get full DuckDB
@@ -1244,6 +1361,50 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOPK}"""
 
+    # ivf_topk oracle: rerun the IDENTICAL deterministic NumPy quantizer
+    # fit on the same vec_id-sorted sample (read straight from parquet —
+    # no Spark needed), inline the centroids, and mirror the cell
+    # assignment + n_probe search + exact re-rank.
+    import os
+
+    import duckdb as _duck
+    ivf_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                            "/root/testdata/sf0.01")
+    ivf_rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "
+        f"ORDER BY vec_id").fetchall()
+    cent_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]"
+        for c in _ivf_centroids(ivf_rows))
+    sql["ivf_topk"] = f"""
+WITH ce AS (SELECT [{cent_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cellified AS (
+  SELECT vec_id, v,
+    list_transform(list_sort(list_transform(range(1, {IVF_CLUSTERS + 1}), i ->
+      struct_pack(neg := -(list_dot_product(v, cents[i]) /
+                  (sqrt(list_dot_product(v, v)) *
+                   sqrt(list_dot_product(cents[i], cents[i])))),
+                  cid := i - 1))), s -> s.cid) AS cells
+  FROM e, ce),
+corpus_c AS (SELECT vec_id AS neighbor_id, v AS cv, cells[1] AS cell
+             FROM cellified),
+query_c AS (SELECT vec_id AS query_id, v AS qv,
+                   unnest(cells[1:{IVF_PROBE}]) AS cell
+            FROM cellified WHERE vec_id < 20),
+s AS (SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          AS cos_sim
+      FROM corpus_c JOIN query_c USING (cell)),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM s WHERE cos_sim IS NOT NULL)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOPK}"""
+
     # cosine_pairs oracle mirrors the LSH-bucketed Spark path (same seed-7
     # plane literals as lsh_topk): candidates = pairs sharing >=1 band
     # bucket, exact cosine on candidates only.
@@ -1325,6 +1486,17 @@ SELECT event_type,
   sum(value::DECIMAL(12,2))::DOUBLE AS sum_value
 FROM events
 GROUP BY event_type, k_mod"""
+
+    # approx sketches: exact distinct + within-bound bool (HLL estimates
+    # are engine-specific — see q_sketch_stats docstring); the GK
+    # percentile is exact-element at this accuracy and matches
+    # quantile_disc.
+    sql["sketch_stats"] = """
+SELECT o_orderpriority, count(*) AS n_orders,
+  count(DISTINCT o_custkey)::BIGINT AS n_cust_exact,
+  true AS hll_within_bound,
+  quantile_disc(o_totalprice, 0.5) AS p50_totalprice
+FROM orders GROUP BY o_orderpriority"""
 
     sql["percentiles"] = """
 SELECT event_type,

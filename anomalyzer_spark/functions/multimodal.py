@@ -91,20 +91,31 @@ def byte_features(df: DataFrame, content_col: str = "content",
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
         for pdf in batches:
             rows = []
             for did, raw in zip(pdf[id_col], pdf[content_col]):
                 b = np.frombuffer(bytes(raw), dtype=np.uint8)
-                if len(b) == 0:
+                n = len(b)
+                if n == 0:
                     rows.append((int(did), 0, 0.0, 0.0, 0.0))
                     continue
+                # exact integer sums + order-free double formulas: bit-
+                # identical in any engine (the DuckDB oracle reruns these
+                # expressions verbatim), unlike numpy's pairwise-summation
+                # mean/std whose low bits depend on array length.
+                s1 = int(b.sum(dtype=np.int64))
+                s2 = int((b.astype(np.int64) ** 2).sum())
+                mean = s1 / n
+                var = max(s2 / n - mean * mean, 0.0)
                 counts = np.bincount(b, minlength=256)
-                p = counts[counts > 0] / len(b)
+                # ascending byte value, sequential left-to-right sum
+                ent = -sum((int(c) / n) * math.log2(int(c) / n)
+                           for c in counts if c > 0)
                 rows.append((
-                    int(did), int(len(b)),
-                    round(float(b.mean()), 6),
-                    round(float(b.std()), 6),
-                    round(float(-(p * np.log2(p)).sum()), 6),
+                    int(did), int(n),
+                    round(mean, 6), round(math.sqrt(var), 6), round(ent, 6),
                 ))
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA])
 

@@ -202,6 +202,29 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
+def train_ivf_centroids(
+    sample: np.ndarray, n_clusters: int, *, n_iters: int = 10
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over an in-memory SAMPLE (the standard
+    way IVF coarse quantizers are trained at scale: the index trains on a
+    bounded sample, never the full corpus). Cosine assignment (matching the
+    search metric), init = the first ``n_clusters`` sample rows, fixed
+    ``n_iters`` — fully reproducible in pure NumPy, so the DuckDB oracle
+    can inline the identical centroid literals. Returns centroids rounded
+    to 6 decimals (the literal precision both engines compile in)."""
+    x = np.asarray(sample, dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = x[:n_clusters].copy()
+    for _ in range(n_iters):
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+        assign = np.argmax(xn @ cn.T, axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):  # empty cluster keeps its previous centroid
+                cents[c] = members.mean(axis=0)
+    return np.round(cents, 6).tolist()
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -213,31 +236,36 @@ def ivf_topk(
     n_clusters: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans coarse quantizer.
+    """IVF (inverted-file) approximate top-k: coarse-quantizer cells.
 
-    Train ``n_clusters`` centroids on the corpus (MLlib KMeans, seeded →
-    deterministic), assign every corpus vector to its nearest centroid
-    (the inverted lists), then search each query only in its ``n_probe``
-    nearest cells with exact cosine re-ranking.
+    Assign every corpus vector to its nearest centroid (the inverted
+    lists), then search each query only in its ``n_probe`` nearest cells
+    with exact cosine re-ranking. Pass ``centroids`` (e.g. from
+    ``train_ivf_centroids`` over a deterministic sample — the
+    oracle-checkable path) or leave None to train MLlib KMeans on the full
+    corpus (seeded, but not reproducible outside Spark).
 
     Scale path: centroids are a tiny broadcast model; candidate volume is
     ~``n_probe/n_clusters`` of the corpus per query. For 100 TB embeddings,
     persist the assignment (cluster id column, partitioned/bucketed by it)
     so repeated queries prune to probed cells at scan time.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     query_id_col = query_id_col or id_col
-    train = corpus.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
-    model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+    if centroids is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        train = corpus.select(
+            F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
+        model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
+        centroids = [c.tolist() for c in model.clusterCenters()]
 
     def _nearest_cells(vec_expr, n: int):
         """Columns of the n nearest centroid ids by cosine (literal
         centroids — the model broadcasts as plan constants)."""
-        cents = [c.tolist() for c in model.clusterCenters()]
+        cents = centroids
         scored = F.array(*[
             F.struct(
                 (-cosine(vec_expr, F.array(*[F.lit(float(x)) for x in c])))

@@ -57,3 +57,46 @@ def resample_stream(
         F.col(value_col),
         F.col("n_raw"),
     )
+
+
+def run_resample_stream_on_dir(
+    spark,
+    input_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    *,
+    every_seconds: int,
+    watermark: str = "1 hour",
+    agg: str = "avg",
+    query_name: str = "resample_stream_result",
+) -> DataFrame:
+    """Drain a parquet file/dir through ``resample_stream`` (availableNow,
+    append mode) and return the emitted buckets as a batch DataFrame.
+
+    Handles the fixtures' TIMESTAMP(NANOS) storage: the raw column streams
+    in as int64 nanoseconds (``nanosAsLong``) and is converted to the same
+    microsecond TimestampType the batch loader exposes, so streamed bucket
+    ids equal batch ``resample`` bucket ids exactly. Append mode withholds
+    buckets newer than the final watermark (emitted ⊂ batch, values
+    identical — the batch-equivalence test and the driver oracle both
+    encode that cutoff).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(input_path).schema
+    stream = spark.readStream.schema(schema).parquet(input_path)
+    if dict(stream.dtypes).get(ts_col) == "bigint":  # ns → µs timestamp
+        stream = stream.withColumn(
+            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
+    out = resample_stream(stream, keys, ts_col, value_col,
+                          every_seconds=every_seconds, watermark=watermark,
+                          agg=agg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
