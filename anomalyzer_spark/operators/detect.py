@@ -48,6 +48,7 @@ def tail_window(
     n: int,
     tiebreak_cols: list[str] | None = None,
     horizon=None,
+    horizon_anchor=None,
 ) -> DataFrame:
     """Last ``n`` points per key as an ascending-ordered array column ``vec``.
 
@@ -55,14 +56,30 @@ def tail_window(
     last_ts). Ordering inside ``vec`` is by (ts, *tiebreak_cols) ascending —
     pass a unique tiebreak (e.g. an event id) for fully deterministic order
     when timestamps can collide.
+
+    Horizon pre-filter (drop old rows BEFORE the heavy exchange):
+
+      * ``horizon_anchor`` + ``horizon`` — the scan-pushdown path: rows with
+        ``ts < anchor - horizon`` are dropped by a LITERAL predicate that
+        reaches the parquet scan (PushedFilters / partition pruning). Use
+        when "now" is known (it always is in a scheduled batch job). This
+        is the 100 TB path — zero extra shuffles at any key cardinality.
+      * ``horizon`` alone — per-key ``max(ts)`` (map-side partial agg, one
+        tiny shuffle) broadcast-joined back. The per-key frame is one row
+        per key, so the join stays a broadcast (no full-history shuffle) as
+        long as the key count fits the broadcast threshold — beyond that,
+        prefer the anchor form (AQE falls back to a sort-merge join that
+        re-shuffles history).
     """
     tiebreak_cols = tiebreak_cols or []
     cols = [*keys, ts_col, *tiebreak_cols, value_col]
     out = df.select(*dict.fromkeys(cols))  # dedup, keep order
 
-    if horizon is not None:
+    if horizon is not None and horizon_anchor is not None:
+        out = out.where(F.col(ts_col) >= F.lit(horizon_anchor) - horizon)
+    elif horizon is not None:
         recent = out.groupBy(*keys).agg(F.max(ts_col).alias("_max_ts"))
-        out = out.join(recent, keys).where(
+        out = out.join(F.broadcast(recent), keys).where(
             F.col(ts_col) >= F.col("_max_ts") - horizon
         ).drop("_max_ts")
 
@@ -139,6 +156,7 @@ def detect(
     conf: AnomalyzerConf | None = None,
     tiebreak_cols: list[str] | None = None,
     horizon=None,
+    horizon_anchor=None,
 ) -> DataFrame:
     """Combined anomaly probability of the latest window, per key.
 
@@ -146,7 +164,8 @@ def detect(
     """
     conf = conf or AnomalyzerConf()
     tails = tail_window(
-        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
+        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon,
+        horizon_anchor,
     )
     staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     # stage the raw per-test probs too: the combiner references each several
@@ -206,13 +225,15 @@ def detect_by_test(
     conf: AnomalyzerConf | None = None,
     tiebreak_cols: list[str] | None = None,
     horizon=None,
+    horizon_anchor=None,
 ) -> DataFrame:
     """EvalByTest surface (anomalyze.go:195-221): per-test probs + weights
     + the combined prob, per key. Columns: prob_<entry>, weight_<entry>,
     prob (highrank/lowrank folded into 'rank')."""
     conf = conf or AnomalyzerConf()
     tails = tail_window(
-        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon
+        df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon,
+        horizon_anchor,
     )
     staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     withp = staged.select(

@@ -130,6 +130,29 @@ def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
     assert a == b
 
 
+def test_horizon_anchor_pushes_predicate_to_scan(spark, sf_dir):
+    """horizon_anchor turns the horizon into a literal ts predicate that
+    reaches the parquet scan (PushedFilters) — no join, no extra exchange,
+    valid at any key cardinality. Semantics: equal to unfiltered detect
+    when the anchored horizon covers all data."""
+    import pyspark.sql.functions as F
+
+    from anomalyzer_spark.plans import explain_str
+    ev = load_table(spark, sf_dir, "events")
+    df = detect(ev, ["event_type"], "ts_ns", "value", DET,
+                tiebreak_cols=["event_id"],
+                horizon=10**18, horizon_anchor=2 * 10**18)
+    plan = explain_str(df)
+    assert "Join" not in plan  # no per-key max(ts) join on the anchor path
+    assert_plan(df, max_exchanges=1)  # the single key exchange, nothing more
+    # the ts predicate reaches the scan
+    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1][:200]
+    base = detect(ev, ["event_type"], "ts_ns", "value", DET,
+                  tiebreak_cols=["event_id"])
+    assert ({(r["event_type"], r["prob"]) for r in df.collect()}
+            == {(r["event_type"], r["prob"]) for r in base.collect()})
+
+
 def test_bucketed_detect_zero_shuffle(spark, sf_dir):
     """Pre-bucketed storage removes detection's only exchange entirely."""
     from anomalyzer_spark.sources.bucketing import read_bucketed, save_bucketed
