@@ -124,6 +124,21 @@ def q_detect_det_onesided(spark, sf_dir):
     return _round6(out.select("event_type", "n_points", "prob"), "prob")
 
 
+def q_detect_bytest_full(spark, sf_dir):
+    """EvalByTest with ALL SEVEN tests — per-test probabilities and dynamic
+    weights including the Monte-Carlo columns (rank merged from
+    highrank/lowrank), every one value-hash checked against DuckDB."""
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_by_test(ev, ["event_type"], "ts", "value", FULL_CONF,
+                         tiebreak_cols=["event_id"])
+    pcols = ["prob_magnitude", "prob_diff", "prob_rank", "prob_fence",
+             "prob_ks", "prob_cdf"]
+    wcols = [p.replace("prob_", "weight_") for p in pcols]
+    return _round6(
+        out.select("event_type", "n_points", *pcols, *wcols, "prob"),
+        *pcols, "prob")
+
+
 def q_detect_wide(spark, sf_dir):
     """Reference's largest documented window (act=2, NSeasons=59)."""
     ev = load_table(spark, sf_dir, "events")
@@ -230,6 +245,27 @@ def q_dedup_groups(spark, sf_dir):
     return groups.where(F.col("group_size") > 1)
 
 
+def q_cdc_dedup(spark, sf_dir):
+    """Content-defined chunking dedup: per-document chunk counts and the
+    fraction of chunks shared with any other occurrence in the corpus —
+    sub-document dedup that survives insertions (boundaries move with
+    content, not byte offsets)."""
+    d = _docs(spark, sf_dir)
+    ch = dedup.cdc_chunks(d, "text", "doc_id", window=16, divisor=64)
+    occ = ch.groupBy("chunk_md5").agg(F.count(F.lit(1)).alias("_occ"))
+    return (
+        ch.join(occ, "chunk_md5")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("_occ") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum("chunk_len").alias("n_chars"),
+        )
+        .withColumn("dup_ratio",
+                    F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 6))
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = _docs(spark, sf_dir)
     out = dedup.simhash(d, "text", "doc_id", bits=32)
@@ -294,6 +330,8 @@ def q_lsh_topk(spark, sf_dir):
 IVF_SAMPLE_N = 256   # quantizer training sample: vec_id < IVF_SAMPLE_N
 IVF_CLUSTERS = 8
 IVF_PROBE = 3
+PQ_M = 8             # product-quantization subspaces (64-dim → 8 x 8)
+PQ_K = 16            # centroids per subspace (codes fit in 4 bits)
 
 
 def _ivf_centroids(rows) -> list[list[float]]:
@@ -340,6 +378,32 @@ def q_sketch_stats(spark, sf_dir):
         F.percentile_approx("o_totalprice", 0.5, 100000)
         .alias("p50_totalprice"),
     )
+
+
+def _pq_codebooks(rows) -> list[list[list[float]]]:
+    """Shared PQ codebook fit for query + oracle (vec_id-sorted sample,
+    deterministic per-subspace NumPy Lloyd)."""
+    import numpy as np
+    rows = sorted(rows, key=lambda r: r[0])
+    return similarity.train_pq_codebooks(
+        np.asarray([r[1] for r in rows], dtype=np.float64), m=PQ_M, k=PQ_K)
+
+
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: corpus compressed to m one-byte codes
+    (map-only encode), queries search by asymmetric distance — one lookup
+    table per QUERY, m array lookups per candidate. The 100 TB shape:
+    the scan side reads codes only (8 ints vs 64 floats), the LUT rides a
+    broadcast. Codebooks train on the same bounded sample as ivf_topk and
+    the oracle re-fits them identically from parquet."""
+    e = _embs(spark, sf_dir)
+    sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
+        .select("vec_id", "embedding").collect()
+    books = _pq_codebooks([(r["vec_id"], r["embedding"]) for r in sample])
+    out = similarity.pq_topk(
+        e, e.where(F.col("vec_id") < 20), books, id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=TOPK)
+    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
 
 
 def _dec(c: str, p: int = 18, s: int = 2) -> F.Column:
@@ -599,6 +663,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_det_onesided": q_detect_det_onesided,
         "detect_det_users": q_detect_det_users,
         "detect_bytest_det": q_detect_bytest_det,
+        "detect_bytest_full": q_detect_bytest_full,
         "detect_wide": q_detect_wide,
         "detect_default": q_detect_default,
         "detect_full": q_detect_full,
@@ -614,11 +679,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
+        "cdc_dedup": q_cdc_dedup,
         "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
+        "pq_topk": q_pq_topk,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
@@ -1090,6 +1157,8 @@ FROM feat"""
     sql["detect_default"] = _detect_sql("event_type", DEFAULT_CONF)
     sql["detect_full"] = _detect_sql("event_type", FULL_CONF)
     sql["detect_full_users"] = _detect_sql("user_id", FULL_CONF)
+    sql["detect_bytest_full"] = _detect_sql("event_type", FULL_CONF,
+                                            bytest=True)
 
     sql["text_stats"] = f"""
 WITH base AS (
@@ -1403,6 +1472,82 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
                            ORDER BY cos_sim DESC, neighbor_id) AS rnk
       FROM s WHERE cos_sim IS NOT NULL)
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= {TOPK}"""
+
+    # content-defined chunking: boundary iff first 8 md5-hex chars of the
+    # 16-char gram, as an int, ≡ 63 (mod 64); chunk spans prev-cut+1..cut.
+    sql["cdc_dedup"] = """
+WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+cuts AS (
+  SELECT doc_id, list_sort(list(p + 15)) AS cuts
+  FROM d, unnest(range(1, greatest(n - 15, 0) + 1)) AS t(p)
+  WHERE ('0x' || substr(md5(substr(text, p::INT, 16)), 1, 8))::BIGINT
+        % 64 = 63
+  GROUP BY doc_id),
+withe AS (
+  SELECT d.doc_id, text, n,
+    list_concat(list_filter(coalesce(cuts, []::BIGINT[]), c -> c < n),
+                [n::BIGINT]) AS ends
+  FROM d LEFT JOIN cuts USING (doc_id)),
+chunks AS (
+  SELECT doc_id, text,
+    CASE WHEN i = 1 THEN 1 ELSE ends[(i - 1)::INT] + 1 END AS s,
+    ends[i::INT] AS e
+  FROM withe, unnest(range(1, len(ends) + 1)) AS t(i)),
+hashed AS (
+  SELECT doc_id, (e - s + 1)::BIGINT AS chunk_len,
+         md5(substr(text, s::INT, (e - s + 1)::INT)) AS chunk_md5
+  FROM chunks),
+occ AS (SELECT chunk_md5, count(*) AS n_occ FROM hashed GROUP BY chunk_md5)
+SELECT doc_id,
+  count(*) AS n_chunks,
+  sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+  sum(chunk_len)::BIGINT AS n_chars,
+  round(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6)
+    AS dup_ratio
+FROM hashed JOIN occ USING (chunk_md5)
+GROUP BY doc_id"""
+
+    # pq_topk oracle: identical sample-fit codebooks inlined; encode =
+    # per-subspace argmin of the same sequential L2 folds; ADC = LUT per
+    # query + m lookups per candidate (mirrors similarity.pq_topk).
+    pq_rows = _duck.connect().execute(
+        f"SELECT vec_id, embedding::DOUBLE[] FROM "
+        f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "
+        f"ORDER BY vec_id").fetchall()
+    books = _pq_codebooks(pq_rows)
+    book_sql = ", ".join(
+        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]"
+                        for c in book) + "]"
+        for book in books)
+    pd_ = len(books[0][0])
+    l2 = (f"list_sum(list_transform(range(1, {pd_ + 1}), t -> "
+          f"(v[(s - 1) * {pd_} + t] - pq[s][j][t]) * "
+          f"(v[(s - 1) * {pd_} + t] - pq[s][j][t])))")
+    sql["pq_topk"] = f"""
+WITH pqb AS (SELECT [{book_sql}]::DOUBLE[][][] AS pq),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+codes AS (
+  SELECT vec_id AS neighbor_id,
+    list_transform(range(1, {PQ_M + 1}), s ->
+      list_sort(list_transform(range(1, {PQ_K + 1}), j ->
+        struct_pack(d := {l2}, cid := j - 1)))[1].cid) AS codes
+  FROM e, pqb),
+luts AS (
+  SELECT vec_id AS query_id,
+    list_transform(range(1, {PQ_M + 1}), s ->
+      list_transform(range(1, {PQ_K + 1}), j -> {l2})) AS lut
+  FROM e, pqb WHERE vec_id < 20),
+sc AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(range(1, {PQ_M + 1}), s2 ->
+      lut[s2][codes[s2] + 1])) AS pq_dist
+  FROM codes, luts),
+r AS (SELECT query_id, neighbor_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, neighbor_id) AS rnk
+      FROM sc)
+SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk
 FROM r WHERE rnk <= {TOPK}"""
 
     # cosine_pairs oracle mirrors the LSH-bucketed Spark path (same seed-7

@@ -415,6 +415,82 @@ def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
     return labels
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    window: int = 16,
+    divisor: int = 64,
+) -> DataFrame:
+    """Content-defined chunking: split each document at positions where a
+    rolling content hash satisfies ``hash % divisor == divisor - 1`` —
+    chunk boundaries move WITH the content, so an insertion early in a
+    document re-chunks only its neighborhood and every later chunk still
+    dedups (the rsync/LBFS trick; fixed-size blocks would misalign).
+
+    Engine-portable boundary spec: position ``p`` (1-based) ends a chunk at
+    ``p + window - 1`` iff the first 8 hex chars of
+    ``md5(substring(text, p, window))`` taken as an integer satisfy the
+    divisor test. Expected chunk length ≈ ``divisor`` chars. Documents
+    shorter than ``window`` (or empty) form one chunk.
+
+    Relational formulation (same pattern as winnow_fingerprints): explode
+    positions → md5 in codegen → boundary filter → per-doc sorted cut list
+    → chunk substrings. One shuffle (the per-doc cut aggregation); no
+    Python. Returns (id, chunk_idx, chunk_len, chunk_md5).
+    """
+    w, dv = window, divisor
+    text, n = F.col(text_col), F.length(F.col(text_col))
+    positions = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = df.select(
+        F.col(id_col), text.alias("_t"), F.explode(positions).alias("p"),
+    ).where(
+        F.conv(F.substring(F.md5(F.col("_t").substr(F.col("p"), F.lit(w))
+                                 .cast("binary")), 1, 8), 16, 10)
+        .cast("bigint") % dv == dv - 1
+    )
+    cuts = grams.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.col("p") + (w - 1))).alias("_cuts"))
+    withc = df.select(F.col(id_col), text.alias("_t"), n.alias("_n")).join(
+        cuts, id_col, "left"
+    ).withColumn(
+        "_ends",
+        F.concat(
+            F.filter(F.coalesce("_cuts", F.array().cast("array<int>")),
+                     lambda c: c < F.col("_n")),
+            F.array(F.col("_n")),
+        ),
+    )
+    # chunk i spans (prev end + 1 .. ends[i]); idx 0-based
+    chunk = F.explode(
+        F.transform(
+            F.col("_ends"),
+            lambda e, i: F.struct(
+                i.alias("chunk_idx"),
+                F.when(i == 0, F.lit(1))
+                .otherwise(F.element_at(F.col("_ends"), i) + 1)
+                .alias("start"),
+                e.alias("end"),
+            ),
+        )
+    )
+    return (
+        withc.select(F.col(id_col), chunk.alias("_c"), F.col("_t"))
+        .select(
+            F.col(id_col),
+            F.col("_c.chunk_idx").cast("long").alias("chunk_idx"),
+            (F.col("_c.end") - F.col("_c.start") + 1).cast("long")
+            .alias("chunk_len"),
+            F.md5(F.col("_t").substr(
+                F.col("_c.start"),
+                F.col("_c.end") - F.col("_c.start") + 1)
+                .cast("binary")).alias("chunk_md5"),
+        )
+    )
+
+
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32
 ) -> DataFrame:

@@ -296,6 +296,111 @@ def ivf_topk(
         F.col("rnk") <= k)
 
 
+def train_pq_codebooks(
+    sample: np.ndarray, *, m: int = 8, k: int = 16, n_iters: int = 10
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks: split the dimension into ``m``
+    subspaces and run deterministic Lloyd's (L2, init = first ``k`` sample
+    rows, fixed iterations) per subspace — same sample-trained-model shape
+    as ``train_ivf_centroids``, so the DuckDB oracle inlines identical
+    literals. Returns m codebooks of k centroids each (rounded 6)."""
+    x = np.asarray(sample, dtype=np.float64)
+    dim = x.shape[1]
+    assert dim % m == 0, "m must divide the embedding dimension"
+    d = dim // m
+    books = []
+    for s in range(m):
+        sub = x[:, s * d:(s + 1) * d]
+        cents = sub[:k].copy()
+        for _ in range(n_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(k):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books.append(np.round(cents, 6).tolist())
+    return books
+
+
+def _sub(vec: Column, s: int, d: int) -> Column:
+    return F.slice(vec, s * d + 1, d)
+
+
+def _l2_to_lit(sub: Column, cent: list[float]) -> Column:
+    """JVM fold: squared L2 distance of a subvector to a literal centroid."""
+    return F.aggregate(
+        F.zip_with(sub, F.array(*[F.lit(float(x)) for x in cent]),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``m`` one-byte codes (nearest centroid per
+    subspace, L2; ties to the lower code id). Map-only, JVM-side — a
+    64-dim float vector compresses to m small ints, the representation a
+    100 TB corpus actually stores. Output: (id, codes array<int>)."""
+    m, k, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    codes = F.array(*[
+        F.slice(F.array_sort(F.array(*[
+            F.struct(_l2_to_lit(_sub(F.col(vec_col), s, d), book[j]).alias("d"),
+                     F.lit(j).alias("cid"))
+            for j in range(k)
+        ])), 1, 1)[0]["cid"]
+        for s, book in enumerate(codebooks)
+    ])
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Approximate top-k by asymmetric PQ distance (ADC): the corpus is
+    scanned as CODES only; each query precomputes one lookup table (its
+    exact squared L2 to every centroid of every subspace — m*k folds per
+    QUERY, not per pair), and a candidate's distance is m array lookups.
+
+    Returns (query_id, neighbor_id, pq_dist, rnk), rnk by distance asc,
+    neighbor id asc on ties. Plan: broadcast(queries+LUT) × corpus codes —
+    the corpus side never shuffles and never touches float vectors."""
+    query_id_col = query_id_col or id_col
+    m, kk, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    lut = F.array(*[
+        F.array(*[_l2_to_lit(_sub(F.col(vec_col), s, d), book[j])
+                  for j in range(kk)])
+        for s, book in enumerate(codebooks)
+    ])
+    q = queries.select(F.col(query_id_col).alias("query_id"),
+                       lut.alias("_lut"))
+    c = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col) \
+        .withColumnRenamed(id_col, "neighbor_id")
+    dist = F.aggregate(
+        F.zip_with(F.col("_lut"), F.col("codes"),
+                   lambda t, code: F.element_at(t, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k)
+
+
 def cosine_pairs(
     df: DataFrame,
     *,

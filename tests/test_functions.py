@@ -96,6 +96,29 @@ def test_ngram_jaccard_hot_shingle_filtered_pre_agg(spark):
     assert count_exchanges(plan) <= 2
 
 
+def test_cdc_chunks_survive_prefix_insertion(spark):
+    """The content-defined property: prepending text to a document shifts
+    every byte offset, yet most chunk hashes must SURVIVE (boundaries are
+    content-anchored) — a fixed-size chunker would lose them all."""
+    base = " ".join(f"word{i} token{i*7%13} filler{i%5}" for i in range(120))
+    df = spark.createDataFrame(
+        [(0, base), (1, "A COMPLETELY NEW PREFIX INSERTED HERE. " + base)],
+        "doc_id long, text string")
+    ch = dedup.cdc_chunks(df, "text", "doc_id", window=16, divisor=64)
+    rows = ch.collect()
+    h0 = {r["chunk_md5"] for r in rows if r["doc_id"] == 0}
+    h1 = {r["chunk_md5"] for r in rows if r["doc_id"] == 1}
+    assert len(h0) >= 5  # base doc actually chunks
+    shared = len(h0 & h1)
+    assert shared >= 0.7 * len(h0), (shared, len(h0))
+    # chunks tile the doc exactly
+    import collections
+    lens = collections.defaultdict(int)
+    for r in rows:
+        lens[r["doc_id"]] += r["chunk_len"]
+    assert lens[0] == len(base) and lens[1] == len(base) + 39
+
+
 def test_duplicate_groups_components_and_singletons(spark):
     corpus = spark.createDataFrame(
         [(i,) for i in range(20)], "doc_id long")

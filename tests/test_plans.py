@@ -130,6 +130,31 @@ def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
     assert a == b
 
 
+def test_pq_topk_self_neighbor_and_code_shape(spark, sf_dir):
+    """PQ sanity: codes are m small ints; a query that IS a corpus vector
+    must rank itself at the very top by asymmetric distance for nearly all
+    queries (quantization can only blur, not reorder its own cell much)."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from anomalyzer_spark.functions import similarity
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    sample = e.where(F.col("vec_id") < 256).select(
+        "vec_id", "embedding").collect()
+    sample = sorted(((r["vec_id"], r["embedding"]) for r in sample))
+    books = similarity.train_pq_codebooks(
+        np.asarray([v for _, v in sample]), m=8, k=16)
+    codes = similarity.pq_encode(e, books).collect()
+    assert all(len(r["codes"]) == 8 and all(0 <= c < 16 for c in r["codes"])
+               for r in codes)
+    out = similarity.pq_topk(e, e.where(F.col("vec_id") < 20), books,
+                             query_id_col="vec_id", k=3).collect()
+    self_top = sum(1 for r in out
+                   if r["query_id"] == r["neighbor_id"] and r["rnk"] <= 3)
+    assert self_top >= 16  # >=80% of the 20 queries find themselves
+
+
 def test_horizon_anchor_pushes_predicate_to_scan(spark, sf_dir):
     """horizon_anchor turns the horizon into a literal ts predicate that
     reaches the parquet scan (PushedFilters) — no join, no extra exchange,
