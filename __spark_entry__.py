@@ -650,11 +650,14 @@ def q_multimodal_meta(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """mapInPandas byte-level feature extraction (decode-shaped pipeline)."""
+    """mapInPandas byte-level feature extraction (decode-shaped pipeline).
+    Rounding happens HERE (JVM F.round == DuckDB round, half-away) — not in
+    the Python kernel, whose banker's round() flips exact .xxxxxx5 means."""
     from anomalyzer_spark.functions import multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
-    return multimodal.byte_features(with_payload, "content", "doc_id")
+    return _round6(multimodal.byte_features(with_payload, "content", "doc_id"),
+                   "byte_mean", "byte_std", "byte_entropy")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -113,10 +113,11 @@ def byte_features(df: DataFrame, content_col: str = "content",
                 # ascending byte value, sequential left-to-right sum
                 ent = -sum((int(c) / n) * math.log2(int(c) / n)
                            for c in counts if c > 0)
-                rows.append((
-                    int(did), int(n),
-                    round(mean, 6), round(math.sqrt(var), 6), round(ent, 6),
-                ))
+                # UNROUNDED: byte means are dyadic rationals that land
+                # exactly on .xxxxxx5 decimals, where Python's banker's
+                # round() diverges from SQL half-away round() — callers
+                # round JVM-side (F.round) to match the oracle.
+                rows.append((int(did), int(n), mean, math.sqrt(var), ent))
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA])
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
