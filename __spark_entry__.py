@@ -360,6 +360,18 @@ def q_ivf_topk(spark, sf_dir):
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
 
 
+def q_skew_median(spark, sf_dir):
+    """Exact per-key median under heavy key skew: lineitem has only 3
+    l_returnflag groups, so sort-based exact percentile buffers a third of
+    the table per task; the counting rewrite (operators/skew.py) shuffles
+    by (key, value) and selects by cumulative rank — per-task state is the
+    distinct-value count, not the row count."""
+    from anomalyzer_spark.operators.skew import skewsafe_median
+    li = load_table(spark, sf_dir, "lineitem")
+    return skewsafe_median(li, ["l_returnflag"], "l_quantity",
+                           out_col="median_qty")
+
+
 def q_sketch_stats(spark, sf_dir):
     """Approximate sketches (SURVEY §2.7): HyperLogLog distinct counting +
     GK-sketch percentile per order priority. Cross-engine contract: the HLL
@@ -697,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json": q_events_json,
         "percentiles": q_percentiles,
         "sketch_stats": q_sketch_stats,
+        "skew_median": q_skew_median,
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "ks_stat": q_ks_stat,
@@ -1639,6 +1652,10 @@ GROUP BY event_type, k_mod"""
     # are engine-specific — see q_sketch_stats docstring); the GK
     # percentile is exact-element at this accuracy and matches
     # quantile_disc.
+    sql["skew_median"] = """
+SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty
+FROM lineitem GROUP BY l_returnflag"""
+
     sql["sketch_stats"] = """
 SELECT o_orderpriority, count(*) AS n_orders,
   count(DISTINCT o_custkey)::BIGINT AS n_cust_exact,

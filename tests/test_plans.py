@@ -130,6 +130,37 @@ def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
     assert a == b
 
 
+def test_skewsafe_median_exact_and_spread(spark, sf_dir):
+    """The counting rewrite must (a) equal the sort-based exact median
+    (lower-median / quantile_disc semantics, incl. even-count groups and
+    NULLs ignored) and (b) shuffle stage 1 on (key, value) so a heavy
+    group's rows spread across reducers instead of one sort buffer."""
+    import pyspark.sql.functions as F
+
+    from anomalyzer_spark.operators.skew import skewsafe_median
+    from anomalyzer_spark.plans import explain_str
+    li = load_table(spark, sf_dir, "lineitem")
+    out = skewsafe_median(li, ["l_returnflag"], "l_quantity")
+    plan = explain_str(out)
+    # deepest exchange partitions on (key, value), not key alone
+    assert "l_quantity" in plan.split("hashpartitioning", 1)[1][:120]
+    got = {r["l_returnflag"]: r["median"] for r in out.collect()}
+    rows = li.select("l_returnflag", "l_quantity").collect()
+    import collections
+    by_key = collections.defaultdict(list)
+    for r in rows:
+        if r["l_quantity"] is not None:
+            by_key[r["l_returnflag"]].append(r["l_quantity"])
+    exp = {k: sorted(v)[(len(v) + 1) // 2 - 1] for k, v in by_key.items()}
+    assert got == exp
+    # hand case: even count + NULL → lower median of the non-nulls
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 9.0), ("a", None)],
+        "k string, v double")
+    one = skewsafe_median(df, ["k"], "v").collect()
+    assert one[0]["median"] == 2.0
+
+
 def test_pq_topk_self_neighbor_and_code_shape(spark, sf_dir):
     """PQ sanity: codes are m small ints; a query that IS a corpus vector
     must rank itself at the very top by asymmetric distance for nearly all

@@ -227,3 +227,15 @@ def test_stream_state_truncation(spark, tmp_path):
     row = res.collect()[0]
     assert row["n_points"] == conf.window_size == 5
     assert row["total_seen"] == 50
+
+
+def test_kafka_source_gated_without_connector(spark):
+    """The Kafka builder must fail fast with guidance when the connector
+    JAR is absent (this environment), not at stream start."""
+    import pytest
+
+    from anomalyzer_spark.sources.kafka import read_kafka_json_stream
+    with pytest.raises(NotImplementedError, match="spark-sql-kafka"):
+        read_kafka_json_stream(
+            spark, brokers="localhost:9092", topic="events",
+            value_schema="event_id long, ts timestamp, value double")
