@@ -381,14 +381,23 @@ def q_sketch_stats(spark, sf_dir):
     is run with accuracy >= group size, where the sketch returns an exact
     data element that DuckDB's quantile_disc reproduces."""
     o = load_table(spark, sf_dir, "orders")
-    apx = F.approx_count_distinct("o_custkey")
-    exact = F.count_distinct(F.col("o_custkey"))
-    return o.groupBy("o_orderpriority").agg(
+    # two aggregations joined on the tiny key, NOT one: mixing
+    # count_distinct with non-distinct sketches triggers the expand-based
+    # distinct rewrite, which builds the percentile sketch once per
+    # (key, custkey) pre-group — measured 20x slower than two passes.
+    sk = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        exact.alias("n_cust_exact"),
-        (F.abs(apx - exact) / exact <= 0.2).alias("hll_within_bound"),
+        F.approx_count_distinct("o_custkey").alias("_apx"),
         F.percentile_approx("o_totalprice", 0.5, 100000)
         .alias("p50_totalprice"),
+    )
+    ex = o.groupBy("o_orderpriority").agg(
+        F.count_distinct(F.col("o_custkey")).alias("n_cust_exact"))
+    return sk.join(ex, "o_orderpriority").select(
+        "o_orderpriority", "n_orders", "n_cust_exact",
+        (F.abs(F.col("_apx") - F.col("n_cust_exact"))
+         / F.col("n_cust_exact") <= 0.2).alias("hll_within_bound"),
+        "p50_totalprice",
     )
 
 

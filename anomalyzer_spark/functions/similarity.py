@@ -104,27 +104,22 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).round(6).tolist()
 
 
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-projection bit signature as array<int> (1 if v·h >= 0 else 0)."""
-    return F.array(
-        *[
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec,
-                        F.array(*[F.lit(float(x)) for x in plane]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                1,
-            )
-            .otherwise(0)
-            for plane in planes
-        ]
+def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-projection bit signature as array<int> (1 if v·h >= 0 else 0).
+
+    Built as ONE SQL expression string (see ``_l2_sql`` note): n_planes
+    dot-product folds as Column trees cost seconds of py4j round-trips
+    per call. ``vec`` may be a Column (must be a plain named column) or a
+    column name.
+    """
+    name = vec if isinstance(vec, str) else vec._jc.toString()  # noqa: SLF001
+    bits = ", ".join(
+        "IF(aggregate(zip_with(`{v}`, array({arr}), (a, b) -> a * b), 0D, "
+        "(acc, x) -> acc + x) >= 0, 1, 0)".format(
+            v=name, arr=", ".join(f"{float(x)!r}D" for x in plane))
+        for plane in planes
     )
+    return F.expr(f"array({bits})")
 
 
 def lsh_buckets(
@@ -140,7 +135,7 @@ def lsh_buckets(
     n = len(planes)
     assert n % bands == 0, "bands must divide number of hyperplanes"
     rows = n // bands
-    sig = lsh_signature(F.col(vec_col), planes)
+    sig = lsh_signature(vec_col, planes)
     out = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
     band_struct = F.explode(
         F.transform(
@@ -262,27 +257,41 @@ def ivf_topk(
         model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
         centroids = [c.tolist() for c in model.clusterCenters()]
 
-    def _nearest_cells(vec_expr, n: int):
+    def _nearest_cells(vec_name: str, n: int):
         """Columns of the n nearest centroid ids by cosine (literal
-        centroids — the model broadcasts as plan constants)."""
-        cents = centroids
-        scored = F.array(*[
-            F.struct(
-                (-cosine(vec_expr, F.array(*[F.lit(float(x)) for x in c])))
-                .alias("neg"),
-                F.lit(i).alias("cid"),
-            )
-            for i, c in enumerate(cents)
-        ])
-        return F.slice(F.array_sort(scored), 1, n)["cid"]
+        centroids — the model broadcasts as plan constants). One SQL
+        expression string (see ``_l2_sql`` note on py4j build cost);
+        operators identical to the previous Column-tree form."""
+        def dot(arr):
+            return ("aggregate(zip_with(`{v}`, array({a}), (x, y) -> x * y)"
+                    ", 0D, (acc, x) -> acc + x)").format(
+                v=vec_name, a=", ".join(f"{float(x)!r}D" for x in arr))
+
+        vnorm = (f"sqrt(aggregate(`{vec_name}`, 0D, "
+                 f"(acc, x) -> acc + x * x))")
+
+        def cnorm(arr):  # same sequential fold the oracle runs — NOT a
+            # precomputed numpy norm, whose pairwise sum differs in low bits
+            return ("sqrt(aggregate(array({a}), 0D, "
+                    "(acc, x) -> acc + x * x))").format(
+                a=", ".join(f"{float(x)!r}D" for x in arr))
+
+        scored = ", ".join(
+            "named_struct('neg', -(CASE WHEN {vn} > 0 AND {cn} > 0 "
+            "THEN {d} / ({vn} * {cn}) END), 'cid', {i})".format(
+                vn=vnorm, cn=cnorm(c), d=dot(c), i=i)
+            for i, c in enumerate(centroids)
+        )
+        return F.expr(
+            f"slice(array_sort(array({scored})), 1, {n}).cid")
 
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
-        _nearest_cells(F.col(vec_col), 1)[0].alias("cell"),
+        _nearest_cells(vec_col, 1)[0].alias("cell"),
     )
     q_assigned = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
-        F.explode(_nearest_cells(F.col(vec_col), n_probe)).alias("cell"),
+        F.explode(_nearest_cells(vec_col, n_probe)).alias("cell"),
     )
     scored = (
         c_assigned.join(q_assigned, "cell")
@@ -323,16 +332,17 @@ def train_pq_codebooks(
     return books
 
 
-def _sub(vec: Column, s: int, d: int) -> Column:
-    return F.slice(vec, s * d + 1, d)
-
-
-def _l2_to_lit(sub: Column, cent: list[float]) -> Column:
-    """JVM fold: squared L2 distance of a subvector to a literal centroid."""
-    return F.aggregate(
-        F.zip_with(sub, F.array(*[F.lit(float(x)) for x in cent]),
-                   lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0), lambda acc, x: acc + x)
+def _l2_sql(sub: str, cent: list[float]) -> str:
+    """Squared L2 of subvector expr ``sub`` to a literal centroid, as a
+    SQL fragment. The PQ expressions are built as SQL STRINGS, not Column
+    trees: m*k folds worth of py4j Column construction cost ~4-5 s of
+    driver time PER CALL (thousands of round-trips), while one F.expr
+    string parses JVM-side in milliseconds — identical operators either
+    way. Literals carry the D suffix so SQL parses them as DOUBLE (bare
+    decimals default to DECIMAL)."""
+    arr = ", ".join(f"{float(x)!r}D" for x in cent)
+    return (f"aggregate(zip_with({sub}, array({arr}), "
+            f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
 
 
 def pq_encode(
@@ -345,17 +355,27 @@ def pq_encode(
     """Encode each vector as ``m`` one-byte codes (nearest centroid per
     subspace, L2; ties to the lower code id). Map-only, JVM-side — a
     64-dim float vector compresses to m small ints, the representation a
-    100 TB corpus actually stores. Output: (id, codes array<int>)."""
+    100 TB corpus actually stores. Output: (id, codes array<int>).
+
+    The subvector slices are STAGED as named columns first: interpreted
+    higher-order expressions are excluded from subexpression elimination,
+    so referencing ``slice(vec, ...)`` from all k per-centroid folds would
+    recompute it k times (the columnar.py staging lesson).
+    """
     m, k, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    codes = F.array(*[
-        F.slice(F.array_sort(F.array(*[
-            F.struct(_l2_to_lit(_sub(F.col(vec_col), s, d), book[j]).alias("d"),
-                     F.lit(j).alias("cid"))
+    staged = df.select(
+        F.col(id_col),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    codes = "array(" + ", ".join(
+        "element_at(array_sort(array(" + ", ".join(
+            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
             for j in range(k)
-        ])), 1, 1)[0]["cid"]
+        ) + ")), 1).cid"
         for s, book in enumerate(codebooks)
-    ])
-    return df.select(F.col(id_col), codes.alias("codes"))
+    ) + ")"
+    return staged.select(F.col(id_col), F.expr(codes).alias("codes"))
 
 
 def pq_topk(
@@ -378,13 +398,17 @@ def pq_topk(
     the corpus side never shuffles and never touches float vectors."""
     query_id_col = query_id_col or id_col
     m, kk, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
-    lut = F.array(*[
-        F.array(*[_l2_to_lit(_sub(F.col(vec_col), s, d), book[j])
-                  for j in range(kk)])
+    qstaged = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    lut = "array(" + ", ".join(
+        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
+        + ")"
         for s, book in enumerate(codebooks)
-    ])
-    q = queries.select(F.col(query_id_col).alias("query_id"),
-                       lut.alias("_lut"))
+    ) + ")"
+    q = qstaged.select("query_id", F.expr(lut).alias("_lut"))
     c = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")
     dist = F.aggregate(
