@@ -204,6 +204,12 @@ def q_token_count(spark, sf_dir):
                       F.col("lex_tokens").cast("long").alias("lex_tokens"))
 
 
+def q_repetition(spark, sf_dir):
+    """Gopher-style within-doc repetition quality signals."""
+    d = _docs(spark, sf_dir)
+    return text.repetition_stats(d, "text", "doc_id")
+
+
 def q_winnow(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprints, one row per fingerprint."""
     d = _docs(spark, sf_dir)
@@ -697,6 +703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
         "token_count": q_token_count,
+        "repetition": q_repetition,
         "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -1289,6 +1296,35 @@ groups AS (
 SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
        h.doc_id != g.canonical_id AS is_duplicate
 FROM hashed h JOIN groups g USING (content_hash)"""
+
+    sql["repetition"] = f"""
+WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id,
+        CASE WHEN norm = '' THEN []::VARCHAR[]
+             ELSE string_split(norm, ' ') END AS w
+      FROM docs),
+ws AS (SELECT doc_id, len(w) AS n_words,
+         len(list_distinct(w)) AS n_uniq_words,
+         CASE WHEN len(w) >= 2
+              THEN list_transform(range(1, len(w)),
+                                  i -> w[i::INT] || ' ' || w[(i+1)::INT])
+              ELSE []::VARCHAR[] END AS grams
+       FROM w),
+g AS (SELECT doc_id, unnest(grams) AS gram FROM ws),
+gc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+ga AS (SELECT doc_id, sum(c)::BIGINT AS ng, count(*)::BIGINT AS ug,
+              max(c)::BIGINT AS top
+       FROM gc GROUP BY doc_id)
+SELECT ws.doc_id, n_words::BIGINT AS n_words,
+  coalesce(ng, 0) AS n_grams,
+  round(CASE WHEN n_words > 0
+             THEN 1 - n_uniq_words::DOUBLE / n_words ELSE 0.0 END, 6)
+    AS dup_word_frac,
+  round(CASE WHEN ng > 0 THEN 1 - ug::DOUBLE / ng ELSE 0.0 END, 6)
+    AS dup_gram_frac,
+  round(CASE WHEN ng > 0 THEN top::DOUBLE / ng ELSE 0.0 END, 6)
+    AS top_gram_share
+FROM ws LEFT JOIN ga USING (doc_id)"""
 
     sql["ngram_jaccard"] = f"""
 WITH {_SHINGLES},

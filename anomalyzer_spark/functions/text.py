@@ -228,3 +228,65 @@ def winnow_fingerprints(
             F.array_sort(F.collect_set("_winmin")).alias("fingerprints"),
         )
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/C4-style quality
+    filters): duplicate-word fraction, duplicate-2-gram fraction, and the
+    share of the single most frequent 2-gram. High values flag boilerplate
+    and degenerate (looping) text for removal from training corpora.
+
+    Shapes: word stats are pure array expressions (map-only); the 2-gram
+    mode needs a per-(doc, gram) count — one shuffle with map-side combine,
+    then a per-doc aggregate that reuses the same partitioning. Returns
+    (id, n_words, n_grams, dup_word_frac, dup_gram_frac, top_gram_share).
+    """
+    from .dedup import normalized
+
+    w0 = F.split(normalized(F.col(text_col)), " ")
+    base = df.select(
+        F.col(id_col),
+        F.when(F.col(text_col).isNull() | (normalized(F.col(text_col)) == ""),
+               F.array().cast("array<string>")).otherwise(w0).alias("w"),
+    ).select(
+        F.col(id_col),
+        F.size("w").alias("n_words"),
+        F.size(F.array_distinct("w")).alias("_uw"),
+        F.when(
+            F.size("w") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(F.col("w"), i),
+                    F.element_at(F.col("w"), i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
+    )
+    gc = (
+        base.select(F.col(id_col), F.explode("_grams").alias("_g"))
+        .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    ga = gc.groupBy(id_col).agg(
+        F.sum("_c").alias("_ng"),
+        F.count(F.lit(1)).alias("_ug"),
+        F.max("_c").alias("_top"),
+    )
+    joined = base.drop("_grams").join(ga, id_col, "left")
+    n_g = F.coalesce(F.col("_ng"), F.lit(0))
+    return joined.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        n_g.cast("long").alias("n_grams"),
+        F.round(
+            F.when(F.col("n_words") > 0,
+                   1 - F.col("_uw").cast("double") / F.col("n_words"))
+            .otherwise(0.0), 6).alias("dup_word_frac"),
+        F.round(
+            F.when(n_g > 0, 1 - F.col("_ug").cast("double") / n_g)
+            .otherwise(0.0), 6).alias("dup_gram_frac"),
+        F.round(
+            F.when(n_g > 0, F.col("_top").cast("double") / n_g)
+            .otherwise(0.0), 6).alias("top_gram_share"),
+    )

@@ -96,6 +96,24 @@ def test_ngram_jaccard_hot_shingle_filtered_pre_agg(spark):
     assert count_exchanges(plan) <= 2
 
 
+def test_repetition_stats_hand_values(spark):
+    df = spark.createDataFrame(
+        [(0, "spam spam spam spam"),       # maximal repetition
+         (1, "all words here differ"),     # no repetition
+         (2, "x"), (3, "")],               # degenerate sizes
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.repetition_stats(df, "text", "doc_id").collect()}
+    assert got[0]["n_words"] == 4 and got[0]["n_grams"] == 3
+    assert got[0]["dup_word_frac"] == 0.75       # 1 unique of 4
+    assert got[0]["dup_gram_frac"] == pytest.approx(2 / 3)
+    assert got[0]["top_gram_share"] == 1.0       # "spam spam" is every gram
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["dup_gram_frac"] == 0.0 and got[1]["top_gram_share"] > 0
+    assert got[2]["n_grams"] == 0 and got[2]["top_gram_share"] == 0.0
+    assert got[3]["n_words"] == 0 and got[3]["dup_word_frac"] == 0.0
+
+
 def test_cdc_chunks_survive_prefix_insertion(spark):
     """The content-defined property: prepending text to a document shifts
     every byte offset, yet most chunk hashes must SURVIVE (boundaries are
