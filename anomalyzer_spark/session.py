@@ -14,6 +14,13 @@ from pyspark.sql import SparkSession
 
 def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = None):
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # must reach the JVM launcher BEFORE the gateway starts — builder
+    # confs are too late for driver JVM flags in local mode (see _build
+    # comment on DontCompileHugeMethods)
+    opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
+    if "DontCompileHugeMethods" not in opts:
+        os.environ["SPARK_SUBMIT_OPTS"] = (
+            opts + " -XX:-DontCompileHugeMethods").strip()
     spark = _build(app, cpus, shuffle_partitions)
     # Warm Spark 4's ICU-backed Unicode casing ONCE, single-threaded: the
     # first non-ASCII lower()/upper() triggers CollationAwareUTF8String's
@@ -39,6 +46,17 @@ def _build(app: str, cpus: str, shuffle_partitions: int | None):
         # batches) accumulate — benchmarks showed every query after the
         # kernel stage slowing 3-10x. 32g on the 128 GiB box keeps GC flat.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "32g"))
+        # Whole-stage codegen for the wide higher-order expressions (minhash
+        # fold, simhash, detect staging) emits methods past HotSpot's
+        # -XX:DontCompileHugeMethods bytecode limit; whether the JIT warms
+        # them anyway varies per JVM instance, making those queries
+        # bimodally 2-3x slower (measured 1.8s vs 3.4-5.0s for minhash at
+        # sf0.1). get_spark force-enables huge-method JIT via
+        # SPARK_SUBMIT_OPTS (builder confs are too late for driver JVM
+        # flags in local mode); the executor conf below covers real
+        # clusters where executors are separate JVMs.
+        .config("spark.executor.extraJavaOptions",
+                "-XX:-DontCompileHugeMethods")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
