@@ -652,6 +652,19 @@ def q_detect_stream(spark, sf_dir):
     return _round6(res.select("event_type", "n_points", "prob"), "prob")
 
 
+def q_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min gap) per user: per-session start /
+    end / duration / event count via the islands pattern (one exchange,
+    one sort; the per-session groupBy reuses the same partitioning).
+    Event time is the µs-truncated timestamp (matching DuckDB's µs view of
+    the nanos parquet), with the unique event_id tiebreak."""
+    from anomalyzer_spark.operators.sessions import session_stats
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, ["user_id"], "ts", gap_seconds=1800,
+                        tiebreak_cols=["event_id"])
+    return _round6(out, "duration_s")
+
+
 def q_resample_stream(spark, sf_dir):
     """Watermarked streaming resample (tumbling event-time windows, append
     mode, availableNow drain). Every emitted bucket equals the batch
@@ -734,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_rolling": q_detect_rolling,
         "detect_stream": q_detect_stream,
         "resample_stream": q_resample_stream,
+        "sessions": q_sessions,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
     }
@@ -1137,6 +1151,27 @@ SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
 FROM {resample_src} t"""
     sql["detect_resampled"] = _detect_sql(
         "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
+    # sessionization oracle: identical islands formulation (lag + running
+    # sum of gap-breaks) over µs event time with the event_id tiebreak.
+    sql["sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us, event_id,
+    CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+assigned AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+  min(us) AS start_us, max(us) AS end_us,
+  round((max(us) - min(us)) / 1000000.0, 6) AS duration_s,
+  count(*) AS n_events
+FROM assigned GROUP BY user_id, session_idx"""
+
     # streaming watermarked resample: emitted = batch buckets whose window
     # END has passed the final watermark (max event time - 1h); exact
     # integer-µs comparison mirrors Spark's append-mode emission rule.

@@ -239,3 +239,31 @@ def test_kafka_source_gated_without_connector(spark):
         read_kafka_json_stream(
             spark, brokers="localhost:9092", topic="events",
             value_schema="event_id long, ts timestamp, value double")
+
+
+def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Native session_window streaming aggregation must produce the same
+    sessions as the batch islands formulation — for every session CLOSED
+    by the final watermark (append withholds still-growable sessions)."""
+    from anomalyzer_spark.operators.sessions import session_stats, session_stream
+    from anomalyzer_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.select("user_id", "ts", "value")
+    sdir = str(tmp_path / "sess_in")
+    cols.coalesce(1).write.mode("overwrite").parquet(sdir)
+
+    stream = spark.readStream.schema(cols.schema).parquet(sdir)
+    out = session_stream(stream, ["user_id"], "ts", gap_seconds=1800,
+                         watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("sess_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {(r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+           for r in spark.table("sess_t").collect()}
+    exp = {(r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+           for r in session_stats(ev, ["user_id"], "ts",
+                                  gap_seconds=1800).collect()}
+    assert len(got) > 0.5 * len(exp)  # only the watermark tail withheld
+    for key, val in got.items():
+        assert val == exp[key], key
