@@ -607,6 +607,20 @@ def q_detect_multi(spark, sf_dir):
                    "prob")
 
 
+def q_detect_multi_mc(spark, sf_dir):
+    """Multivariate detection with the DEFAULT (Monte-Carlo) method set —
+    exercises the multi-column key ('event_type|metric') permutation-hash
+    preimage end to end against the SQL oracle."""
+    from anomalyzer_spark.operators.detect import detect_multi
+    ev = load_table(spark, sf_dir, "events")
+    out = detect_multi(
+        ev, ["event_type"], "ts",
+        {"value": F.col("value"), "log1p": F.log(F.lit(1.0) + F.col("value"))},
+        DEFAULT_CONF, tiebreak_cols=["event_id"])
+    return _round6(out.select("event_type", "metric", "n_points", "prob"),
+                   "prob")
+
+
 def q_detect_rolling(spark, sf_dir):
     """Per-point anomaly probs over the full history (one window pass)."""
     from anomalyzer_spark.operators.rolling import detect_rolling
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_full": q_detect_full,
         "detect_full_users": q_detect_full_users,
         "detect_multi": q_detect_multi,
+        "detect_multi_mc": q_detect_multi_mc,
         "text_stats": q_text_stats,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1098,6 +1113,8 @@ def oracle_sql() -> dict[str, str]:
   FROM events)"""
     sql["detect_multi"] = _detect_sql("event_type, metric", DET_CONF,
                                       src=multi_src)
+    sql["detect_multi_mc"] = _detect_sql("event_type, metric", DEFAULT_CONF,
+                                         src=multi_src)
     # the streaming path must converge to the same answer as batch detect
     sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
     sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)
