@@ -666,6 +666,21 @@ def q_detect_stream(spark, sf_dir):
     return _round6(res.select("event_type", "n_points", "prob"), "prob")
 
 
+def q_detect_stream_mc(spark, sf_dir):
+    """Streaming detect with the reference's DEFAULT (Monte-Carlo) method
+    set: the stateful per-key window in the stream must reproduce batch
+    detect bit-for-bit, including the hash-permutation MC tests — so the
+    streaming path shares the full MC SQL oracle."""
+    from anomalyzer_spark.streaming import run_stream_on_dir
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    res = run_stream_on_dir(
+        spark, f"{sf_dir}/events*.parquet", schema, ["event_type"],
+        "ts", "value", DEFAULT_CONF, "event_id",
+        query_name="q_detect_stream_mc_mem")
+    return _round6(res.select("event_type", "n_points", "prob"), "prob")
+
+
 def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap) per user: per-session start /
     end / duration / event count via the islands pattern (one exchange,
@@ -761,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_resampled": q_detect_resampled,
         "detect_rolling": q_detect_rolling,
         "detect_stream": q_detect_stream,
+        "detect_stream_mc": q_detect_stream_mc,
         "resample_stream": q_resample_stream,
         "sessions": q_sessions,
         "multimodal_meta": q_multimodal_meta,
@@ -1115,8 +1131,9 @@ def oracle_sql() -> dict[str, str]:
                                       src=multi_src)
     sql["detect_multi_mc"] = _detect_sql("event_type, metric", DEFAULT_CONF,
                                          src=multi_src)
-    # the streaming path must converge to the same answer as batch detect
+    # the streaming paths must converge to the same answer as batch detect
     sql["detect_stream"] = _detect_sql("event_type", DET_CONF)
+    sql["detect_stream_mc"] = _detect_sql("event_type", DEFAULT_CONF)
     sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)
 
     a_, r_ = DET_CONF.active_size, DET_CONF.reference_size
