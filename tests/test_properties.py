@@ -84,3 +84,55 @@ def test_constant_series_zero_prob(spark):
                  AnomalyzerConf(active_size=2, methods=("magnitude", "cdf"))
                  ).collect()[0]
     assert out["prob"] == 0.0
+
+
+def test_sessionize_gap_invariants(spark):
+    """Spec-level invariants: (a) consecutive events within a session are
+    <= gap apart, (b) adjacent sessions are > gap apart, (c) every event
+    is assigned, sessions are contiguous 0..n per key."""
+    import numpy as np
+
+    from anomalyzer_spark.operators.sessions import sessionize
+    rng = np.random.default_rng(11)
+    rows = []
+    for k in range(5):
+        t = 0
+        for i in range(200):
+            t += int(rng.choice([10, 100, 5_000_000, 60_000_000]))
+            rows.append((k, t, i))
+    df = spark.createDataFrame(rows, "k long, ts long, eid long")
+    out = sessionize(df, ["k"], "ts", gap_seconds=1, tiebreak_cols=["eid"])
+    got = sorted((r["k"], r["ts"], r["session_idx"]) for r in out.collect())
+    assert len(got) == len(rows)
+    gap_us = 1_000_000
+    by_key = {}
+    for k, ts, sidx in got:
+        by_key.setdefault(k, []).append((ts, sidx))
+    for k, events in by_key.items():
+        sids = [s for _, s in events]
+        assert sids == sorted(sids) and sids[0] == 0
+        assert set(sids) == set(range(max(sids) + 1))  # contiguous
+        for (t0, s0), (t1, s1) in zip(events, events[1:]):
+            if s0 == s1:
+                assert t1 - t0 <= gap_us
+            else:
+                assert s1 == s0 + 1 and t1 - t0 > gap_us
+
+
+def test_cdc_chunks_tile_and_deterministic(spark):
+    """CDC invariants: chunks tile each doc exactly (lengths sum to doc
+    length, indexes contiguous) and re-running produces identical chunks."""
+    from anomalyzer_spark.functions.dedup import cdc_chunks
+    from anomalyzer_spark.sources import load_table
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    a = cdc_chunks(d, "text", "doc_id").collect()
+    b = cdc_chunks(d, "text", "doc_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    lens = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    per_doc = {}
+    for r in a:
+        per_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["chunk_len"]))
+    for did, chunks in per_doc.items():
+        chunks.sort()
+        assert [i for i, _ in chunks] == list(range(len(chunks)))
+        assert sum(l for _, l in chunks) == len(lens[did])
