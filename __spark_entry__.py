@@ -433,6 +433,33 @@ def q_pq_topk(spark, sf_dir):
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
 
 
+def q_emb_pipeline(spark, sf_dir):
+    """Composed embedding-curation pipeline: LSH near-dup pairs (cos >=
+    0.9) → keep-first dedup (drop the higher id of every pair — id_a <
+    id_b, so each clique keeps its smallest id) → per-label corpus stats
+    over survivors. One declarative plan: bucketed candidate join, an
+    anti-join keep-list, and a decimal-exact aggregate."""
+    e = _embs(spark, sf_dir)
+    pairs = similarity.cosine_pairs(
+        e, id_col="vec_id", vec_col="embedding", threshold=0.9,
+        use_lsh=True, n_planes=16, bands=4, dim=64, seed=7)
+    dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    surv = e.join(dropped, "vec_id", "left_anti")
+    norm = F.sqrt(F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x))
+    return (
+        surv.select("label", norm.alias("_n"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("_n").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("avg_norm"),
+        )
+        .withColumn("label", F.col("label").cast("long"))
+    )
+
+
 def _dec(c: str, p: int = 18, s: int = 2) -> F.Column:
     return F.col(c).cast(f"decimal({p},{s})")
 
@@ -757,6 +784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
         "cosine_pairs": q_cosine_pairs,
+        "emb_pipeline": q_emb_pipeline,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
@@ -1637,6 +1665,29 @@ SELECT doc_id,
     AS dup_ratio
 FROM hashed JOIN occ USING (chunk_md5)
 GROUP BY doc_id"""
+
+    # composed embedding pipeline: reuse the LSH pair CTEs at the 0.9
+    # near-dup threshold, keep-first anti-join, decimal-exact stats.
+    sql["emb_pipeline"] = f"""
+WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
+       FROM e, pl),
+eb AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
+cand AS (
+  SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
+  FROM eb x JOIN eb y USING (band, bucket) WHERE x.vec_id < y.vec_id),
+p AS (SELECT id_a, id_b,
+        list_dot_product(va, vb) /
+        (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
+          AS cos_sim
+      FROM cand),
+dropped AS (SELECT DISTINCT id_b AS vec_id FROM p WHERE cos_sim >= 0.9),
+surv AS (SELECT * FROM e ANTI JOIN dropped USING (vec_id))
+SELECT label::BIGINT AS label, count(*) AS n_vecs,
+  round(sum(sqrt(list_dot_product(v, v))::DECIMAL(28,12))::DOUBLE
+        / count(*), 6) AS avg_norm
+FROM surv GROUP BY label"""
 
     # pq_topk oracle: identical sample-fit codebooks inlined; encode =
     # per-subspace argmin of the same sequential L2 folds; ADC = LUT per
