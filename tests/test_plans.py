@@ -130,6 +130,16 @@ def test_horizon_prefilter_prunes_before_exchange(spark, sf_dir):
     assert a == b
 
 
+def test_composed_pipelines_no_cartesian(spark, sf_dir):
+    """The composed curation chains must stay bucketed/broadcast all the
+    way through — a CartesianProduct anywhere means an O(n^2) stage
+    leaked into the 100 TB path."""
+    import __spark_entry__ as entry
+    for q in ("emb_pipeline", "data_pipeline", "cdc_dedup"):
+        df = entry.queries()[q](spark, sf_dir)
+        assert_plan(df, forbids=("CartesianProduct",))
+
+
 def test_skewsafe_median_exact_and_spread(spark, sf_dir):
     """The counting rewrite must (a) equal the sort-based exact median
     (lower-median / quantile_disc semantics, incl. even-count groups and
