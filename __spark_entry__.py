@@ -1008,8 +1008,10 @@ def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
         f"  (CASE WHEN p_{_ENT[e]} IS NOT NULL THEN {wref[e]} "
         f"END)::DOUBLE AS weight_{e}," for e in entries)
 
+    # NULL key components → 'None' sentinel, matching kernel.key_str_col
+    # and the streaming path's str(None)
     kpre = (f", '{conf.seed}|' || concat_ws('|', "
-            + ", ".join(f"{c}::VARCHAR" for c in key_cols)
+            + ", ".join(f"coalesce({c}::VARCHAR, 'None')" for c in key_cols)
             + ") || '|' AS kpre" if mc else "")
     nl = ",\n    "
     return f"""
@@ -1142,7 +1144,14 @@ sh AS (SELECT doc_id,
        FROM w)"""
 
 
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL per query name.
+
+    ``sf_dir`` fits the data-dependent model literals (ivf/pq quantizers)
+    on that scale factor's embeddings; default is the
+    SPARK_GRAFT_ORACLE_SF_DIR env var, then sf0.01 (the driver's
+    correctness gate). Callers comparing at another sf MUST pass it.
+    """
     sql: dict[str, str] = {}
 
     sql["detect_det"] = _detect_sql("event_type", DET_CONF)
@@ -1235,14 +1244,17 @@ SELECT user_id, session_idx::BIGINT AS session_idx,
 FROM assigned GROUP BY user_id, session_idx"""
 
     # streaming watermarked resample: emitted = batch buckets whose window
-    # END has passed the final watermark (max event time - 1h); exact
-    # integer-µs comparison mirrors Spark's append-mode emission rule.
+    # END has passed the final watermark (max event time - 1h). Spark
+    # tracks watermarks in ms-truncated event time (EventTimeStatsAccum),
+    # so the oracle truncates max(epoch_us) to ms before subtracting the
+    # delay — without this, a max timestamp with a sub-ms component could
+    # make the oracle emit a bucket Spark withholds.
     sql["resample_stream"] = f"""
 SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
        round(value, 6) AS value, n_raw
 FROM {resample_src} t
 WHERE (bucket + 1) * 86400000000 <=
-      (SELECT max(epoch_us(ts)) - 3600000000 FROM events)"""
+      (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 3600000000 FROM events)"""
     sql["multimodal_meta"] = """
 SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
        md5(text) AS content_md5, 'unknown' AS format
@@ -1588,23 +1600,31 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOPK}"""
 
-    # ivf_topk oracle: rerun the IDENTICAL deterministic NumPy quantizer
-    # fit on the same vec_id-sorted sample (read straight from parquet —
-    # no Spark needed), inline the centroids, and mirror the cell
-    # assignment + n_probe search + exact re-rank.
+    # ivf_topk / pq_topk oracles: rerun the IDENTICAL deterministic NumPy
+    # quantizer fits on the same vec_id-sorted sample (read straight from
+    # parquet — no Spark needed), inline the model literals, and mirror the
+    # search. The sample MUST come from the sf under comparison (pass
+    # ``sf_dir`` or set SPARK_GRAFT_ORACLE_SF_DIR — tools/check_correctness
+    # does); when the parquet is absent (no testdata on this machine) these
+    # two entries are simply omitted instead of crashing every caller who
+    # wanted an unrelated oracle — the driver then records a rows-only
+    # check for them, which cannot happen where testdata exists.
     import os
 
     import duckdb as _duck
-    ivf_sf = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
-                            "/root/testdata/sf0.01")
-    ivf_rows = _duck.connect().execute(
-        f"SELECT vec_id, embedding::DOUBLE[] FROM "
-        f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "
-        f"ORDER BY vec_id").fetchall()
-    cent_sql = ", ".join(
-        "[" + ", ".join(repr(x) for x in c) + "]"
-        for c in _ivf_centroids(ivf_rows))
-    sql["ivf_topk"] = f"""
+    ivf_sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
+                                      "/root/testdata/sf0.01")
+    sample_rows = None
+    if os.path.exists(f"{ivf_sf}/embeddings.parquet"):
+        sample_rows = _duck.connect().execute(
+            f"SELECT vec_id, embedding::DOUBLE[] FROM "
+            f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "
+            f"ORDER BY vec_id").fetchall()
+    if sample_rows is not None:
+        cent_sql = ", ".join(
+            "[" + ", ".join(repr(x) for x in c) + "]"
+            for c in _ivf_centroids(sample_rows))
+        sql["ivf_topk"] = f"""
 WITH ce AS (SELECT [{cent_sql}]::DOUBLE[][] AS cents),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cellified AS (
@@ -1691,21 +1711,19 @@ FROM surv GROUP BY label"""
 
     # pq_topk oracle: identical sample-fit codebooks inlined; encode =
     # per-subspace argmin of the same sequential L2 folds; ADC = LUT per
-    # query + m lookups per candidate (mirrors similarity.pq_topk).
-    pq_rows = _duck.connect().execute(
-        f"SELECT vec_id, embedding::DOUBLE[] FROM "
-        f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "
-        f"ORDER BY vec_id").fetchall()
-    books = _pq_codebooks(pq_rows)
-    book_sql = ", ".join(
-        "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]"
-                        for c in book) + "]"
-        for book in books)
-    pd_ = len(books[0][0])
-    l2 = (f"list_sum(list_transform(range(1, {pd_ + 1}), t -> "
-          f"(v[(s - 1) * {pd_} + t] - pq[s][j][t]) * "
-          f"(v[(s - 1) * {pd_} + t] - pq[s][j][t])))")
-    sql["pq_topk"] = f"""
+    # query + m lookups per candidate (mirrors similarity.pq_topk). Reuses
+    # the ivf sample (same vec_id-sorted SELECT); gated like ivf_topk.
+    if sample_rows is not None:
+        books = _pq_codebooks(sample_rows)
+        book_sql = ", ".join(
+            "[" + ", ".join("[" + ", ".join(repr(x) for x in c) + "]"
+                            for c in book) + "]"
+            for book in books)
+        pd_ = len(books[0][0])
+        l2 = (f"list_sum(list_transform(range(1, {pd_ + 1}), t -> "
+              f"(v[(s - 1) * {pd_} + t] - pq[s][j][t]) * "
+              f"(v[(s - 1) * {pd_} + t] - pq[s][j][t])))")
+        sql["pq_topk"] = f"""
 WITH pqb AS (SELECT [{book_sql}]::DOUBLE[][][] AS pq),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 codes AS (

@@ -75,5 +75,13 @@ def mc_probs_udf(conf: AnomalyzerConf, methods: tuple[str, ...]):
 
 def key_str_col(key_cols: list[str]) -> Column:
     """'|'-joined key string — the per-key component of the permutation-hash
-    preimage; DuckDB reproduces it with ``concat_ws('|', key::VARCHAR, ...)``."""
-    return F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    preimage. NULL key components become the sentinel 'None' (matching the
+    streaming path's Python ``str(None)``, detect_stream._merge_and_eval —
+    a NULL-keyed series must draw the same MC permutation stream in batch
+    and streaming; bare concat_ws would silently SKIP the component).
+    DuckDB reproduces it with ``concat_ws('|', coalesce(k::VARCHAR,
+    'None'), ...)``. Key values containing '|' can collide across
+    multi-column keys — documented unsupported."""
+    return F.concat_ws("|", *[
+        F.coalesce(F.col(k).cast("string"), F.lit("None")) for k in key_cols
+    ])

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
-def sessionize(
+def _sessionize_with_ts(
     df: DataFrame,
     keys: list[str],
     ts_col: str = "ts",
@@ -27,8 +27,8 @@ def sessionize(
     gap_seconds: int,
     tiebreak_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Per-event session assignment: adds ``session_idx`` (0-based per key,
-    in time order). ``ts_col`` may be a TimestampType or epoch-µs long."""
+    """sessionize + the internal ``_ts_us`` epoch-µs helper column (kept so
+    session_stats can aggregate without recomputing the cast)."""
     tiebreak_cols = tiebreak_cols or []
     dtypes = dict(df.dtypes)
     ts_us = (
@@ -50,6 +50,22 @@ def sessionize(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    *,
+    gap_seconds: int,
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-event session assignment: adds ``session_idx`` (0-based per key,
+    in time order). ``ts_col`` may be a TimestampType or epoch-µs long."""
+    return _sessionize_with_ts(
+        df, keys, ts_col, gap_seconds=gap_seconds,
+        tiebreak_cols=tiebreak_cols,
+    ).drop("_ts_us")
+
+
 def session_stats(
     df: DataFrame,
     keys: list[str],
@@ -61,8 +77,8 @@ def session_stats(
     """Per-session aggregates: (keys..., session_idx, start_us, end_us,
     duration_s, n_events). The session window's groupBy reuses the
     sessionize exchange partitioning (no second shuffle on keys)."""
-    s = sessionize(df, keys, ts_col, gap_seconds=gap_seconds,
-                   tiebreak_cols=tiebreak_cols)
+    s = _sessionize_with_ts(df, keys, ts_col, gap_seconds=gap_seconds,
+                            tiebreak_cols=tiebreak_cols)
     return s.groupBy(*keys, "session_idx").agg(
         F.min("_ts_us").alias("start_us"),
         F.max("_ts_us").alias("end_us"),
