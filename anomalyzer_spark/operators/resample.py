@@ -52,12 +52,9 @@ def resample(
     """
     if agg not in AGGS:
         raise ValueError(f"agg must be one of {sorted(AGGS)}")
-    dtypes = dict(df.dtypes)
-    epoch_us = (
-        F.unix_micros(F.col(ts_col))
-        if dtypes.get(ts_col) == "timestamp"
-        else F.col(ts_col).cast("long")  # assume already epoch-µs
-    )
+    from ..timeutil import epoch_us_col
+
+    epoch_us = epoch_us_col(df, ts_col)
     every_us = every_seconds * 1_000_000
     v = F.col(value_col).cast("double")
     return (

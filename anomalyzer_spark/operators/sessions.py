@@ -30,12 +30,9 @@ def _sessionize_with_ts(
     """sessionize + the internal ``_ts_us`` epoch-µs helper column (kept so
     session_stats can aggregate without recomputing the cast)."""
     tiebreak_cols = tiebreak_cols or []
-    dtypes = dict(df.dtypes)
-    ts_us = (
-        F.unix_micros(F.col(ts_col))
-        if dtypes.get(ts_col) == "timestamp"
-        else F.col(ts_col).cast("long")
-    )
+    from ..timeutil import epoch_us_col
+
+    ts_us = epoch_us_col(df, ts_col)
     order = [ts_us.asc()] + [F.col(c).asc() for c in tiebreak_cols]
     w = Window.partitionBy(*keys).orderBy(*order)
     gap_us = gap_seconds * 1_000_000
@@ -98,11 +95,18 @@ def session_stream(
 ) -> DataFrame:
     """Streaming session aggregation via native ``session_window`` (append
     mode: a session emits once its window can no longer grow — watermark
-    past end + gap). Output: (keys..., start_us, end_us, n_events)."""
+    past end + gap). Output: (keys..., start_us, end_us, n_events).
+
+    ``ts_col`` may be TIMESTAMP, TIMESTAMP_NTZ, or epoch-µs int64 — it is
+    normalized to a UTC-aligned TIMESTAMP instant (timeutil.event_time_col)
+    because watermarks/session windows require TimestampType."""
+    from ..timeutil import event_time_col
+
     out = (
-        df.withWatermark(ts_col, watermark)
+        df.withColumn("_evt", event_time_col(df, ts_col))
+        .withWatermark("_evt", watermark)
         .groupBy(*keys,
-                 F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+                 F.session_window(F.col("_evt"), f"{gap_seconds} seconds")
                  .alias("_w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

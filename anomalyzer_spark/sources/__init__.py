@@ -1,18 +1,20 @@
 """Table loaders for the driver's parquet fixtures (TESTDATA.md).
 
-The fixtures store timestamps as parquet INT64 TIMESTAMP(NANOS), which
-vanilla ``spark.read.parquet`` rejects (PARQUET_TYPE_ILLEGAL). We read them
-with ``spark.sql.legacy.parquet.nanosAsLong`` and expose BOTH:
+Fixture timestamp encodings have varied by round — INT64 TIMESTAMP(NANOS)
+(pre-round-3; needs ``nanosAsLong``) and TIMESTAMP(MICROS) with
+isAdjustedToUTC=false (current; Spark reads TIMESTAMP_NTZ). The loader
+handles both and exposes, for each event-time column:
 
-  * ``<col>_ns``  — the exact int64 epoch-nanoseconds (lossless; equals
-    DuckDB's ``epoch_ns(col)``). Use for deterministic ordering and for
-    oracle-compared output.
-  * ``<col>``     — a real TimestampType truncated to microseconds (Spark's
-    native precision). Use for window/streaming/event-time semantics.
+  * ``<col>_ns``  — exact int64 epoch-nanoseconds (lossless; equals
+    DuckDB's ``epoch_ns(col)`` — NTZ wall clock taken as UTC, see
+    timeutil). Use for deterministic ordering and oracle-compared output.
+  * ``<col>``     — the native temporal column as stored (NTZ today);
+    every engine operator normalizes it via ``timeutil`` for
+    window/streaming/event-time semantics.
 
 At 100 TB the same loader applies: it is a plain parquet scan — filters and
-column pruning still push down (the _ns/timestamp projections are cheap
-per-row arithmetic on top of the scan).
+column pruning still push down (the _ns projection is cheap per-row
+arithmetic on top of the scan).
 """
 
 from __future__ import annotations
@@ -47,10 +49,16 @@ def load_table(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in NANO_TS_COLS.get(name, ()):
-        if dict(df.dtypes).get(c) == "bigint":
+        dt = dict(df.dtypes).get(c)
+        if dt == "bigint":  # legacy TIMESTAMP(NANOS) fixtures
             df = df.withColumn(f"{c}_ns", F.col(c)).withColumn(
                 c, F.timestamp_micros(F.expr(f"`{c}` div 1000"))
             )
+        elif dt in ("timestamp", "timestamp_ntz"):
+            from ..timeutil import epoch_us_col
+
+            # µs storage → ×1000 is lossless and equals DuckDB epoch_ns
+            df = df.withColumn(f"{c}_ns", epoch_us_col(df, c) * F.lit(1000))
     if repartition:
         df = df.repartition(repartition)
     return df

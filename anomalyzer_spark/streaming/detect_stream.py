@@ -149,12 +149,9 @@ def detect_stream(
     conf = conf or AnomalyzerConf()
     if impl == "auto":
         impl = "tws" if _tws_available() else "apply"
-    dtypes = dict(df.dtypes)
-    ts_expr = (
-        F.unix_micros(F.col(ts_col))
-        if dtypes.get(ts_col) == "timestamp"
-        else F.col(ts_col).cast("long")
-    )
+    from ..timeutil import epoch_us_col
+
+    ts_expr = epoch_us_col(df, ts_col)
     tb_expr = (
         F.col(tiebreak_col).cast("long") if tiebreak_col else F.lit(0).cast("long")
     )

@@ -38,13 +38,19 @@ def resample_stream(
     n_raw) with the same bucket ids as batch ``resample``.
     """
     from ..operators.resample import AGGS
+    from ..timeutil import event_time_col
 
     if agg not in AGGS:
         raise ValueError(f"agg must be one of {sorted(AGGS)}")
     v = F.col(value_col).cast("double")
-    win = F.window(F.col(ts_col), f"{every_seconds} seconds")
+    # normalize to a UTC-aligned TIMESTAMP instant: watermarks require
+    # TimestampType (fixtures ship TIMESTAMP_NTZ), and tumbling-window
+    # boundaries computed on the rebuilt instant equal the batch
+    # floor-division buckets in any session timezone.
+    df = df.withColumn("_evt", event_time_col(df, ts_col))
+    win = F.window(F.col("_evt"), f"{every_seconds} seconds")
     out = (
-        df.withWatermark(ts_col, watermark)
+        df.withWatermark("_evt", watermark)
         .groupBy(*keys, win.alias("_w"))
         .agg(AGGS[agg](v, None).alias(value_col),
              F.count(F.lit(1)).alias("n_raw"))
