@@ -1009,7 +1009,9 @@ def _detect_sql(key: str, conf: AnomalyzerConf, bytest: bool = False,
         f"END)::DOUBLE AS weight_{e}," for e in entries)
 
     # NULL key components → 'None' sentinel, matching kernel.key_str_col
-    # and the streaming path's str(None)
+    # and the streaming path's str(None). Documented collision: a literal
+    # string key 'None' draws the same permutation stream as a NULL key
+    # (see key_str_col docstring).
     kpre = (f", '{conf.seed}|' || concat_ws('|', "
             + ", ".join(f"coalesce({c}::VARCHAR, 'None')" for c in key_cols)
             + ") || '|' AS kpre" if mc else "")
@@ -1615,7 +1617,16 @@ FROM r WHERE rnk <= {TOPK}"""
     ivf_sf = sf_dir or os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR",
                                       "/root/testdata/sf0.01")
     sample_rows = None
-    if os.path.exists(f"{ivf_sf}/embeddings.parquet"):
+    if not os.path.exists(f"{ivf_sf}/embeddings.parquet"):
+        import warnings
+
+        warnings.warn(
+            f"{ivf_sf}/embeddings.parquet not found — omitting the "
+            "ivf_topk/pq_topk oracles (correctness degrades to a rows-only "
+            "check for them). If testdata exists, the sf_dir/"
+            "SPARK_GRAFT_ORACLE_SF_DIR configuration is wrong.",
+            stacklevel=2)
+    else:
         sample_rows = _duck.connect().execute(
             f"SELECT vec_id, embedding::DOUBLE[] FROM "
             f"'{ivf_sf}/embeddings.parquet' WHERE vec_id < {IVF_SAMPLE_N} "

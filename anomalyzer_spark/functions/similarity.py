@@ -436,10 +436,17 @@ def cosine_pairs(
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
+    max_exact_rows: int | None = 100_000,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cos_sim) with id_a < id_b
     and cos_sim >= threshold. ``use_lsh`` switches candidate generation from
-    the exact all-pairs join to LSH band buckets (the 100 TB path)."""
+    the exact all-pairs join to LSH band buckets (the 100 TB path).
+
+    The exact path is O(n²) and exists for small-scale recall checks only;
+    it REFUSES corpora larger than ``max_exact_rows`` (cheap bounded probe:
+    scans at most max_exact_rows+1 rows) so a real corpus can never be
+    cartesian-joined by accident. Pass ``max_exact_rows=None`` to disable
+    the guard deliberately."""
     if use_lsh:
         planes = hyperplanes(dim, n_planes, seed)
         b = lsh_buckets(df, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands)
@@ -456,6 +463,14 @@ def cosine_pairs(
             .dropDuplicates(["id_a", "id_b"])
         )
     else:
+        if max_exact_rows is not None:
+            n = df.limit(max_exact_rows + 1).count()
+            if n > max_exact_rows:
+                raise ValueError(
+                    f"cosine_pairs(use_lsh=False) is an O(n²) cross join "
+                    f"and the corpus exceeds max_exact_rows="
+                    f"{max_exact_rows}; use use_lsh=True (the scale path) "
+                    f"or raise max_exact_rows explicitly")
         x = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
         y = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
         cand = x.crossJoin(y).where(F.col("id_a") < F.col("id_b"))

@@ -80,8 +80,11 @@ def key_str_col(key_cols: list[str]) -> Column:
     a NULL-keyed series must draw the same MC permutation stream in batch
     and streaming; bare concat_ws would silently SKIP the component).
     DuckDB reproduces it with ``concat_ws('|', coalesce(k::VARCHAR,
-    'None'), ...)``. Key values containing '|' can collide across
-    multi-column keys — documented unsupported."""
+    'None'), ...)``. Two documented-unsupported collisions: key values
+    containing '|' can collide across multi-column keys, and a literal
+    string key 'None' collides with a NULL key (both draw the identical MC
+    permutation stream — forced by the streaming path's ``str(None)``, so
+    it can only be documented, not avoided)."""
     return F.concat_ws("|", *[
         F.coalesce(F.col(k).cast("string"), F.lit("None")) for k in key_cols
     ])

@@ -382,3 +382,24 @@ def test_asof_join_null_payload_row_atomic(spark):
     assert got[1] == (400, 4.0, None)
     assert got[2] == (300, None, "x")
     assert got[3] == (None, None, None)  # no qualifying right row at all
+
+
+def test_cosine_pairs_exact_guard_trips(spark):
+    """The exact all-pairs path must refuse corpora larger than
+    max_exact_rows so a real corpus can never be cartesian-joined by
+    accident (the LSH path is the scale path)."""
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((12, 4))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="use_lsh=True"):
+        similarity.cosine_pairs(df, threshold=0.0, use_lsh=False,
+                                max_exact_rows=10)
+    # at/below the bound the exact path still works...
+    ok = similarity.cosine_pairs(df, threshold=-1.0, use_lsh=False,
+                                 max_exact_rows=12)
+    assert ok.count() == 12 * 11 // 2
+    # ...and the LSH path never probes or refuses
+    similarity.cosine_pairs(df, threshold=0.9, use_lsh=True, dim=4,
+                            max_exact_rows=1).count()

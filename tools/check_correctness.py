@@ -78,12 +78,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     # data-dependent oracle constants (ivf_topk centroids) must fit on the
-    # SAME scale factor the comparison runs at
+    # SAME scale factor the comparison runs at: pass sf_dir explicitly (the
+    # documented contract); the env var stays only as a fallback for
+    # callers that cannot pass it (the driver's own runner)
     os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
     spark = get_spark("correctness-check")
     con = duck_con(sf_dir)
     qs = entry_mod.queries()
-    oracles = entry_mod.oracle_sql()
+    oracles = entry_mod.oracle_sql(sf_dir=sf_dir)
     n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
