@@ -181,33 +181,19 @@ def _embs(spark, sf_dir):
     return e.withColumn("embedding", F.col("embedding").cast("array<double>"))
 
 
-def q_text_stats(spark, sf_dir):
+def q_text_profile(spark, sf_dir):
+    """The full per-document text profile — quality stats, language-ID,
+    fingerprint, token counts, and Gopher-style repetition signals — as ONE
+    map-only projection (functions/text.py text_profile): five operators,
+    one scan, zero shuffles. Replaces the round-2/3 individual queries
+    text_stats / lang_id / fingerprint / token_count / repetition (the
+    driver's correctness gate records at most 50 queries; the operators are
+    unchanged and all their columns are hash-checked here)."""
     d = _docs(spark, sf_dir)
-    return text.text_stats(d, "text", "doc_id")
-
-
-def q_lang_id(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    return text.lang_id(d, "text", "doc_id")
-
-
-def q_fingerprint(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    out = text.fingerprint(d, "text", "doc_id")
-    return out.withColumn("norm_len", F.col("norm_len").cast("long"))
-
-
-def q_token_count(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    out = text.token_count(d, "text", "doc_id")
-    return out.select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"),
-                      F.col("lex_tokens").cast("long").alias("lex_tokens"))
-
-
-def q_repetition(spark, sf_dir):
-    """Gopher-style within-doc repetition quality signals."""
-    d = _docs(spark, sf_dir)
-    return text.repetition_stats(d, "text", "doc_id")
+    out = text.text_profile(d, "text", "doc_id")
+    return out.withColumn("norm_len", F.col("norm_len").cast("long")) \
+        .withColumn("ws_tokens", F.col("ws_tokens").cast("long")) \
+        .withColumn("lex_tokens", F.col("lex_tokens").cast("long"))
 
 
 def q_winnow(spark, sf_dir):
@@ -737,23 +723,105 @@ def q_resample_stream(spark, sf_dir):
         "value")
 
 
-def q_multimodal_meta(spark, sf_dir):
-    """Binary-column metadata (size/md5/magic) over synthesized payloads."""
-    from anomalyzer_spark.functions import multimodal
-    d = _docs(spark, sf_dir)
-    with_payload = multimodal.attach_payload(d, "text", "doc_id")
-    return multimodal.payload_meta(with_payload, "content", "doc_id")
-
-
-def q_multimodal_features(spark, sf_dir):
-    """mapInPandas byte-level feature extraction (decode-shaped pipeline).
-    Rounding happens HERE (JVM F.round == DuckDB round, half-away) — not in
+def q_multimodal(spark, sf_dir):
+    """Multimodal payload pipeline: binary-column metadata (size/md5/magic —
+    pure column expressions) joined with the mapInPandas byte-feature
+    extraction (the decode-shaped Arrow-batch path) on the unique doc id.
+    Replaces the round-2/3 multimodal_meta + multimodal_features queries
+    (50-query driver gate; both operators' columns hash-checked here).
+    Rounding happens JVM-side (F.round == DuckDB round, half-away) — not in
     the Python kernel, whose banker's round() flips exact .xxxxxx5 means."""
     from anomalyzer_spark.functions import multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
-    return _round6(multimodal.byte_features(with_payload, "content", "doc_id"),
-                   "byte_mean", "byte_std", "byte_entropy")
+    meta = multimodal.payload_meta(with_payload, "content", "doc_id")
+    feats = _round6(
+        multimodal.byte_features(with_payload, "content", "doc_id"),
+        "byte_mean", "byte_std", "byte_entropy").drop("n_bytes")
+    return meta.join(feats, "doc_id")
+
+
+def q_sessions_stream(spark, sf_dir):
+    """Native session_window streaming aggregation (watermarked, append
+    mode, availableNow drain). Every emitted session equals a batch islands
+    session; sessions whose window end (last event + gap) has not passed
+    the FINAL watermark (max event time - 1h, ms-truncated) are withheld —
+    the oracle encodes the same cutoff, so the merging-session state path
+    is value-hash checked."""
+    from anomalyzer_spark.streaming import run_session_stream_on_dir
+    res = run_session_stream_on_dir(
+        spark, f"{sf_dir}/events*.parquet", ["user_id"], "ts",
+        gap_seconds=1800, watermark="1 hour",
+        query_name="q_sessions_stream_mem")
+    return res
+
+
+def q_dedup_stream(spark, sf_dir):
+    """Incremental exact dedup over a document stream: stateful
+    groupBy(content_hash) in Update mode; the final per-hash state (count +
+    min doc id) must equal the batch exact_dedup groups exactly — the
+    streaming dedup surface shares the batch oracle."""
+    from anomalyzer_spark.streaming import run_dedup_stream_on_dir
+    res = run_dedup_stream_on_dir(
+        spark, f"{sf_dir}/documents*.parquet", "text", "doc_id",
+        query_name="q_dedup_stream_mem")
+    return res
+
+
+#: detect_horizon cutoff: anchor - horizon. The fixtures span 2024-01;
+#: a 7-day horizon from the Feb 1 anchor keeps the last ~week of events.
+HORIZON_ANCHOR = "2024-02-01 00:00:00"
+HORIZON_DAYS = 8
+
+
+def q_detect_horizon(spark, sf_dir):
+    """detect() with the scan-pushdown horizon pre-filter — the load-bearing
+    100 TB path (SURVEY §4.3): rows older than anchor - horizon are dropped
+    by a LITERAL ts predicate that reaches the parquet scan (PushedFilters;
+    plan-pinned in tests/test_plans.py), so the exchange only ever sees the
+    recent slice regardless of history depth."""
+    ev = load_table(spark, sf_dir, "events")
+    out = detect(
+        ev, ["event_type"], "ts", "value", DET_CONF,
+        tiebreak_cols=["event_id"],
+        horizon=F.expr(f"INTERVAL {HORIZON_DAYS} DAYS"),
+        horizon_anchor=F.expr(f"TIMESTAMP_NTZ'{HORIZON_ANCHOR}'"))
+    return _round6(out.select("event_type", "n_points", "prob"), "prob")
+
+
+def q_kafka_parse(spark, sf_dir):
+    """The Kafka value-parsing contract, oracle-checked without the
+    connector JAR: synthesize Kafka-wire JSON values (with a deterministic
+    malformed-record subset) from the events table, run them through a file
+    STREAM into sources.kafka.parse_json_values — the exact stage
+    read_kafka_json_stream applies after the source — and drain
+    availableNow. PERMISSIVE malformed handling (all-NULL struct) is part
+    of the checked contract."""
+    from anomalyzer_spark.sources.kafka import parse_json_values
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    wire = stream.select(
+        F.when(F.col("event_id") % 97 == 0, F.lit("not-json"))
+        .otherwise(F.concat(
+            F.lit('{"event_id": '), F.col("event_id").cast("string"),
+            F.lit(', "event_type": "'), F.col("event_type"),
+            F.lit('", "k": '),
+            F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
+            F.lit("}"),
+        )).cast("binary").alias("value"),
+        F.col("event_id").alias("kafka_key"),
+    )
+    parsed = parse_json_values(
+        wire, "event_id long, event_type string, k long")
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName("q_kafka_parse_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table("q_kafka_parse_mem")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -769,11 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_full_users": q_detect_full_users,
         "detect_multi": q_detect_multi,
         "detect_multi_mc": q_detect_multi_mc,
-        "text_stats": q_text_stats,
-        "lang_id": q_lang_id,
-        "fingerprint": q_fingerprint,
-        "token_count": q_token_count,
-        "repetition": q_repetition,
+        "text_profile": q_text_profile,
         "winnow": q_winnow,
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
@@ -803,12 +867,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resample": q_resample,
         "detect_resampled": q_detect_resampled,
         "detect_rolling": q_detect_rolling,
+        "detect_horizon": q_detect_horizon,
         "detect_stream": q_detect_stream,
         "detect_stream_mc": q_detect_stream_mc,
         "resample_stream": q_resample_stream,
         "sessions": q_sessions,
-        "multimodal_meta": q_multimodal_meta,
-        "multimodal_features": q_multimodal_features,
+        "sessions_stream": q_sessions_stream,
+        "dedup_stream": q_dedup_stream,
+        "kafka_parse": q_kafka_parse,
+        "multimodal": q_multimodal,
     }
 
 
@@ -1896,5 +1963,89 @@ carried AS (
 SELECT o_orderkey, user_key, prow.event_id AS event_id,
        round(prow.value, 6) AS last_value
 FROM carried WHERE tag = 1"""
+
+    # ---- round-4 registry consolidation (driver gate records at most 50
+    # queries): the five per-document text queries and the two multimodal
+    # queries merge into text_profile / multimodal; their SQL blocks above
+    # become CTE building blocks here and the standalone keys are retired.
+    sql["text_profile"] = f"""
+WITH stats AS ({sql['text_stats']}),
+langs AS ({sql['lang_id']}),
+fp AS ({sql['fingerprint']}),
+tok AS ({sql['token_count']}),
+rep AS (SELECT doc_id, n_words AS norm_words, n_grams AS norm_grams,
+               dup_word_frac, dup_gram_frac, top_gram_share
+        FROM ({sql['repetition']}))
+SELECT stats.*, langs.lang_pred, langs.score_de, langs.score_en,
+       langs.score_es, langs.score_fr, langs.score_zh,
+       fp.fingerprint, fp.norm_len, tok.ws_tokens, tok.lex_tokens,
+       rep.norm_words, rep.norm_grams, rep.dup_word_frac,
+       rep.dup_gram_frac, rep.top_gram_share
+FROM stats
+JOIN langs USING (doc_id) JOIN fp USING (doc_id)
+JOIN tok USING (doc_id) JOIN rep USING (doc_id)"""
+
+    sql["multimodal"] = f"""
+WITH meta AS ({sql['multimodal_meta']}),
+feat AS ({sql['multimodal_features']})
+SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
+       feat.byte_mean, feat.byte_std, feat.byte_entropy
+FROM meta JOIN feat USING (doc_id)"""
+
+    for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
+                    "repetition", "multimodal_meta", "multimodal_features"):
+        del sql[retired]
+
+    # streaming session windows: batch islands sessions whose window end
+    # (last event + gap) has passed the final watermark (max event time
+    # - 1h, ms-truncated like resample_stream's — Spark's watermark
+    # bookkeeping is EventTimeStatsAccum in milliseconds).
+    sql["sessions_stream"] = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us, event_id,
+    CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+assigned AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM flagged),
+sess AS (
+  SELECT user_id, min(us) AS start_us, max(us) AS end_us,
+         count(*) AS n_events
+  FROM assigned GROUP BY user_id, session_idx)
+SELECT user_id, start_us, end_us, n_events
+FROM sess
+WHERE end_us + 1800000000 <=
+      (SELECT (max(epoch_us(ts)) // 1000) * 1000 - 3600000000 FROM events)"""
+
+    # streaming exact dedup: the final per-hash state must equal the batch
+    # groups (count + min id) — shared with exact_dedup's formulation.
+    sql["dedup_stream"] = f"""
+WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents)
+SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+FROM hashed GROUP BY content_hash"""
+
+    # detect with the scan-pushdown horizon pre-filter: identical detect
+    # oracle over the pre-filtered source slice.
+    horizon_src = (
+        "(SELECT event_type, ts, event_id, value FROM events "
+        f"WHERE ts >= TIMESTAMP '{HORIZON_ANCHOR}' "
+        f"- INTERVAL {HORIZON_DAYS} DAYS)")
+    sql["detect_horizon"] = _detect_sql("event_type", DET_CONF,
+                                        src=horizon_src)
+
+    # Kafka value-parse contract: same wire synthesis, same PERMISSIVE
+    # malformed policy (all parsed fields NULL for the corrupted subset).
+    sql["kafka_parse"] = """
+SELECT event_id AS kafka_key,
+  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_id END AS event_id,
+  CASE WHEN event_id % 97 = 0 THEN NULL ELSE event_type END AS event_type,
+  CASE WHEN event_id % 97 = 0 THEN NULL
+       ELSE json_extract_string(props, '$.k')::BIGINT END AS k
+FROM events"""
 
     return sql

@@ -43,15 +43,8 @@ def _count_re(text: Column, pattern: str) -> Column:
     return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
 
 
-def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Per-document quality statistics + a composite quality score.
-
-    Columns: n_chars, n_tokens, n_words, avg_word_len, punct_ratio,
-    digit_ratio, upper_ratio, stopword_ratio, quality_score (all doubles
-    except counts). quality_score ∈ [0,1]: length-normality × lexical ratios
-    (deterministic formula, see code — the score is a heuristic; the CONTRACT
-    is determinism + monotonicity in its inputs, not linguistics).
-    """
+def _stats_exprs(text_col: str) -> list[Column]:
+    """text_stats output columns (sans id) as one map-only expression list."""
     t = F.col(text_col)
     nc = F.length(t).cast("double")
     ntok = n_tokens(t).cast("double")
@@ -88,8 +81,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.lit(0.0),
     )
 
-    return df.select(
-        F.col(id_col),
+    return [
         nc.cast("long").alias("n_chars"),
         ntok.cast("long").alias("n_tokens"),
         nwords.cast("long").alias("n_words"),
@@ -99,17 +91,23 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.round(upper_ratio, 6).alias("upper_ratio"),
         F.round(stopword_ratio, 6).alias("stopword_ratio"),
         F.round(quality, 6).alias("quality_score"),
-    )
+    ]
 
 
-def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """N-gram/marker-word language-ID heuristic.
+def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality statistics + a composite quality score.
 
-    Scores = count of language marker words (whole-word matches over the
-    lowercased text) per language, plus a CJK-codepoint count for 'zh'.
-    Prediction = argmax with deterministic tie-break (lang name asc).
-    Returns (id, lang_pred, score_<lang>...).
+    Columns: n_chars, n_tokens, n_words, avg_word_len, punct_ratio,
+    digit_ratio, upper_ratio, stopword_ratio, quality_score (all doubles
+    except counts). quality_score ∈ [0,1]: length-normality × lexical ratios
+    (deterministic formula, see code — the score is a heuristic; the CONTRACT
+    is determinism + monotonicity in its inputs, not linguistics).
     """
+    return df.select(F.col(id_col), *_stats_exprs(text_col))
+
+
+def _lang_exprs(text_col: str) -> list[Column]:
+    """lang_id output columns (sans id) as one map-only expression list."""
     t = F.lower(F.col(text_col))
     scores: dict[str, Column] = {}
     for lang, markers in LANG_MARKERS.items():
@@ -128,34 +126,79 @@ def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
         F.struct(F.lit(-1).cast("long").alias("s"), F.lit("").alias("l")),
         lambda acc, x: F.when(x["s"] > acc["s"], x).otherwise(acc),
     )
-    cols = [F.col(id_col), best["l"].alias("lang_pred")]
-    cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
-    return df.select(*cols)
+    return [best["l"].alias("lang_pred")] + [
+        scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
 
 
-def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Document fingerprint: md5 of the normalized text (lowercase,
-    non-alphanumeric → space, whitespace collapsed, trimmed). Identical
-    normalization is expressible in any SQL engine → oracle-checkable."""
+def lang_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """N-gram/marker-word language-ID heuristic.
+
+    Scores = count of language marker words (whole-word matches over the
+    lowercased text) per language, plus a CJK-codepoint count for 'zh'.
+    Prediction = argmax with deterministic tie-break (lang name asc).
+    Returns (id, lang_pred, score_<lang>...).
+    """
+    return df.select(F.col(id_col), *_lang_exprs(text_col))
+
+
+def _fp_exprs(text_col: str) -> list[Column]:
+    """fingerprint output columns (sans id)."""
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]+", " "),
             r"\s+", " ",
         )
     )
-    return df.select(
-        F.col(id_col),
+    return [
         F.md5(norm.cast("binary")).alias("fingerprint"),
         F.length(norm).alias("norm_len"),
-    )
+    ]
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase,
+    non-alphanumeric → space, whitespace collapsed, trimmed). Identical
+    normalization is expressible in any SQL engine → oracle-checkable."""
+    return df.select(F.col(id_col), *_fp_exprs(text_col))
+
+
+def _token_exprs(text_col: str) -> list[Column]:
+    """token_count output columns (sans id)."""
+    return [
+        n_tokens(F.col(text_col)).alias("ws_tokens"),
+        F.size(word_tokens(F.col(text_col))).alias("lex_tokens"),
+    ]
 
 
 def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace + BPE-ish token counts per document."""
+    return df.select(F.col(id_col), *_token_exprs(text_col))
+
+
+def text_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """The full per-document text profile — stats, language-ID, fingerprint,
+    token counts, and repetition signals — in ONE map-only projection.
+
+    This is the production shape for corpus curation at scale: five
+    logically separate operators over the same text column fuse into a
+    single whole-stage-codegen projection over one scan — zero shuffles,
+    zero joins, one pass over 100 TB instead of five. Column names are the
+    union of the per-operator outputs with two renames where they collide
+    (repetition's word counts are over NORMALIZED text): ``norm_words`` =
+    repetition n_words, ``norm_grams`` = repetition n_grams.
+    """
+    rep = _repetition_exprs(text_col)
+    rep[0] = rep[0].alias("norm_words")
+    rep[1] = rep[1].alias("norm_grams")
     return df.select(
         F.col(id_col),
-        n_tokens(F.col(text_col)).alias("ws_tokens"),
-        F.size(word_tokens(F.col(text_col))).alias("lex_tokens"),
+        *_stats_exprs(text_col),
+        *_lang_exprs(text_col),
+        *_fp_exprs(text_col),
+        *_token_exprs(text_col),
+        *rep,
     )
 
 
@@ -230,6 +273,66 @@ def winnow_fingerprints(
     )
 
 
+def _repetition_exprs(text_col: str) -> list[Column]:
+    """Within-document repetition signal columns (map-only formulation).
+
+    A document's text already lives in one row, so all per-doc gram stats
+    are computable as array expressions with no explode/shuffle at all:
+    unique-gram count via ``array_distinct``, and the most-frequent-gram
+    count as the longest run in the SORTED gram array (one O(n) fold over
+    ``array_sort`` — grams are never empty strings, so the '' initial
+    sentinel cannot collide). Same values as a per-(doc, gram) groupBy,
+    zero exchanges.
+    """
+    from .dedup import normalized
+
+    t = F.col(text_col)
+    w0 = F.split(normalized(t), " ")
+    w = F.when(t.isNull() | (normalized(t) == ""),
+               F.array().cast("array<string>")).otherwise(w0)
+    grams = F.when(
+        F.size(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(w, i), F.element_at(w, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_words = F.size(w)
+    n_uniq = F.size(F.array_distinct(w))
+    n_g = F.size(grams)
+    u_g = F.size(F.array_distinct(grams))
+    zero = F.lit(0).cast("long")
+    top = F.aggregate(
+        F.array_sort(grams),
+        F.struct(F.lit("").alias("prev"), zero.alias("run"),
+                 zero.alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    return [
+        n_words.cast("long").alias("n_words"),
+        n_g.cast("long").alias("n_grams"),
+        F.round(
+            F.when(n_words > 0, 1 - n_uniq.cast("double") / n_words)
+            .otherwise(0.0), 6).alias("dup_word_frac"),
+        F.round(
+            F.when(n_g > 0, 1 - u_g.cast("double") / n_g)
+            .otherwise(0.0), 6).alias("dup_gram_frac"),
+        F.round(
+            F.when(n_g > 0, top.cast("double") / n_g)
+            .otherwise(0.0), 6).alias("top_gram_share"),
+    ]
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -238,55 +341,9 @@ def repetition_stats(
     share of the single most frequent 2-gram. High values flag boilerplate
     and degenerate (looping) text for removal from training corpora.
 
-    Shapes: word stats are pure array expressions (map-only); the 2-gram
-    mode needs a per-(doc, gram) count — one shuffle with map-side combine,
-    then a per-doc aggregate that reuses the same partitioning. Returns
-    (id, n_words, n_grams, dup_word_frac, dup_gram_frac, top_gram_share).
+    Entirely map-only (see ``_repetition_exprs``): each document is one
+    row, so every signal is an array expression — no explode, no shuffle.
+    Returns (id, n_words, n_grams, dup_word_frac, dup_gram_frac,
+    top_gram_share).
     """
-    from .dedup import normalized
-
-    w0 = F.split(normalized(F.col(text_col)), " ")
-    base = df.select(
-        F.col(id_col),
-        F.when(F.col(text_col).isNull() | (normalized(F.col(text_col)) == ""),
-               F.array().cast("array<string>")).otherwise(w0).alias("w"),
-    ).select(
-        F.col(id_col),
-        F.size("w").alias("n_words"),
-        F.size(F.array_distinct("w")).alias("_uw"),
-        F.when(
-            F.size("w") >= 2,
-            F.transform(
-                F.sequence(F.lit(1), F.size("w") - 1),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(F.col("w"), i),
-                    F.element_at(F.col("w"), i + 1)),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("_grams"),
-    )
-    gc = (
-        base.select(F.col(id_col), F.explode("_grams").alias("_g"))
-        .groupBy(id_col, "_g").agg(F.count(F.lit(1)).alias("_c"))
-    )
-    ga = gc.groupBy(id_col).agg(
-        F.sum("_c").alias("_ng"),
-        F.count(F.lit(1)).alias("_ug"),
-        F.max("_c").alias("_top"),
-    )
-    joined = base.drop("_grams").join(ga, id_col, "left")
-    n_g = F.coalesce(F.col("_ng"), F.lit(0))
-    return joined.select(
-        F.col(id_col),
-        F.col("n_words").cast("long").alias("n_words"),
-        n_g.cast("long").alias("n_grams"),
-        F.round(
-            F.when(F.col("n_words") > 0,
-                   1 - F.col("_uw").cast("double") / F.col("n_words"))
-            .otherwise(0.0), 6).alias("dup_word_frac"),
-        F.round(
-            F.when(n_g > 0, 1 - F.col("_ug").cast("double") / n_g)
-            .otherwise(0.0), 6).alias("dup_gram_frac"),
-        F.round(
-            F.when(n_g > 0, F.col("_top").cast("double") / n_g)
-            .otherwise(0.0), 6).alias("top_gram_share"),
-    )
+    return df.select(F.col(id_col), *_repetition_exprs(text_col))

@@ -1,0 +1,97 @@
+"""Streaming exact deduplication — incremental content-hash dedup.
+
+The LLM-pipeline shape with no batch equivalent gap: documents arrive as
+a stream and the engine must know, incrementally, which are duplicates of
+anything seen before. Two built-in Structured Streaming shapes cover it:
+
+* ``dedup_stream`` (this module's contract surface): a stateful
+  ``groupBy(content_hash)`` aggregation in Update mode. Per-hash state is
+  O(1) (count + min id), updated per micro-batch with map-side partial
+  aggregation — the final state per hash equals the batch
+  ``exact_dedup`` group exactly (count, canonical id), which is what
+  makes the streaming path value-hash checkable against the same DuckDB
+  oracle as the batch operator.
+* ``dropDuplicates`` on the hash column (first-writer-wins emission) is
+  the lighter fire-and-forget variant; it is NOT used for the contract
+  because which physical row of a same-batch duplicate group gets
+  emitted is nondeterministic.
+
+State at 100 TB: one row per distinct content hash. Unbounded corpus →
+pair with a watermark + ``dropDuplicatesWithinWatermark`` or state TTL
+when the dedup horizon is bounded in time; the contract query keeps
+unbounded state because the batch oracle is whole-corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.dedup import normalized
+
+
+def dedup_stream(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental exact-dedup state over a streaming document frame.
+
+    Output (Update mode): one row per content hash seen so far —
+    (content_hash, group_size, canonical_id) where ``canonical_id`` is
+    the smallest document id with that hash (deterministic across any
+    micro-batch split of the same input, unlike first-arrival policies).
+    """
+    return (
+        df.select(
+            F.md5(normalized(F.col(text_col)).cast("binary"))
+            .alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("group_size"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def run_dedup_stream_on_dir(
+    spark: SparkSession,
+    input_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_name: str = "dedup_stream_result",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Drain a parquet file/dir through ``dedup_stream`` (availableNow,
+    Update mode) and return the FINAL per-hash state as a batch DataFrame.
+
+    The memory sink keeps every update; the final state of a hash is its
+    row with the largest ``group_size`` (strictly increasing), tie-broken
+    by smallest ``canonical_id`` (monotonically non-increasing).
+    """
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    out = dedup_stream(stream, text_col, id_col)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(query_name)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("group_size").desc(), F.col("canonical_id").asc())
+    return (
+        res.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

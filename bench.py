@@ -31,7 +31,8 @@ HEADLINE = (
     "detect_wide",
     "detect_rolling",
     "detect_resampled",
-    "text_stats",
+    "detect_horizon",
+    "text_profile",
     "minhash_lsh",
     "ngram_jaccard",
     "simhash",

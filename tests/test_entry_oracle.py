@@ -16,10 +16,7 @@ from tools.check_correctness import TABLES, compare
 FAST_QUERIES = (
     "detect_det",
     "detect_bytest_det",
-    "text_stats",
-    "lang_id",
-    "fingerprint",
-    "token_count",
+    "text_profile",
     "exact_dedup",
     "ngram_jaccard",
     "simhash",
@@ -29,7 +26,8 @@ FAST_QUERIES = (
     "running_totals",
     "events_json",
     "asof_join",
-    "multimodal_meta",
+    "multimodal",
+    "kafka_parse",
 )
 
 

@@ -65,7 +65,10 @@ def test_text_ops_no_shuffle(spark, sf_dir):
     from anomalyzer_spark.functions import text
     d = load_table(spark, sf_dir, "documents")  # no repartition
     for op in (text.text_stats, text.lang_id, text.fingerprint,
-               text.token_count):
+               text.token_count, text.repetition_stats,
+               # the merged five-operator profile must stay one map-only
+               # projection — no joins, no exchanges
+               text.text_profile):
         assert_plan(op(d, "text", "doc_id"), max_exchanges=0)
 
 
@@ -199,24 +202,39 @@ def test_pq_topk_self_neighbor_and_code_shape(spark, sf_dir):
 def test_horizon_anchor_pushes_predicate_to_scan(spark, sf_dir):
     """horizon_anchor turns the horizon into a literal ts predicate that
     reaches the parquet scan (PushedFilters) — no join, no extra exchange,
-    valid at any key cardinality. Semantics: equal to unfiltered detect
-    when the anchored horizon covers all data."""
+    valid at any key cardinality. Must anchor on the PHYSICAL temporal
+    column (a predicate on the derived ts_ns epoch column is arithmetic
+    over a projection and cannot push). Semantics: equal to unfiltered
+    detect when the anchored horizon covers all data."""
     import pyspark.sql.functions as F
 
     from anomalyzer_spark.plans import explain_str
     ev = load_table(spark, sf_dir, "events")
-    df = detect(ev, ["event_type"], "ts_ns", "value", DET,
+    df = detect(ev, ["event_type"], "ts", "value", DET,
                 tiebreak_cols=["event_id"],
-                horizon=10**18, horizon_anchor=2 * 10**18)
+                horizon=F.expr("INTERVAL 3650 DAYS"),  # covers all data
+                horizon_anchor=F.expr("TIMESTAMP_NTZ'2024-02-01 00:00:00'"))
     plan = explain_str(df)
     assert "Join" not in plan  # no per-key max(ts) join on the anchor path
     assert_plan(df, max_exchanges=1)  # the single key exchange, nothing more
-    # the ts predicate reaches the scan
-    assert "PushedFilters" in plan and "ts" in plan.split("PushedFilters", 1)[1][:200]
-    base = detect(ev, ["event_type"], "ts_ns", "value", DET,
+    # the comparison predicate itself reaches the scan (not just IsNotNull)
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "GreaterThanOrEqual(ts" in pushed
+    base = detect(ev, ["event_type"], "ts", "value", DET,
                   tiebreak_cols=["event_id"])
     assert ({(r["event_type"], r["prob"]) for r in df.collect()}
             == {(r["event_type"], r["prob"]) for r in base.collect()})
+
+
+def test_detect_horizon_contract_query_pushes_ts(spark, sf_dir):
+    """The detect_horizon contract query's plan shows the pushed ts
+    predicate at the anchored cutoff (VERDICT r2 item 7)."""
+    import __spark_entry__ as e
+
+    from anomalyzer_spark.plans import explain_str
+    plan = explain_str(e.q_detect_horizon(spark, sf_dir))
+    pushed = plan.split("PushedFilters", 1)[1][:200]
+    assert "GreaterThanOrEqual(ts,2024-01-24T00:00" in pushed
 
 
 def test_bucketed_detect_zero_shuffle(spark, sf_dir):
