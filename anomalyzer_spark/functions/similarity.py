@@ -31,10 +31,60 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+
+def collision_prob(sim: float, n_planes: int, bands: int) -> float:
+    """P(a pair at cosine ``sim`` becomes an LSH candidate).
+
+    Random-hyperplane model (Charikar, STOC'02): one plane agrees with
+    probability p = 1 − arccos(sim)/π; a pair collides when ALL
+    r = n_planes/bands planes of at least one band agree:
+    1 − (1 − p^r)^bands.
+    """
+    if bands <= 0 or n_planes % bands:
+        raise ValueError("bands must be positive and divide n_planes")
+    r = n_planes // bands
+    p = 1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi
+    return 1.0 - (1.0 - p ** r) ** bands
+
+
+def lsh_params(
+    threshold: float,
+    target_recall: float = 0.9,
+    *,
+    max_planes: int = 256,
+) -> tuple[int, int]:
+    """Banding parameters (n_planes, bands) achieving ``target_recall`` for
+    pairs AT the similarity threshold — callers state intent (threshold +
+    recall) instead of magic plane/band counts.
+
+    Picks the largest rows-per-band r (sharpest bucket selectivity → fewest
+    false candidates to verify) whose required band count
+    b = ⌈log(1−recall) / log(1−p^r)⌉ still fits r·b ≤ max_planes; pairs
+    MORE similar than the threshold then collide with probability strictly
+    above the target (collision_prob is monotone in sim).
+    """
+    if not 0.0 < threshold < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    p = 1.0 - math.acos(threshold) / math.pi
+    for r in range(max_planes, 0, -1):
+        miss = 1.0 - p ** r  # one band misses
+        if miss >= 1.0:
+            continue
+        b = max(1, math.ceil(math.log(1.0 - target_recall) / math.log(miss)))
+        if r * b <= max_planes:
+            return r * b, b
+    raise ValueError(
+        f"no banding within max_planes={max_planes} reaches recall "
+        f"{target_recall} at threshold {threshold}; raise max_planes")
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -437,10 +487,16 @@ def cosine_pairs(
     dim: int = 64,
     seed: int = 42,
     max_exact_rows: int | None = 100_000,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cos_sim) with id_a < id_b
     and cos_sim >= threshold. ``use_lsh`` switches candidate generation from
     the exact all-pairs join to LSH band buckets (the 100 TB path).
+
+    ``target_recall`` (LSH path) states intent instead of magic numbers:
+    n_planes/bands are derived via ``lsh_params`` so a pair at exactly
+    ``threshold`` similarity is found with at least this probability
+    (more-similar pairs with strictly higher probability).
 
     The exact path is O(n²) and exists for small-scale recall checks only;
     it REFUSES corpora larger than ``max_exact_rows`` (cheap bounded probe:
@@ -448,6 +504,8 @@ def cosine_pairs(
     cartesian-joined by accident. Pass ``max_exact_rows=None`` to disable
     the guard deliberately."""
     if use_lsh:
+        if target_recall is not None:
+            n_planes, bands = lsh_params(threshold, target_recall)
         planes = hyperplanes(dim, n_planes, seed)
         b = lsh_buckets(df, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands)
         cand = (

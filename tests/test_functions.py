@@ -403,3 +403,67 @@ def test_cosine_pairs_exact_guard_trips(spark):
     # ...and the LSH path never probes or refuses
     similarity.cosine_pairs(df, threshold=0.9, use_lsh=True, dim=4,
                             max_exact_rows=1).count()
+
+
+def test_lsh_params_math():
+    """collision_prob at the threshold must meet the stated recall for the
+    parameters lsh_params returns, and be monotone in similarity."""
+    for thr in (0.5, 0.7, 0.9):
+        for target in (0.7, 0.9):
+            n, b = similarity.lsh_params(thr, target)
+            assert n % b == 0 and n <= 256
+            assert similarity.collision_prob(thr, n, b) >= target
+            assert (similarity.collision_prob(min(thr + 0.05, 0.999), n, b)
+                    >= similarity.collision_prob(thr, n, b))
+    with pytest.raises(ValueError):
+        similarity.lsh_params(0.2, 0.999, max_planes=2)
+
+
+def test_cosine_pairs_target_recall_achieved(spark):
+    """Recall-tunable LSH: cosine_pairs with a stated target_recall must
+    achieve at least that recall vs the exact all-pairs baseline — on the
+    sf0.01 embeddings at thresholds where the corpus HAS ground truth
+    (its max pairwise cosine is ~0.51, so 0.35/0.4)."""
+    e = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    # collision_prob is a per-pair probability AT the threshold; over a
+    # finite pair sample the empirical mean fluctuates, so the test states
+    # 0.95 and asserts the 0.9 the caller actually wants (the binomial
+    # 2-sigma margin at ~60 truth pairs is ~0.06).
+    for thr in (0.35, 0.4):
+        exact = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(
+            e, threshold=thr, use_lsh=False).collect()}
+        assert exact, f"baseline at {thr} must be non-empty for the check"
+        got = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(
+            e, threshold=thr, use_lsh=True, dim=64,
+            target_recall=0.95).collect()}
+        assert not (got - exact), "LSH pairs must verify exactly"
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9 at thr={thr}"
+
+
+def test_cosine_pairs_target_recall_high_sim_planted(spark):
+    """The high-similarity regime (0.7/0.9 thresholds): planted near-dup
+    pairs (base vector + small noise) must be recovered at the stated
+    recall. Covers what the fixture corpus cannot (no pairs above 0.51)."""
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((60, 64))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v.tolist()))
+        noise = rng.standard_normal(64) * 0.05  # E[cos(v, v+noise)] ≈ 0.93
+        w = v + noise
+        rows.append((2 * i + 1, (w / np.linalg.norm(w)).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for thr in (0.7, 0.9):
+        exact = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(
+            df, threshold=thr, use_lsh=False).collect()}
+        assert exact, f"planted baseline at {thr} must be non-empty"
+        got = {(r["id_a"], r["id_b"]) for r in similarity.cosine_pairs(
+            df, threshold=thr, use_lsh=True, dim=64,
+            target_recall=0.9).collect()}
+        assert not (got - exact)
+        recall = len(got & exact) / len(exact)
+        assert recall >= 0.9, f"recall {recall:.3f} < 0.9 at thr={thr}"
