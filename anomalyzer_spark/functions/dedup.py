@@ -374,7 +374,7 @@ def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         nbr_min = (
             edges.join(labels, edges.src == labels.id)
             .groupBy("dst").agg(F.min("label").alias("nbr_label"))
@@ -398,16 +398,22 @@ def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
             )
         )
         new_labels = _ckpt(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1).count()
-        )
+        # convergence probe = one extra driver job per check; pointer
+        # jumping converges in O(log diameter) rounds, so probing every
+        # OTHER round (and on the last) halves the probe jobs at the cost
+        # of at most one redundant propagation round.
+        if it % 2 == 1 or it == max_iterations - 1:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "id")
+                .where(F.col("n.label") != F.col("o.label"))
+                .limit(1).count()
+            )
+            if changed == 0:
+                labels = new_labels
+                converged = True
+                break
         labels = new_labels
-        if changed == 0:
-            converged = True
-            break
     if not converged:
         warnings.warn(
             f"duplicate_groups: label propagation did not converge in "
