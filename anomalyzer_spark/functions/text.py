@@ -182,24 +182,25 @@ def text_profile(
     token counts, and repetition signals — in ONE map-only projection.
 
     This is the production shape for corpus curation at scale: five
-    logically separate operators over the same text column fuse into a
-    single whole-stage-codegen projection over one scan — zero shuffles,
-    zero joins, one pass over 100 TB instead of five. Column names are the
-    union of the per-operator outputs with two renames where they collide
-    (repetition's word counts are over NORMALIZED text): ``norm_words`` =
-    repetition n_words, ``norm_grams`` = repetition n_grams.
+    logically separate operators over the same text column fuse into one
+    map-only pipeline over one scan — zero shuffles, zero joins, one pass
+    over 100 TB instead of five. Column names are the union of the
+    per-operator outputs with two renames where they collide (repetition's
+    word counts are over NORMALIZED text): ``norm_words`` = repetition
+    n_words, ``norm_grams`` = repetition n_grams.
     """
-    rep = _repetition_exprs(text_col)
-    rep[0] = rep[0].alias("norm_words")
-    rep[1] = rep[1].alias("norm_grams")
-    return df.select(
+    base = df.select(
         F.col(id_col),
         *_stats_exprs(text_col),
         *_lang_exprs(text_col),
         *_fp_exprs(text_col),
         *_token_exprs(text_col),
-        *rep,
+        F.col(text_col),
     )
+    carry = [c for c in base.columns if c != text_col]
+    return _with_repetition(base, text_col, carry,
+                            word_alias="norm_words",
+                            gram_alias="norm_grams")
 
 
 def winnow_fingerprints(
@@ -273,38 +274,60 @@ def winnow_fingerprints(
     )
 
 
-def _repetition_exprs(text_col: str) -> list[Column]:
-    """Within-document repetition signal columns (map-only formulation).
+def _with_repetition(
+    df: DataFrame,
+    text_col: str,
+    carry_cols: list[str],
+    word_alias: str = "n_words",
+    gram_alias: str = "n_grams",
+) -> DataFrame:
+    """Append the five repetition signal columns via STAGED projections.
 
     A document's text already lives in one row, so all per-doc gram stats
-    are computable as array expressions with no explode/shuffle at all:
-    unique-gram count via ``array_distinct``, and the most-frequent-gram
-    count as the longest run in the SORTED gram array (one O(n) fold over
-    ``array_sort`` — grams are never empty strings, so the '' initial
-    sentinel cannot collide). Same values as a per-(doc, gram) groupBy,
-    zero exchanges.
+    are array expressions — no explode, no shuffle. Staging matters:
+    interpreted higher-order lambdas re-evaluate their closed-over
+    expression trees per element, so a flat tree recomputes
+    normalize+split once per ``element_at`` — O(words²) per document
+    (measured 17× slower at sf0.1). Each stage binds the previous stage's
+    output as a plain attribute; Catalyst keeps the projections separate
+    (CollapseProject refuses to duplicate non-cheap expressions).
+
+    The most-frequent-gram count is the longest run in the SORTED gram
+    array (one O(n) fold; grams are never empty strings, so the ''
+    initial fold sentinel cannot collide). ``text_col`` is consumed and
+    dropped; ``carry_cols`` pass through.
     """
     from .dedup import normalized
 
     t = F.col(text_col)
-    w0 = F.split(normalized(t), " ")
     w = F.when(t.isNull() | (normalized(t) == ""),
-               F.array().cast("array<string>")).otherwise(w0)
+               F.array().cast("array<string>")
+               ).otherwise(F.split(normalized(t), " "))
+    s1 = df.select(*carry_cols, w.alias("_w"))
     grams = F.when(
-        F.size(w) >= 2,
+        F.size("_w") >= 2,
         F.transform(
-            F.sequence(F.lit(1), F.size(w) - 1),
+            F.sequence(F.lit(1), F.size("_w") - 1),
             lambda i: F.concat_ws(
-                " ", F.element_at(w, i), F.element_at(w, i + 1)),
+                " ", F.element_at(F.col("_w"), i),
+                F.element_at(F.col("_w"), i + 1)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    n_words = F.size(w)
-    n_uniq = F.size(F.array_distinct(w))
-    n_g = F.size(grams)
-    u_g = F.size(F.array_distinct(grams))
+    s2 = s1.select(
+        *carry_cols,
+        F.size("_w").alias("_nw"),
+        F.size(F.array_distinct("_w")).alias("_uw"),
+        grams.alias("_g"),
+    )
+    s3 = s2.select(
+        *carry_cols, "_nw", "_uw",
+        F.size("_g").alias("_ng"),
+        F.size(F.array_distinct("_g")).alias("_ug"),
+        F.array_sort("_g").alias("_sg"),
+    )
     zero = F.lit(0).cast("long")
     top = F.aggregate(
-        F.array_sort(grams),
+        F.col("_sg"),
         F.struct(F.lit("").alias("prev"), zero.alias("run"),
                  zero.alias("best")),
         lambda acc, x: F.struct(
@@ -318,19 +341,23 @@ def _repetition_exprs(text_col: str) -> list[Column]:
         ),
         lambda acc: acc["best"],
     )
-    return [
-        n_words.cast("long").alias("n_words"),
-        n_g.cast("long").alias("n_grams"),
+    s4 = s3.select(*carry_cols, "_nw", "_uw", "_ng", "_ug",
+                   top.alias("_top"))
+    nw, ng = F.col("_nw"), F.col("_ng")
+    return s4.select(
+        *carry_cols,
+        nw.cast("long").alias(word_alias),
+        ng.cast("long").alias(gram_alias),
         F.round(
-            F.when(n_words > 0, 1 - n_uniq.cast("double") / n_words)
+            F.when(nw > 0, 1 - F.col("_uw").cast("double") / nw)
             .otherwise(0.0), 6).alias("dup_word_frac"),
         F.round(
-            F.when(n_g > 0, 1 - u_g.cast("double") / n_g)
+            F.when(ng > 0, 1 - F.col("_ug").cast("double") / ng)
             .otherwise(0.0), 6).alias("dup_gram_frac"),
         F.round(
-            F.when(n_g > 0, top.cast("double") / n_g)
+            F.when(ng > 0, F.col("_top").cast("double") / ng)
             .otherwise(0.0), 6).alias("top_gram_share"),
-    ]
+    )
 
 
 def repetition_stats(
@@ -341,9 +368,10 @@ def repetition_stats(
     share of the single most frequent 2-gram. High values flag boilerplate
     and degenerate (looping) text for removal from training corpora.
 
-    Entirely map-only (see ``_repetition_exprs``): each document is one
+    Entirely map-only (see ``_with_repetition``): each document is one
     row, so every signal is an array expression — no explode, no shuffle.
     Returns (id, n_words, n_grams, dup_word_frac, dup_gram_frac,
     top_gram_share).
     """
-    return df.select(F.col(id_col), *_repetition_exprs(text_col))
+    return _with_repetition(
+        df.select(F.col(id_col), F.col(text_col)), text_col, [id_col])
