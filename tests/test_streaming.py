@@ -267,3 +267,91 @@ def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     assert len(got) > 0.5 * len(exp)  # only the watermark tail withheld
     for key, val in got.items():
         assert val == exp[key], key
+
+
+def test_dedup_stream_multi_batch_equals_batch(spark, sf_dir, tmp_path):
+    """Incremental dedup state must merge across micro-batches: documents
+    split into 3 files drained one file per trigger; the final per-hash
+    state (count + min id) must equal batch exact_dedup's groups exactly
+    even when a duplicate group spans micro-batches."""
+    import pandas as pd  # noqa: F401 — used for concat below
+
+    from anomalyzer_spark.functions import dedup
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import run_dedup_stream_on_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "dedup_in")
+    os.makedirs(sdir, exist_ok=True)
+    pdf = d.toPandas().sort_values("doc_id")
+    # plant duplicates with fresh ids so groups exist even at sf0.001,
+    # then round-robin split so every planted group SPANS micro-batches
+    base_id = int(pdf["doc_id"].max()) + 1
+    dups = pdf.head(5).copy()
+    dups["doc_id"] = range(base_id, base_id + 5)
+    pdf = pd.concat([pdf, dups], ignore_index=True)
+    for i in range(3):
+        pdf.iloc[i::3].to_parquet(f"{sdir}/part{i}.parquet", index=False)
+
+    res = run_dedup_stream_on_dir(
+        spark, sdir, "text", "doc_id",
+        query_name="dedup_stream_mb", max_files_per_trigger=1)
+    got = {r["content_hash"]: (r["group_size"], r["canonical_id"])
+           for r in res.collect()}
+    full = spark.createDataFrame(pdf)
+    exp = {}
+    for r in dedup.exact_dedup(full, "text", "doc_id").collect():
+        exp[r["content_hash"]] = (r["group_size"], r["canonical_id"])
+    assert got == exp
+    assert any(size > 1 for size, _ in exp.values())
+
+
+def test_session_stream_multi_batch_merges_sessions(spark, sf_dir, tmp_path):
+    """A session whose events span micro-batches must MERGE in the
+    session_window state store: time-ordered file chunks, one per trigger;
+    every emitted session equals the batch islands session."""
+    import pandas as pd
+
+    from anomalyzer_spark.operators.sessions import session_stats
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import run_session_stream_on_dir
+
+    ev = load_table(spark, sf_dir, "events")
+    cols = ev.select("user_id", "ts", "value")
+    sdir = str(tmp_path / "sess_mb_in")
+    os.makedirs(sdir, exist_ok=True)
+    pdf = cols.toPandas().sort_values("ts")
+    # keep µs precision: pandas round-trips as datetime64[ns] and pyarrow
+    # would write TIMESTAMP(NANOS), which the µs NTZ stream schema misreads
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    # cut DELIBERATELY through a multi-event session closed well before the
+    # final watermark, so state merging across micro-batches is guaranteed
+    # to be exercised (a random time cut rarely splits a session at this
+    # event sparsity)
+    sess = session_stats(ev, ["user_id"], "ts", gap_seconds=1800).toPandas()
+    wm_us = int(pdf["ts"].max().value // 1000) - 2 * 3600 * 1_000_000
+    target = (sess[(sess["n_events"] >= 2) & (sess["end_us"] < wm_us)
+                   & (sess["end_us"] > sess["start_us"])]
+              .sort_values("n_events").iloc[-1])
+    cut_us = (int(target["start_us"]) + int(target["end_us"])) // 2
+    cut = pd.Timestamp(cut_us, unit="us")
+    chunks = [pdf[pdf["ts"] <= cut], pdf[pdf["ts"] > cut]]
+    assert all(len(c) for c in chunks)
+    for i, chunk in enumerate(chunks):
+        chunk.to_parquet(f"{sdir}/part{i}.parquet", index=False)
+
+    res = run_session_stream_on_dir(
+        spark, sdir, ["user_id"], "ts", gap_seconds=1800,
+        watermark="1 hour", query_name="sess_stream_mb",
+        max_files_per_trigger=1)
+    got = {(r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+           for r in res.collect()}
+    exp = {(r["user_id"], r["start_us"]): (r["end_us"], r["n_events"])
+           for r in session_stats(ev, ["user_id"], "ts",
+                                  gap_seconds=1800).collect()}
+    assert len(got) > 0.5 * len(exp)  # only the watermark tail withheld
+    for key, val in got.items():
+        assert val == exp[key], key
+    # the deliberately-split session was reassembled across micro-batches
+    tkey = (target["user_id"], int(target["start_us"]))
+    assert got[tkey] == (int(target["end_us"]), int(target["n_events"]))
