@@ -9,9 +9,9 @@ bucket series (EXAMPLES.md's use cases all describe '30 second samples',
 Pure column expressions: bucket = floor-division of epoch time — a plain
 ``groupBy`` (one shuffle, map-side partial agg), deliberately NOT
 ``F.window`` session logic, so the bucket id is an engine-portable integer
-any SQL oracle reproduces. Gaps (empty buckets) are NOT filled — positional
-detection treats the bucket sequence as the series; fill policy (0, ffill)
-is a caller decision via ``fill``.
+any SQL oracle reproduces. Gaps (empty buckets) are NOT filled by default —
+positional detection treats the bucket sequence as the series; the ``fill``
+parameter opts into zero-fill or forward-fill (relational, co-partitioned).
 """
 
 from __future__ import annotations
@@ -40,6 +40,7 @@ def resample(
     *,
     every_seconds: int,
     agg: str = "avg",
+    fill: str | None = None,
 ) -> DataFrame:
     """Aggregate values into fixed time buckets per key.
 
@@ -49,15 +50,34 @@ def resample(
     aggregate. ``avg``/``sum`` aggregate through DECIMAL(28,6) (see AGGS)
     so distributed partial-agg order cannot perturb low bits and DuckDB
     reproduces the result exactly.
+
+    ``fill`` controls empty buckets between a key's first and last bucket
+    (positional detection treats the bucket sequence as the series, so a
+    gap silently SHORTENS the series unless filled):
+
+      * ``None``  — gaps are omitted (default; the round-2/3 behavior).
+      * ``"zero"``  — emit gap buckets with value 0.0, n_raw 0.
+      * ``"ffill"`` — emit gap buckets carrying the last seen value
+        forward, n_raw 0.
+
+    Filling is relational: per key, ``sequence(min_bucket, max_bucket)``
+    exploded (one row per expected bucket, generated map-side after the
+    agg — no extra shuffle on the data, only the per-key min/max ride the
+    existing groupBy partitioning), left-joined… expressed as a
+    full-sequence explode + left join on the aggregated frame, which
+    co-partitions on (keys, bucket). Gap count per key is bounded by the
+    series span, not the raw event count.
     """
     if agg not in AGGS:
         raise ValueError(f"agg must be one of {sorted(AGGS)}")
+    if fill not in (None, "zero", "ffill"):
+        raise ValueError("fill must be None, 'zero', or 'ffill'")
     from ..timeutil import epoch_us_col
 
     epoch_us = epoch_us_col(df, ts_col)
     every_us = every_seconds * 1_000_000
     v = F.col(value_col).cast("double")
-    return (
+    agged = (
         # exact int64 floor division: `div` never round-trips through
         # double (Spark's `/` on longs is floating-point), so bucket ids
         # at large epoch magnitudes are bit-identical to the integer
@@ -73,5 +93,27 @@ def resample(
             AGGS[agg](F.col("_v"), None).alias(value_col),
             F.count(F.lit(1)).alias("n_raw"),
         )
-        .withColumn("bucket_ts", (F.col("bucket") * every_seconds).cast("long"))
     )
+    if fill is not None:
+        from pyspark.sql.window import Window
+
+        span = agged.groupBy(*keys).agg(
+            F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1"))
+        grid = span.select(
+            *keys,
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
+        )
+        agged = grid.join(agged, [*keys, "bucket"], "left")
+        if fill == "zero":
+            agged = agged.withColumn(
+                value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
+        else:  # ffill: carry the last non-null value forward in bucket order
+            w = (Window.partitionBy(*keys).orderBy("bucket")
+                 .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            agged = agged.withColumn(
+                value_col,
+                F.last(value_col, ignorenulls=True).over(w))
+        agged = agged.withColumn(
+            "n_raw", F.coalesce(F.col("n_raw"), F.lit(0).cast("long")))
+    return agged.withColumn(
+        "bucket_ts", (F.col("bucket") * every_seconds).cast("long"))
