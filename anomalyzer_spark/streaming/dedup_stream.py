@@ -56,6 +56,47 @@ def dedup_stream(
     )
 
 
+def dedup_stream_bounded(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    *,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Bounded-state streaming dedup: first-occurrence emission with state
+    that EXPIRES past the event-time watermark.
+
+    ``dropDuplicatesWithinWatermark`` on the content hash keeps a seen-hash
+    entry only until the watermark passes its event time + delay — the 100
+    TB unbounded-corpus shape (state ∝ hashes per watermark horizon, not
+    corpus size). The trade: a duplicate arriving later than ``watermark``
+    after its first occurrence is re-emitted as if new. Deduplication is
+    therefore exact WITHIN the horizon and best-effort beyond it — which is
+    the standard contract for streaming dedup at scale. (The horizon edge
+    is approximate by up to one micro-batch: lookups see state as of batch
+    start, eviction runs at batch end — tests/test_streaming.py pins the
+    exact timing.)
+
+    Output (append mode): the first-within-horizon occurrence rows
+    (id, content_hash, event time). Not oracle-checked (which physical row
+    of a same-micro-batch duplicate group is emitted is nondeterministic);
+    the deterministic-state contract surface is ``dedup_stream``.
+    """
+    from ..timeutil import event_time_col
+
+    hashed = df.select(
+        F.col(id_col),
+        F.md5(normalized(F.col(text_col)).cast("binary"))
+        .alias("content_hash"),
+        event_time_col(df, ts_col).alias("_evt"),
+    )
+    return (
+        hashed.withWatermark("_evt", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+    )
+
+
 def run_dedup_stream_on_dir(
     spark: SparkSession,
     input_path: str,

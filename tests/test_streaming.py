@@ -355,3 +355,51 @@ def test_session_stream_multi_batch_merges_sessions(spark, sf_dir, tmp_path):
     # the deliberately-split session was reassembled across micro-batches
     tkey = (target["user_id"], int(target["start_us"]))
     assert got[tkey] == (int(target["end_us"]), int(target["n_events"]))
+
+
+def test_dedup_stream_bounded_state_expires(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics: duplicates within the
+    watermark horizon are suppressed; once the watermark passes a hash's
+    event time + delay its state is evicted and a late duplicate is
+    re-emitted as new (the bounded-state trade, exact within the horizon).
+    Timing: the watermark used by batch N is computed from batch N-1's
+    data, and a batch's lookups see state as of batch START (eviction runs
+    at batch END) — so the late duplicate must arrive one batch AFTER the
+    batch that evicted its hash, hence four files."""
+    import pandas as pd
+
+    from anomalyzer_spark.streaming.dedup_stream import dedup_stream_bounded
+
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def f(path, rows):
+        pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(path, index=False)
+
+    sdir = str(tmp_path / "bounded_in")
+    os.makedirs(sdir, exist_ok=True)
+    f(f"{sdir}/part0.parquet", [(1, "same text", t0)])
+    f(f"{sdir}/part1.parquet", [
+        (2, "same text", t0 + pd.Timedelta("10min")),   # within horizon
+        (3, "other text", t0 + pd.Timedelta("3h")),     # advances watermark
+    ])
+    f(f"{sdir}/part2.parquet", [
+        # watermark (t0+2h) now past "same text" expiry (t0+1h) → this
+        # batch's END evicts the hash; the row itself just advances time
+        (5, "third text", t0 + pd.Timedelta("3h15min")),
+    ])
+    f(f"{sdir}/part3.parquet", [
+        (4, "same text", t0 + pd.Timedelta("3h30min")),  # state evicted
+    ])
+
+    schema = spark.read.parquet(sdir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+    out = dedup_stream_bounded(stream, "text", "doc_id", "ts",
+                               watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("bounded_dedup_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["doc_id"] for r in spark.table("bounded_dedup_t").collect()}
+    assert got == {1, 3, 5, 4}  # 2 suppressed; 4 re-emitted after expiry
