@@ -39,6 +39,15 @@ class AnomalyzerConf:
     lower_bound: float | None = None  # None == reference's NA: one-sided fence
     perm_count: int = 500  # anomalyze.go:77-81 default
     seed: int = 42  # ours (see module docstring)
+    #: permutation stream spec for the Monte-Carlo tests (ours; the
+    #: reference uses an unseeded global RNG). "hash" = md5-argsort per
+    #: position (SURVEY §2.6.9): engine-portable, value-hash oracle-able
+    #: in DuckDB SQL, ~7 ms/key — the correctness-contract default.
+    #: "fast" = one md5 per (key, test) seeding a vectorized counter RNG
+    #: (NumPy Philox): same determinism and statistical validity, ~30×
+    #: the throughput at high key cardinality (tools/scale_sweep.py), but
+    #: NOT reproducible in SQL — use for production scale, not oracles.
+    perm_spec: str = "hash"
     reference_size: int = field(init=False)
 
     def __post_init__(self) -> None:  # validateConf parity, anomalyze.go:31-90
@@ -75,6 +84,9 @@ class AnomalyzerConf:
         if {"highrank", "lowrank", "ks", "diff"} & set(methods):
             if self.perm_count == 0:  # anomalyze.go:77-81
                 object.__setattr__(self, "perm_count", 500)
+
+        if self.perm_spec not in ("hash", "fast"):
+            raise ValueError("perm_spec must be 'hash' or 'fast'")
 
         if "magnitude" in methods and self.sensitivity == 0.0:  # anomalyze.go:83-87
             object.__setattr__(self, "sensitivity", 0.1)

@@ -189,6 +189,37 @@ def perm_matrix(
     return out
 
 
+def perm_matrix_fast(
+    conf_seed: int, key: str, test: str, perm_count: int, n: int
+) -> np.ndarray:
+    """(perm_count, n) permutation indices — the vectorized production spec.
+
+    One md5 per (key, test) derives a 64-bit root that keys a counter-based
+    Philox generator; all ``perm_count`` permutations then come from one
+    vectorized ``permuted`` call. Deterministic per (seed, key, test) like
+    the hash spec and statistically uniform over S_n, but NOT expressible
+    in SQL — correctness-contract queries use ``perm_matrix`` ("hash");
+    this path exists because the hash spec costs ~perm_count·n md5 calls
+    per key (~7 ms), which dominates Monte-Carlo detect at 100k+ key
+    cardinality (tools/scale_sweep.py measures both).
+    """
+    root = int.from_bytes(
+        hashlib.md5(
+            f"{conf_seed}|{key}|{_TEST_ID[test]}".encode()).digest()[:8],
+        "little")
+    rng = np.random.Generator(np.random.Philox(key=root))
+    return rng.permuted(
+        np.tile(np.arange(n, dtype=np.int64), (perm_count, 1)), axis=1)
+
+
+def perms_for(
+    conf: AnomalyzerConf, key: str, test: str, n: int
+) -> np.ndarray:
+    """Permutation matrix per the conf's ``perm_spec`` dispatch."""
+    fn = perm_matrix if conf.perm_spec == "hash" else perm_matrix_fast
+    return fn(conf.seed, key, test, conf.perm_count, n)
+
+
 def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -> float | None:
     """highrank/lowrank (algorithms.go:142-205).
 
@@ -206,8 +237,7 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -
     act_n = len(active)
 
     # rank(perm(v)) == perm(rank(v)): reuse the observed ranks.
-    idx = perm_matrix(conf.seed, key, "lowrank" if reverse else "highrank",
-                      conf.perm_count, len(v))
+    idx = perms_for(conf, key, "lowrank" if reverse else "highrank", len(v))
     perm_sums = ranks[idx[:, -act_n:]].sum(axis=1)
     if reverse:
         significant = int((perm_sums > active_sum).sum())
@@ -231,7 +261,7 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
     active_sum = float(active.sum())
     act_n = len(active)
 
-    idx = perm_matrix(conf.seed, key, "diff", conf.perm_count, len(v))
+    idx = perms_for(conf, key, "diff", len(v))
     perm = v[idx]  # (P, n)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.abs((perm[:, 1:] - perm[:, :-1]) / perm[:, :-1])
@@ -251,7 +281,7 @@ def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | 
     refs = min(conf.reference_size, n - act)
     n1, n2 = refs, act
 
-    idx = perm_matrix(conf.seed, key, "ks", conf.perm_count, n)
+    idx = perms_for(conf, key, "ks", n)
     perm = v[idx][:, n - act - refs :]  # windows of each permutation
     ref = perm[:, :n1]
     active = perm[:, n1:]

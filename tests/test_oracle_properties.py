@@ -128,3 +128,56 @@ def test_seed_determinism(v, key):
     p1 = oracle.eval_prob(v, MC, key)
     p2 = oracle.eval_prob(v.copy(), MC, key)
     assert p1 == p2
+
+
+def test_perm_matrix_fast_valid_and_deterministic():
+    """Every row of the fast spec is a permutation; repeat calls identical;
+    different keys/tests draw different streams."""
+    from anomalyzer_spark import oracle
+
+    a = oracle.perm_matrix_fast(42, "k1", "ks", 50, 12)
+    b = oracle.perm_matrix_fast(42, "k1", "ks", 50, 12)
+    assert (a == b).all()
+    assert a.shape == (50, 12)
+    for row in a:
+        assert sorted(row.tolist()) == list(range(12))
+    c = oracle.perm_matrix_fast(42, "k2", "ks", 50, 12)
+    d = oracle.perm_matrix_fast(42, "k1", "diff", 50, 12)
+    assert not (a == c).all() and not (a == d).all()
+
+
+def test_perm_spec_fast_probs_agree_with_hash():
+    """Both specs are valid Monte-Carlo estimators of the same p-value:
+    on a strong-signal window their probs must agree within MC error
+    (500 replicates → se ~0.02; assert 0.1)."""
+    import numpy as np
+
+    from anomalyzer_spark import oracle
+    from anomalyzer_spark.config import AnomalyzerConf
+
+    rng = np.random.default_rng(3)
+    v = np.concatenate([rng.normal(10, 1, 40), [18.0, 19.0]])
+    for spec_probs in ["highrank", "ks", "diff"]:
+        h = AnomalyzerConf(active_size=2, n_seasons=20,
+                           methods=(spec_probs,), perm_spec="hash")
+        f = AnomalyzerConf(active_size=2, n_seasons=20,
+                           methods=(spec_probs,), perm_spec="fast")
+        if spec_probs == "highrank":
+            ph = oracle.rank_test(v, h, "k", reverse=False)
+            pf = oracle.rank_test(v, f, "k", reverse=False)
+        elif spec_probs == "ks":
+            ph = oracle.bootstrap_ks_test(v, h, "k")
+            pf = oracle.bootstrap_ks_test(v, f, "k")
+        else:
+            ph = oracle.diff_test(v, h, "k")
+            pf = oracle.diff_test(v, f, "k")
+        assert abs(ph - pf) < 0.1, (spec_probs, ph, pf)
+
+
+def test_perm_spec_validated():
+    import pytest
+
+    from anomalyzer_spark.config import AnomalyzerConf
+
+    with pytest.raises(ValueError, match="perm_spec"):
+        AnomalyzerConf(active_size=2, perm_spec="nope")

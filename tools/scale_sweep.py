@@ -1,0 +1,86 @@
+"""Key-cardinality scaling sweep — reproducible evidence for the 100 TB axis.
+
+Detection shards on the series key (SURVEY.md §4.3): per-key work is
+O(window), so throughput must RISE with key count as per-query fixed cost
+amortizes. This tool regenerates the BASELINE.md sweep on demand:
+synthetic (key, ts, value) frames at increasing cardinality, warm session,
+best-of-2 per cell, one JSON line at the end.
+
+Usage: python tools/scale_sweep.py [--keys 10000,100000] [--points 15]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from anomalyzer_spark import AnomalyzerConf, detect  # noqa: E402
+from anomalyzer_spark.session import get_spark  # noqa: E402
+
+CONFS = {
+    "deterministic": AnomalyzerConf(
+        active_size=2, methods=("magnitude", "fence", "cdf"),
+        upper_bound=500.0, lower_bound=0.0),
+    # magnitude+ks, 500 perms — the md5-argsort oracle spec vs the
+    # vectorized Philox production spec (config.perm_spec)
+    "monte_carlo_hash": AnomalyzerConf(active_size=2),
+    "monte_carlo_fast": AnomalyzerConf(active_size=2, perm_spec="fast"),
+}
+
+
+def make_frame(spark, n_keys: int, points: int):
+    """Deterministic synthetic series: one row per (key, t)."""
+    return (
+        spark.range(n_keys).select(
+            F.concat(F.lit("k"), F.col("id")).alias("k"),
+            F.explode(F.sequence(F.lit(0), F.lit(points - 1))).alias("ts"),
+        )
+        .select(
+            "k", "ts",
+            (F.sin(F.col("ts") * 0.7) * 10
+             + (F.crc32(F.concat(F.col("k"), F.col("ts"))) % 1000) / 100.0
+             ).alias("value"),
+        )
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--keys", default="10000,100000")
+    ap.add_argument("--points", type=int, default=15)
+    ap.add_argument("--repeat", type=int, default=2)
+    args = ap.parse_args()
+    key_counts = [int(k) for k in args.keys.split(",")]
+
+    spark = get_spark("scale-sweep")
+    cells = {}
+    for n_keys in key_counts:
+        df = make_frame(spark, n_keys, args.points)
+        df.cache().count()  # isolate detect cost from input synthesis
+        for name, conf in CONFS.items():
+            best = float("inf")
+            for _ in range(args.repeat):
+                t0 = time.perf_counter()
+                detect(df, ["k"], "ts", "value", conf).write.mode(
+                    "overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            cells[f"{name}_{n_keys}"] = {
+                "sec": round(best, 3),
+                "keys_per_sec": round(n_keys / best),
+            }
+            print(f"# {name} @ {n_keys} keys: {best:.2f}s "
+                  f"({n_keys / best:,.0f} keys/s)", file=sys.stderr)
+        df.unpersist()
+    print(json.dumps({"metric": "key_cardinality_sweep",
+                      "points_per_key": args.points, "cells": cells}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
