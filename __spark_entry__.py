@@ -698,8 +698,8 @@ def q_sessions(spark, sf_dir):
     """Gap-based sessionization (30-min gap) per user: per-session start /
     end / duration / event count via the islands pattern (one exchange,
     one sort; the per-session groupBy reuses the same partitioning).
-    Event time is the µs-truncated timestamp (matching DuckDB's µs view of
-    the nanos parquet), with the unique event_id tiebreak."""
+    Event time is normalized to epoch-µs via timeutil (NTZ wall clock as
+    UTC = DuckDB epoch_us), with the unique event_id tiebreak."""
     from anomalyzer_spark.operators.sessions import session_stats
     ev = load_table(spark, sf_dir, "events")
     out = session_stats(ev, ["user_id"], "ts", gap_seconds=1800,
