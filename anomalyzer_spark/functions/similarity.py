@@ -270,6 +270,35 @@ def train_ivf_centroids(
     return np.round(cents, 6).tolist()
 
 
+def nearest_cells(vec_name: str, centroids: list[list[float]], n: int):
+    """Column of the n nearest centroid ids by cosine (literal centroids —
+    the model broadcasts as plan constants). One SQL expression string (see
+    ``_l2_sql`` note on py4j build cost); operators identical to the
+    equivalent Column-tree form."""
+    def dot(arr):
+        return ("aggregate(zip_with(`{v}`, array({a}), (x, y) -> x * y)"
+                ", 0D, (acc, x) -> acc + x)").format(
+            v=vec_name, a=", ".join(f"{float(x)!r}D" for x in arr))
+
+    vnorm = (f"sqrt(aggregate(`{vec_name}`, 0D, "
+             f"(acc, x) -> acc + x * x))")
+
+    def cnorm(arr):  # same sequential fold the oracle runs — NOT a
+        # precomputed numpy norm, whose pairwise sum differs in low bits
+        return ("sqrt(aggregate(array({a}), 0D, "
+                "(acc, x) -> acc + x * x))").format(
+            a=", ".join(f"{float(x)!r}D" for x in arr))
+
+    scored = ", ".join(
+        "named_struct('neg', -(CASE WHEN {vn} > 0 AND {cn} > 0 "
+        "THEN {d} / ({vn} * {cn}) END), 'cid', {i})".format(
+            vn=vnorm, cn=cnorm(c), d=dot(c), i=i)
+        for i, c in enumerate(centroids)
+    )
+    return F.expr(
+        f"slice(array_sort(array({scored})), 1, {n}).cid")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -308,32 +337,7 @@ def ivf_topk(
         centroids = [c.tolist() for c in model.clusterCenters()]
 
     def _nearest_cells(vec_name: str, n: int):
-        """Columns of the n nearest centroid ids by cosine (literal
-        centroids — the model broadcasts as plan constants). One SQL
-        expression string (see ``_l2_sql`` note on py4j build cost);
-        operators identical to the previous Column-tree form."""
-        def dot(arr):
-            return ("aggregate(zip_with(`{v}`, array({a}), (x, y) -> x * y)"
-                    ", 0D, (acc, x) -> acc + x)").format(
-                v=vec_name, a=", ".join(f"{float(x)!r}D" for x in arr))
-
-        vnorm = (f"sqrt(aggregate(`{vec_name}`, 0D, "
-                 f"(acc, x) -> acc + x * x))")
-
-        def cnorm(arr):  # same sequential fold the oracle runs — NOT a
-            # precomputed numpy norm, whose pairwise sum differs in low bits
-            return ("sqrt(aggregate(array({a}), 0D, "
-                    "(acc, x) -> acc + x * x))").format(
-                a=", ".join(f"{float(x)!r}D" for x in arr))
-
-        scored = ", ".join(
-            "named_struct('neg', -(CASE WHEN {vn} > 0 AND {cn} > 0 "
-            "THEN {d} / ({vn} * {cn}) END), 'cid', {i})".format(
-                vn=vnorm, cn=cnorm(c), d=dot(c), i=i)
-            for i, c in enumerate(centroids)
-        )
-        return F.expr(
-            f"slice(array_sort(array({scored})), 1, {n}).cid")
+        return nearest_cells(vec_name, centroids, n)
 
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
@@ -468,6 +472,84 @@ def pq_topk(
     scored = (
         c.crossJoin(F.broadcast(q))
         .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-PQ composed index — the production ANN shape for huge corpora.
+
+    IVF prunes WHICH vectors are scored (each query probes only its
+    ``n_probe`` nearest coarse cells, ~n_probe/n_clusters of the corpus);
+    PQ shrinks WHAT is scored (candidates are m-byte code rows scored via
+    the query's ADC lookup table — the float vectors are never touched at
+    search time). Corpus side: one map-only pass assigns the cell and
+    encodes the codes (at 100 TB this is the stored index: partition or
+    bucket by ``cell`` so probes prune at scan time); query side: cells +
+    LUT broadcast through the cell equi-join. Both models are
+    sample-trained literals (``train_ivf_centroids`` /
+    ``train_pq_codebooks``).
+
+    Returns (query_id, neighbor_id, pq_dist, rnk) like ``pq_topk`` with
+    candidates restricted to probed cells (rnk may stop short of k when
+    probed cells are sparse — the IVF approximation).
+    """
+    query_id_col = query_id_col or id_col
+    m, kk, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    cstaged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    codes = "array(" + ", ".join(
+        "element_at(array_sort(array(" + ", ".join(
+            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
+            for j in range(kk)
+        ) + ")), 1).cid"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+    c = cstaged.select("neighbor_id", "cell", F.expr(codes).alias("codes"))
+
+    qstaged = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        nearest_cells(vec_col, centroids, n_probe).alias("_cells"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    lut = "array(" + ", ".join(
+        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
+        + ")"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+    q = qstaged.select(
+        "query_id", F.expr(lut).alias("_lut"),
+        F.explode("_cells").alias("cell"))
+
+    dist = F.aggregate(
+        F.zip_with(F.col("_lut"), F.col("codes"),
+                   lambda t, code: F.element_at(t, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+        # a (query, neighbor) pair can match through several probed cells
+        # only if the corpus row changed cells — it cannot (cell is 1 per
+        # row) — so no dedup is needed before ranking
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc())

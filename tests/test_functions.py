@@ -467,3 +467,35 @@ def test_cosine_pairs_target_recall_high_sim_planted(spark):
         assert not (got - exact)
         recall = len(got & exact) / len(exact)
         assert recall >= 0.9, f"recall {recall:.3f} < 0.9 at thr={thr}"
+
+
+def test_ivfpq_topk_recall_on_clustered_data(spark):
+    """The composed IVF-PQ index must recover true cluster neighbors on
+    genuinely clustered data: candidates restricted to probed cells,
+    scored by ADC over codes only."""
+    rng = np.random.default_rng(13)
+    n_clusters, per, dim = 6, 24, 32
+    centers = rng.standard_normal((n_clusters, dim)) * 12
+    vecs = np.concatenate([
+        c + rng.standard_normal((per, dim)) for c in centers])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    sample = vecs[np.arange(0, len(vecs), 2)]
+    cents = similarity.train_ivf_centroids(sample, n_clusters)
+    books = similarity.train_pq_codebooks(sample, m=4, k=8)
+    out = similarity.ivfpq_topk(
+        df, df.where(F.col("vec_id") < 12), cents, books,
+        k=5, n_probe=2).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    hits = same = 0
+    for q, neighbors in by_q.items():
+        true_cluster = q // per
+        same += sum(1 for n in neighbors if n // per == true_cluster)
+        hits += len(neighbors)
+    assert hits > 0
+    assert same / hits >= 0.8  # >=80% of returned neighbors from the true cluster
+    # the index always finds the query itself among its top-5
+    assert sum(1 for q, ns in by_q.items() if q in ns) >= 10
