@@ -19,9 +19,12 @@ DET_CONF = AnomalyzerConf(
     upper_bound=500.0, lower_bound=0.0,
 )
 MC_CONF = AnomalyzerConf(active_size=2, perm_count=100)  # magnitude+ks seeded
+# the vectorized production permutation spec must ALSO be batch/stream equal
+MC_FAST_CONF = AnomalyzerConf(active_size=2, perm_count=100, perm_spec="fast")
 
 
-@pytest.mark.parametrize("conf", [DET_CONF, MC_CONF], ids=["deterministic", "mc"])
+@pytest.mark.parametrize("conf", [DET_CONF, MC_CONF, MC_FAST_CONF],
+                         ids=["deterministic", "mc", "mc-fast"])
 def test_stream_equals_batch_multi_batch(spark, sf_dir, tmp_path, conf):
     ev = load_table(spark, sf_dir, "events")
     cols = ev.select("event_type", "ts_ns", "event_id", "value")
