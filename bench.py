@@ -65,6 +65,14 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
+        # one untimed warm pass first: whole-stage-codegen compilation, C2
+        # JIT of the huge generated methods, and Python-worker startup are
+        # one-time session costs, not per-query throughput — without this
+        # the first timed run is bimodally 2-7x slower depending on JIT
+        # queue timing (BASELINE.md round-4 notes), and best-of-N at small
+        # N still samples it.
+        qs[name](spark, args.sf_dir).write.mode("overwrite").format(
+            "noop").save()
         best = float("inf")
         for _ in range(args.repeat):
             t0 = time.perf_counter()
