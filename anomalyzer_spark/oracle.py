@@ -20,16 +20,22 @@ SURVEY.md §7.4 requires pinning):
     rounding ~1e-15 and both our engine and this oracle use the same formula.
 
 Determinism: the reference shuffles with the unseeded global RNG
-(algorithms.go:126,189,300), so the shuffle spec is ours to pin. We use an
-ENGINE-PORTABLE hash permutation: replicate ``r``'s permutation of an
-``n``-point window is the argsort of
-``md5(f"{conf.seed}|{key}|{TEST_ID}|{r}|{j}")`` over positions
-``j = 0..n-1`` (lexicographic on the 32-char lowercase hex digest; md5
-collisions are ~2^-64 so ties never occur, and the position ``j`` is a
-deterministic tiebreak anyway). The exact same permutation is computed by
-this NumPy oracle, the Spark kernel (same code), and plain DuckDB SQL
-(``list_sort`` over ``md5(...)`` structs) — which is what lets the driver's
-DuckDB gate verify the Monte-Carlo tests end-to-end.
+(algorithms.go:126,189,300), so the shuffle spec is ours to pin. Two specs,
+selected by ``AnomalyzerConf.perm_spec``:
+
+* ``"hash"`` (default, the correctness contract): replicate ``r``'s
+  permutation of an ``n``-point window is the argsort of
+  ``md5(f"{conf.seed}|{key}|{TEST_ID}|{r}|{j}")`` over positions
+  ``j = 0..n-1`` (lexicographic on the 32-char lowercase hex digest; md5
+  collisions are ~2^-64 so ties never occur, and the position ``j`` is a
+  deterministic tiebreak anyway). The exact same permutation is computed
+  by this NumPy oracle, the Spark kernel (same code), and plain DuckDB SQL
+  (``list_sort`` over ``md5(...)`` structs) — which is what lets the
+  driver's DuckDB gate verify the Monte-Carlo tests end-to-end.
+* ``"fast"`` (production scale): one md5 per (key, test) seeds a
+  counter-based Philox generator that draws all permutations vectorized —
+  same determinism, ~8× the throughput at 100k keys (BASELINE.md round-4
+  sweep), not SQL-expressible (``perm_matrix_fast``).
 """
 
 from __future__ import annotations
