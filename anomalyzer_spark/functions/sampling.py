@@ -1,0 +1,105 @@
+"""Deterministic, reproducible corpus sampling for training-data curation.
+
+Random `df.sample()` is nondeterministic across retries/partitions, which
+breaks reproducible dataset builds; the scalable pattern is HASH-based
+selection: a row is in the sample iff a stable hash of its id lands in the
+acceptance window. Properties that matter at 100 TB:
+
+* deterministic — same ids in, same sample out, on any cluster, any
+  partitioning, any retry;
+* map-only — a filter on a hash expression, no shuffle, full pushdown of
+  everything else;
+* composable — supersets nest (rate 1% ⊂ rate 10% with the same seed/key),
+  so growing a sample never resamples what was already selected.
+
+``stratified_sample_n`` (exact n per stratum) is the one shape that DOES
+shuffle — a per-stratum top-n by hash rank (one exchange on the stratum
+key, map-side ``WindowGroupLimit``): deterministic "reservoir" semantics
+without driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: denominator of the acceptance-window arithmetic — md5-derived 48-bit
+#: uniform, exact in int64
+_BUCKETS = 1 << 48
+
+
+def _hash48(id_col: Column, seed: int) -> Column:
+    """Stable 48-bit uniform hash of (seed, id) — md5-derived so it is
+    engine-portable (DuckDB/NumPy reproduce it) and independent of Spark's
+    internal hash seed."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit(str(seed)), id_col.cast("string"))
+                  .cast("binary")), 1, 12),
+        16, 10,
+    ).cast("long")
+
+
+def hash_sample(
+    df: DataFrame,
+    rate: float,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic Bernoulli(rate) sample by id hash. Map-only; samples
+    at different rates (same seed) NEST: rate r1 < r2 → sample(r1) ⊆
+    sample(r2)."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    return df.where(_hash48(F.col(id_col), seed) < int(rate * _BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    id_col: str = "doc_id",
+    *,
+    default_rate: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli rates (e.g. language rebalancing: keep 100%
+    of low-resource languages, 5% of English). Still map-only — the rate
+    is a CASE expression on the stratum column; strata absent from
+    ``rates`` use ``default_rate``."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
+    rate = F.lit(default_rate)
+    for s, r in rates.items():
+        rate = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate)
+    return df.where(
+        _hash48(F.col(id_col), seed)
+        < (rate * F.lit(_BUCKETS)).cast("long"))
+
+
+def stratified_sample_n(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_col: str,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``min(n, stratum_size)`` rows per stratum, deterministically:
+    rank rows within each stratum by id hash (a uniform random order that
+    is stable across runs) and keep the first n — reservoir-sampling
+    semantics without driver state. One exchange on the stratum key; the
+    rank limit runs map-side (WindowGroupLimit) so no stratum ships more
+    than n rows per input split."""
+    if n_per_stratum < 1:
+        raise ValueError("n_per_stratum must be >= 1")
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash48(F.col(id_col), seed).asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n_per_stratum)
+        .drop("_rn")
+    )

@@ -375,3 +375,34 @@ def repetition_stats(
     """
     return _with_repetition(
         df.select(F.col(id_col), F.col(text_col)), text_col, [id_col])
+
+
+def vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies.
+
+    The standard pre-tokenizer statistics pass (vocab building, heavy-
+    hitter inspection, stopword discovery): explode lexical tokens →
+    one count aggregation with map-side combine. Returns (token,
+    term_freq, doc_freq) — one shuffle on token; at 100 TB the hot-token
+    skew is absorbed by the map-side partial aggregation (each input
+    split contributes at most one row per distinct token).
+    """
+    tok = (
+        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col)))
+                  .alias("token"))
+    )
+    out = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        # distinct-agg expand rewrite: Spark spreads the distinct pairs by
+        # (token, doc) before the final count — hot tokens stay skew-safe
+        F.count_distinct(F.col(id_col)).alias("doc_freq"),
+    )
+    if min_count > 1:
+        out = out.where(F.col("term_freq") >= min_count)
+    return out

@@ -499,3 +499,48 @@ def test_ivfpq_topk_recall_on_clustered_data(spark):
     assert same / hits >= 0.8  # >=80% of returned neighbors from the true cluster
     # the index always finds the query itself among its top-5
     assert sum(1 for q, ns in by_q.items() if q in ns) >= 10
+
+
+def test_hash_sampling_deterministic_and_nested(spark):
+    from anomalyzer_spark.functions import sampling
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in sampling.hash_sample(df, 0.10).collect()}
+    s10b = {r["doc_id"] for r in sampling.hash_sample(df, 0.10).collect()}
+    s30 = {r["doc_id"] for r in sampling.hash_sample(df, 0.30).collect()}
+    assert s10 == s10b                       # deterministic
+    assert s10 <= s30                        # rates nest at the same seed
+    assert 0.05 < len(s10) / 2000 < 0.15     # ~Bernoulli(0.1)
+    other = {r["doc_id"] for r in
+             sampling.hash_sample(df, 0.10, seed=7).collect()}
+    assert other != s10                      # seed changes the sample
+
+
+def test_stratified_sampling_rates_and_exact_n(spark):
+    from anomalyzer_spark.functions import sampling
+
+    rows = [(i, "en" if i % 4 else "de") for i in range(1200)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.stratified_sample(
+        df, {"de": 1.0, "en": 0.1}, "lang").groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    assert got["de"] == 300                  # rate 1.0 keeps every row
+    assert 40 < got["en"] < 150              # ~Bernoulli(0.1) of 900
+    n = sampling.stratified_sample_n(df, 25, "lang")
+    cnt = {r["lang"]: r["count"] for r in
+           n.groupBy("lang").count().collect()}
+    assert cnt == {"de": 25, "en": 25}       # exact n per stratum
+    again = sampling.stratified_sample_n(df, 25, "lang")
+    assert (sorted(r["doc_id"] for r in n.collect())
+            == sorted(r["doc_id"] for r in again.collect()))
+
+
+def test_vocab_term_and_doc_freq(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the hat"), (1, "the dog"), (2, "")],
+        "doc_id long, text string")
+    got = {r["token"]: (r["term_freq"], r["doc_freq"]) for r in
+           text.vocab(df, "text", "doc_id").collect()}
+    assert got["the"] == (3, 2)
+    assert got["cat"] == (1, 1)
+    assert text.vocab(df, "text", "doc_id", min_count=2).count() == 1
