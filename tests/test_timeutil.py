@@ -50,3 +50,15 @@ def test_epoch_us_rejects_unknown_types(spark):
     df = spark.createDataFrame([(1.5,)], "ts double")
     with pytest.raises(TypeError, match="unsupported event-time type"):
         epoch_us_col(df, "ts")
+
+
+def test_epoch_us_handles_date_and_int_columns(spark):
+    df = spark.createDataFrame(
+        [("2024-03-01", 1_700_000_000_000_000)], "d string, us long")
+    df = df.select(F.to_date("d").alias("d"), "us")
+    row = df.select(
+        epoch_us_col(df, "d").alias("du"),
+        epoch_us_col(df, "us").alias("uu"),
+    ).collect()[0]
+    assert row["du"] == 1709251200000000  # 2024-03-01T00:00Z in µs
+    assert row["uu"] == 1_700_000_000_000_000  # ints pass through
