@@ -768,8 +768,9 @@ def q_dedup_stream(spark, sf_dir):
     return res
 
 
-#: detect_horizon cutoff: anchor - horizon. The fixtures span 2024-01;
-#: a 7-day horizon from the Feb 1 anchor keeps the last ~week of events.
+#: detect_horizon cutoff: anchor - horizon. The fixtures span 2024-01; an
+#: 8-day horizon from the Feb 1 anchor keeps events from Jan 24 onward
+#: (the pushed-predicate literal pinned in tests/test_plans.py).
 HORIZON_ANCHOR = "2024-02-01 00:00:00"
 HORIZON_DAYS = 8
 
@@ -800,15 +801,16 @@ def q_kafka_parse(spark, sf_dir):
     from anomalyzer_spark.sources.kafka import parse_json_values
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    # wire values via to_json (correct escaping of quotes/backslashes and
+    # NULL handling — a hand-concatenated JSON string desyncs from the
+    # oracle the moment a regenerated fixture ships a NULL or a quote)
     wire = stream.select(
         F.when(F.col("event_id") % 97 == 0, F.lit("not-json"))
-        .otherwise(F.concat(
-            F.lit('{"event_id": '), F.col("event_id").cast("string"),
-            F.lit(', "event_type": "'), F.col("event_type"),
-            F.lit('", "k": '),
-            F.coalesce(F.get_json_object("props", "$.k"), F.lit("null")),
-            F.lit("}"),
-        )).cast("binary").alias("value"),
+        .otherwise(F.to_json(F.struct(
+            F.col("event_id"),
+            F.col("event_type"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        ))).cast("binary").alias("value"),
         F.col("event_id").alias("kafka_key"),
     )
     parsed = parse_json_values(

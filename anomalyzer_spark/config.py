@@ -44,8 +44,8 @@ class AnomalyzerConf:
     #: position (SURVEY §2.6.9): engine-portable, value-hash oracle-able
     #: in DuckDB SQL, ~7 ms/key — the correctness-contract default.
     #: "fast" = one md5 per (key, test) seeding a vectorized counter RNG
-    #: (NumPy Philox): same determinism and statistical validity, ~30×
-    #: the throughput at high key cardinality (tools/scale_sweep.py), but
+    #: (NumPy Philox): same determinism and statistical validity, ~8×
+    #: the throughput at 100k keys (tools/scale_sweep.py, BASELINE.md), but
     #: NOT reproducible in SQL — use for production scale, not oracles.
     perm_spec: str = "hash"
     reference_size: int = field(init=False)

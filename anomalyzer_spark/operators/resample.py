@@ -57,8 +57,11 @@ def resample(
 
       * ``None``  — gaps are omitted (default; the round-2/3 behavior).
       * ``"zero"``  — emit gap buckets with value 0.0, n_raw 0.
-      * ``"ffill"`` — emit gap buckets carrying the last seen value
-        forward, n_raw 0.
+      * ``"ffill"`` — emit gap buckets carrying the most recent non-NULL
+        observed value forward, n_raw 0.
+
+    Only TRUE gaps (no rows at all) are filled: an occupied bucket whose
+    aggregate is NULL (all raw values NULL) keeps its observed NULL.
 
     Filling is relational: per key, ``sequence(min_bucket, max_bucket)``
     exploded (one row per expected bucket, generated map-side after the
@@ -104,15 +107,26 @@ def resample(
             F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("bucket"),
         )
         agged = grid.join(agged, [*keys, "bucket"], "left")
+        # fill ONLY true gaps (no rows at all → n_raw NULL after the left
+        # join). An OCCUPIED bucket whose aggregate is NULL (all raw values
+        # NULL) keeps its observed NULL — rewriting it would be
+        # indistinguishable from real data.
+        is_gap = F.col("n_raw").isNull()
         if fill == "zero":
             agged = agged.withColumn(
-                value_col, F.coalesce(F.col(value_col), F.lit(0.0)))
-        else:  # ffill: carry the last non-null value forward in bucket order
+                value_col,
+                F.when(is_gap, F.lit(0.0)).otherwise(F.col(value_col)))
+        else:  # ffill: gaps carry the most recent non-NULL observed value
+            # (an occupied-but-NULL bucket neither gets filled nor poisons
+            # the carry — gap rows are NULL pre-fill, so last+ignorenulls
+            # over the raw column skips both)
             w = (Window.partitionBy(*keys).orderBy("bucket")
                  .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             agged = agged.withColumn(
                 value_col,
-                F.last(value_col, ignorenulls=True).over(w))
+                F.when(is_gap,
+                       F.last(value_col, ignorenulls=True).over(w))
+                .otherwise(F.col(value_col)))
         agged = agged.withColumn(
             "n_raw", F.coalesce(F.col("n_raw"), F.lit(0).cast("long")))
     return agged.withColumn(

@@ -1,0 +1,56 @@
+"""Shared file-stream drain helper for the *_on_dir streaming runners.
+
+One implementation of the drain-to-memory-sink boilerplate (schema read,
+optional per-trigger file cap, availableNow trigger, await) so fixture
+encoding changes are handled in ONE place: legacy TIMESTAMP(NANOS)
+columns (bigint via nanosAsLong) are normalized to µs TimestampType here
+when the caller names its event-time columns.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def drain_available_now(
+    spark: SparkSession,
+    input_path: str,
+    build: Callable[[DataFrame], DataFrame],
+    query_name: str,
+    *,
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
+    ns_ts_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Stream ``input_path`` (parquet) through ``build`` and drain with
+    availableNow into a memory sink; returns the sink table (every emitted
+    row — Update-mode callers select final state themselves).
+
+    ``ns_ts_cols``: event-time columns that legacy fixtures may store as
+    INT64 TIMESTAMP(NANOS); when such a column streams in as bigint it is
+    converted to µs TimestampType so downstream timeutil normalization
+    (which treats raw ints as epoch-µs) can never mis-scale it.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(input_path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(input_path)
+    dtypes = dict(stream.dtypes)
+    for c in ns_ts_cols:
+        if dtypes.get(c) == "bigint":  # ns → µs timestamp
+            stream = stream.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    q = (
+        build(stream).writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -112,21 +112,13 @@ def run_dedup_stream_on_dir(
     row with the largest ``group_size`` (strictly increasing), tie-broken
     by smallest ``canonical_id`` (monotonically non-increasing).
     """
-    schema = spark.read.parquet(input_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_path)
-    out = dedup_stream(stream, text_col, id_col)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    res = spark.table(query_name)
+    from ._drain import drain_available_now
+
+    res = drain_available_now(
+        spark, input_path,
+        lambda s: dedup_stream(s, text_col, id_col),
+        query_name, output_mode="update",
+        max_files_per_trigger=max_files_per_trigger)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("content_hash").orderBy(

@@ -88,21 +88,11 @@ def run_resample_stream_on_dir(
     identical — the batch-equivalence test and the driver oracle both
     encode that cutoff).
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(input_path).schema
-    stream = spark.readStream.schema(schema).parquet(input_path)
-    if dict(stream.dtypes).get(ts_col) == "bigint":  # ns → µs timestamp
-        stream = stream.withColumn(
-            ts_col, F.timestamp_micros(F.expr(f"`{ts_col}` div 1000")))
-    out = resample_stream(stream, keys, ts_col, value_col,
-                          every_seconds=every_seconds, watermark=watermark,
-                          agg=agg)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    from ._drain import drain_available_now
+
+    return drain_available_now(
+        spark, input_path,
+        lambda s: resample_stream(s, keys, ts_col, value_col,
+                                  every_seconds=every_seconds,
+                                  watermark=watermark, agg=agg),
+        query_name, output_mode="append", ns_ts_cols=(ts_col,))

@@ -34,19 +34,12 @@ def run_session_stream_on_dir(
     end+gap; sessions still open at the final watermark are withheld
     (emitted ⊂ batch sessions — the oracle encodes the same cutoff).
     """
-    schema = spark.read.parquet(input_path).schema
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    stream = reader.parquet(input_path)
-    out = session_stream(stream, keys, ts_col, gap_seconds=gap_seconds,
-                         watermark=watermark)
-    q = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(query_name)
+    from ._drain import drain_available_now
+
+    return drain_available_now(
+        spark, input_path,
+        lambda s: session_stream(s, keys, ts_col, gap_seconds=gap_seconds,
+                                 watermark=watermark),
+        query_name, output_mode="append",
+        max_files_per_trigger=max_files_per_trigger,
+        ns_ts_cols=(ts_col,))

@@ -55,11 +55,18 @@ def epoch_us_col(df: DataFrame, ts_col: str) -> Column:
         return F.expr(
             f"timestampdiff(MICROSECOND, {_EPOCH_NTZ},"
             f" cast(`{ts_col}` as timestamp_ntz))")
-    if dt in _INT_TYPES or dt is None:
+    if dt in _INT_TYPES:
+        # documented contract: integer event time IS epoch-µs. Epoch-ns
+        # ints (legacy nanosAsLong fixtures) must be normalized by the
+        # loader first (sources.load_table divides by 1000) — a raw ns
+        # column here would be silently 1000× off, so loaders own that.
         return c.cast("long")
     raise TypeError(
         f"column {ts_col!r} has unsupported event-time type {dt!r}; "
-        "expected timestamp, timestamp_ntz, date, or epoch-µs integer")
+        "expected timestamp, timestamp_ntz, date, or epoch-µs integer"
+        + ("" if dt is not None else
+           f" (no column named {ts_col!r} in the frame — dtypes lookup is "
+           "case-sensitive)"))
 
 
 def event_time_col(df: DataFrame, ts_col: str) -> Column:

@@ -46,3 +46,18 @@ def test_resample_fill_is_per_key(spark):
     # key b spans a single bucket — no grid rows leak from key a's span
     assert got == {("a", 0), ("a", 1), ("a", 2), ("a", 3), ("a", 4),
                    ("b", 2)}
+
+
+def test_resample_fill_preserves_observed_null_buckets(spark):
+    """An OCCUPIED bucket whose aggregate is NULL (all raw values NULL)
+    must keep its NULL — only true gaps (no rows at all) are filled."""
+    df = spark.createDataFrame(
+        [("a", 0, 1.0), ("a", 10_000_000, None), ("a", 40_000_000, 9.0)],
+        "k string, ts long, value double")
+    for mode, gapval in [("zero", 0.0), ("ffill", 1.0)]:
+        out = {r["bucket"]: (r["value"], r["n_raw"]) for r in
+               resample(df, ["k"], "ts", "value", every_seconds=10,
+                        fill=mode).collect()}
+        assert out[1] == (None, 1), mode   # observed NULL kept, row counted
+        assert out[2] == (gapval, 0), mode  # real gap filled
+        assert out[3] == (gapval, 0), mode
