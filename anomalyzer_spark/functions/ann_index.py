@@ -1,0 +1,114 @@
+"""Persisted IVF-PQ index — the stored-index path for repeated queries.
+
+``ivfpq_topk`` recomputes cell assignment and PQ codes per query batch;
+a real deployment builds the index ONCE and serves many query batches
+against it. The storage layout IS the optimization: the index parquet is
+partitioned by the IVF ``cell``, so a search's probed cells become a
+partition-pruning filter — Spark never opens the files of unprobed cells.
+At 100 TB that is the difference between scanning n_probe/n_clusters of
+the index and scanning all of it.
+
+Build: one map-only pass over the corpus (cell assignment + PQ encode —
+the same literals-compiled expressions as ivfpq_topk), written
+``partitionBy("cell")``. Search: collect the query batch's probed cells
+(queries are the SMALL side by definition — a few thousand cells at
+most), scan the index with ``cell IN (...)`` (partition-pruned,
+plan-pinned in tests/test_plans.py), broadcast the queries' ADC lookup
+tables through the cell equi-join, rank by PQ distance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .similarity import _l2_sql, nearest_cells
+
+
+def _codes_expr(codebooks: list[list[list[float]]]) -> str:
+    m, kk = len(codebooks), len(codebooks[0])
+    return "array(" + ", ".join(
+        "element_at(array_sort(array(" + ", ".join(
+            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
+            for j in range(kk)
+        ) + ")), 1).cid"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+
+
+def build_ivfpq_index(
+    corpus: DataFrame,
+    path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Write the cell-partitioned code index: one map-only pass, stored as
+    parquet ``partitionBy("cell")`` — (id, codes array<int>) per row, the
+    float vectors are NOT stored (PQ is the compression)."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    staged = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    (
+        staged.select("neighbor_id", "cell",
+                      F.expr(_codes_expr(codebooks)).alias("codes"))
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
+    )
+
+
+def search_ivfpq_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Search a persisted index: probed cells become a partition-pruning
+    ``cell IN (...)`` literal filter on the index scan (the driver-side
+    collect ships only the query batch's cell ids — bounded by
+    n_queries × n_probe, never data)."""
+    m = len(codebooks)
+    kk = len(codebooks[0])
+    d = len(codebooks[0][0])
+    qstaged = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        nearest_cells(vec_col, centroids, n_probe).alias("_cells"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    )
+    lut = "array(" + ", ".join(
+        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
+        + ")"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+    q = qstaged.select(
+        "query_id", F.expr(lut).alias("_lut"),
+        F.explode("_cells").alias("cell")).cache()
+    probe_cells = sorted({r["cell"] for r in q.select("cell").collect()})
+
+    index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
+    dist = F.aggregate(
+        F.zip_with(F.col("_lut"), F.col("codes"),
+                   lambda t, code: F.element_at(t, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        index.join(F.broadcast(q), "cell")
+        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k)

@@ -263,3 +263,38 @@ def test_pricing_summary_pushes_filter(spark, sf_dir):
     import __spark_entry__ as e
     plan = explain_str(e.q_pricing_summary(spark, sf_dir))
     assert "PushedFilters" in plan and "LessThanOrEqual(l_shipdate" in plan
+
+def test_ivfpq_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted ANN index must prune unprobed cells AT SCAN TIME:
+    the index is partitioned by cell and the search's probe set becomes a
+    PartitionFilters entry — unprobed cells' files are never opened. The
+    results must equal the in-flight ivfpq_topk on the same models."""
+    import numpy as np
+
+    from anomalyzer_spark.functions import similarity
+    from anomalyzer_spark.functions.ann_index import (
+        build_ivfpq_index, search_ivfpq_index)
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    sample = np.array([r["embedding"] for r in
+                       e.where(F.col("vec_id") < 64)
+                       .orderBy("vec_id").collect()])
+    cents = similarity.train_ivf_centroids(sample, 8)
+    books = similarity.train_pq_codebooks(sample, m=4, k=8)
+    idx_path = str(tmp_path / "ivfpq_index")
+    build_ivfpq_index(e, idx_path, cents, books)
+
+    queries = e.where(F.col("vec_id") < 5)
+    out = search_ivfpq_index(spark, idx_path, queries, cents, books,
+                             k=3, n_probe=2)
+    plan = explain_str(out)
+    # the probed-cell literal reaches the scan as a partition filter
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "cell" in pf[1][:200]
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in out.collect()}
+    exp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in similarity.ivfpq_topk(
+               e, queries, cents, books, k=3, n_probe=2).collect()}
+    assert got == exp
+    assert len(got) > 0
