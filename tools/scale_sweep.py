@@ -50,16 +50,69 @@ def make_frame(spark, n_keys: int, points: int):
     )
 
 
+def make_docs(spark, n_docs: int):
+    """Deterministic synthetic corpus: ~40 pseudo-words per doc drawn from
+    a doc-id-seeded stream; every 10th doc duplicates its predecessor's
+    text (planted near/exact dups so the dedup operators do real work)."""
+    base = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        # dup groups: doc 10k+9 copies 10k+8's content id
+        (F.col("id") - F.when(F.col("id") % 10 == 9, 1).otherwise(0))
+        .alias("_cid"),
+    )
+    word = ("concat('w', conv(substring(md5(concat(_cid, '|', i)), 1, 4)"
+            ", 16, 10))")
+    return base.select(
+        "doc_id",
+        F.expr(
+            "array_join(transform(sequence(1, 40), i -> " + word + "), ' ')"
+        ).alias("text"),
+    )
+
+
+def dedup_cells(spark, doc_counts, repeat):
+    from anomalyzer_spark.functions import dedup, text
+
+    out = {}
+    for n in doc_counts:
+        d = make_docs(spark, n).repartition(
+            spark.sparkContext.defaultParallelism)
+        d.cache().count()
+        for name, build in (
+            ("exact_dedup", lambda: dedup.exact_dedup(d, "text", "doc_id")),
+            ("minhash_lsh", lambda: dedup.minhash_lsh_pairs(
+                d, "text", "doc_id", k=3, num_hashes=64, bands=16,
+                threshold=0.7)),
+            ("text_profile", lambda: text.text_profile(d, "text", "doc_id")),
+        ):
+            best = float("inf")
+            for _ in range(repeat):
+                t0 = time.perf_counter()
+                build().write.mode("overwrite").format("noop").save()
+                best = min(best, time.perf_counter() - t0)
+            out[f"{name}_{n}"] = {"sec": round(best, 3),
+                                  "docs_per_sec": round(n / best)}
+            print(f"# {name} @ {n} docs: {best:.2f}s "
+                  f"({n / best:,.0f} docs/s)", file=sys.stderr)
+        d.unpersist()
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--keys", default="10000,100000")
     ap.add_argument("--points", type=int, default=15)
+    ap.add_argument("--docs", default="5000,50000",
+                    help="doc counts for the dedup/text suite ('' to skip)")
     ap.add_argument("--repeat", type=int, default=2)
     args = ap.parse_args()
-    key_counts = [int(k) for k in args.keys.split(",")]
+    key_counts = [int(k) for k in args.keys.split(",") if k]
 
     spark = get_spark("scale-sweep")
     cells = {}
+    if args.docs:
+        cells.update(dedup_cells(
+            spark, [int(x) for x in args.docs.split(",")], args.repeat))
     for n_keys in key_counts:
         df = make_frame(spark, n_keys, args.points)
         df.cache().count()  # isolate detect cost from input synthesis
