@@ -234,6 +234,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
 
@@ -246,6 +247,17 @@ def minhash_lsh_pairs(
     is 1-(1-J^4)^32 — ~87% recall at J=0.5, ~0.3% of random pairs — which
     keeps the bucket self-join from exploding at scale. Lower rows-per-band
     (more bands for the same num_hashes) trades join size for recall.
+
+    ``max_bucket_size``: drop buckets with more members than this before
+    the self-join (a window count riding the bucket exchange — same shape
+    as ngram_jaccard's ``max_shingle_freq``). A bucket with B members
+    yields B²/2 candidates, and web-scale corpora have boilerplate
+    mega-clusters (every member sharing EVERY bucket): one 1M-doc cluster
+    is 5·10¹¹ candidate pairs from a single bucket. Run ``exact_dedup``
+    first (identical docs collapse there) and cap the residue here; pairs
+    lost to the cap are intra-mega-cluster only. Default None preserves
+    the exact contract semantics (the correctness oracle reproduces the
+    uncapped join).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
@@ -272,6 +284,15 @@ def minhash_lsh_pairs(
             )
         ).alias("bucket"),
     )
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        buckets = (
+            buckets.withColumn(
+                "_bn", F.count(F.lit(1)).over(Window.partitionBy("bucket")))
+            .where(F.col("_bn") <= max_bucket_size)
+            .drop("_bn")
+        )
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")

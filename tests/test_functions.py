@@ -544,3 +544,21 @@ def test_vocab_term_and_doc_freq(spark):
     assert got["the"] == (3, 2)
     assert got["cat"] == (1, 1)
     assert text.vocab(df, "text", "doc_id", min_count=2).count() == 1
+
+
+def test_minhash_bucket_cap_drops_mega_cluster_only(spark):
+    """max_bucket_size must drop pairs of an oversized (boilerplate)
+    cluster while normal near-dup pairs survive — the quadratic-bucket
+    guard for web-scale corpora."""
+    mega = [(i, "identical boilerplate page content here") for i in range(8)]
+    pair = [(100, "a genuinely unique document about spark engines"),
+            (101, "a genuinely unique document about spark enginez")]
+    df = spark.createDataFrame(mega + pair, "doc_id long, text string")
+    kw = dict(k=3, num_hashes=32, bands=16, threshold=0.5)
+    capped = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", max_bucket_size=4, **kw).collect()}
+    assert (100, 101) in capped
+    assert not any(a < 8 and b < 8 for a, b in capped)  # mega-cluster gone
+    uncapped = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        df, "text", "doc_id", **kw).collect()}
+    assert any(a < 8 and b < 8 for a, b in uncapped)  # default keeps them
