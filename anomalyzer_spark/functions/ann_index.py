@@ -23,18 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _l2_sql, nearest_cells
-
-
-def _codes_expr(codebooks: list[list[list[float]]]) -> str:
-    m, kk = len(codebooks), len(codebooks[0])
-    return "array(" + ", ".join(
-        "element_at(array_sort(array(" + ", ".join(
-            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
-            for j in range(kk)
-        ) + ")), 1).cid"
-        for s, book in enumerate(codebooks)
-    ) + ")"
+from .similarity import _codes_sql, _lut_sql, nearest_cells
 
 
 def build_ivfpq_index(
@@ -59,7 +48,7 @@ def build_ivfpq_index(
     )
     (
         staged.select("neighbor_id", "cell",
-                      F.expr(_codes_expr(codebooks)).alias("codes"))
+                      F.expr(_codes_sql(codebooks)).alias("codes"))
         .write.mode("overwrite").partitionBy("cell").parquet(path)
     )
 
@@ -81,7 +70,6 @@ def search_ivfpq_index(
     collect ships only the query batch's cell ids — bounded by
     n_queries × n_probe, never data)."""
     m = len(codebooks)
-    kk = len(codebooks[0])
     d = len(codebooks[0][0])
     qstaged = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -89,15 +77,17 @@ def search_ivfpq_index(
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
     )
-    lut = "array(" + ", ".join(
-        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
-        + ")"
-        for s, book in enumerate(codebooks)
-    ) + ")"
     q = qstaged.select(
-        "query_id", F.expr(lut).alias("_lut"),
-        F.explode("_cells").alias("cell")).cache()
-    probe_cells = sorted({r["cell"] for r in q.select("cell").collect()})
+        "query_id", F.expr(_lut_sql(codebooks)).alias("_lut"),
+        F.explode("_cells").alias("cell"))
+    # probe cells collected from a cells-only projection (the LUT columns
+    # prune away); q itself stays uncached — recomputing the small query
+    # side once in the join is cheaper than leaking a cached frame per
+    # search call in a serving loop
+    probe_cells = sorted(
+        r["cell"] for r in
+        qstaged.select(F.explode("_cells").alias("cell"))
+        .distinct().collect())
 
     index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
     dist = F.aggregate(

@@ -254,10 +254,11 @@ def minhash_lsh_pairs(
     yields B²/2 candidates, and web-scale corpora have boilerplate
     mega-clusters (every member sharing EVERY bucket): one 1M-doc cluster
     is 5·10¹¹ candidate pairs from a single bucket. Run ``exact_dedup``
-    first (identical docs collapse there) and cap the residue here; pairs
-    lost to the cap are intra-mega-cluster only. Default None preserves
-    the exact contract semantics (the correctness oracle reproduces the
-    uncapped join).
+    first (identical docs collapse there) and cap the residue here. Pairs
+    lost to the cap are those whose ONLY shared buckets are oversized —
+    mega-cluster-internal pairs plus near-dups OF the cluster that share
+    no small bucket with it. Default None preserves the exact contract
+    semantics (the correctness oracle reproduces the uncapped join).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands

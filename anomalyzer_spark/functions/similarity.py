@@ -399,6 +399,33 @@ def _l2_sql(sub: str, cent: list[float]) -> str:
             f"(a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)")
 
 
+def _codes_sql(codebooks: list[list[list[float]]]) -> str:
+    """SQL for the per-subspace nearest-centroid codes over staged _s<i>
+    slices — THE single definition shared by pq_encode and the persisted
+    index builder (any drift between them would desync stored codes from
+    in-flight scoring)."""
+    kk = len(codebooks[0])
+    return "array(" + ", ".join(
+        "element_at(array_sort(array(" + ", ".join(
+            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
+            for j in range(kk)
+        ) + ")), 1).cid"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+
+
+def _lut_sql(codebooks: list[list[list[float]]]) -> str:
+    """SQL for a query's ADC lookup table (exact squared L2 to every
+    centroid of every subspace) over staged _s<i> slices — shared by
+    pq_topk and the persisted-index search."""
+    kk = len(codebooks[0])
+    return "array(" + ", ".join(
+        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
+        + ")"
+        for s, book in enumerate(codebooks)
+    ) + ")"
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -416,20 +443,14 @@ def pq_encode(
     so referencing ``slice(vec, ...)`` from all k per-centroid folds would
     recompute it k times (the columnar.py staging lesson).
     """
-    m, k, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    m, d = len(codebooks), len(codebooks[0][0])
     staged = df.select(
         F.col(id_col),
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
     )
-    codes = "array(" + ", ".join(
-        "element_at(array_sort(array(" + ", ".join(
-            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
-            for j in range(k)
-        ) + ")), 1).cid"
-        for s, book in enumerate(codebooks)
-    ) + ")"
-    return staged.select(F.col(id_col), F.expr(codes).alias("codes"))
+    return staged.select(
+        F.col(id_col), F.expr(_codes_sql(codebooks)).alias("codes"))
 
 
 def pq_topk(
@@ -451,18 +472,13 @@ def pq_topk(
     neighbor id asc on ties. Plan: broadcast(queries+LUT) × corpus codes —
     the corpus side never shuffles and never touches float vectors."""
     query_id_col = query_id_col or id_col
-    m, kk, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    m, d = len(codebooks), len(codebooks[0][0])
     qstaged = queries.select(
         F.col(query_id_col).alias("query_id"),
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
     )
-    lut = "array(" + ", ".join(
-        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
-        + ")"
-        for s, book in enumerate(codebooks)
-    ) + ")"
-    q = qstaged.select("query_id", F.expr(lut).alias("_lut"))
+    q = qstaged.select("query_id", F.expr(_lut_sql(codebooks)).alias("_lut"))
     c = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")
     dist = F.aggregate(
@@ -509,21 +525,15 @@ def ivfpq_topk(
     probed cells are sparse — the IVF approximation).
     """
     query_id_col = query_id_col or id_col
-    m, kk, d = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    m, d = len(codebooks), len(codebooks[0][0])
     cstaged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
     )
-    codes = "array(" + ", ".join(
-        "element_at(array_sort(array(" + ", ".join(
-            f"named_struct('d', {_l2_sql(f'_s{s}', book[j])}, 'cid', {j})"
-            for j in range(kk)
-        ) + ")), 1).cid"
-        for s, book in enumerate(codebooks)
-    ) + ")"
-    c = cstaged.select("neighbor_id", "cell", F.expr(codes).alias("codes"))
+    c = cstaged.select("neighbor_id", "cell",
+                       F.expr(_codes_sql(codebooks)).alias("codes"))
 
     qstaged = queries.select(
         F.col(query_id_col).alias("query_id"),
@@ -531,13 +541,8 @@ def ivfpq_topk(
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
     )
-    lut = "array(" + ", ".join(
-        "array(" + ", ".join(_l2_sql(f"_s{s}", book[j]) for j in range(kk))
-        + ")"
-        for s, book in enumerate(codebooks)
-    ) + ")"
     q = qstaged.select(
-        "query_id", F.expr(lut).alias("_lut"),
+        "query_id", F.expr(_lut_sql(codebooks)).alias("_lut"),
         F.explode("_cells").alias("cell"))
 
     dist = F.aggregate(

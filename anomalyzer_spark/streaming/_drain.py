@@ -30,21 +30,25 @@ def drain_available_now(
     row — Update-mode callers select final state themselves).
 
     ``ns_ts_cols``: event-time columns that legacy fixtures may store as
-    INT64 TIMESTAMP(NANOS); when such a column streams in as bigint it is
-    converted to µs TimestampType so downstream timeutil normalization
-    (which treats raw ints as epoch-µs) can never mis-scale it.
+    INT64 TIMESTAMP(NANOS). A bigint column is ambiguous — it could be
+    legitimate epoch-µs (timeutil's documented integer contract) — so the
+    encoding is PROBED from the batch read's actual magnitude (epoch-ns
+    values are ~1e18, epoch-µs ~1e15; the 5e17 split is unambiguous for
+    any timestamp between 1985 and the year 17,000) instead of assumed.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(input_path).schema
-    reader = spark.readStream.schema(schema)
+    batch = spark.read.parquet(input_path)
+    reader = spark.readStream.schema(batch.schema)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(input_path)
     dtypes = dict(stream.dtypes)
     for c in ns_ts_cols:
-        if dtypes.get(c) == "bigint":  # ns → µs timestamp
-            stream = stream.withColumn(
-                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            probe = batch.select(F.max(F.abs(F.col(c)))).first()[0]
+            if probe is not None and probe > 5 * 10**17:  # ns → µs timestamp
+                stream = stream.withColumn(
+                    c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     q = (
         build(stream).writeStream.format("memory")
         .queryName(query_name)

@@ -44,7 +44,14 @@ def epoch_us_col(df: DataFrame, ts_col: str) -> Column:
     the NTZ domain: timezone-independent, equals DuckDB ``epoch_us``).
     DATE → µs at UTC midnight. Integer → passed through as epoch-µs.
     """
-    dt = dict(df.dtypes).get(ts_col)
+    dtypes = dict(df.dtypes)
+    dt = dtypes.get(ts_col)
+    if dt is None:
+        # Spark resolves column names case-insensitively by default but
+        # df.dtypes keys are exact — accept a unique case-insensitive match
+        matches = [c for c in dtypes if c.lower() == ts_col.lower()]
+        if len(matches) == 1:
+            dt = dtypes[matches[0]]
     c = F.col(ts_col)
     if dt == "timestamp":
         return F.unix_micros(c)

@@ -289,9 +289,13 @@ def test_ivfpq_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     out = search_ivfpq_index(spark, idx_path, queries, cents, books,
                              k=3, n_probe=2)
     plan = explain_str(out)
-    # the probed-cell literal reaches the scan as a partition filter
-    pf = plan.split("PartitionFilters", 1)
-    assert len(pf) == 2 and "cell" in pf[1][:200]
+    # the probed-cell literal reaches the scan as a PARTITION filter —
+    # assert inside the PartitionFilters bracket itself, not nearby text
+    # (PushedFilters mentioning 'cell' must not satisfy this)
+    pf = plan.split("PartitionFilters: [", 1)
+    assert len(pf) == 2
+    inside = pf[1][:pf[1].index("]")]
+    assert "cell" in inside, f"no partition filter on cell: [{inside}]"
     got = {(r["query_id"], r["rnk"]): r["neighbor_id"] for r in out.collect()}
     exp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
            for r in similarity.ivfpq_topk(

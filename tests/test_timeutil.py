@@ -62,3 +62,12 @@ def test_epoch_us_handles_date_and_int_columns(spark):
     ).collect()[0]
     assert row["du"] == 1709251200000000  # 2024-03-01T00:00Z in µs
     assert row["uu"] == 1_700_000_000_000_000  # ints pass through
+
+
+def test_epoch_us_case_insensitive_column_lookup(spark):
+    """Spark resolves F.col case-insensitively by default; the dtypes
+    lookup must match that (a 'TS' column found via ts_col='ts')."""
+    df = spark.createDataFrame([(1_700_000_000_000_000,)], "TS long")
+    assert df.select(
+        epoch_us_col(df, "ts").alias("u")).collect()[0]["u"] \
+        == 1_700_000_000_000_000

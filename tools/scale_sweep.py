@@ -112,7 +112,7 @@ def main() -> None:
     cells = {}
     if args.docs:
         cells.update(dedup_cells(
-            spark, [int(x) for x in args.docs.split(",")], args.repeat))
+            spark, [int(x) for x in args.docs.split(",") if x], args.repeat))
     for n_keys in key_counts:
         df = make_frame(spark, n_keys, args.points)
         df.cache().count()  # isolate detect cost from input synthesis
