@@ -827,6 +827,10 @@ def q_kafka_parse(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # HARD CONSTRAINT: the driver's correctness gate records at most the
+    # FIRST 50 entries (rounds 2/3 each silently dropped the 51st). Keep
+    # this registry at EXACTLY 50 — to add a query, merge or retire one
+    # first (tests/test_entry_oracle.py pins the count).
     return {
         "detect_det": q_detect_det,
         "detect_det_onesided": q_detect_det_onesided,

@@ -54,4 +54,7 @@ def test_entry_contract(spark):
     assert len(rows) > 0
     qs, osql = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(osql) <= set(qs), "every oracle needs a query"
-    assert len(osql) >= 19
+    # the driver gate records at most 50 queries; more than 50 means the
+    # tail silently loses its correctness row (see queries() comment)
+    assert len(qs) == 50, f"registry must stay at exactly 50, got {len(qs)}"
+    assert len(osql) == 50
