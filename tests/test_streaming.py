@@ -406,3 +406,28 @@ def test_dedup_stream_bounded_state_expires(spark, tmp_path):
     q.awaitTermination()
     got = {r["doc_id"] for r in spark.table("bounded_dedup_t").collect()}
     assert got == {1, 3, 5, 4}  # 2 suppressed; 4 re-emitted after expiry
+
+
+def test_text_profile_and_sampling_work_on_streams(spark, sf_dir, tmp_path):
+    """The map-only curation operators (text_profile, hash_sample) are
+    stateless projections/filters, so the SAME functions run unchanged on
+    streaming frames — streamed output must equal the batch result."""
+    from anomalyzer_spark.functions import sampling, text
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming._drain import drain_available_now
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "txt_stream_in")
+    d.coalesce(2).write.mode("overwrite").parquet(sdir)
+
+    res = drain_available_now(
+        spark, sdir,
+        lambda s: text.text_profile(sampling.hash_sample(s, 0.5),
+                                    "text", "doc_id"),
+        "txt_stream_t", output_mode="append")
+    got = {r["doc_id"]: (r["quality_score"], r["lang_pred"], r["norm_words"])
+           for r in res.collect()}
+    exp = {r["doc_id"]: (r["quality_score"], r["lang_pred"], r["norm_words"])
+           for r in text.text_profile(sampling.hash_sample(d, 0.5),
+                                      "text", "doc_id").collect()}
+    assert got == exp and len(got) > 0
