@@ -102,3 +102,49 @@ def search_ivfpq_index(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= k)
+
+
+def serve_ivfpq_stream(
+    spark: SparkSession,
+    index_path: str,
+    query_stream: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    out_path: str,
+    checkpoint_path: str,
+    *,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 4,
+):
+    """Online ANN serving: a STREAM of query vectors scored per micro-batch
+    against the persisted index, results appended to a parquet sink.
+
+    This is the ``foreachBatch`` sink shape (SURVEY §2.7): the search needs
+    a per-batch driver action (collecting the batch's probe cells for the
+    partition-pruned scan), which pure streaming operators cannot express —
+    foreachBatch hands each micro-batch to the BATCH search, so the stored
+    index, pruning, and ranking are byte-identical to offline searches.
+    Exactly-once to the parquet sink comes from the checkpointed batch id.
+
+    Returns the started StreamingQuery (caller awaits/stops).
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        (
+            search_ivfpq_index(
+                spark, index_path, batch_df, centroids, codebooks,
+                vec_col=vec_col, query_id_col=query_id_col,
+                k=k, n_probe=n_probe)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append").parquet(out_path)
+        )
+
+    return (
+        query_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )

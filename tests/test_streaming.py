@@ -431,3 +431,42 @@ def test_text_profile_and_sampling_work_on_streams(spark, sf_dir, tmp_path):
            for r in text.text_profile(sampling.hash_sample(d, 0.5),
                                       "text", "doc_id").collect()}
     assert got == exp and len(got) > 0
+
+
+def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
+    """foreachBatch ANN serving: streamed query batches scored against the
+    persisted index must equal offline search results, with exactly-once
+    parquet output per checkpointed batch."""
+    from anomalyzer_spark.functions import similarity
+    from anomalyzer_spark.functions.ann_index import (
+        build_ivfpq_index, search_ivfpq_index, serve_ivfpq_stream)
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    import numpy as np
+    sample = np.array([r["embedding"] for r in
+                       e.where(F.col("vec_id") < 64).orderBy("vec_id")
+                       .collect()])
+    cents = similarity.train_ivf_centroids(sample, 8)
+    books = similarity.train_pq_codebooks(sample, m=4, k=8)
+    idx = str(tmp_path / "serve_idx")
+    build_ivfpq_index(e, idx, cents, books)
+
+    qdir = str(tmp_path / "serve_queries")
+    queries = e.where(F.col("vec_id") < 6).select("vec_id", "embedding")
+    queries.coalesce(2).write.mode("overwrite").parquet(qdir)
+    qstream = spark.readStream.schema(queries.schema).parquet(qdir)
+
+    out = str(tmp_path / "serve_out")
+    q = serve_ivfpq_stream(
+        spark, idx, qstream, cents, books, out,
+        str(tmp_path / "serve_ckpt"), k=3, n_probe=2)
+    q.awaitTermination()
+
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in spark.read.parquet(out).collect()}
+    exp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in search_ivfpq_index(spark, idx, queries, cents, books,
+                                       k=3, n_probe=2).collect()}
+    assert got == exp and len(got) > 0
