@@ -117,16 +117,27 @@ def serve_ivfpq_stream(
     query_id_col: str = "vec_id",
     k: int = 10,
     n_probe: int = 4,
+    trigger: dict | None = None,
 ):
     """Online ANN serving: a STREAM of query vectors scored per micro-batch
-    against the persisted index, results appended to a parquet sink.
+    against the persisted index, written to a per-batch parquet sink.
 
     This is the ``foreachBatch`` sink shape (SURVEY §2.7): the search needs
     a per-batch driver action (collecting the batch's probe cells for the
     partition-pruned scan), which pure streaming operators cannot express —
     foreachBatch hands each micro-batch to the BATCH search, so the stored
     index, pruning, and ranking are byte-identical to offline searches.
-    Exactly-once to the parquet sink comes from the checkpointed batch id.
+
+    foreachBatch's delivery contract is AT-LEAST-ONCE (a crash between the
+    sink write and the checkpoint commit replays the batch); the write is
+    made effectively-once by IDEMPOTENCE, not by the checkpoint alone:
+    each batch overwrites its own ``batch_id=N`` subdirectory, so a replay
+    rewrites identical files instead of appending duplicates
+    (tests/test_streaming.py asserts replay row counts).
+
+    ``trigger``: writeStream trigger kwargs — default availableNow (drain
+    what exists and stop: the backfill/test shape); pass e.g.
+    ``{"processingTime": "10 seconds"}`` for continuous serving.
 
     Returns the started StreamingQuery (caller awaits/stops).
     """
@@ -138,13 +149,13 @@ def serve_ivfpq_stream(
                 spark, index_path, batch_df, centroids, codebooks,
                 vec_col=vec_col, query_id_col=query_id_col,
                 k=k, n_probe=n_probe)
-            .withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append").parquet(out_path)
+            .write.mode("overwrite")
+            .parquet(f"{out_path}/batch_id={batch_id}")
         )
 
     return (
         query_stream.writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -435,8 +435,9 @@ def test_text_profile_and_sampling_work_on_streams(spark, sf_dir, tmp_path):
 
 def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
     """foreachBatch ANN serving: streamed query batches scored against the
-    persisted index must equal offline search results, with exactly-once
-    parquet output per checkpointed batch."""
+    persisted index must equal offline search results — including ROW
+    COUNTS (at-least-once replay of a batch must not duplicate output:
+    the per-batch-directory overwrite is the idempotence mechanism)."""
     from anomalyzer_spark.functions import similarity
     from anomalyzer_spark.functions.ann_index import (
         build_ivfpq_index, search_ivfpq_index, serve_ivfpq_stream)
@@ -464,9 +465,21 @@ def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
         str(tmp_path / "serve_ckpt"), k=3, n_probe=2)
     q.awaitTermination()
 
+    served = spark.read.parquet(out)
+    offline = search_ivfpq_index(spark, idx, queries, cents, books,
+                                 k=3, n_probe=2)
     got = {(r["query_id"], r["rnk"]): r["neighbor_id"]
-           for r in spark.read.parquet(out).collect()}
+           for r in served.collect()}
     exp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
-           for r in search_ivfpq_index(spark, idx, queries, cents, books,
-                                       k=3, n_probe=2).collect()}
+           for r in offline.collect()}
     assert got == exp and len(got) > 0
+    # no duplicated rows (the dict compare alone would mask duplicates)
+    assert served.count() == offline.count()
+    # restarting from the same checkpoint replays nothing (all batches
+    # committed) and a hypothetical replay overwrites its own batch_id
+    # directory — either way the output must not grow
+    q2 = serve_ivfpq_stream(
+        spark, idx, qstream, cents, books, out,
+        str(tmp_path / "serve_ckpt"), k=3, n_probe=2)
+    q2.awaitTermination()
+    assert spark.read.parquet(out).count() == offline.count()

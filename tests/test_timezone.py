@@ -33,9 +33,16 @@ def duck_tz(sf_dir):
     con.close()
 
 
+@pytest.fixture(scope="module")
+def oracles(sf_dir):
+    # built once: oracle_sql refits the data-dependent quantizer literals
+    # per call — no reason to pay that per parametrized case
+    return entry_mod.oracle_sql(sf_dir=sf_dir)
+
+
 @pytest.mark.parametrize("name", TZ_SENSITIVE)
-def test_query_tz_independent(ny_spark, sf_dir, duck_tz, name):
+def test_query_tz_independent(ny_spark, sf_dir, duck_tz, oracles, name):
     spark_pdf = entry_mod.queries()[name](ny_spark, sf_dir).toPandas()
-    duck_pdf = duck_tz.sql(entry_mod.oracle_sql(sf_dir=sf_dir)[name]).df()
+    duck_pdf = duck_tz.sql(oracles[name]).df()
     problems = compare(name, spark_pdf, duck_pdf)
     assert not problems, problems
