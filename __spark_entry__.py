@@ -724,21 +724,20 @@ def q_resample_stream(spark, sf_dir):
 
 
 def q_multimodal(spark, sf_dir):
-    """Multimodal payload pipeline: binary-column metadata (size/md5/magic —
-    pure column expressions) joined with the mapInPandas byte-feature
-    extraction (the decode-shaped Arrow-batch path) on the unique doc id.
-    Replaces the round-2/3 multimodal_meta + multimodal_features queries
-    (50-query driver gate; both operators' columns hash-checked here).
-    Rounding happens JVM-side (F.round == DuckDB round, half-away) — not in
-    the Python kernel, whose banker's round() flips exact .xxxxxx5 means."""
+    """Multimodal payload pipeline in ONE pass: binary-column metadata
+    (size/md5/magic — pure column expressions, computed JVM-side on the way
+    into the Arrow stage) fused with the mapInPandas byte-feature extraction
+    (the decode-shaped path), so the payload crosses Arrow exactly once and
+    the merged result needs no join/exchange. Replaces the round-2/3
+    multimodal_meta + multimodal_features queries (50-query driver gate;
+    both operators' columns hash-checked here). Rounding happens JVM-side
+    (F.round == DuckDB round, half-away) — not in the Python kernel, whose
+    banker's round() flips exact .xxxxxx5 means."""
     from anomalyzer_spark.functions import multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
-    meta = multimodal.payload_meta(with_payload, "content", "doc_id")
-    feats = _round6(
-        multimodal.byte_features(with_payload, "content", "doc_id"),
-        "byte_mean", "byte_std", "byte_entropy").drop("n_bytes")
-    return meta.join(feats, "doc_id")
+    prof = multimodal.payload_profile(with_payload, "content", "doc_id")
+    return _round6(prof, "byte_mean", "byte_std", "byte_entropy")
 
 
 def q_sessions_stream(spark, sf_dir):

@@ -51,6 +51,16 @@ def attach_payload(df: DataFrame, text_col: str = "text",
     )
 
 
+def _format_expr(c):
+    """Magic-prefix sniff as a pure column expression."""
+    fmt = F.lit("unknown")
+    for magic, tag in MAGIC.items():
+        fmt = F.when(
+            F.hex(F.substring(c, 1, len(magic))) == magic.hex().upper(),
+            F.lit(tag)).otherwise(fmt)
+    return fmt
+
+
 def payload_meta(df: DataFrame, content_col: str = "content",
                  id_col: str = "doc_id") -> DataFrame:
     """Pure-column metadata over a binary payload: size, md5, magic sniff.
@@ -58,17 +68,11 @@ def payload_meta(df: DataFrame, content_col: str = "content",
     JVM-side only — no Python, map-only, scales with scan bandwidth.
     """
     c = F.col(content_col)
-    fmt = F.lit("unknown")
-    for magic, tag in MAGIC.items():
-        hexpat = magic.hex()
-        fmt = F.when(
-            F.hex(F.substring(c, 1, len(magic))) == hexpat.upper(), F.lit(tag)
-        ).otherwise(fmt)
     return df.select(
         F.col(id_col),
         F.octet_length(c).cast("long").alias("n_bytes"),
         F.md5(c).alias("content_md5"),
-        fmt.alias("format"),
+        _format_expr(c).alias("format"),
     )
 
 
@@ -81,6 +85,33 @@ _FEATURES_SCHEMA = StructType([
 ])
 
 
+def _byte_feats(raw: bytes) -> tuple[float, float, float]:
+    """(mean, std, entropy) of a byte payload.
+
+    Exact integer sums + order-free double formulas: bit-identical in any
+    engine (the DuckDB oracle reruns these expressions verbatim), unlike
+    numpy's pairwise-summation mean/std whose low bits depend on array
+    length. UNROUNDED: byte means are dyadic rationals that land exactly on
+    .xxxxxx5 decimals, where Python's banker's round() diverges from SQL
+    half-away round() — callers round JVM-side (F.round) to match the
+    oracle.
+    """
+    import math
+
+    b = np.frombuffer(raw, dtype=np.uint8)
+    n = len(b)
+    if n == 0:
+        return 0.0, 0.0, 0.0
+    s1 = int(b.sum(dtype=np.int64))
+    s2 = int((b.astype(np.int64) ** 2).sum())
+    mean = s1 / n
+    var = max(s2 / n - mean * mean, 0.0)
+    counts = np.bincount(b, minlength=256)
+    # ascending byte value, sequential left-to-right sum
+    ent = -sum((int(c) / n) * math.log2(int(c) / n) for c in counts if c > 0)
+    return mean, math.sqrt(var), ent
+
+
 def byte_features(df: DataFrame, content_col: str = "content",
                   id_col: str = "doc_id") -> DataFrame:
     """Deterministic byte-level features via ``mapInPandas`` (Arrow batches).
@@ -91,37 +122,59 @@ def byte_features(df: DataFrame, content_col: str = "content",
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import math
-
         for pdf in batches:
             rows = []
             for did, raw in zip(pdf[id_col], pdf[content_col]):
-                b = np.frombuffer(bytes(raw), dtype=np.uint8)
-                n = len(b)
-                if n == 0:
-                    rows.append((int(did), 0, 0.0, 0.0, 0.0))
-                    continue
-                # exact integer sums + order-free double formulas: bit-
-                # identical in any engine (the DuckDB oracle reruns these
-                # expressions verbatim), unlike numpy's pairwise-summation
-                # mean/std whose low bits depend on array length.
-                s1 = int(b.sum(dtype=np.int64))
-                s2 = int((b.astype(np.int64) ** 2).sum())
-                mean = s1 / n
-                var = max(s2 / n - mean * mean, 0.0)
-                counts = np.bincount(b, minlength=256)
-                # ascending byte value, sequential left-to-right sum
-                ent = -sum((int(c) / n) * math.log2(int(c) / n)
-                           for c in counts if c > 0)
-                # UNROUNDED: byte means are dyadic rationals that land
-                # exactly on .xxxxxx5 decimals, where Python's banker's
-                # round() diverges from SQL half-away round() — callers
-                # round JVM-side (F.round) to match the oracle.
-                rows.append((int(did), int(n), mean, math.sqrt(var), ent))
+                b = bytes(raw)
+                rows.append((int(did), len(b)) + _byte_feats(b))
             yield pd.DataFrame(rows, columns=[f.name for f in _FEATURES_SCHEMA])
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
         fn, _FEATURES_SCHEMA)
+
+
+_PROFILE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("content_md5", StringType()),
+    StructField("format", StringType()),
+    StructField("byte_mean", DoubleType()),
+    StructField("byte_std", DoubleType()),
+    StructField("byte_entropy", DoubleType()),
+])
+
+
+def payload_profile(df: DataFrame, content_col: str = "content",
+                    id_col: str = "doc_id") -> DataFrame:
+    """``payload_meta`` ⊕ ``byte_features`` in ONE pass: the pure-column
+    metadata (size/md5/magic) is computed JVM-side on the way INTO the
+    ``mapInPandas`` stage and carried through it, so the merged result needs
+    no join/exchange and the binary payload crosses Arrow exactly once. The
+    meta scalars riding along are ~40 bytes/row next to the payload that
+    must cross anyway — strictly cheaper than a second payload synthesis +
+    shuffle join of the two halves."""
+    c = F.col(content_col)
+    with_meta = df.select(
+        F.col(id_col),
+        F.octet_length(c).cast("long").alias("n_bytes"),
+        F.md5(c).alias("content_md5"),
+        _format_expr(c).alias("format"),
+        c.alias(content_col),
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, nb, md5h, fmt_tag, raw in zip(
+                    pdf[id_col], pdf["n_bytes"], pdf["content_md5"],
+                    pdf["format"], pdf[content_col]):
+                rows.append(
+                    (int(did), int(nb), md5h, fmt_tag)
+                    + _byte_feats(bytes(raw)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _PROFILE_SCHEMA])
+
+    return with_meta.mapInPandas(fn, _PROFILE_SCHEMA)
 
 
 def decode_image(df: DataFrame, content_col: str = "content",

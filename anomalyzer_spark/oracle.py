@@ -208,6 +208,15 @@ def perm_matrix_fast(
     this path exists because the hash spec costs ~perm_count·n md5 calls
     per key (~7 ms), which dominates Monte-Carlo detect at 100k+ key
     cardinality (tools/scale_sweep.py measures both).
+
+    VERSION PIN: determinism rides on NumPy's ``Generator.permuted`` +
+    Philox stream, which NEP 19 only guarantees within a NumPy version. A
+    driver/executor NumPy skew (or an upgrade between runs) can silently
+    desync engine, stream, and cached results under ``perm_spec='fast'`` —
+    deployments using 'fast' MUST pin one NumPy version across the cluster
+    (tests/test_oracle_properties.py carries a golden permutation row that
+    fails loudly if the stream ever changes). The contract default 'hash'
+    depends only on md5 and is version-proof.
     """
     root = int.from_bytes(
         hashlib.md5(

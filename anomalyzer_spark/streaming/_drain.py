@@ -32,9 +32,13 @@ def drain_available_now(
     ``ns_ts_cols``: event-time columns that legacy fixtures may store as
     INT64 TIMESTAMP(NANOS). A bigint column is ambiguous — it could be
     legitimate epoch-µs (timeutil's documented integer contract) — so the
-    encoding is PROBED from the batch read's actual magnitude (epoch-ns
-    values are ~1e18, epoch-µs ~1e15; the 5e17 split is unambiguous for
-    any timestamp between 1985 and the year 17,000) instead of assumed.
+    encoding is PROBED from a handful of sampled values (epoch-ns values
+    are ~1e18, epoch-µs ~1e15; the 5e17 split is unambiguous for any
+    timestamp between 1985 and the year 17,000) instead of assumed. The
+    probe is a LIMIT over the single column — at scale that is one
+    column-pruned read of the first row groups, never a full-input
+    aggregation (an abs()/max() probe would defeat parquet stats and scan
+    everything per runner invocation).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(input_path)
@@ -45,8 +49,12 @@ def drain_available_now(
     dtypes = dict(stream.dtypes)
     for c in ns_ts_cols:
         if dtypes.get(c) == "bigint":
-            probe = batch.select(F.max(F.abs(F.col(c)))).first()[0]
-            if probe is not None and probe > 5 * 10**17:  # ns → µs timestamp
+            # any non-null sample discriminates: both encodings put every
+            # value of a column on the same side of 5e17 (a mixed column
+            # would be a corrupt fixture, not an encoding choice)
+            sample = (batch.select(F.col(c)).where(F.col(c).isNotNull())
+                      .limit(8).collect())
+            if sample and max(abs(r[0]) for r in sample) > 5 * 10**17:
                 stream = stream.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     q = (

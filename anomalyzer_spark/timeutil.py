@@ -36,6 +36,13 @@ _EPOCH_NTZ = "TIMESTAMP_NTZ'1970-01-01 00:00:00'"
 _INT_TYPES = {"bigint", "int", "long", "smallint", "tinyint"}
 
 
+def _quoted(name: str) -> str:
+    """Backtick-quote ``name`` for SQL interpolation. Literal backticks are
+    doubled (Spark's escape inside quoted identifiers) so a hostile/odd
+    column name yields a correctly bound reference, not a malformed expr."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def epoch_us_col(df: DataFrame, ts_col: str) -> Column:
     """Epoch-µs int64 view of ``ts_col``, whatever its physical type.
 
@@ -57,11 +64,11 @@ def epoch_us_col(df: DataFrame, ts_col: str) -> Column:
         return F.unix_micros(c)
     if dt == "timestamp_ntz":
         return F.expr(
-            f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, `{ts_col}`)")
+            f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, {_quoted(ts_col)})")
     if dt == "date":
         return F.expr(
             f"timestampdiff(MICROSECOND, {_EPOCH_NTZ},"
-            f" cast(`{ts_col}` as timestamp_ntz))")
+            f" cast({_quoted(ts_col)} as timestamp_ntz))")
     if dt in _INT_TYPES:
         # documented contract: integer event time IS epoch-µs. Epoch-ns
         # ints (legacy nanosAsLong fixtures) must be normalized by the

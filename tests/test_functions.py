@@ -328,6 +328,29 @@ def test_multimodal_decode_stub():
         multimodal.decode_image(None)
 
 
+def test_payload_profile_equals_meta_plus_features(spark, docs):
+    """The fused one-pass profile must equal payload_meta ⊕ byte_features
+    joined on doc_id, column for column — same values, one Arrow crossing
+    and zero joins instead of two payload syntheses plus an exchange."""
+    wp = multimodal.attach_payload(docs, "text", "doc_id")
+    fused = {r["doc_id"]: r for r in
+             multimodal.payload_profile(wp, "content", "doc_id").collect()}
+    meta = {r["doc_id"]: r for r in
+            multimodal.payload_meta(wp, "content", "doc_id").collect()}
+    feats = {r["doc_id"]: r for r in
+             multimodal.byte_features(wp, "content", "doc_id").collect()}
+    assert set(fused) == set(meta) == set(feats)
+    for did, row in fused.items():
+        for c in ("n_bytes", "content_md5", "format"):
+            assert row[c] == meta[did][c], (did, c)
+        for c in ("byte_mean", "byte_std", "byte_entropy"):
+            assert row[c] == feats[did][c], (did, c)
+    # one-pass shape: no join/exchange in the fused plan
+    plan = (multimodal.payload_profile(wp, "content", "doc_id")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan and "Join" not in plan
+
+
 def test_asof_join_matches_pandas(spark):
     rng = np.random.default_rng(6)
     right = pd.DataFrame({
@@ -419,12 +442,12 @@ def test_lsh_params_math():
         similarity.lsh_params(0.2, 0.999, max_planes=2)
 
 
-def test_cosine_pairs_target_recall_achieved(spark):
+def test_cosine_pairs_target_recall_achieved(spark, sf01_dir):
     """Recall-tunable LSH: cosine_pairs with a stated target_recall must
     achieve at least that recall vs the exact all-pairs baseline — on the
     sf0.01 embeddings at thresholds where the corpus HAS ground truth
     (its max pairwise cosine is ~0.51, so 0.35/0.4)."""
-    e = (spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    e = (spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
          .select("vec_id", F.col("embedding").cast("array<double>")
                  .alias("embedding")))
     # collision_prob is a per-pair probability AT the threshold; over a

@@ -146,6 +146,25 @@ def test_perm_matrix_fast_valid_and_deterministic():
     assert not (a == c).all() and not (a == d).all()
 
 
+def test_perm_matrix_fast_golden_stream():
+    """Golden rows for the Philox stream (computed under NumPy 1.26): NEP 19
+    lets Generator.permuted change across NumPy releases, and perm_spec=
+    'fast' determinism is only within one version — this pins the stream so
+    an upgrade (or driver/executor version skew) fails HERE, loudly, rather
+    than silently desyncing engine vs oracle vs cached results."""
+    from anomalyzer_spark import oracle
+
+    m = oracle.perm_matrix_fast(42, "k1", "highrank", 3, 10)
+    assert m.tolist() == [
+        [1, 3, 2, 4, 0, 9, 7, 6, 5, 8],
+        [3, 5, 0, 2, 4, 9, 1, 8, 7, 6],
+        [4, 2, 1, 3, 9, 6, 8, 0, 5, 7],
+    ], ("NumPy's Philox/permuted stream changed (NEP 19): perm_spec='fast' "
+        "results are no longer comparable with those from the NumPy version "
+        "this golden was generated under — re-pin NumPy or invalidate any "
+        "cached 'fast' results before re-goldening")
+
+
 def test_perm_spec_fast_probs_agree_with_hash():
     """Both specs are valid Monte-Carlo estimators of the same p-value:
     on a strong-signal window their probs must agree within MC error
