@@ -90,13 +90,6 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
-def q_detect_det(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    out = detect(ev, ["event_type"], "ts", "value", DET_CONF,
-                 tiebreak_cols=["event_id"])
-    return _round6(out.select("event_type", "n_points", "prob"), "prob")
-
-
 def q_detect_det_users(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     out = detect(ev, ["user_id"], "ts", "value", DET_CONF,
@@ -266,26 +259,53 @@ def q_simhash(spark, sf_dir):
 
 def q_data_pipeline(spark, sf_dir):
     """Composed LLM-data curation pipeline: exact-dedup keep-first →
-    quality filter → language split → corpus stats. One declarative plan —
-    Catalyst fuses the whole chain into scan → map stages → one shuffle."""
+    quality filter → language split → corpus stats, extended (round 5)
+    with the reproducible-sampling + vocabulary stage so hash_sample and
+    text.vocab get DuckDB value-hash coverage without a new registry slot:
+    survivors are hash-sampled at 50% (deterministic md5 acceptance window
+    — the same sample on any cluster/retry), the sampled sub-corpus builds
+    a min_count=2 vocabulary (term + doc frequencies), and each language
+    row carries its sampled-doc count plus the corpus-level vocab summary
+    (size, doc-freq mass, top token by term_freq with lexicographic
+    tiebreak). One declarative plan — scan → map stages → three small
+    aggregations."""
+    from anomalyzer_spark.functions import sampling
+
     d = _docs(spark, sf_dir)
     keep = dedup.exact_dedup(d, "text", "doc_id").where(
         ~F.col("is_duplicate")).select("doc_id")
     stats = text.text_stats(d, "text", "doc_id")
     langs = text.lang_id(d, "text", "doc_id").select("doc_id", "lang_pred")
-    return (
+    surv = (
         d.join(keep, "doc_id", "left_semi")
         .join(stats, "doc_id")
         .join(langs, "doc_id")
         .where(F.col("quality_score") >= 0.4)
-        .groupBy("lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum(F.col("n_tokens")).alias("total_tokens"),
-            F.round(
-                F.sum(F.col("quality_score").cast("decimal(10,6)"))
-                .cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
-        )
+    )
+    per_lang = surv.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_tokens")).alias("total_tokens"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(10,6)"))
+            .cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )
+    samp = sampling.hash_sample(surv, 0.5, "doc_id", seed=42)
+    samp_counts = samp.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_sample_docs"))
+    voc = text.vocab(samp.select("doc_id", "text"), "text", "doc_id",
+                     min_count=2)
+    vstats = voc.agg(
+        F.count(F.lit(1)).alias("sample_vocab_size"),
+        F.sum("doc_freq").alias("sample_df_sum"))
+    vtop = (voc.orderBy(F.col("term_freq").desc(), F.col("token").asc())
+            .limit(1)
+            .select(F.col("token").alias("sample_top_token"),
+                    F.col("term_freq").alias("sample_top_tf")))
+    return (
+        per_lang.join(samp_counts, "lang_pred", "left")
+        .na.fill({"n_sample_docs": 0})
+        .crossJoin(F.broadcast(vstats))
+        .crossJoin(F.broadcast(vtop))
     )
 
 
@@ -416,6 +436,31 @@ def q_pq_topk(spark, sf_dir):
     out = similarity.pq_topk(
         e, e.where(F.col("vec_id") < 20), books, id_col="vec_id",
         vec_col="embedding", query_id_col="vec_id", k=TOPK)
+    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed production index (similarity.ivfpq_topk): IVF cell
+    pruning decides WHICH rows are scored (each query probes its
+    IVF_PROBE nearest coarse cells), PQ codes decide WHAT is scored (ADC
+    lookup tables over m-byte codes — floats never touched at search
+    time), through ONE cell equi-join. Both models fit on the same
+    bounded vec_id-sorted sample as ivf_topk/pq_topk; the DuckDB oracle
+    re-fits them identically and replays cell assignment + encoding +
+    ADC scoring, so the composed index is value-hash checked end to end.
+    Registry slot freed by retiring detect_det (fully shadowed by
+    detect_bytest_det's per-test prob/weight hashes over the same conf
+    and key)."""
+    e = _embs(spark, sf_dir)
+    sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
+        .select("vec_id", "embedding").collect()
+    rows = [(r["vec_id"], r["embedding"]) for r in sample]
+    cents = _ivf_centroids(rows)
+    books = _pq_codebooks(rows)
+    out = similarity.ivfpq_topk(
+        e, e.where(F.col("vec_id") < 20), cents, books, id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=TOPK,
+        n_probe=IVF_PROBE)
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
 
 
@@ -831,7 +876,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # this registry at EXACTLY 50 — to add a query, merge or retire one
     # first (tests/test_entry_oracle.py pins the count).
     return {
-        "detect_det": q_detect_det,
         "detect_det_onesided": q_detect_det_onesided,
         "detect_det_users": q_detect_det_users,
         "detect_bytest_det": q_detect_bytest_det,
@@ -857,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
         "pq_topk": q_pq_topk,
+        "ivfpq_topk": q_ivfpq_topk,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
@@ -1228,7 +1273,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """
     sql: dict[str, str] = {}
 
-    sql["detect_det"] = _detect_sql("event_type", DET_CONF)
     sql["detect_det_onesided"] = _detect_sql("event_type", ONESIDED_CONF)
     sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
@@ -1645,18 +1689,46 @@ WITH keep AS (
     g AS (SELECT h, min(doc_id) AS canon FROM hashed GROUP BY h)
     SELECT h.doc_id FROM hashed h JOIN g USING (h) WHERE h.doc_id = g.canon)),
 stats AS (__STATS__),
-langs AS (__LANGS__)
-SELECT l.lang_pred,
-  count(*) AS n_docs,
-  sum(s.n_tokens)::BIGINT AS total_tokens,
-  round(sum(s.quality_score::DECIMAL(10,6))::DOUBLE / count(*), 6)
-    AS avg_quality
-FROM documents d
-JOIN keep USING (doc_id)
-JOIN stats s USING (doc_id)
-JOIN langs l USING (doc_id)
-WHERE s.quality_score >= 0.4
-GROUP BY l.lang_pred""".replace(
+langs AS (__LANGS__),
+surv AS (
+  SELECT d.doc_id, d.text, l.lang_pred, s.quality_score, s.n_tokens
+  FROM documents d
+  JOIN keep USING (doc_id)
+  JOIN stats s USING (doc_id)
+  JOIN langs l USING (doc_id)
+  WHERE s.quality_score >= 0.4),
+per_lang AS (
+  SELECT lang_pred, count(*) AS n_docs,
+    sum(n_tokens)::BIGINT AS total_tokens,
+    round(sum(quality_score::DECIMAL(10,6))::DOUBLE / count(*), 6)
+      AS avg_quality
+  FROM surv GROUP BY lang_pred),
+samp AS (
+  -- hash_sample(rate=0.5, seed=42): md5-derived 48-bit acceptance window
+  SELECT * FROM surv
+  WHERE ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::BIGINT
+        < 140737488355328),
+samp_counts AS (
+  SELECT lang_pred, count(*) AS n_sample_docs FROM samp GROUP BY lang_pred),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+  FROM samp),
+voc AS (
+  SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
+  FROM toks GROUP BY token HAVING count(*) >= 2),
+vstats AS (
+  SELECT count(*) AS sample_vocab_size, sum(doc_freq)::BIGINT AS sample_df_sum
+  FROM voc),
+vtop AS (
+  SELECT token AS sample_top_token, term_freq AS sample_top_tf
+  FROM voc ORDER BY term_freq DESC, token ASC LIMIT 1)
+SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
+  coalesce(sc.n_sample_docs, 0)::BIGINT AS n_sample_docs,
+  v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf
+FROM per_lang p
+LEFT JOIN samp_counts sc USING (lang_pred)
+CROSS JOIN vstats v CROSS JOIN vtop t""".replace(
         "__STATS__", sql["text_stats"].strip()).replace(
         "__LANGS__", sql["lang_id"].strip())
 
@@ -1825,6 +1897,46 @@ sc AS (
     list_sum(list_transform(range(1, {PQ_M + 1}), s2 ->
       lut[s2][codes[s2] + 1])) AS pq_dist
   FROM codes, luts),
+r AS (SELECT query_id, neighbor_id, pq_dist,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY pq_dist ASC, neighbor_id) AS rnk
+      FROM sc)
+SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk
+FROM r WHERE rnk <= {TOPK}"""
+
+        # ivfpq_topk oracle: composes the two models above verbatim —
+        # cell assignment (ivf_topk's cellified CTE) restricts WHICH rows
+        # are scored, codes + per-query ADC LUTs (pq_topk's CTEs) decide
+        # HOW, through the same cell equi-join similarity.ivfpq_topk runs.
+        sql["ivfpq_topk"] = f"""
+WITH ce AS (SELECT [{cent_sql}]::DOUBLE[][] AS cents),
+pqb AS (SELECT [{book_sql}]::DOUBLE[][][] AS pq),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cellified AS (
+  SELECT vec_id, v,
+    list_transform(list_sort(list_transform(range(1, {IVF_CLUSTERS + 1}), i ->
+      struct_pack(neg := -(list_dot_product(v, cents[i]) /
+                  (sqrt(list_dot_product(v, v)) *
+                   sqrt(list_dot_product(cents[i], cents[i])))),
+                  cid := i - 1))), c0 -> c0.cid) AS cells
+  FROM e, ce),
+codes AS (
+  SELECT vec_id AS neighbor_id, cells[1] AS cell,
+    list_transform(range(1, {PQ_M + 1}), s ->
+      list_sort(list_transform(range(1, {PQ_K + 1}), j ->
+        struct_pack(d := {l2}, cid := j - 1)))[1].cid) AS codes
+  FROM cellified, pqb),
+luts AS (
+  SELECT vec_id AS query_id,
+    list_transform(range(1, {PQ_M + 1}), s ->
+      list_transform(range(1, {PQ_K + 1}), j -> {l2})) AS lut,
+    unnest(cells[1:{IVF_PROBE}]) AS cell
+  FROM cellified, pqb WHERE vec_id < 20),
+sc AS (
+  SELECT query_id, neighbor_id,
+    list_sum(list_transform(range(1, {PQ_M + 1}), s2 ->
+      lut[s2][codes[s2] + 1])) AS pq_dist
+  FROM codes JOIN luts USING (cell)),
 r AS (SELECT query_id, neighbor_id, pq_dist,
         row_number() OVER (PARTITION BY query_id
                            ORDER BY pq_dist ASC, neighbor_id) AS rnk

@@ -87,6 +87,30 @@ def lsh_params(
         f"{target_recall} at threshold {threshold}; raise max_planes")
 
 
+def checked_width(df: DataFrame, vec_col: str, dim: int,
+                  what: str = "model") -> DataFrame:
+    """Replace ``vec_col`` with a width-asserting view of itself: any row
+    whose array length ≠ ``dim`` raises a clear error at execution time.
+
+    Guards every literal-model path (hyperplanes, IVF centroids, PQ
+    codebooks): a mismatched ``dim`` would otherwise degrade SILENTLY —
+    ``zip_with`` pads the shorter side with NULLs, so dot products go NULL,
+    signature bits collapse to 0, and recall quietly craters instead of
+    erroring. One ``size()`` comparison per row (negligible next to the
+    fold it guards), no extra driver job, and it works on streaming frames
+    where a collect-probe could not.
+    """
+    c = F.col(vec_col)
+    return df.withColumn(
+        vec_col,
+        F.when(F.size(c) == dim, c).otherwise(F.raise_error(F.concat(
+            F.lit(f"embedding width mismatch in {vec_col!r}: {what} "
+                  f"expects dim={dim}, found row with size "),
+            F.size(c).cast("string"),
+            F.lit(" — pass the actual embedding width (or retrain the "
+                  "model at it)")))))
+
+
 def dot(a: Column, b: Column) -> Column:
     """JVM-side dot product of two array<float/double> columns."""
     return F.aggregate(
@@ -185,6 +209,7 @@ def lsh_buckets(
     n = len(planes)
     assert n % bands == 0, "bands must divide number of hyperplanes"
     rows = n // bands
+    df = checked_width(df, vec_col, len(planes[0]), "LSH hyperplanes")
     sig = lsh_signature(vec_col, planes)
     out = df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
     band_struct = F.explode(
@@ -339,6 +364,9 @@ def ivf_topk(
     def _nearest_cells(vec_name: str, n: int):
         return nearest_cells(vec_name, centroids, n)
 
+    dim = len(centroids[0])
+    corpus = checked_width(corpus, vec_col, dim, "IVF centroids")
+    queries = checked_width(queries, vec_col, dim, "IVF centroids")
     c_assigned = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
         _nearest_cells(vec_col, 1)[0].alias("cell"),
@@ -357,6 +385,55 @@ def ivf_topk(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= k)
+
+
+def ivf_probe_params(
+    sample: np.ndarray,
+    centroids: list[list[float]],
+    *,
+    target_recall: float = 0.9,
+    k: int = 10,
+) -> int:
+    """Smallest ``n_probe`` whose empirical top-``k`` recall on the training
+    SAMPLE meets ``target_recall`` — the IVF mirror of ``lsh_params``:
+    callers state intent (recall target) instead of a magic probe count.
+
+    IVF recall has no closed form (it depends on how the corpus actually
+    clusters), so this calibrates the standard way production indexes do:
+    each sample vector queries the rest of the sample; a true top-k
+    neighbor is recovered iff its assigned cell ranks within the query's
+    first ``p`` probed cells; recall(p) = mean recovered fraction. Pure
+    deterministic NumPy over the same bounded sample the quantizer trained
+    on — the model never sees the full corpus. Monotone in p and exact at
+    p = n_clusters (recall 1.0), so a valid answer always exists.
+    """
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError("target_recall must be in (0, 1]")
+    x = np.asarray(sample, dtype=np.float64)
+    n = len(x)
+    if n < 2:
+        raise ValueError("need at least 2 sample vectors to calibrate")
+    k = min(k, n - 1)
+    cents = np.asarray(centroids, dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    cell_sims = xn @ cn.T                     # (n, n_clusters)
+    assign = np.argmax(cell_sims, axis=1)     # corpus-side cell per vector
+    # probe depth of cell c for query q = 1 + its rank in q's cell ordering
+    order = np.argsort(-cell_sims, axis=1, kind="stable")
+    depth = np.empty_like(order)
+    np.put_along_axis(
+        depth, order,
+        np.broadcast_to(np.arange(order.shape[1]), order.shape), axis=1)
+    sims = xn @ xn.T
+    np.fill_diagonal(sims, -np.inf)           # a vector is not its own match
+    topk = np.argsort(-sims, axis=1, kind="stable")[:, :k]  # (n, k)
+    # needed[i, j] = probes query i must make to recover its j-th neighbor
+    needed = depth[np.arange(n)[:, None], assign[topk]] + 1
+    for p in range(1, len(cents) + 1):
+        if (needed <= p).mean() >= target_recall:
+            return p
+    return len(cents)
 
 
 def train_pq_codebooks(
@@ -444,7 +521,7 @@ def pq_encode(
     recompute it k times (the columnar.py staging lesson).
     """
     m, d = len(codebooks), len(codebooks[0][0])
-    staged = df.select(
+    staged = checked_width(df, vec_col, m * d, "PQ codebooks").select(
         F.col(id_col),
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
@@ -473,7 +550,7 @@ def pq_topk(
     the corpus side never shuffles and never touches float vectors."""
     query_id_col = query_id_col or id_col
     m, d = len(codebooks), len(codebooks[0][0])
-    qstaged = queries.select(
+    qstaged = checked_width(queries, vec_col, m * d, "PQ codebooks").select(
         F.col(query_id_col).alias("query_id"),
         *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
           for s in range(m)],
@@ -526,6 +603,12 @@ def ivfpq_topk(
     """
     query_id_col = query_id_col or id_col
     m, d = len(codebooks), len(codebooks[0][0])
+    if len(centroids[0]) != m * d:
+        raise ValueError(
+            f"inconsistent models: IVF centroids are dim "
+            f"{len(centroids[0])} but PQ codebooks cover {m}*{d}={m * d}")
+    corpus = checked_width(corpus, vec_col, m * d, "IVF-PQ models")
+    queries = checked_width(queries, vec_col, m * d, "IVF-PQ models")
     cstaged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         nearest_cells(vec_col, centroids, 1)[0].alias("cell"),

@@ -49,6 +49,7 @@ def tail_window(
     tiebreak_cols: list[str] | None = None,
     horizon=None,
     horizon_anchor=None,
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """Last ``n`` points per key as an ascending-ordered array column ``vec``.
 
@@ -70,6 +71,21 @@ def tail_window(
         long as the key count fits the broadcast threshold — beyond that,
         prefer the anchor form (AQE falls back to a sort-merge join that
         re-shuffles history).
+
+    Hot-key skew (``skew_salts``, SURVEY §4.2): the plain ``row_number``
+    window hashes ALL of a key's in-horizon rows to one task — Spark's
+    WindowGroupLimit bounds what each MAP task forwards to n, but one key
+    with millions of rows across many input splits still funnels
+    n·splits rows into a single reducer sort. ``skew_salts=S`` runs the
+    tail-N in TWO phases: phase 1 partitions by (keys, salt) — salt a
+    deterministic hash of (ts, tiebreaks, value) mod S — so the hot key's
+    sort spreads over S tasks and each keeps its partial top-n; phase 2
+    merges the ≤ n·S survivors per key (bounded, tiny). Results are
+    IDENTICAL to the one-phase plan (the global top-n of a key is a
+    subset of every covering partial top-n); the price is one extra
+    exchange on (keys, salt), so leave it None unless a key's in-horizon
+    row count is big enough to serialize (rule of thumb: rows-per-hot-key
+    / S should come under ~10·n·splits).
     """
     tiebreak_cols = tiebreak_cols or []
     cols = [*keys, ts_col, *tiebreak_cols, value_col]
@@ -84,6 +100,15 @@ def tail_window(
         ).drop("_max_ts")
 
     order = [F.col(ts_col).desc()] + [F.col(c).desc() for c in tiebreak_cols]
+    if skew_salts is not None and skew_salts > 1:
+        salt = F.pmod(
+            F.hash(F.col(ts_col), *[F.col(c) for c in tiebreak_cols],
+                   F.col(value_col)),
+            F.lit(skew_salts))
+        w1 = Window.partitionBy(*keys, "_salt").orderBy(*order)
+        out = (out.withColumn("_salt", salt)
+               .withColumn("_rn1", F.row_number().over(w1))
+               .where(F.col("_rn1") <= n).drop("_rn1", "_salt"))
     w = Window.partitionBy(*keys).orderBy(*order)
     tail = out.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") <= n)
 
@@ -157,15 +182,17 @@ def detect(
     tiebreak_cols: list[str] | None = None,
     horizon=None,
     horizon_anchor=None,
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """Combined anomaly probability of the latest window, per key.
 
-    Returns (keys..., n_points, last_ts, prob).
+    Returns (keys..., n_points, last_ts, prob). ``skew_salts`` enables the
+    two-phase tail-N for hot-key skew (see ``tail_window``).
     """
     conf = conf or AnomalyzerConf()
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon,
-        horizon_anchor,
+        horizon_anchor, skew_salts,
     )
     staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     # stage the raw per-test probs too: the combiner references each several
@@ -226,6 +253,7 @@ def detect_by_test(
     tiebreak_cols: list[str] | None = None,
     horizon=None,
     horizon_anchor=None,
+    skew_salts: int | None = None,
 ) -> DataFrame:
     """EvalByTest surface (anomalyze.go:195-221): per-test probs + weights
     + the combined prob, per key. Columns: prob_<entry>, weight_<entry>,
@@ -233,7 +261,7 @@ def detect_by_test(
     conf = conf or AnomalyzerConf()
     tails = tail_window(
         df, keys, ts_col, value_col, conf.window_size, tiebreak_cols, horizon,
-        horizon_anchor,
+        horizon_anchor, skew_salts,
     )
     staged, probs = _staged_probs(tails, keys, conf, key_str_col(keys))
     withp = staged.select(

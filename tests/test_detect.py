@@ -127,3 +127,42 @@ def test_detect_insufficient_data_returns_zero(spark):
     out = {r["k"]: r["prob"] for r in
            detect(df, ["k"], "ts", "value", AnomalyzerConf(active_size=2)).collect()}
     assert out == {"a": 0.0, "b": 0.0}
+
+
+def test_detect_skew_salts_splits_hot_key_same_result(spark):
+    """Two-phase tail-N for hot-key skew: a deliberately skewed frame (one
+    key with 20k in-horizon rows vs tiny siblings) run with skew_salts must
+    (a) produce IDENTICAL results to the one-phase plan, and (b) actually
+    split the hot key — the physical plan carries a phase-1 window
+    partitioned by (key, _salt) before the per-key merge window."""
+    conf = AnomalyzerConf(
+        active_size=2, methods=("fence", "magnitude", "cdf"),
+        upper_bound=10.0, lower_bound=0.0,
+    )
+    rng = np.random.default_rng(5)
+    rows = [("hot", t, float(2.0 + rng.normal(0, 0.3))) for t in range(20_000)]
+    for key in ("cold1", "cold2"):
+        rows += [(key, t, float(1.0 + rng.normal(0, 0.1))) for t in range(30)]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "value"])
+    df = spark.createDataFrame(pdf)
+
+    plain = detect(df, ["k"], "ts", "value", conf)
+    salted = detect(df, ["k"], "ts", "value", conf, skew_salts=8)
+
+    got_plain = {r["k"]: r for r in plain.collect()}
+    got_salted = {r["k"]: r for r in salted.collect()}
+    assert set(got_plain) == set(got_salted) == {"hot", "cold1", "cold2"}
+    for k in got_plain:
+        assert got_salted[k]["prob"] == got_plain[k]["prob"], k
+        assert got_salted[k]["n_points"] == got_plain[k]["n_points"], k
+        assert got_salted[k]["last_ts"] == got_plain[k]["last_ts"], k
+
+    import re
+
+    salted_plan = salted._jdf.queryExecution().executedPlan().toString()
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" not in plain_plan
+    # phase 1 exchanges on (k, _salt) — the hot key's rows hash across up
+    # to skew_salts tasks instead of one — and windows by (k, _salt)
+    assert re.search(r"Exchange hashpartitioning\(k#\d+, _salt#", salted_plan)
+    assert re.search(r"windowspecdefinition\(k#\d+, _salt#", salted_plan)

@@ -524,6 +524,67 @@ def test_ivfpq_topk_recall_on_clustered_data(spark):
     assert sum(1 for q, ns in by_q.items() if q in ns) >= 10
 
 
+def test_embedding_width_mismatch_fails_fast(spark):
+    """A dim that doesn't match the actual embedding width must raise a
+    clear error, not silently degrade (zip_with NULL padding used to zero
+    the signature bits / NULL the dot products)."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0, 2.0, 3.0]) for i in range(8)],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="width mismatch"):
+        similarity.lsh_topk(df, df.limit(2), k=2, n_planes=8, bands=2,
+                            dim=64).collect()
+    with pytest.raises(Exception, match="width mismatch"):
+        similarity.cosine_pairs(df, threshold=0.5, use_lsh=True,
+                                dim=16).collect()
+    books = similarity.train_pq_codebooks(
+        np.arange(64.0).reshape(8, 8), m=2, k=2)
+    with pytest.raises(Exception, match="width mismatch"):
+        similarity.pq_encode(df, books).collect()
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with pytest.raises(Exception, match="width mismatch"):
+        similarity.ivf_topk(df, df.limit(2), k=2, centroids=cents,
+                            n_clusters=2, n_probe=1).collect()
+    with pytest.raises(ValueError, match="inconsistent models"):
+        similarity.ivfpq_topk(df, df.limit(2), cents, books, k=2)
+    # the matched width still works end-to-end
+    assert similarity.lsh_topk(df, df.limit(2), k=2, n_planes=8, bands=2,
+                               dim=4).count() > 0
+
+
+def test_ivf_probe_params_recall_achieved(spark, sf01_dir):
+    """The n_probe calculator (IVF mirror of lsh_params): callers state a
+    recall target; ivf_topk run with the computed n_probe must achieve at
+    least that top-k recall vs the exact cosine_topk baseline — on the
+    sf0.01 embeddings at two targets."""
+    e = (spark.read.parquet(f"{sf01_dir}/embeddings.parquet")
+         .select("vec_id", F.col("embedding").cast("array<double>")
+                 .alias("embedding")))
+    sample_rows = (e.where(F.col("vec_id") < 256)
+                   .orderBy("vec_id").collect())
+    sample = np.array([r["embedding"] for r in sample_rows])
+    cents = similarity.train_ivf_centroids(sample, 16)
+    q = e.where(F.col("vec_id") < 10)
+    exact = {}
+    for r in similarity.cosine_topk(e, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for target in (0.7, 0.9):
+        n_probe = similarity.ivf_probe_params(
+            sample, cents, target_recall=target, k=10)
+        assert 1 <= n_probe <= 16
+        got = {}
+        for r in similarity.ivf_topk(e, q, k=10, centroids=cents,
+                                     n_probe=n_probe).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(exact[qid] & got.get(qid, set())) for qid in exact)
+        recall = hits / sum(len(v) for v in exact.values())
+        assert recall >= target, (
+            f"recall {recall:.3f} < target {target} at n_probe={n_probe}")
+    # monotone: a stricter target never needs fewer probes
+    assert (similarity.ivf_probe_params(sample, cents, target_recall=0.95)
+            >= similarity.ivf_probe_params(sample, cents, target_recall=0.5))
+
+
 def test_hash_sampling_deterministic_and_nested(spark):
     from anomalyzer_spark.functions import sampling
 
