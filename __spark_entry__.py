@@ -220,6 +220,29 @@ def q_minhash_lsh(spark, sf_dir):
                                    bands=32, threshold=JACCARD_THRESHOLD)
 
 
+def q_minhash_stream(spark, sf_dir):
+    """Streaming NEAR-dup (MinHash) dedup: documents drained through the
+    foreachBatch store pipeline (streaming/minhash_stream.py) in three
+    micro-batches; the accumulated pair state must equal the batch
+    minhash_lsh_pairs on the same corpus — bucket generation and exact
+    verification are the SAME code on both paths, so this query shares the
+    batch DuckDB oracle verbatim. Registry slot freed by retiring the
+    plain `resample` query (its bucket arithmetic stays value-hash checked
+    through resample_stream, which emits the same buckets under the
+    watermark cutoff, and through the composed detect_resampled)."""
+    import tempfile
+
+    from anomalyzer_spark.streaming import run_minhash_stream_on_dir
+
+    tmp = tempfile.mkdtemp(prefix="minhash_stream_q_")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+    return run_minhash_stream_on_dir(
+        spark, f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt",
+        "text", "doc_id", k=3, num_hashes=128, bands=32,
+        threshold=JACCARD_THRESHOLD, max_files_per_trigger=1)
+
+
 def q_dedup_groups(spark, sf_dir):
     """Near-dup pairs resolved to connected-component groups (keep-first
     canonicalization) — only docs in a multi-doc group are returned."""
@@ -689,17 +712,6 @@ def q_detect_rolling(spark, sf_dir):
                    "prob")
 
 
-def q_resample(spark, sf_dir):
-    """Raw events → daily bucket series per key (downsampling step)."""
-    from anomalyzer_spark.operators.resample import resample
-    ev = load_table(spark, sf_dir, "events")
-    out = resample(ev, ["event_type"], "ts", "value",
-                   every_seconds=86400, agg="avg")
-    return _round6(
-        out.select("event_type", "bucket", "bucket_ts", "value", "n_raw"),
-        "value")
-
-
 def q_detect_resampled(spark, sf_dir):
     """Composed pipeline: resample to daily buckets → detect. The shape the
     reference documents (regular samples in, windows over samples)."""
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_stream": q_minhash_stream,
         "dedup_groups": q_dedup_groups,
         "simhash": q_simhash,
         "cdc_dedup": q_cdc_dedup,
@@ -914,7 +927,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "ks_stat": q_ks_stat,
-        "resample": q_resample,
         "detect_resampled": q_detect_resampled,
         "detect_rolling": q_detect_rolling,
         "detect_horizon": q_detect_horizon,
@@ -1334,10 +1346,6 @@ FROM grid"""
          sum(value::DECIMAL(28,6))::DOUBLE / count(value) AS value,
          count(*) AS n_raw
   FROM events GROUP BY 1, 2)"""
-    sql["resample"] = f"""
-SELECT event_type, bucket, (bucket * 86400)::BIGINT AS bucket_ts,
-       round(value, 6) AS value, n_raw
-FROM {resample_src} t"""
     sql["detect_resampled"] = _detect_sql(
         "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
     # sessionization oracle: identical islands formulation (lag + running
@@ -1610,6 +1618,9 @@ verified AS (
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b)
 SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}"""
+    # the streaming pipeline's final state equals the batch operator
+    # exactly (shared bucket/verify code) — same oracle
+    sql["minhash_stream"] = sql["minhash_lsh"]
 
     # components over the SAME minhash pair set, via recursive reachability
     sql["dedup_groups"] = f"""

@@ -225,6 +225,73 @@ def minhash_signatures(
     return df.select(F.col(id_col), sig.alias("sig"))
 
 
+def minhash_band_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+) -> DataFrame:
+    """(id, bucket) rows — ``bands`` band-bucket keys per document, bucket
+    = md5(band index || that band's minhash rows). THE single definition of
+    the LSH bucket key, shared by the batch pair generator
+    (``minhash_lsh_pairs``) and the streaming store
+    (``streaming.minhash_stream``) — any drift between them would desync
+    the incremental store from the batch contract."""
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    with_sig = minhash_signatures(
+        df, text_col, id_col, k=k, num_hashes=num_hashes)
+    return with_sig.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        "|",
+                        b.cast("string"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            ",",
+                        ),
+                    ).cast("binary")
+                ),
+            )
+        ).alias("bucket"),
+    )
+
+
+def verify_jaccard_pairs(
+    shingled: DataFrame,
+    cand: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact shingle-set Jaccard over candidate pairs.
+
+    ``shingled``: (id_col, sh array<string>) — only candidate docs need be
+    present; ``cand``: (id_a, id_b). Returns (id_a, id_b, jaccard) with
+    jaccard >= threshold, rounded 6 (the oracle precision). Shared by the
+    batch and streaming MinHash paths so the verification stage cannot
+    drift."""
+    jac = (F.size(F.array_intersect("sa", "sb"))
+           / F.size(F.array_union("sa", "sb")))
+    return (
+        cand.join(shingled.select(F.col(id_col).alias("id_a"),
+                                  F.col("sh").alias("sa")), "id_a")
+        .join(shingled.select(F.col(id_col).alias("id_b"),
+                              F.col("sh").alias("sb")), "id_b")
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -261,30 +328,9 @@ def minhash_lsh_pairs(
     semantics (the correctness oracle reproduces the uncapped join).
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
-    rows_per_band = num_hashes // bands
 
-    with_sig = minhash_signatures(df, text_col, id_col, k=k, num_hashes=num_hashes)
-    buckets = with_sig.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.md5(
-                    F.concat_ws(
-                        "|",
-                        b.cast("string"),
-                        F.array_join(
-                            F.transform(
-                                F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                            ",",
-                        ),
-                    ).cast("binary")
-                ),
-            )
-        ).alias("bucket"),
-    )
+    buckets = minhash_band_buckets(
+        df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands)
     if max_bucket_size is not None:
         from pyspark.sql.window import Window
 
@@ -316,13 +362,7 @@ def minhash_lsh_pairs(
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
     )
-    jac = F.size(F.array_intersect("sa", "sb")) / F.size(F.array_union("sa", "sb"))
-    return (
-        cand.join(sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sa")), "id_a")
-        .join(sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sb")), "id_b")
-        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    return verify_jaccard_pairs(sh, cand, threshold, id_col)
 
 
 def duplicate_groups(

@@ -1,10 +1,14 @@
 from .dedup_stream import (dedup_stream, dedup_stream_bounded,
                            run_dedup_stream_on_dir)
 from .detect_stream import detect_stream, run_stream_on_dir
+from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
+                             minhash_pairs_store, run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
 from .session_stream import run_session_stream_on_dir
 
 __all__ = ["dedup_stream", "dedup_stream_bounded", "detect_stream",
-           "resample_stream",
-           "run_dedup_stream_on_dir", "run_resample_stream_on_dir",
-           "run_session_stream_on_dir", "run_stream_on_dir"]
+           "minhash_dedup_stream", "minhash_groups_store",
+           "minhash_pairs_store", "resample_stream",
+           "run_dedup_stream_on_dir", "run_minhash_stream_on_dir",
+           "run_resample_stream_on_dir", "run_session_stream_on_dir",
+           "run_stream_on_dir"]

@@ -9,6 +9,7 @@ import shutil
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from anomalyzer_spark import AnomalyzerConf, detect
 from anomalyzer_spark.sources import load_table
@@ -483,3 +484,80 @@ def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
         str(tmp_path / "serve_ckpt"), k=3, n_probe=2)
     q2.awaitTermination()
     assert spark.read.parquet(out).count() == offline.count()
+
+
+def test_minhash_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
+    """Streaming near-dup (MinHash) dedup: documents drained through the
+    foreachBatch store pipeline in MULTIPLE micro-batches must end with
+    pair state exactly equal to batch minhash_lsh_pairs on the same corpus
+    (same buckets, same verification, same rounding — shared code), and
+    group state equal to batch duplicate_groups."""
+    from anomalyzer_spark.functions import dedup
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import (
+        minhash_groups_store, run_minhash_stream_on_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "mh_in")
+    # 4 files -> 4 micro-batches with maxFilesPerTrigger=1: near-dup pairs
+    # are split across batches, exercising the cross-batch store join
+    d.repartition(4).write.mode("overwrite").parquet(sdir)
+
+    store = str(tmp_path / "mh_store")
+    ckpt = str(tmp_path / "mh_ckpt")
+    got = run_minhash_stream_on_dir(
+        spark, sdir, store, ckpt, "text", "doc_id",
+        k=3, num_hashes=128, bands=32, threshold=0.5,
+        max_files_per_trigger=1)
+
+    exp = dedup.minhash_lsh_pairs(d, "text", "doc_id", k=3, num_hashes=128,
+                                  bands=32, threshold=0.5)
+    got_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    exp_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exp.collect()}
+    assert len(exp_rows) > 0, "fixture corpus must contain near-dups"
+    assert got_rows == exp_rows
+
+    exp_groups = dedup.duplicate_groups(d, exp, "doc_id").where(
+        F.col("group_size") > 1)
+    got_groups = minhash_groups_store(spark, store, "doc_id")
+    assert ({tuple(r) for r in got_groups.collect()}
+            == {tuple(r) for r in exp_groups.collect()})
+
+
+def test_minhash_stream_replay_idempotent(spark, sf_dir, tmp_path):
+    """foreachBatch is at-least-once: a batch whose store writes landed but
+    whose checkpoint commit did NOT (the crash window) is replayed with the
+    SAME batch id on restart — simulated here by deleting the final commit
+    file. The replayed batch joins against a store that already contains
+    its own rows; batch_id-dir overwrites plus the self/mirror-pair filters
+    must leave the pair state exactly unchanged."""
+    import glob
+
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import (
+        minhash_pairs_store, run_minhash_stream_on_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "mh_rp_in")
+    d.repartition(2).write.mode("overwrite").parquet(sdir)
+    store = str(tmp_path / "mh_rp_store")
+    ckpt = str(tmp_path / "mh_rp_ckpt")
+    before = run_minhash_stream_on_dir(
+        spark, sdir, store, ckpt, max_files_per_trigger=1).collect()
+    assert len(before) > 0
+
+    # forget the last commit: the restart re-executes that batch against
+    # the already-populated store (true at-least-once replay)
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert len(commits) >= 2, "need multiple batches for a replay test"
+    os.remove(commits[-1])
+    # the local checksum FS keeps a hidden .N.crc beside each commit; left
+    # behind it blocks the re-commit rename on replay
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    after = run_minhash_stream_on_dir(
+        spark, sdir, store, ckpt, max_files_per_trigger=1).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert minhash_pairs_store(spark, store).count() == len(before)

@@ -13,8 +13,10 @@ import __spark_entry__ as entry_mod
 from tools.check_correctness import TABLES, compare
 
 #: queries whose plans touch event time, watermarks, or temporal literals
-TZ_SENSITIVE = ("resample", "sessions", "detect_horizon", "pricing_summary",
-                "kafka_parse")
+#: (plain `resample` retired round 5 — its bucket arithmetic is covered
+#: here through detect_resampled, which composes the same resample())
+TZ_SENSITIVE = ("detect_resampled", "sessions", "detect_horizon",
+                "pricing_summary", "kafka_parse")
 
 
 @pytest.fixture(scope="module")
