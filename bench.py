@@ -5,14 +5,38 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 end-to-end with the noop sink (full materialization, no driver transfer) and
 timed individually.
 
+Falsifiability (round-6): per-query swings of 2-5x across rounds could not
+previously be attributed to plan changes vs host variance. The JSON line now
+carries a ``detail`` map with, per query:
+
+- ``plan_hash``  — md5 (12 hex) of the physical plan string with expression
+  ids / plan ids / object addresses normalized. Identical hash across rounds
+  means Catalyst produced the same plan, so a time delta is NOT a plan or
+  code regression. (With AQE on, this fingerprints the initial physical
+  plan — deterministic for the same code + data, which is what attribution
+  needs; runtime re-plans don't change it.)
+- ``times``      — ALL timed repeat wall times (seconds), not just the best.
+- ``warm_s``     — the untimed warm pass (codegen/JIT compile cost lives
+  here, not in ``times``).
+- ``cpu_s``      — process-tree CPU seconds (python driver + JVM + Arrow
+  workers, from /proc) consumed across the timed repeats. wall >> cpu/cores
+  → scheduling/external load; cpu growing with wall → the work itself grew.
+- ``gc_ms``      — JVM garbage-collection milliseconds across the timed
+  repeats (GC MXBeans), the usual "work itself grew" culprit.
+
+The headline ``queries``/``value`` fields keep their original driver-facing
+shape (best-of-N per query, summed) for cross-round comparability.
+
 Usage: python bench.py [--sf-dir DIR] [--repeat N] [query ...]
 """
 
 from __future__ import annotations
 
 import argparse
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -44,13 +68,73 @@ HEADLINE = (
 )
 
 
+def plan_fingerprint(df) -> str:
+    """12-hex md5 of the physical plan with volatile ids normalized.
+
+    Stable across sessions for the same code + data; changes iff Catalyst
+    picks a different plan. Exprs (``#123``), plan ids, codegen stage ids,
+    and JVM object addresses are masked; file listings/paths are kept (same
+    testdata → same strings).
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+", "#x", s)
+    # HOF lambda variables carry a session-global counter (x_10, y_11, …)
+    s = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=x", s)
+    s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
+    s = re.sub(r"@[0-9a-fA-F]{6,}", "@x", s)
+    s = re.sub(r"\(\d+\)", "(x)", s)  # codegen stage ids "*(3) Project"
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _tree_cpu_s() -> float:
+    """Total CPU seconds (utime+stime) of this process and every live
+    descendant — the JVM child and its Arrow python workers. Sampled from
+    /proc; CPU of descendants that exited between samples is not counted
+    (the JVM and daemon workers persist for the session, so deltas are
+    accurate for steady-state runs)."""
+    clk = os.sysconf("SC_CLK_TCK")
+    cpu: dict[int, float] = {}
+    ppid_of: dict[int, int] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                st = f.read()
+        except OSError:
+            continue
+        rest = st[st.rindex(")") + 2:].split()
+        pid = int(d)
+        ppid_of[pid] = int(rest[1])
+        cpu[pid] = (int(rest[11]) + int(rest[12])) / clk
+    children: dict[int, list[int]] = {}
+    for pid, pp in ppid_of.items():
+        children.setdefault(pp, []).append(pid)
+    total, stack = 0.0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0.0)
+        stack.extend(children.get(p, ()))
+    return total
+
+
+def _jvm_gc_ms(spark) -> int:
+    """Cumulative JVM GC milliseconds across all collectors (MXBeans)."""
+    beans = (spark._jvm.java.lang.management.ManagementFactory
+             .getGarbageCollectorMXBeans())
+    return sum(max(beans.get(i).getCollectionTime(), 0)
+               for i in range(beans.size()))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    # best-of-2 by default: the first run of each query pays one-time
-    # whole-stage-codegen/Janino compilation (seconds for the wide
-    # higher-order expressions); steady-state throughput is the metric.
+    # best-of-N headline with ALL repeats recorded in detail.times; the
+    # first (untimed) warm pass pays one-time whole-stage-codegen/Janino
+    # compilation (seconds for the wide higher-order expressions) —
+    # steady-state throughput is the metric.
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("queries", nargs="*")
     args = ap.parse_args()
@@ -64,23 +148,38 @@ def main() -> None:
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
 
     timings: dict[str, float] = {}
+    detail: dict[str, dict] = {}
     for name in names:
+        df = qs[name](spark, args.sf_dir)
+        fp = plan_fingerprint(df)
         # one untimed warm pass first: whole-stage-codegen compilation, C2
         # JIT of the huge generated methods, and Python-worker startup are
         # one-time session costs, not per-query throughput — without this
         # the first timed run is bimodally 2-7x slower depending on JIT
         # queue timing (BASELINE.md round-4 notes), and best-of-N at small
         # N still samples it.
-        qs[name](spark, args.sf_dir).write.mode("overwrite").format(
-            "noop").save()
-        best = float("inf")
+        t0 = time.perf_counter()
+        df.write.mode("overwrite").format("noop").save()
+        warm_s = time.perf_counter() - t0
+        times: list[float] = []
+        cpu0, gc0 = _tree_cpu_s(), _jvm_gc_ms(spark)
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             qs[name](spark, args.sf_dir).write.mode("overwrite").format(
                 "noop").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+            times.append(round(time.perf_counter() - t0, 3))
+        cpu_s, gc_ms = _tree_cpu_s() - cpu0, _jvm_gc_ms(spark) - gc0
+        timings[name] = min(times)
+        detail[name] = {
+            "plan_hash": fp,
+            "times": times,
+            "warm_s": round(warm_s, 3),
+            "cpu_s": round(cpu_s, 3),
+            "gc_ms": int(gc_ms),
+        }
+        print(f"# {name}: {timings[name]:.3f}s  plan={fp} "
+              f"times={times} warm={warm_s:.2f}s cpu={cpu_s:.1f}s "
+              f"gc={gc_ms}ms", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -88,6 +187,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "detail": detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
