@@ -229,12 +229,21 @@ def q_minhash_stream(spark, sf_dir):
     batch DuckDB oracle verbatim. Registry slot freed by retiring the
     plain `resample` query (its bucket arithmetic stays value-hash checked
     through resample_stream, which emits the same buckets under the
-    watermark cutoff, and through the composed detect_resampled)."""
+    watermark cutoff, and through the composed detect_resampled).
+
+    Cost model note (for any timing harness): the streaming drain runs
+    EAGERLY here at query-construction time; the returned frame is just
+    the pair-store read. Temp state lives under ONE fixed tmp root that is
+    wiped on entry, so repeated correctness/bench invocations hold at most
+    one copy on disk instead of leaking a dir per call."""
+    import os
+    import shutil
     import tempfile
 
     from anomalyzer_spark.streaming import run_minhash_stream_on_dir
 
-    tmp = tempfile.mkdtemp(prefix="minhash_stream_q_")
+    tmp = os.path.join(tempfile.gettempdir(), "anomalyzer_q_minhash_stream")
+    shutil.rmtree(tmp, ignore_errors=True)
     d = _docs(spark, sf_dir).select("doc_id", "text")
     d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
     return run_minhash_stream_on_dir(

@@ -99,11 +99,18 @@ def checked_width(df: DataFrame, vec_col: str, dim: int,
     erroring. One ``size()`` comparison per row (negligible next to the
     fold it guards), no extra driver job, and it works on streaming frames
     where a collect-probe could not.
+
+    NULL vectors pass through unchanged: a missing embedding is a data
+    condition the downstream math already handles (NULL dot products /
+    cosine → row drops out), not a model-width error — and raising on it
+    would fire ``raise_error`` with a NULL message (``F.size(NULL)`` makes
+    the concat NULL), losing the diagnostic.
     """
     c = F.col(vec_col)
     return df.withColumn(
         vec_col,
-        F.when(F.size(c) == dim, c).otherwise(F.raise_error(F.concat(
+        F.when(c.isNull() | (F.size(c) == dim), c).otherwise(
+            F.raise_error(F.concat(
             F.lit(f"embedding width mismatch in {vec_col!r}: {what} "
                   f"expects dim={dim}, found row with size "),
             F.size(c).cast("string"),

@@ -81,8 +81,11 @@ def tail_window(
     deterministic hash of (ts, tiebreaks, value) mod S — so the hot key's
     sort spreads over S tasks and each keeps its partial top-n; phase 2
     merges the ≤ n·S survivors per key (bounded, tiny). Results are
-    IDENTICAL to the one-phase plan (the global top-n of a key is a
-    subset of every covering partial top-n); the price is one extra
+    IDENTICAL to the one-phase plan GIVEN a total order per key — unique
+    ``ts_col`` or sufficient ``tiebreak_cols``, the same determinism
+    contract ``tail_window`` already states (under ordering ties,
+    ``row_number`` is arbitrary in BOTH plans and the two may pick
+    different tied rows); the price is one extra
     exchange on (keys, salt), so leave it None unless a key's in-horizon
     row count is big enough to serialize (rule of thumb: rows-per-hot-key
     / S should come under ~10·n·splits).

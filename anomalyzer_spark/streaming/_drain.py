@@ -51,10 +51,18 @@ def drain_available_now(
         if dtypes.get(c) == "bigint":
             # any non-null sample discriminates: both encodings put every
             # value of a column on the same side of 5e17 (a mixed column
-            # would be a corrupt fixture, not an encoding choice)
+            # would be a corrupt fixture, not an encoding choice) — and we
+            # assert exactly that, so a pre-1985 head row can't silently
+            # misclassify a ns column as µs
             sample = (batch.select(F.col(c)).where(F.col(c).isNotNull())
                       .limit(8).collect())
-            if sample and max(abs(r[0]) for r in sample) > 5 * 10**17:
+            sides = {abs(r[0]) > 5 * 10**17 for r in sample}
+            if len(sides) > 1:
+                raise ValueError(
+                    f"column {c!r} mixes epoch-ns and epoch-µs magnitudes "
+                    f"in its sampled head — corrupt fixture, refusing to "
+                    f"guess the encoding")
+            if sides == {True}:
                 stream = stream.withColumn(
                     c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     q = (

@@ -36,21 +36,51 @@ the store BEFORE candidate generation makes the replay read the same
 store contents the crashed attempt saw (the new rows self-pair harmlessly:
 ``id_a < id_b`` drops self-matches, DISTINCT drops mirror matches).
 
-State at 100 TB: the store is the corpus' band buckets (bands rows/doc)
-and shingle sets — O(corpus), like any full-history near-dup index. The
-per-batch join broadcasts the NEW side, so the store is scanned, never
-shuffled; partition the store by a bucket prefix (``pfx``, written here)
-so broadcast-join dynamic partition pruning can skip store files whose
-prefixes the batch does not touch. Bound history with a retention sweep
-on ``batch_id`` when the dedup horizon allows.
+State at 100 TB — growth is BOUNDED, not append-forever:
+
+* the store is the corpus' band buckets (bands rows/doc) and shingle sets
+  — O(in-horizon corpus). ``retention_batches=H`` evicts state older than
+  the dedup horizon after every batch (``batch_id < current - H + 1``
+  directories are dropped for buckets, shingles AND pairs — a pair whose
+  discovery batch left the horizon references evicted documents and is
+  stale by the same horizon contract).
+* ``compact_every=C`` folds the surviving per-batch directories into a
+  single ``compacted/<name>/gen=N`` generation every C batches, so the
+  file count stays O(C + 1 generation) instead of one directory (and its
+  task-count many files) per micro-batch forever. The generation carries
+  ``batch_id`` as a data column, so retention keeps working on compacted
+  rows; out-of-horizon rows are physically dropped at the next rewrite.
+  Compaction is crash-safe without atomic rename: the new generation is
+  written first, its ``_folded.json`` manifest records the highest live
+  ``batch_id`` it absorbed, readers take the newest COMPLETE generation
+  (``_SUCCESS`` + manifest) and only read live directories NEWER than its
+  fold point — a crash between generation write and live-dir deletion
+  double-stores but never double-reads. A replayed batch that already
+  compacted skips re-compaction (its generation exists and is complete).
+
+The per-batch join broadcasts the NEW side, so the store is scanned, never
+shuffled; the store is partitioned by a bucket prefix (``pfx``, written
+here) so broadcast-join dynamic partition pruning can skip store files
+whose prefixes the batch does not touch. Store reads pin an explicit
+schema (``pfx`` string): partition type inference would type an all-digit
+hex prefix batch as int and silently drift the join key type.
+
+Directory deletes use local-filesystem calls — on a real cluster this
+store lives on an object store / DFS and the sweep would issue the same
+deletes through that FS client; the layout and manifest protocol are
+FS-agnostic.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from ..functions.dedup import (
     minhash_band_buckets, verify_jaccard_pairs, word_shingles,
@@ -62,6 +92,129 @@ _PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
 def _store_paths(store_dir: str) -> tuple[str, str, str]:
     return (f"{store_dir}/buckets", f"{store_dir}/shingles",
             f"{store_dir}/pairs")
+
+
+def _with_batch_id(schema: StructType) -> StructType:
+    return StructType(list(schema.fields)
+                      + [StructField("batch_id", LongType())])
+
+
+def _live_batch_ids(live_dir: str) -> list[int]:
+    return sorted(
+        int(os.path.basename(p).split("=", 1)[1])
+        for p in glob.glob(f"{live_dir}/batch_id=*") if os.path.isdir(p))
+
+
+def _latest_gen(comp_dir: str) -> tuple[str | None, int]:
+    """Newest COMPLETE compacted generation (``_SUCCESS`` + manifest) and
+    the highest live batch_id folded into it; (None, -1) when none."""
+    if not os.path.isdir(comp_dir):
+        return None, -1
+    gens = sorted(
+        (int(os.path.basename(p).split("=", 1)[1]), p)
+        for p in glob.glob(f"{comp_dir}/gen=*") if os.path.isdir(p))
+    for _, path in reversed(gens):
+        manifest = f"{path}/_folded.json"
+        if os.path.isfile(f"{path}/_SUCCESS") and os.path.isfile(manifest):
+            with open(manifest) as f:
+                return path, int(json.load(f)["max_folded"])
+    return None, -1
+
+
+def _read_component(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    schema: StructType | None,
+    min_live: int | None,
+) -> DataFrame | None:
+    """Current state of one store component: newest complete compacted
+    generation ∪ live ``batch_id=N`` dirs newer than its fold point, rows
+    older than ``min_live`` filtered out. ``schema`` (data columns, pfx
+    included where applicable — batch_id appended here) is pinned on every
+    read so partition type inference can never drift a join key. Returns
+    None when the component holds nothing yet."""
+    live_dir = f"{store_dir}/{name}"
+    gen_path, folded = _latest_gen(f"{store_dir}/compacted/{name}")
+    full = _with_batch_id(schema) if schema is not None else None
+    parts: list[DataFrame] = []
+    if gen_path is not None:
+        r = spark.read
+        if full is not None:
+            r = r.schema(full)
+        parts.append(r.parquet(gen_path))
+    live_ids = [b for b in _live_batch_ids(live_dir) if b > folded]
+    if live_ids:
+        r = spark.read
+        if full is not None:
+            r = r.schema(full)
+        live = r.parquet(live_dir).where(F.col("batch_id") > folded)
+        if full is None:
+            live = live.withColumn(
+                "batch_id", F.col("batch_id").cast("long"))
+        parts.append(live)
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if min_live is not None:
+        out = out.where(F.col("batch_id") >= min_live)
+    return out
+
+
+def _sweep_live(store_dir: str, min_live: int, folded: dict[str, int]) -> None:
+    """Drop live ``batch_id`` dirs already folded into a complete
+    generation or older than the retention horizon."""
+    for name in ("buckets", "shingles", "pairs"):
+        live_dir = f"{store_dir}/{name}"
+        cut = max(min_live - 1, folded.get(name, -1))
+        for b in _live_batch_ids(live_dir):
+            if b <= cut:
+                shutil.rmtree(f"{live_dir}/batch_id={b}",
+                              ignore_errors=True)
+
+
+def _compact_component(
+    spark: SparkSession,
+    store_dir: str,
+    name: str,
+    schema: StructType,
+    min_live: int | None,
+    upto: int,
+    partition_cols: tuple[str, ...] = (),
+) -> None:
+    """Fold the current state of one component into ``compacted/<name>/
+    gen=<upto>``: write the new generation, stamp its manifest, then drop
+    the absorbed live dirs and every older generation. Skips if gen=<upto>
+    is already complete (batch replay after a crash-past-compaction)."""
+    comp_dir = f"{store_dir}/compacted/{name}"
+    gen_path = f"{comp_dir}/gen={upto}"
+    if (os.path.isfile(f"{gen_path}/_SUCCESS")
+            and os.path.isfile(f"{gen_path}/_folded.json")):
+        return
+    cur = _read_component(spark, store_dir, name, schema, min_live)
+    if cur is None:
+        return
+    prev_gen, _ = _latest_gen(comp_dir)
+    w = cur.repartition(*partition_cols) if partition_cols \
+        else cur.coalesce(1)
+    wr = w.write.mode("overwrite")
+    if partition_cols:
+        wr = wr.partitionBy(*partition_cols)
+    wr.parquet(gen_path)
+    with open(f"{gen_path}/_folded.json", "w") as f:
+        json.dump({"max_folded": upto}, f)
+    # absorbed state: live dirs ≤ upto and superseded generations
+    for b in _live_batch_ids(f"{store_dir}/{name}"):
+        if b <= upto:
+            shutil.rmtree(f"{store_dir}/{name}/batch_id={b}",
+                          ignore_errors=True)
+    for p in glob.glob(f"{comp_dir}/gen=*"):
+        if os.path.isdir(p) and p != gen_path:
+            shutil.rmtree(p, ignore_errors=True)
+    if prev_gen is not None and os.path.isdir(prev_gen):
+        shutil.rmtree(prev_gen, ignore_errors=True)
 
 
 def minhash_dedup_stream(
@@ -77,10 +230,22 @@ def minhash_dedup_stream(
     bands: int = 32,
     threshold: float = 0.5,
     trigger: dict | None = None,
+    retention_batches: int | None = None,
+    compact_every: int | None = None,
 ):
     """Start the incremental MinHash near-dup pipeline over a document
     stream. Returns the started StreamingQuery (caller awaits/stops);
     read results with ``minhash_pairs_store`` / ``minhash_groups_store``.
+
+    ``retention_batches=H`` bounds state to the last H micro-batches (the
+    dedup horizon): older bucket/shingle/pair state is evicted after every
+    batch. ``compact_every=C`` folds surviving per-batch directories into
+    one compacted generation every C batches, bounding the store's file
+    count for long-running streams (see module docstring for the
+    crash-safety protocol). Both default to None — keep-everything,
+    one-directory-per-batch — which preserves exact equality with batch
+    ``minhash_lsh_pairs`` over the WHOLE corpus; with retention, equality
+    holds over the in-horizon corpus (pairs whose endpoints both survive).
 
     Document ids must be unique across the stream (the usual curation
     contract; re-sent ids would self-pair away but double-count in
@@ -91,26 +256,30 @@ def minhash_dedup_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        min_live = (batch_id - retention_batches + 1
+                    if retention_batches is not None else None)
         new = batch_df.select(F.col(id_col), F.col(text_col))
         # 1. extend the store first (replay-idempotent batch_id overwrite;
         #    also lets same-batch pairs resolve through the store read)
-        (
+        bk = (
             minhash_band_buckets(new, text_col, id_col, k=k,
                                  num_hashes=num_hashes, bands=bands)
             .withColumn("pfx", F.substring("bucket", 1, 2))
-            .write.mode("overwrite").partitionBy("pfx")
-            .parquet(f"{buckets_dir}/batch_id={batch_id}")
         )
-        (
-            new.select(F.col(id_col),
-                       word_shingles(F.col(text_col), k).alias("sh"))
-            .write.mode("overwrite")
-            .parquet(f"{shingles_dir}/batch_id={batch_id}")
-        )
+        bucket_schema = bk.schema
+        (bk.write.mode("overwrite").partitionBy("pfx")
+         .parquet(f"{buckets_dir}/batch_id={batch_id}"))
+        sh_new = new.select(F.col(id_col),
+                            word_shingles(F.col(text_col), k).alias("sh"))
+        shingle_schema = sh_new.schema
+        (sh_new.write.mode("overwrite")
+         .parquet(f"{shingles_dir}/batch_id={batch_id}"))
         # 2. candidates: (small) new buckets broadcast against the store —
         #    the store side is scanned, never shuffled
-        store_b = spark.read.parquet(buckets_dir)
-        new_b = spark.read.parquet(f"{buckets_dir}/batch_id={batch_id}")
+        store_b = _read_component(
+            spark, store_dir, "buckets", bucket_schema, min_live)
+        new_b = spark.read.schema(bucket_schema).parquet(
+            f"{buckets_dir}/batch_id={batch_id}")
         cand = (
             store_b.alias("s")
             .join(F.broadcast(new_b.alias("n")), ["pfx", "bucket"])
@@ -128,7 +297,8 @@ def minhash_dedup_stream(
             .distinct()
         )
         sh = (
-            spark.read.parquet(shingles_dir)
+            _read_component(
+                spark, store_dir, "shingles", shingle_schema, min_live)
             .join(F.broadcast(cand_ids), id_col, "left_semi")
             .select(id_col, "sh")
         )
@@ -137,6 +307,25 @@ def minhash_dedup_stream(
             .write.mode("overwrite")
             .parquet(f"{pairs_dir}/batch_id={batch_id}")
         )
+        # 4. bound state: evict out-of-horizon dirs; periodically fold the
+        #    survivors into one compacted generation
+        if min_live is not None:
+            folded = {n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
+                      for n in ("buckets", "shingles", "pairs")}
+            _sweep_live(store_dir, min_live, folded)
+        if compact_every is not None and \
+                (batch_id + 1) % compact_every == 0:
+            pair_schema = StructType([
+                StructField("id_a", bucket_schema[id_col].dataType),
+                StructField("id_b", bucket_schema[id_col].dataType),
+                StructField("jaccard", DoubleType()),
+            ])
+            _compact_component(spark, store_dir, "buckets", bucket_schema,
+                               min_live, batch_id, ("pfx",))
+            _compact_component(spark, store_dir, "shingles",
+                               shingle_schema, min_live, batch_id)
+            _compact_component(spark, store_dir, "pairs", pair_schema,
+                               min_live, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(handle)
@@ -146,18 +335,42 @@ def minhash_dedup_stream(
     )
 
 
-def minhash_pairs_store(spark: SparkSession, store_dir: str) -> DataFrame:
+def minhash_pairs_store(
+    spark: SparkSession,
+    store_dir: str,
+    *,
+    only_ingested_ids: bool = False,
+    id_col: str = "doc_id",
+) -> DataFrame:
     """All near-dup pairs accumulated so far: (id_a, id_b, jaccard).
 
     Equals the batch ``minhash_lsh_pairs`` over every document ingested
-    (each pair is written exactly once — see module docstring). Returns an
-    empty typed frame when nothing was ingested yet.
+    (each pair is written exactly once — see module docstring); under a
+    retention horizon the state covers the in-horizon corpus, and
+    ``only_ingested_ids=True`` additionally drops pairs referencing
+    documents that have been evicted from the shingle store (one endpoint
+    in-horizon, the other gone) — the exact-match contract against batch
+    ``minhash_lsh_pairs`` over the surviving corpus. Returns an empty
+    typed frame when nothing was ingested yet.
     """
-    pairs_dir = _store_paths(store_dir)[2]
-    if not os.path.isdir(pairs_dir):
+    pairs = _read_component(spark, store_dir, "pairs", None, None)
+    if pairs is None:
         return spark.createDataFrame([], _PAIR_SCHEMA)
-    return (spark.read.parquet(pairs_dir)
-            .select("id_a", "id_b", "jaccard"))
+    pairs = pairs.select("id_a", "id_b", "jaccard")
+    if only_ingested_ids:
+        ids = _read_component(spark, store_dir, "shingles", None, None)
+        ids = (ids.select(F.col(id_col)).distinct()
+               if ids is not None else
+               spark.createDataFrame([], f"`{id_col}` long"))
+        pairs = (
+            pairs
+            .join(F.broadcast(ids.select(F.col(id_col).alias("id_a"))),
+                  "id_a", "left_semi")
+            .join(F.broadcast(ids.select(F.col(id_col).alias("id_b"))),
+                  "id_b", "left_semi")
+            .select("id_a", "id_b", "jaccard")
+        )
+    return pairs
 
 
 def minhash_groups_store(
@@ -168,14 +381,25 @@ def minhash_groups_store(
     """Near-dup groups over the accumulated pair state: the connected-
     component resolution (``dedup.duplicate_groups``) run over the pairs
     store and the ingested ids (from the shingle store) — (id, group_id,
-    group_size), multi-doc groups only."""
+    group_size), multi-doc groups only.
+
+    Read cost: this re-runs FULL connected components over every pair
+    accumulated so far on each call — O(all-pairs-so-far · log diameter),
+    unlike the incremental per-batch pair writes. Fine as an occasional
+    read-side view; a caller that needs groups frequently should
+    materialize this per retention sweep / compaction tick and read the
+    materialized table instead.
+    """
     from ..functions.dedup import duplicate_groups
 
-    shingles_dir = _store_paths(store_dir)[1]
-    docs = spark.read.parquet(shingles_dir).select(
-        F.col(id_col)).distinct()
+    ing = _read_component(spark, store_dir, "shingles", None, None)
+    if ing is None:
+        return spark.createDataFrame(
+            [], f"`{id_col}` long, group_id long, group_size long")
+    docs = ing.select(F.col(id_col)).distinct()
     groups = duplicate_groups(
-        docs, minhash_pairs_store(spark, store_dir), id_col)
+        docs, minhash_pairs_store(spark, store_dir, only_ingested_ids=True,
+                                  id_col=id_col), id_col)
     return groups.where(F.col("group_size") > 1)
 
 
@@ -192,6 +416,8 @@ def run_minhash_stream_on_dir(
     bands: int = 32,
     threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
+    retention_batches: int | None = None,
+    compact_every: int | None = None,
 ) -> DataFrame:
     """Drain a parquet file/dir through ``minhash_dedup_stream``
     (availableNow) and return the accumulated pair state."""
@@ -202,6 +428,7 @@ def run_minhash_stream_on_dir(
     stream = reader.parquet(input_path)
     q = minhash_dedup_stream(
         spark, stream, store_dir, checkpoint_path, text_col, id_col,
-        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold)
+        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+        retention_batches=retention_batches, compact_every=compact_every)
     q.awaitTermination()
     return minhash_pairs_store(spark, store_dir)

@@ -552,6 +552,24 @@ def test_embedding_width_mismatch_fails_fast(spark):
                                dim=4).count() > 0
 
 
+def test_checked_width_passes_nulls_through(spark):
+    """A NULL embedding is a data condition (row drops out via NULL
+    math downstream), not a model-width error: checked_width must pass it
+    through instead of raising — and raising would have produced a NULL
+    error message anyway (F.size(NULL) nulls the concat)."""
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None)],
+        "vec_id long, embedding array<double>")
+    out = similarity.checked_width(df, "embedding", 2).collect()
+    got = {r["vec_id"]: r["embedding"] for r in out}
+    assert got[0] == [1.0, 2.0] and got[1] is None
+    # a present-but-wrong-width row still fails fast with the diagnostic
+    bad = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="width mismatch"):
+        similarity.checked_width(bad, "embedding", 2).collect()
+
+
 def test_ivf_probe_params_recall_achieved(spark, sf01_dir):
     """The n_probe calculator (IVF mirror of lsh_params): callers state a
     recall target; ivf_topk run with the computed n_probe must achieve at

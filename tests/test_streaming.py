@@ -561,3 +561,60 @@ def test_minhash_stream_replay_idempotent(spark, sf_dir, tmp_path):
         spark, sdir, store, ckpt, max_files_per_trigger=1).collect()
     assert sorted(map(tuple, before)) == sorted(map(tuple, after))
     assert minhash_pairs_store(spark, store).count() == len(before)
+
+
+def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
+    """Long-running-stream state bounds (SURVEY §2.7 streaming at scale):
+    with ``retention_batches=H`` and ``compact_every=C`` the store must
+    (a) hold NO live state older than the horizon, (b) keep a bounded
+    file/directory count — at most one compacted generation plus the
+    C-1 live dirs written since the last fold — and (c) still satisfy the
+    exact batch contract over the surviving corpus: pairs restricted to
+    in-horizon docs == minhash_lsh_pairs over those same docs."""
+    import glob
+
+    from anomalyzer_spark.functions import dedup
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import (
+        minhash_pairs_store, run_minhash_stream_on_dir)
+    from anomalyzer_spark.streaming.minhash_stream import (
+        _latest_gen, _live_batch_ids)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "mh_ret_in")
+    d.repartition(6).write.mode("overwrite").parquet(sdir)
+    store = str(tmp_path / "mh_ret_store")
+    ckpt = str(tmp_path / "mh_ret_ckpt")
+    K, H, C = 6, 3, 2
+    run_minhash_stream_on_dir(
+        spark, sdir, store, ckpt, max_files_per_trigger=1,
+        retention_batches=H, compact_every=C)
+    min_live = K - H  # last batch_id is K-1; horizon keeps ids >= K-H
+
+    for name in ("buckets", "shingles", "pairs"):
+        live = _live_batch_ids(f"{store}/{name}")
+        # (a) nothing older than the horizon survives as live state
+        assert all(b >= min_live for b in live), (name, live)
+        # (b) bounded: compaction at batch K-1 folded everything ≤ K-1,
+        #     so ≤ C-1 live dirs remain, and exactly one complete gen
+        assert len(live) < C, (name, live)
+        gens = glob.glob(f"{store}/compacted/{name}/gen=*")
+        assert len(gens) == 1, gens
+        gen_path, folded = _latest_gen(f"{store}/compacted/{name}")
+        assert gen_path is not None and folded == K - 1
+
+    # eviction actually happened: the surviving corpus is a strict subset
+    surv = spark.read.parquet(f"{store}/compacted/shingles/gen={K-1}")
+    surv_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in d.select("doc_id").collect()}
+    assert 0 < len(surv_ids) < len(all_ids)
+
+    # (c) exact contract over the in-horizon corpus
+    got = minhash_pairs_store(spark, store, only_ingested_ids=True)
+    in_horizon = d.where(F.col("doc_id").isin(list(surv_ids)))
+    exp = dedup.minhash_lsh_pairs(in_horizon, "text", "doc_id", k=3,
+                                  num_hashes=128, bands=32, threshold=0.5)
+    got_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in got.collect()}
+    exp_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exp.collect()}
+    assert len(exp_rows) > 0, "surviving corpus must still contain near-dups"
+    assert got_rows == exp_rows
