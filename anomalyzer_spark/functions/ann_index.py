@@ -71,19 +71,27 @@ def search_ivfpq_index(
     n_queries × n_probe, never data)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
-    qstaged = queries.select(
-        F.col(query_id_col).alias("query_id"),
-        nearest_cells(vec_col, centroids, n_probe).alias("_cells"),
-        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
-          for s in range(m)],
+    # the staged query frame (cell assignment + ADC lookup tables) is used
+    # TWICE per call — the probe-cell collect and the join side — so
+    # materialize it once with an eager localCheckpoint: lifetime is tied
+    # to the returned frame (no cache leak per call in a serving loop),
+    # and both consumers read the computed partitions instead of
+    # recomputing the literal-model expressions. (localCheckpoint
+    # truncates lineage; under executor loss the query batch would need
+    # resubmitting — the right trade for a small, per-call query side.)
+    qstaged = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            nearest_cells(vec_col, centroids, n_probe).alias("_cells"),
+            *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+              for s in range(m)],
+        )
+        .select("query_id", "_cells",
+                F.expr(_lut_sql(codebooks)).alias("_lut"))
+        .localCheckpoint(eager=True)
     )
     q = qstaged.select(
-        "query_id", F.expr(_lut_sql(codebooks)).alias("_lut"),
-        F.explode("_cells").alias("cell"))
-    # probe cells collected from a cells-only projection (the LUT columns
-    # prune away); q itself stays uncached — recomputing the small query
-    # side once in the join is cheaper than leaking a cached frame per
-    # search call in a serving loop
+        "query_id", "_lut", F.explode("_cells").alias("cell"))
     probe_cells = sorted(
         r["cell"] for r in
         qstaged.select(F.explode("_cells").alias("cell"))
@@ -158,4 +166,85 @@ def serve_ivfpq_stream(
         .option("checkpointLocation", checkpoint_path)
         .trigger(**(trigger or {"availableNow": True}))
         .start()
+    )
+
+
+def ingest_ivfpq_stream(
+    spark: SparkSession,
+    corpus_stream: DataFrame,
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    checkpoint_path: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger: dict | None = None,
+):
+    """Incremental CORPUS ingest: a stream of new vectors encoded with the
+    FROZEN models (same cell-assignment + PQ-encode expressions as
+    ``build_ivfpq_index``) and appended to the cell-partitioned store.
+
+    Layout: each micro-batch overwrites its own ``batch_id=N/cell=C/...``
+    subtree — the replay-idempotence pattern shared with
+    ``serve_ivfpq_stream`` / ``minhash_stream`` (foreachBatch is
+    at-least-once; a replayed batch rewrites identical files). ``cell``
+    stays a partition column under every batch directory, so
+    ``search_ivfpq_index``'s ``cell IN (...)`` filter partition-prunes the
+    streamed index exactly like a batch-built one; the extra ``batch_id``
+    discovery level changes nothing for the reader.
+
+    Models are FROZEN by design: retraining centroids/codebooks on drifted
+    data is an offline rebuild (``build_ivfpq_index``), not an append —
+    mixing codes from different codebooks in one store would corrupt ADC
+    distances.
+
+    A long-running ingest accretes one directory (≈ touched-cell count of
+    files) per micro-batch; fold them periodically with
+    ``compact_ingested_index`` when the file count starts to dominate
+    scan planning. Returns the started StreamingQuery (caller
+    awaits/stops).
+    """
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        m = len(codebooks)
+        d = len(codebooks[0][0])
+        staged = batch_df.select(
+            F.col(id_col).alias("neighbor_id"),
+            nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
+            *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+              for s in range(m)],
+        )
+        (
+            staged.select("neighbor_id", "cell",
+                          F.expr(_codes_sql(codebooks)).alias("codes"))
+            .write.mode("overwrite").partitionBy("cell")
+            .parquet(f"{index_path}/batch_id={batch_id}")
+        )
+
+    return (
+        corpus_stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(**(trigger or {"availableNow": True}))
+        .start()
+    )
+
+
+def compact_ingested_index(
+    spark: SparkSession,
+    ingested_path: str,
+    out_path: str,
+) -> None:
+    """Rewrite a stream-ingested index (``batch_id=N/cell=C`` dirs) into
+    the canonical one-level ``cell=C`` layout of ``build_ivfpq_index`` —
+    one shuffle on ``cell``, bounding the file count to one file per
+    (cell, writer task) instead of per (cell, micro-batch). Write to a
+    NEW path and swap readers over; compacting in place would race
+    concurrent searches."""
+    (
+        spark.read.parquet(ingested_path)
+        .select("neighbor_id", "codes", "cell")
+        .repartition("cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(out_path)
     )

@@ -302,3 +302,9 @@ def test_ivfpq_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
                e, queries, cents, books, k=3, n_probe=2).collect()}
     assert got == exp
     assert len(got) > 0
+    # the staged query frame (cells + ADC LUT) is materialized ONCE per
+    # call (eager localCheckpoint): the search plan's query side reads the
+    # checkpointed partitions, not a second scan of the query source —
+    # previously the probe collect and the join each rebuilt it
+    assert "ExistingRDD" in plan
+    assert "embeddings.parquet" not in plan

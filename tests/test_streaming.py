@@ -618,3 +618,70 @@ def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
     exp_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exp.collect()}
     assert len(exp_rows) > 0, "surviving corpus must still contain near-dups"
     assert got_rows == exp_rows
+
+
+def test_ingest_ivfpq_stream_equals_batch_build(spark, sf_dir, tmp_path):
+    """Incremental corpus ingest: vectors streamed through
+    ingest_ivfpq_stream (frozen models, per-batch cell-partitioned
+    overwrite) must produce an index with the same rows as a batch
+    build_ivfpq_index over the same corpus, and search results over it
+    must be identical. Compaction into the canonical cell=C layout must
+    change neither, while cutting the file count."""
+    import glob
+
+    from anomalyzer_spark.functions import similarity
+    from anomalyzer_spark.functions.ann_index import (
+        build_ivfpq_index, compact_ingested_index, ingest_ivfpq_stream,
+        search_ivfpq_index)
+    import numpy as np
+
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    sample = np.array([r["embedding"] for r in
+                       e.where(F.col("vec_id") < 64).orderBy("vec_id")
+                       .collect()])
+    cents = similarity.train_ivf_centroids(sample, 8)
+    books = similarity.train_pq_codebooks(sample, m=4, k=8)
+
+    batch_idx = str(tmp_path / "ing_batch_idx")
+    build_ivfpq_index(e, batch_idx, cents, books)
+
+    cdir = str(tmp_path / "ing_corpus")
+    e.select("vec_id", "embedding").repartition(3).write.mode(
+        "overwrite").parquet(cdir)
+    cstream = spark.readStream.schema(
+        e.select("vec_id", "embedding").schema).option(
+        "maxFilesPerTrigger", 1).parquet(cdir)
+    stream_idx = str(tmp_path / "ing_stream_idx")
+    q = ingest_ivfpq_stream(spark, cstream, stream_idx, cents, books,
+                            str(tmp_path / "ing_ckpt"))
+    q.awaitTermination()
+
+    bi = spark.read.parquet(batch_idx).select("neighbor_id", "codes", "cell")
+    si = spark.read.parquet(stream_idx).select("neighbor_id", "codes", "cell")
+    assert bi.count() == e.count() == si.count()
+    assert ({(r["neighbor_id"], tuple(r["codes"]), r["cell"])
+             for r in si.collect()}
+            == {(r["neighbor_id"], tuple(r["codes"]), r["cell"])
+                for r in bi.collect()})
+
+    queries = e.where(F.col("vec_id") < 6).select("vec_id", "embedding")
+    exp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in search_ivfpq_index(spark, batch_idx, queries, cents,
+                                       books, k=3, n_probe=2).collect()}
+    got = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+           for r in search_ivfpq_index(spark, stream_idx, queries, cents,
+                                       books, k=3, n_probe=2).collect()}
+    assert got == exp and len(got) > 0
+
+    comp_idx = str(tmp_path / "ing_comp_idx")
+    compact_ingested_index(spark, stream_idx, comp_idx)
+    comp = {(r["query_id"], r["rnk"]): r["neighbor_id"]
+            for r in search_ivfpq_index(spark, comp_idx, queries, cents,
+                                        books, k=3, n_probe=2).collect()}
+    assert comp == exp
+    n_stream_files = len(glob.glob(f"{stream_idx}/**/*.parquet",
+                                   recursive=True))
+    n_comp_files = len(glob.glob(f"{comp_idx}/**/*.parquet",
+                                 recursive=True))
+    assert 0 < n_comp_files < n_stream_files
