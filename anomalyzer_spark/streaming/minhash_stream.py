@@ -217,6 +217,29 @@ def _compact_component(
         shutil.rmtree(prev_gen, ignore_errors=True)
 
 
+def _materialize_groups(
+    spark: SparkSession,
+    store_dir: str,
+    id_col: str,
+    upto: int,
+) -> None:
+    """Resolve the current pair state into groups and write them as a
+    ``compacted/groups/gen=<upto>`` generation (same complete-generation
+    protocol as the store components; skipped on batch replay)."""
+    comp_dir = f"{store_dir}/compacted/groups"
+    gen_path = f"{comp_dir}/gen={upto}"
+    if (os.path.isfile(f"{gen_path}/_SUCCESS")
+            and os.path.isfile(f"{gen_path}/_folded.json")):
+        return
+    groups = minhash_groups_store(spark, store_dir, id_col)
+    groups.coalesce(1).write.mode("overwrite").parquet(gen_path)
+    with open(f"{gen_path}/_folded.json", "w") as f:
+        json.dump({"max_folded": upto}, f)
+    for p in glob.glob(f"{comp_dir}/gen=*"):
+        if os.path.isdir(p) and p != gen_path:
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def minhash_dedup_stream(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -232,10 +255,18 @@ def minhash_dedup_stream(
     trigger: dict | None = None,
     retention_batches: int | None = None,
     compact_every: int | None = None,
+    materialize_groups: bool = False,
 ):
     """Start the incremental MinHash near-dup pipeline over a document
     stream. Returns the started StreamingQuery (caller awaits/stops);
     read results with ``minhash_pairs_store`` / ``minhash_groups_store``.
+
+    ``materialize_groups=True`` (requires ``compact_every``) additionally
+    resolves connected-component groups at every compaction tick and
+    writes them as ``compacted/groups/gen=N`` — the materialization
+    ``minhash_groups_store``'s read-cost note points at: frequent readers
+    get a parquet scan (as-of the last tick) instead of re-running full
+    connected components over all accumulated pairs per call.
 
     ``retention_batches=H`` bounds state to the last H micro-batches (the
     dedup horizon): older bucket/shingle/pair state is evicted after every
@@ -326,6 +357,8 @@ def minhash_dedup_stream(
                                shingle_schema, min_live, batch_id)
             _compact_component(spark, store_dir, "pairs", pair_schema,
                                min_live, batch_id)
+            if materialize_groups:
+                _materialize_groups(spark, store_dir, id_col, batch_id)
 
     return (
         doc_stream.writeStream.foreachBatch(handle)
@@ -377,6 +410,8 @@ def minhash_groups_store(
     spark: SparkSession,
     store_dir: str,
     id_col: str = "doc_id",
+    *,
+    prefer_materialized: bool = False,
 ) -> DataFrame:
     """Near-dup groups over the accumulated pair state: the connected-
     component resolution (``dedup.duplicate_groups``) run over the pairs
@@ -386,11 +421,18 @@ def minhash_groups_store(
     Read cost: this re-runs FULL connected components over every pair
     accumulated so far on each call — O(all-pairs-so-far · log diameter),
     unlike the incremental per-batch pair writes. Fine as an occasional
-    read-side view; a caller that needs groups frequently should
-    materialize this per retention sweep / compaction tick and read the
-    materialized table instead.
+    read-side view; a caller that needs groups frequently should run the
+    stream with ``materialize_groups=True`` and pass
+    ``prefer_materialized=True`` here — that reads the parquet written at
+    the last compaction tick (as-of that tick) instead of recomputing,
+    falling back to the live computation when no materialization exists.
     """
     from ..functions.dedup import duplicate_groups
+
+    if prefer_materialized:
+        gen_path, _ = _latest_gen(f"{store_dir}/compacted/groups")
+        if gen_path is not None:
+            return spark.read.parquet(gen_path)
 
     ing = _read_component(spark, store_dir, "shingles", None, None)
     if ing is None:
@@ -418,6 +460,7 @@ def run_minhash_stream_on_dir(
     max_files_per_trigger: int | None = None,
     retention_batches: int | None = None,
     compact_every: int | None = None,
+    materialize_groups: bool = False,
 ) -> DataFrame:
     """Drain a parquet file/dir through ``minhash_dedup_stream``
     (availableNow) and return the accumulated pair state."""
@@ -429,6 +472,7 @@ def run_minhash_stream_on_dir(
     q = minhash_dedup_stream(
         spark, stream, store_dir, checkpoint_path, text_col, id_col,
         k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
-        retention_batches=retention_batches, compact_every=compact_every)
+        retention_batches=retention_batches, compact_every=compact_every,
+        materialize_groups=materialize_groups)
     q.awaitTermination()
     return minhash_pairs_store(spark, store_dir)

@@ -588,7 +588,7 @@ def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
     K, H, C = 6, 3, 2
     run_minhash_stream_on_dir(
         spark, sdir, store, ckpt, max_files_per_trigger=1,
-        retention_batches=H, compact_every=C)
+        retention_batches=H, compact_every=C, materialize_groups=True)
     min_live = K - H  # last batch_id is K-1; horizon keeps ids >= K-H
 
     for name in ("buckets", "shingles", "pairs"):
@@ -618,6 +618,18 @@ def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
     exp_rows = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exp.collect()}
     assert len(exp_rows) > 0, "surviving corpus must still contain near-dups"
     assert got_rows == exp_rows
+
+    # materialized groups (written at the final compaction tick) must be a
+    # parquet read equal to the live connected-components computation
+    from anomalyzer_spark.streaming import minhash_groups_store
+    live = {tuple(r) for r in
+            minhash_groups_store(spark, store).collect()}
+    mat = {tuple(r) for r in
+           minhash_groups_store(spark, store,
+                                prefer_materialized=True).collect()}
+    assert mat == live and len(mat) > 0
+    import os as _os
+    assert _os.path.isdir(f"{store}/compacted/groups/gen={K-1}")
 
 
 def test_ingest_ivfpq_stream_equals_batch_build(spark, sf_dir, tmp_path):
