@@ -21,8 +21,13 @@ carries a ``detail`` map with, per query:
 - ``cpu_s``      — process-tree CPU seconds (python driver + JVM + Arrow
   workers, from /proc) consumed across the timed repeats. wall >> cpu/cores
   → scheduling/external load; cpu growing with wall → the work itself grew.
+  Accumulated per-pid (sampled after every repeat), so exiting worker
+  pools never drive the delta negative.
 - ``gc_ms``      — JVM garbage-collection milliseconds across the timed
   repeats (GC MXBeans), the usual "work itself grew" culprit.
+- ``steal_s``    — hypervisor CPU-steal seconds (all vCPUs, /proc/stat)
+  during the timed repeats. This box is a VM: a slow repeat with matching
+  steal is the HOST taking cycles, attributable without hand-waving.
 
 The headline ``queries``/``value`` fields keep their original driver-facing
 shape (best-of-N per query, summed) for cross-round comparability.
@@ -87,36 +92,57 @@ def plan_fingerprint(df) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
-def _tree_cpu_s() -> float:
-    """Total CPU seconds (utime+stime) of this process and every live
-    descendant — the JVM child and its Arrow python workers. Sampled from
-    /proc; CPU of descendants that exited between samples is not counted
-    (the JVM and daemon workers persist for the session, so deltas are
-    accurate for steady-state runs)."""
-    clk = os.sysconf("SC_CLK_TCK")
-    cpu: dict[int, float] = {}
-    ppid_of: dict[int, int] = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                st = f.read()
-        except OSError:
-            continue
-        rest = st[st.rindex(")") + 2:].split()
-        pid = int(d)
-        ppid_of[pid] = int(rest[1])
-        cpu[pid] = (int(rest[11]) + int(rest[12])) / clk
-    children: dict[int, list[int]] = {}
-    for pid, pp in ppid_of.items():
-        children.setdefault(pp, []).append(pid)
-    total, stack = 0.0, [os.getpid()]
-    while stack:
-        p = stack.pop()
-        total += cpu.get(p, 0.0)
-        stack.extend(children.get(p, ()))
-    return total
+class _TreeCPU:
+    """Accumulates CPU seconds (utime+stime) of this process and every
+    descendant — the JVM child and its Arrow python workers — via per-pid
+    INCREMENTS between samples, so a worker that exits keeps the CPU it
+    had at its last sample instead of subtracting it from the total (the
+    end-minus-start probe this replaces went NEGATIVE when large worker
+    pools died mid-interval). Call ``sample()`` at least once per repeat;
+    at most one sample-interval of an exiting worker's tail is lost."""
+
+    def __init__(self) -> None:
+        self._clk = os.sysconf("SC_CLK_TCK")
+        self._last: dict[int, float] = {}
+        self.total = 0.0
+        self.sample()
+
+    def sample(self) -> float:
+        cpu: dict[int, float] = {}
+        ppid_of: dict[int, int] = {}
+        for d in os.listdir("/proc"):
+            if not d.isdigit():
+                continue
+            try:
+                with open(f"/proc/{d}/stat") as f:
+                    st = f.read()
+            except OSError:
+                continue
+            rest = st[st.rindex(")") + 2:].split()
+            pid = int(d)
+            ppid_of[pid] = int(rest[1])
+            cpu[pid] = (int(rest[11]) + int(rest[12])) / self._clk
+        children: dict[int, list[int]] = {}
+        for pid, pp in ppid_of.items():
+            children.setdefault(pp, []).append(pid)
+        stack = [os.getpid()]
+        while stack:
+            p = stack.pop()
+            if p in cpu:
+                self.total += max(0.0, cpu[p] - self._last.get(p, 0.0))
+                self._last[p] = cpu[p]
+            stack.extend(children.get(p, ()))
+        return self.total
+
+
+def _steal_s() -> float:
+    """Cumulative hypervisor steal seconds across all vCPUs (/proc/stat
+    col 9) — the falsifier for 'host variance': a wall-time swing with a
+    matching per-query steal delta is the host taking CPU away from the
+    guest, not a plan or code regression."""
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) / os.sysconf("SC_CLK_TCK")
 
 
 def _jvm_gc_ms(spark) -> int:
@@ -162,13 +188,16 @@ def main() -> None:
         df.write.mode("overwrite").format("noop").save()
         warm_s = time.perf_counter() - t0
         times: list[float] = []
-        cpu0, gc0 = _tree_cpu_s(), _jvm_gc_ms(spark)
+        tree = _TreeCPU()
+        cpu0, gc0, st0 = tree.total, _jvm_gc_ms(spark), _steal_s()
         for _ in range(args.repeat):
             t0 = time.perf_counter()
             qs[name](spark, args.sf_dir).write.mode("overwrite").format(
                 "noop").save()
             times.append(round(time.perf_counter() - t0, 3))
-        cpu_s, gc_ms = _tree_cpu_s() - cpu0, _jvm_gc_ms(spark) - gc0
+            tree.sample()
+        cpu_s, gc_ms = tree.total - cpu0, _jvm_gc_ms(spark) - gc0
+        steal_s = _steal_s() - st0
         timings[name] = min(times)
         detail[name] = {
             "plan_hash": fp,
@@ -176,10 +205,11 @@ def main() -> None:
             "warm_s": round(warm_s, 3),
             "cpu_s": round(cpu_s, 3),
             "gc_ms": int(gc_ms),
+            "steal_s": round(steal_s, 3),
         }
         print(f"# {name}: {timings[name]:.3f}s  plan={fp} "
               f"times={times} warm={warm_s:.2f}s cpu={cpu_s:.1f}s "
-              f"gc={gc_ms}ms", file=sys.stderr)
+              f"gc={gc_ms}ms steal={steal_s:.1f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
