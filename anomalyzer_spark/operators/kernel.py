@@ -57,17 +57,25 @@ def mc_probs_udf(conf: AnomalyzerConf, methods: tuple[str, ...]):
             for vec, key in zip(vecs, keys):
                 v = np.asarray(vec, dtype=np.float64)
                 k = str(key)
+                # all requested tests' permutation matrices in ONE
+                # vectorized md5 batch — the md5 loop was ~65% of kernel
+                # CPU; batching the tests amortizes the vectorized rounds
+                # (oracle.perms_for_tests)
+                idx = oracle.perms_for_tests(conf, k, want, len(v))
                 for m in MC_METHODS:
                     if m not in want:
                         out[m].append(None)
                     elif m == "diff":
-                        out[m].append(oracle.diff_test(v, conf, k))
+                        out[m].append(oracle.diff_test(v, conf, k, idx[m]))
                     elif m == "highrank":
-                        out[m].append(oracle.rank_test(v, conf, k, reverse=False))
+                        out[m].append(oracle.rank_test(
+                            v, conf, k, reverse=False, idx=idx[m]))
                     elif m == "lowrank":
-                        out[m].append(oracle.rank_test(v, conf, k, reverse=True))
+                        out[m].append(oracle.rank_test(
+                            v, conf, k, reverse=True, idx=idx[m]))
                     else:
-                        out[m].append(oracle.bootstrap_ks_test(v, conf, k))
+                        out[m].append(oracle.bootstrap_ks_test(
+                            v, conf, k, idx[m]))
             yield pd.DataFrame(out, dtype="float64")
 
     return _kernel

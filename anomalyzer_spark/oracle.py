@@ -44,6 +44,7 @@ import hashlib
 
 import numpy as np
 
+from . import _md5vec
 from .config import AnomalyzerConf
 
 # Per-test hash-stream ids (keeps permutation streams independent across
@@ -180,19 +181,29 @@ def perm_matrix(
     Spark passes ``concat_ws('|', *keys)``, DuckDB builds the identical
     preimage with ``concat``.
     """
-    tid = _TEST_ID[test]
-    prefix = f"{conf_seed}|{key}|{tid}|"
-    out = np.empty((perm_count, n), dtype=np.int64)
-    digests = np.empty(n, dtype="<U32")
-    for r in range(perm_count):
-        pre = f"{prefix}{r}|".encode()
-        for j in range(n):
-            digests[j] = hashlib.md5(pre + str(j).encode()).hexdigest()
-        # lexicographic order of fixed-width lowercase hex == numeric order
-        # of the 128-bit digest; 'stable' pins tie order to ascending j
-        # (matching DuckDB's list_sort over (hash, j) structs).
-        out[r] = np.argsort(digests, kind="stable")
-    return out
+    return perm_matrices(conf_seed, key, (test,), perm_count, n)[test]
+
+
+def perm_matrices(
+    conf_seed: int, key: str, tests: tuple[str, ...], perm_count: int, n: int
+) -> dict[str, np.ndarray]:
+    """Permutation matrices for SEVERAL tests of one key in one vectorized
+    md5 pass (_md5vec.perm_digest_batch) — the per-digest cost drops ~3×
+    when the whole perm_count·n·len(tests) digest batch amortizes the 64
+    vectorized MD5 rounds, which is why the MC kernel asks for all its
+    tests at once. Results are byte-identical to the hashlib loop
+    (tests/test_oracle_properties.py pins both paths): lexicographic order
+    of the fixed-width lowercase hex digest == byte order of the raw
+    16-byte digest == numeric order of the 128-bit integer, and 'stable'
+    pins tie order to ascending j (matching DuckDB's list_sort over
+    (hash, j) structs; md5 ties never occur in practice anyway)."""
+    prefixes = [
+        f"{conf_seed}|{key}|{_TEST_ID[t]}|".encode() for t in tests]
+    digests = _md5vec.perm_digest_batch(prefixes, perm_count, n)
+    return {
+        t: np.argsort(digests[i], axis=1, kind="stable")
+        for i, t in enumerate(tests)
+    }
 
 
 def perm_matrix_fast(
@@ -235,7 +246,20 @@ def perms_for(
     return fn(conf.seed, key, test, conf.perm_count, n)
 
 
-def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -> float | None:
+def perms_for_tests(
+    conf: AnomalyzerConf, key: str, tests: tuple[str, ...], n: int
+) -> dict[str, np.ndarray]:
+    """All requested tests' permutation matrices for one key — the hash
+    spec computes them in one vectorized md5 batch (the MC kernel's hot
+    path); the fast spec is already one Philox draw per test."""
+    if conf.perm_spec == "hash":
+        return perm_matrices(conf.seed, key, tests, conf.perm_count, n)
+    return {t: perm_matrix_fast(conf.seed, key, t, conf.perm_count, n)
+            for t in tests}
+
+
+def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *,
+              reverse: bool, idx: np.ndarray | None = None) -> float | None:
     """highrank/lowrank (algorithms.go:142-205).
 
     p = fraction of permutations whose active rank-sum is below (highrank)
@@ -252,7 +276,9 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -
     act_n = len(active)
 
     # rank(perm(v)) == perm(rank(v)): reuse the observed ranks.
-    idx = perms_for(conf, key, "lowrank" if reverse else "highrank", len(v))
+    if idx is None:
+        idx = perms_for(conf, key, "lowrank" if reverse else "highrank",
+                        len(v))
     perm_sums = ranks[idx[:, -act_n:]].sum(axis=1)
     if reverse:
         significant = int((perm_sums > active_sum).sum())
@@ -261,7 +287,8 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *, reverse: bool) -
     return significant / conf.perm_count
 
 
-def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
+def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
+              idx: np.ndarray | None = None) -> float | None:
     """algorithms.go:105-140 — permutation test on ranks of |RelDiff|.
 
     Each replicate re-shuffles the RAW vector then recomputes reldiff+rank
@@ -276,7 +303,8 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
     active_sum = float(active.sum())
     act_n = len(active)
 
-    idx = perms_for(conf, key, "diff", len(v))
+    if idx is None:
+        idx = perms_for(conf, key, "diff", len(v))
     perm = v[idx]  # (P, n)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.abs((perm[:, 1:] - perm[:, :-1]) / perm[:, :-1])
@@ -286,7 +314,8 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
     return significant / conf.perm_count
 
 
-def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | None:
+def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
+                      idx: np.ndarray | None = None) -> float | None:
     """algorithms.go:290-309 — p = fraction of permutations with KS < observed."""
     obs = ks_stat(v, conf)
     if obs is None:
@@ -296,7 +325,8 @@ def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str) -> float | 
     refs = min(conf.reference_size, n - act)
     n1, n2 = refs, act
 
-    idx = perms_for(conf, key, "ks", n)
+    if idx is None:
+        idx = perms_for(conf, key, "ks", n)
     perm = v[idx][:, n - act - refs :]  # windows of each permutation
     ref = perm[:, :n1]
     active = perm[:, n1:]

@@ -200,3 +200,55 @@ def test_perm_spec_validated():
 
     with pytest.raises(ValueError, match="perm_spec"):
         AnomalyzerConf(active_size=2, perm_spec="nope")
+
+
+# --- vectorized md5 permutation path (_md5vec) -----------------------------
+
+def test_md5vec_matches_hashlib_across_lengths():
+    """md5_rows is byte-identical to hashlib for message lengths spanning
+    the 1-block/2-block/3-block padding boundaries, mixed in one batch."""
+    import hashlib
+
+    from anomalyzer_spark import _md5vec
+
+    rng = np.random.default_rng(7)
+    lengths = [0, 1, 7, 54, 55, 56, 63, 64, 65, 118, 119, 120, 127, 128, 200]
+    msgs = [bytes(rng.integers(0, 256, size=n, dtype=np.uint8))
+            for n in lengths]
+    width = max(lengths) + 1
+    data = np.zeros((len(msgs), width), dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    for i, m in enumerate(msgs):
+        data[i, : len(m)] = np.frombuffer(m, dtype=np.uint8)
+    got = _md5vec.md5_rows(data, lens)
+    want = np.array([hashlib.md5(m).digest() for m in msgs], dtype="S16")
+    assert (got == want).all()
+    ref = _md5vec._md5_rows_hashlib(data, lens)
+    assert (got == ref).all()
+
+
+def test_perm_matrix_identical_to_hashlib_loop():
+    """The vectorized hash-spec perm matrix equals the original hashlib
+    digest loop exactly — same argsort input ordering, same stable ties."""
+    import hashlib
+
+    for key in ("k1", "user|with|pipes", "x" * 80):  # 80-char key → 2 blocks
+        for (P, n) in ((50, 12), (20, 5), (7, 33)):
+            got = oracle.perm_matrix(42, key, "ks", P, n)
+            digests = np.empty((P, n), dtype="<U32")
+            for r in range(P):
+                pre = f"42|{key}|4|{r}|".encode()
+                for j in range(n):
+                    digests[r, j] = hashlib.md5(
+                        pre + str(j).encode()).hexdigest()
+            want = np.argsort(digests, axis=1, kind="stable")
+            assert (got == want).all(), (key, P, n)
+
+
+def test_perm_matrices_batch_equals_single():
+    """perms_for_tests' batched digests equal per-test perm_matrix calls."""
+    tests = ("diff", "highrank", "lowrank", "ks")
+    batch = oracle.perm_matrices(42, "batchkey", tests, 30, 11)
+    for t in tests:
+        single = oracle.perm_matrix(42, "batchkey", t, 30, 11)
+        assert (batch[t] == single).all(), t
