@@ -233,16 +233,25 @@ def q_minhash_stream(spark, sf_dir):
 
     Cost model note (for any timing harness): the streaming drain runs
     EAGERLY here at query-construction time; the returned frame is just
-    the pair-store read. Temp state lives under ONE fixed tmp root that is
-    wiped on entry, so repeated correctness/bench invocations hold at most
-    one copy on disk instead of leaking a dir per call."""
+    the pair-store read. Temp state lives under ONE per-process tmp root
+    (uid+pid-scoped, wiped on entry, removed at interpreter exit), so
+    repeated invocations in a session hold at most one copy on disk while
+    CONCURRENT sessions never clobber each other's in-flight store/
+    checkpoint (a shared fixed path did exactly that — and a foreign
+    leftover checkpoint would silently skip the fresh input as already
+    processed)."""
+    import atexit
     import os
     import shutil
     import tempfile
 
     from anomalyzer_spark.streaming import run_minhash_stream_on_dir
 
-    tmp = os.path.join(tempfile.gettempdir(), "anomalyzer_q_minhash_stream")
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"anomalyzer_q_minhash_stream_{os.getuid()}_{os.getpid()}")
+    if not os.path.exists(tmp):
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     d = _docs(spark, sf_dir).select("doc_id", "text")
     d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _codes_sql, _lut_sql, nearest_cells
+from .similarity import _codes_sql, _lut_sql, checked_width, nearest_cells
 
 
 def build_ivfpq_index(
@@ -40,6 +40,7 @@ def build_ivfpq_index(
     float vectors are NOT stored (PQ is the compression)."""
     m = len(codebooks)
     d = len(codebooks[0][0])
+    corpus = checked_width(corpus, vec_col, m * d, "IVF-PQ models")
     staged = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
@@ -79,6 +80,7 @@ def search_ivfpq_index(
     # recomputing the literal-model expressions. (localCheckpoint
     # truncates lineage; under executor loss the query batch would need
     # resubmitting — the right trade for a small, per-call query side.)
+    queries = checked_width(queries, vec_col, m * d, "IVF-PQ models")
     qstaged = (
         queries.select(
             F.col(query_id_col).alias("query_id"),
@@ -210,7 +212,8 @@ def ingest_ivfpq_stream(
             return
         m = len(codebooks)
         d = len(codebooks[0][0])
-        staged = batch_df.select(
+        staged = checked_width(
+            batch_df, vec_col, m * d, "IVF-PQ models").select(
             F.col(id_col).alias("neighbor_id"),
             nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
             *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")

@@ -100,16 +100,21 @@ def checked_width(df: DataFrame, vec_col: str, dim: int,
     fold it guards), no extra driver job, and it works on streaming frames
     where a collect-probe could not.
 
-    NULL vectors pass through unchanged: a missing embedding is a data
-    condition the downstream math already handles (NULL dot products /
-    cosine → row drops out), not a model-width error — and raising on it
-    would fire ``raise_error`` with a NULL message (``F.size(NULL)`` makes
-    the concat NULL), losing the diagnostic.
+    NULL vectors are DROPPED, not passed through: a missing embedding is a
+    data condition, not a model-width error — but letting it flow into the
+    PQ/ADC paths is silently WRONG, because a NULL lookup table / NULL
+    codes make ``pq_dist`` NULL and Spark's ascending sort puts NULLs
+    FIRST, so the NULL row's garbage candidates would take ranks 1..k.
+    Dropping the row here gives every literal-model path one uniform
+    semantic: rows without an embedding simply don't participate (the
+    behavior the cosine paths already had via NULL dot products). Raising
+    instead would also fire ``raise_error`` with a NULL message
+    (``F.size(NULL)`` nulls the concat), losing the diagnostic.
     """
     c = F.col(vec_col)
-    return df.withColumn(
+    return df.where(c.isNotNull()).withColumn(
         vec_col,
-        F.when(c.isNull() | (F.size(c) == dim), c).otherwise(
+        F.when(F.size(c) == dim, c).otherwise(
             F.raise_error(F.concat(
             F.lit(f"embedding width mismatch in {vec_col!r}: {what} "
                   f"expects dim={dim}, found row with size "),

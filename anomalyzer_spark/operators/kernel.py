@@ -59,23 +59,24 @@ def mc_probs_udf(conf: AnomalyzerConf, methods: tuple[str, ...]):
                 k = str(key)
                 # all requested tests' permutation matrices in ONE
                 # vectorized md5 batch — the md5 loop was ~65% of kernel
-                # CPU; batching the tests amortizes the vectorized rounds
-                # (oracle.perms_for_tests)
-                idx = oracle.perms_for_tests(conf, k, want, len(v))
+                # CPU; LazyPerms defers the batch until the first test
+                # passes its window guard, so too-short vectors stay
+                # digest-free (oracle.perms_for_tests / LazyPerms)
+                perms = oracle.LazyPerms(conf, k, want, len(v))
                 for m in MC_METHODS:
                     if m not in want:
                         out[m].append(None)
                     elif m == "diff":
-                        out[m].append(oracle.diff_test(v, conf, k, idx[m]))
+                        out[m].append(oracle.diff_test(v, conf, k, perms))
                     elif m == "highrank":
                         out[m].append(oracle.rank_test(
-                            v, conf, k, reverse=False, idx=idx[m]))
+                            v, conf, k, reverse=False, perms=perms))
                     elif m == "lowrank":
                         out[m].append(oracle.rank_test(
-                            v, conf, k, reverse=True, idx=idx[m]))
+                            v, conf, k, reverse=True, perms=perms))
                     else:
                         out[m].append(oracle.bootstrap_ks_test(
-                            v, conf, k, idx[m]))
+                            v, conf, k, perms))
             yield pd.DataFrame(out, dtype="float64")
 
     return _kernel

@@ -258,8 +258,34 @@ def perms_for_tests(
             for t in tests}
 
 
+class LazyPerms:
+    """Batched-but-LAZY permutation matrices for one key.
+
+    The MC tests early-exit (return None, zero digest work) on vectors too
+    short for their windows — so the batch must not be computed before
+    those guards run. Tests index this object AFTER their guards; the
+    first access computes ALL requested tests in one vectorized pass
+    (keys where one test's window fits almost always fit the others'),
+    later accesses are dict lookups. A key whose every test early-exits
+    never pays a single digest.
+    """
+
+    __slots__ = ("_conf", "_key", "_tests", "_n", "_mats")
+
+    def __init__(self, conf: AnomalyzerConf, key: str,
+                 tests: tuple[str, ...], n: int) -> None:
+        self._conf, self._key, self._tests, self._n = conf, key, tests, n
+        self._mats: dict[str, np.ndarray] | None = None
+
+    def __getitem__(self, test: str) -> np.ndarray:
+        if self._mats is None:
+            self._mats = perms_for_tests(
+                self._conf, self._key, self._tests, self._n)
+        return self._mats[test]
+
+
 def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *,
-              reverse: bool, idx: np.ndarray | None = None) -> float | None:
+              reverse: bool, perms=None) -> float | None:
     """highrank/lowrank (algorithms.go:142-205).
 
     p = fraction of permutations whose active rank-sum is below (highrank)
@@ -275,10 +301,12 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *,
     active_sum = float(active.sum())
     act_n = len(active)
 
-    # rank(perm(v)) == perm(rank(v)): reuse the observed ranks.
-    if idx is None:
-        idx = perms_for(conf, key, "lowrank" if reverse else "highrank",
-                        len(v))
+    # rank(perm(v)) == perm(rank(v)): reuse the observed ranks. ``perms``
+    # (the kernel's lazy batch) is only indexed AFTER the window guard —
+    # short vectors must stay digest-free.
+    test = "lowrank" if reverse else "highrank"
+    idx = perms[test] if perms is not None else perms_for(
+        conf, key, test, len(v))
     perm_sums = ranks[idx[:, -act_n:]].sum(axis=1)
     if reverse:
         significant = int((perm_sums > active_sum).sum())
@@ -288,7 +316,7 @@ def rank_test(v: np.ndarray, conf: AnomalyzerConf, key: str, *,
 
 
 def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
-              idx: np.ndarray | None = None) -> float | None:
+              perms=None) -> float | None:
     """algorithms.go:105-140 — permutation test on ranks of |RelDiff|.
 
     Each replicate re-shuffles the RAW vector then recomputes reldiff+rank
@@ -303,8 +331,8 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
     active_sum = float(active.sum())
     act_n = len(active)
 
-    if idx is None:
-        idx = perms_for(conf, key, "diff", len(v))
+    idx = perms["diff"] if perms is not None else perms_for(
+        conf, key, "diff", len(v))
     perm = v[idx]  # (P, n)
     with np.errstate(divide="ignore", invalid="ignore"):
         d = np.abs((perm[:, 1:] - perm[:, :-1]) / perm[:, :-1])
@@ -315,7 +343,7 @@ def diff_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
 
 
 def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
-                      idx: np.ndarray | None = None) -> float | None:
+                      perms=None) -> float | None:
     """algorithms.go:290-309 — p = fraction of permutations with KS < observed."""
     obs = ks_stat(v, conf)
     if obs is None:
@@ -325,8 +353,8 @@ def bootstrap_ks_test(v: np.ndarray, conf: AnomalyzerConf, key: str,
     refs = min(conf.reference_size, n - act)
     n1, n2 = refs, act
 
-    if idx is None:
-        idx = perms_for(conf, key, "ks", n)
+    idx = perms["ks"] if perms is not None else perms_for(
+        conf, key, "ks", n)
     perm = v[idx][:, n - act - refs :]  # windows of each permutation
     ref = perm[:, :n1]
     active = perm[:, n1:]

@@ -86,7 +86,8 @@ from ..functions.dedup import (
     minhash_band_buckets, verify_jaccard_pairs, word_shingles,
 )
 
-_PAIR_SCHEMA = "id_a long, id_b long, jaccard double"
+def _pair_ddl(id_type: str) -> str:
+    return f"id_a {id_type}, id_b {id_type}, jaccard double"
 
 
 def _store_paths(store_dir: str) -> tuple[str, str, str]:
@@ -196,9 +197,13 @@ def _compact_component(
     cur = _read_component(spark, store_dir, name, schema, min_live)
     if cur is None:
         return
-    prev_gen, _ = _latest_gen(comp_dir)
-    w = cur.repartition(*partition_cols) if partition_cols \
-        else cur.coalesce(1)
+    # repartition, never coalesce(1): the generation holds the WHOLE
+    # in-horizon component, and funnelling it through one task would stall
+    # the stream (and hotspot one executor) exactly on the long-running
+    # corpora compaction exists for — defaultParallelism writers bound the
+    # file count to one generation's worth while staying parallel
+    w = (cur.repartition(*partition_cols) if partition_cols
+         else cur.repartition(spark.sparkContext.defaultParallelism))
     wr = w.write.mode("overwrite")
     if partition_cols:
         wr = wr.partitionBy(*partition_cols)
@@ -213,8 +218,6 @@ def _compact_component(
     for p in glob.glob(f"{comp_dir}/gen=*"):
         if os.path.isdir(p) and p != gen_path:
             shutil.rmtree(p, ignore_errors=True)
-    if prev_gen is not None and os.path.isdir(prev_gen):
-        shutil.rmtree(prev_gen, ignore_errors=True)
 
 
 def _materialize_groups(
@@ -232,7 +235,8 @@ def _materialize_groups(
             and os.path.isfile(f"{gen_path}/_folded.json")):
         return
     groups = minhash_groups_store(spark, store_dir, id_col)
-    groups.coalesce(1).write.mode("overwrite").parquet(gen_path)
+    (groups.repartition(spark.sparkContext.defaultParallelism)
+     .write.mode("overwrite").parquet(gen_path))
     with open(f"{gen_path}/_folded.json", "w") as f:
         json.dump({"max_folded": upto}, f)
     for p in glob.glob(f"{comp_dir}/gen=*"):
@@ -282,6 +286,14 @@ def minhash_dedup_stream(
     contract; re-sent ids would self-pair away but double-count in
     groups).
     """
+    if materialize_groups and compact_every is None:
+        raise ValueError(
+            "materialize_groups=True requires compact_every (groups are "
+            "materialized at compaction ticks); without it the stream "
+            "would silently never materialize and "
+            "prefer_materialized readers would fall back to the full "
+            "connected-components recomputation this option exists to "
+            "avoid")
     buckets_dir, shingles_dir, pairs_dir = _store_paths(store_dir)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -374,8 +386,12 @@ def minhash_pairs_store(
     *,
     only_ingested_ids: bool = False,
     id_col: str = "doc_id",
+    id_type: str = "long",
 ) -> DataFrame:
     """All near-dup pairs accumulated so far: (id_a, id_b, jaccard).
+    ``id_type`` (Spark DDL type name) types the EMPTY frame returned
+    before any batch lands — pass it when doc ids aren't long, or the
+    empty frame won't union/join with downstream frames.
 
     Equals the batch ``minhash_lsh_pairs`` over every document ingested
     (each pair is written exactly once — see module docstring); under a
@@ -388,18 +404,21 @@ def minhash_pairs_store(
     """
     pairs = _read_component(spark, store_dir, "pairs", None, None)
     if pairs is None:
-        return spark.createDataFrame([], _PAIR_SCHEMA)
+        return spark.createDataFrame([], _pair_ddl(id_type))
     pairs = pairs.select("id_a", "id_b", "jaccard")
     if only_ingested_ids:
         ids = _read_component(spark, store_dir, "shingles", None, None)
         ids = (ids.select(F.col(id_col)).distinct()
                if ids is not None else
-               spark.createDataFrame([], f"`{id_col}` long"))
+               spark.createDataFrame([], f"`{id_col}` {id_type}"))
+        # no broadcast hint: unlike the per-batch cand_ids (bounded by one
+        # micro-batch), this id set is the whole in-horizon corpus — let
+        # Spark/AQE pick the semi-join strategy at its actual size
         pairs = (
             pairs
-            .join(F.broadcast(ids.select(F.col(id_col).alias("id_a"))),
+            .join(ids.select(F.col(id_col).alias("id_a")),
                   "id_a", "left_semi")
-            .join(F.broadcast(ids.select(F.col(id_col).alias("id_b"))),
+            .join(ids.select(F.col(id_col).alias("id_b")),
                   "id_b", "left_semi")
             .select("id_a", "id_b", "jaccard")
         )
@@ -412,6 +431,7 @@ def minhash_groups_store(
     id_col: str = "doc_id",
     *,
     prefer_materialized: bool = False,
+    id_type: str = "long",
 ) -> DataFrame:
     """Near-dup groups over the accumulated pair state: the connected-
     component resolution (``dedup.duplicate_groups``) run over the pairs
@@ -437,11 +457,11 @@ def minhash_groups_store(
     ing = _read_component(spark, store_dir, "shingles", None, None)
     if ing is None:
         return spark.createDataFrame(
-            [], f"`{id_col}` long, group_id long, group_size long")
+            [], f"`{id_col}` {id_type}, group_id long, group_size long")
     docs = ing.select(F.col(id_col)).distinct()
     groups = duplicate_groups(
         docs, minhash_pairs_store(spark, store_dir, only_ingested_ids=True,
-                                  id_col=id_col), id_col)
+                                  id_col=id_col, id_type=id_type), id_col)
     return groups.where(F.col("group_size") > 1)
 
 

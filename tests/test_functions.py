@@ -552,22 +552,43 @@ def test_embedding_width_mismatch_fails_fast(spark):
                                dim=4).count() > 0
 
 
-def test_checked_width_passes_nulls_through(spark):
-    """A NULL embedding is a data condition (row drops out via NULL
-    math downstream), not a model-width error: checked_width must pass it
-    through instead of raising — and raising would have produced a NULL
-    error message anyway (F.size(NULL) nulls the concat)."""
+def test_checked_width_drops_nulls(spark):
+    """A NULL embedding is a data condition, not a model-width error —
+    but passing it through would silently corrupt the PQ/ADC paths
+    (NULL pq_dist sorts FIRST ascending, so garbage rows would take top-k
+    ranks). checked_width drops the row: every literal-model path gets
+    the uniform 'no embedding → not a participant' semantic."""
     df = spark.createDataFrame(
         [(0, [1.0, 2.0]), (1, None)],
         "vec_id long, embedding array<double>")
     out = similarity.checked_width(df, "embedding", 2).collect()
-    got = {r["vec_id"]: r["embedding"] for r in out}
-    assert got[0] == [1.0, 2.0] and got[1] is None
+    assert {r["vec_id"] for r in out} == {0}
+    assert out[0]["embedding"] == [1.0, 2.0]
     # a present-but-wrong-width row still fails fast with the diagnostic
     bad = spark.createDataFrame(
         [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="width mismatch"):
         similarity.checked_width(bad, "embedding", 2).collect()
+
+
+def test_pq_topk_null_query_excluded_not_ranked_first(spark):
+    """Regression: a NULL-embedding query must NOT receive k garbage
+    neighbors via NULLS-FIRST ascending pq_dist — it is excluded."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    corpus = spark.createDataFrame(
+        [(i, rng.normal(size=4).tolist()) for i in range(30)],
+        "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, rng.normal(size=4).tolist()), (101, None)],
+        "vec_id long, embedding array<double>")
+    books = similarity.train_pq_codebooks(
+        [r["embedding"] for r in corpus.collect()], m=2, k=4)
+    out = similarity.pq_topk(corpus, queries, books, k=3).collect()
+    qids = {r["query_id"] for r in out}
+    assert qids == {100}
+    assert all(r["pq_dist"] is not None for r in out)
 
 
 def test_ivf_probe_params_recall_achieved(spark, sf01_dir):
