@@ -1,0 +1,218 @@
+"""Sequence packing — fitting documents into fixed-token training bins.
+
+The last mile of a pretraining data pipeline: documents become fixed-size
+context windows. Two industry-standard shapes, two different Spark
+strategies:
+
+* ``pack_chunks`` — concat-and-chunk (the PRETRAINING shape): documents
+  are concatenated in a deterministic pseudo-random order and the token
+  stream is cut into ``capacity``-token chunks; documents may straddle a
+  chunk boundary. This is pure relational algebra — a per-shard running
+  token sum (one window) and integer division — so it is fully
+  SQL-expressible (the DuckDB parity test in tests/test_packing.py
+  reproduces it verbatim) and scales as one exchange on the shard key.
+* ``pack_bins_ffd`` — whole-document first-fit-decreasing (the SFT /
+  instruction-tuning shape, where an example must not be split): a
+  sequential greedy that no window function expresses, run per shard as
+  an Arrow-batched ``applyInPandas`` kernel. Deterministic: FFD order is
+  (tokens desc, id asc), bins probed first-fit in creation order.
+
+Sharding is the 100 TB axis for BOTH: a single global packing order would
+serialize into one task (a global ordered cumsum has exactly one
+partition), so the corpus is split into ``n_shards`` deterministic
+md5-hash shards and packed independently within each — shards are the
+unit of parallelism AND of reproducibility (same ids → same shards →
+same packing on any cluster/partitioning/retry, the ``sampling.hash_sample``
+determinism contract). Chunk/bin ids are (shard, local id) pairs so ids
+never depend on task scheduling.
+
+Token counts default to ``text.word_tokens`` (the BPE-ish lexer) so
+packing agrees with the rest of the curation stack; pass ``length_col``
+to pack by a precomputed token count (e.g. from the real tokenizer
+upstream).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .sampling import _hash48
+from .text import word_tokens
+
+#: order documents within a shard by this many hash bits — a deterministic
+#: shuffle, so consecutive documents in a chunk are an unbiased mix of the
+#: corpus instead of whatever order the source listed them in
+_ORDER_SEED_OFFSET = 1
+
+
+def _with_shard_and_length(
+    df: DataFrame,
+    capacity: int,
+    length_col: str | None,
+    text_col: str,
+    id_col: str,
+    n_shards: int,
+    seed: int,
+) -> DataFrame:
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1 token")
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    n_toks = (F.col(length_col).cast("long") if length_col is not None
+              else F.size(word_tokens(F.col(text_col))).cast("long"))
+    return df.select(
+        F.col(id_col),
+        n_toks.alias("n_toks"),
+        F.pmod(_hash48(F.col(id_col), seed), F.lit(n_shards))
+        .cast("int").alias("shard"),
+        # deterministic pseudo-random order WITHIN the shard (different
+        # seed stream than the shard hash, or order would correlate with
+        # shard membership)
+        _hash48(F.col(id_col), seed + _ORDER_SEED_OFFSET).alias("_ord"),
+    ).where(F.col("n_toks") > 0)
+
+
+def pack_chunks(
+    df: DataFrame,
+    capacity: int,
+    *,
+    length_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-and-chunk packing: one row per (document, chunk) span.
+
+    Within each shard, documents are concatenated in deterministic hash
+    order; the resulting token stream is cut every ``capacity`` tokens.
+    Output columns: ``shard``, ``chunk_id`` (per shard, 0-based),
+    ``doc_id``, ``n_toks`` (document total), ``start_tok`` (document's
+    offset in the shard stream), ``chunk_tok_start``/``chunk_tok_end``
+    (the [start, end) slice of THIS document's tokens that lands in this
+    chunk). A document spanning k boundaries emits k+1 rows; every token
+    lands in exactly one chunk, so chunk utilization is 100% by
+    construction (the final short chunk per shard aside).
+
+    Plan shape: one exchange on ``shard`` (the window), then map-side
+    span arithmetic + a bounded ``sequence`` explode (a document emits at
+    most ceil(n_toks/capacity)+1 rows). No driver state, no Python.
+    """
+    staged = _with_shard_and_length(
+        df, capacity, length_col, text_col, id_col, n_shards, seed)
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_ord").asc(), F.col(id_col).asc())
+    spans = staged.select(
+        "shard", id_col, "n_toks",
+        (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
+    )
+    end_tok = F.col("start_tok") + F.col("n_toks")
+    first_c = (F.col("start_tok") / capacity).cast("long")
+    last_c = ((end_tok - 1) / capacity).cast("long")
+    seg = spans.select(
+        "shard", id_col, "n_toks", "start_tok",
+        F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
+    )
+    c_lo = F.col("chunk_id") * capacity
+    c_hi = c_lo + capacity
+    return seg.select(
+        "shard", "chunk_id", id_col, "n_toks", "start_tok",
+        (F.greatest(c_lo, F.col("start_tok")) - F.col("start_tok"))
+        .alias("chunk_tok_start"),
+        (F.least(c_hi, F.col("start_tok") + F.col("n_toks"))
+         - F.col("start_tok")).alias("chunk_tok_end"),
+    )
+
+
+def pack_bins_ffd(
+    df: DataFrame,
+    capacity: int,
+    *,
+    length_col: str | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Whole-document first-fit-decreasing bin packing: one row per
+    document — (shard, bin_id, doc_id, n_toks, oversize).
+
+    No document is split across bins (the SFT contract); a bin's total
+    never exceeds ``capacity`` EXCEPT the degenerate single-document bin
+    of an oversize document (``oversize = true``, n_toks > capacity) —
+    flagged, not dropped, so the caller decides truncate-vs-discard.
+
+    FFD is inherently sequential (each placement depends on all previous
+    bins' fill), so no window function expresses it; it runs as an
+    Arrow-batched per-shard kernel (``applyInPandas``). Within a shard
+    the order is (n_toks desc, id asc) and bins are probed first-fit in
+    creation order — fully deterministic, partitioning-independent. FFD
+    uses ≤ (11/9)·OPT + 6/9 bins (Dósa's bound, public result), so waste
+    is bounded ~22% worst-case and typically a few percent.
+
+    Shards cap kernel state at O(docs-per-shard); size ``n_shards`` so a
+    shard's (id, n_toks) pairs fit one task's memory — the documents'
+    TEXT never enters the kernel.
+    """
+    staged = _with_shard_and_length(
+        df, capacity, length_col, text_col, id_col, n_shards, seed)
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["n_toks", id_col], ascending=[False, True],
+            kind="mergesort", ignore_index=True)
+        fills: list[int] = []  # bin → tokens used
+        bin_ids: list[int] = []
+        for t in pdf["n_toks"]:
+            t = int(t)
+            placed = -1
+            if t <= capacity:
+                for b, used in enumerate(fills):
+                    if used + t <= capacity:
+                        placed = b
+                        break
+            if placed < 0:  # no bin fits (or oversize doc): open a new one
+                placed = len(fills)
+                fills.append(0)
+            fills[placed] += t
+            bin_ids.append(placed)
+        out = pdf[["shard", id_col, "n_toks"]].copy()
+        out["bin_id"] = pd.array(bin_ids, dtype="int64")
+        out["oversize"] = out["n_toks"] > capacity
+        return out
+
+    out_schema = (
+        f"shard int, `{id_col}` "
+        f"{dict(staged.dtypes)[id_col]}, n_toks long, bin_id long, "
+        f"oversize boolean")
+    return (
+        staged.select("shard", id_col, "n_toks")
+        .groupBy("shard").applyInPandas(ffd, out_schema)
+    )
+
+
+def packing_stats(packed_bins: DataFrame, capacity: int) -> DataFrame:
+    """Utilization summary of a ``pack_bins_ffd`` result, per shard:
+    bins, docs, token fill, utilization (fill / (bins·capacity)), and
+    oversize-document count. Small aggregate for pipeline monitoring."""
+    per_bin = packed_bins.groupBy("shard", "bin_id").agg(
+        F.sum("n_toks").alias("_fill"),
+        F.count(F.lit(1)).alias("_docs"),
+        F.max(F.col("oversize").cast("int")).alias("_over"),
+    )
+    return per_bin.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_bins"),
+        F.sum("_docs").alias("n_docs"),
+        F.sum("_fill").alias("total_tokens"),
+        F.round(
+            F.sum(F.when(F.col("_over") == 0, F.col("_fill"))
+                  .otherwise(F.lit(0)))
+            / (F.sum(F.when(F.col("_over") == 0, F.lit(1)).otherwise(
+                F.lit(0))) * F.lit(capacity)),
+            6,
+        ).alias("utilization"),
+        F.sum("_over").alias("n_oversize"),
+    )

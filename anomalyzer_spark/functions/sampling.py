@@ -80,6 +80,55 @@ def stratified_sample(
         < (rate * F.lit(_BUCKETS)).cast("long"))
 
 
+def temperature_sample(
+    df: DataFrame,
+    alpha: float,
+    domain_col: str,
+    id_col: str = "doc_id",
+    *,
+    target_rows: int | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the multilingual/multi-domain
+    rebalancing rule): a domain with corpus share p_d is sampled toward
+    share q_d ∝ p_d^alpha. ``alpha=1`` keeps natural proportions,
+    ``alpha=0`` equalizes domains, values in between up-sample the tail —
+    the standard knob for keeping low-resource domains from drowning.
+
+    ``target_rows`` sets the expected output size (default: the input row
+    count, i.e. pure re-weighting); each domain's acceptance rate is
+    ``min(1, q_d · target / n_d)`` — rates cap at 1 (sampling never
+    duplicates rows; true up-sampling past a domain's size is an epochs
+    decision, not a filter), so heavy flattening of very skewed corpora
+    lands under target when small domains saturate.
+
+    Plan shape: one tiny per-domain count aggregate (map-side partial),
+    rates derived on the driver from that bounded aggregate (#domains
+    rows, never data), then the same deterministic md5-window filter as
+    ``hash_sample`` via ``stratified_sample`` — map-only over the corpus,
+    reproducible on any partitioning.
+    """
+    if alpha < 0.0:
+        raise ValueError("alpha must be >= 0")
+    counts = {
+        r["d"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if not counts:
+        return df
+    total = sum(counts.values())
+    target = total if target_rows is None else target_rows
+    weights = {d: (n / total) ** alpha for d, n in counts.items()}
+    z = sum(weights.values())
+    rates = {
+        d: min(1.0, (w / z) * target / counts[d])
+        for d, w in weights.items()
+    }
+    return stratified_sample(
+        df, rates, domain_col, id_col, default_rate=0.0, seed=seed)
+
+
 def stratified_sample_n(
     df: DataFrame,
     n_per_stratum: int,

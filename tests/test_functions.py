@@ -685,3 +685,49 @@ def test_minhash_bucket_cap_drops_mega_cluster_only(spark):
     uncapped = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
         df, "text", "doc_id", **kw).collect()}
     assert any(a < 8 and b < 8 for a, b in uncapped)  # default keeps them
+
+
+def test_temperature_sample_alpha1_identity_and_alpha0_flattening(spark, sf_dir):
+    """alpha=1 with default target keeps everything (rates all 1);
+    alpha=0 equalizes expected domain shares; selection matches an
+    independent hashlib evaluation of the md5 acceptance window."""
+    import hashlib
+
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "lang")
+    n = docs.count()
+    # alpha=1, default target → pure identity
+    assert sampling.temperature_sample(docs, 1.0, "lang").count() == n
+
+    rows = [(r["doc_id"], r["lang"]) for r in docs.collect()]
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    k = len(counts)
+    # independent expectation for alpha=0: q_d = 1/k, rate = min(1, n/(k*n_d))
+    rates = {d: min(1.0, n / (k * nd)) for d, nd in counts.items()}
+
+    def accept(doc_id, rate):
+        h = int(hashlib.md5(f"42|{doc_id}".encode()).hexdigest()[:12], 16)
+        return h < int(rate * (1 << 48))
+
+    want = {doc for doc, lang in rows if accept(doc, rates[lang])}
+    got = {r["doc_id"]
+           for r in sampling.temperature_sample(docs, 0.0, "lang").collect()}
+    assert got == want and 0 < len(got) < n
+    # flattened shares: small domains keep everything (rate 1)
+    smallest = min(counts, key=counts.get)
+    if rates[smallest] >= 1.0:
+        kept_small = sum(1 for d, lang in rows
+                         if lang == smallest and d in got)
+        assert kept_small == counts[smallest]
+
+
+def test_temperature_sample_rejects_negative_alpha(spark, sf_dir):
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    with pytest.raises(ValueError, match="alpha"):
+        sampling.temperature_sample(docs, -0.5, "lang")
