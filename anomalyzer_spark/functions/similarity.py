@@ -718,3 +718,42 @@ def cosine_pairs(
         cand.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def embedding_dedup_groups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    use_lsh: bool = True,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    target_recall: float | None = None,
+    max_exact_rows: int | None = 100_000,
+) -> DataFrame:
+    """SEMANTIC near-duplicate groups: embedding-cosine pairs resolved to
+    connected components — the last cell of the dedup matrix (exact /
+    n-gram / MinHash / SimHash / CDC are lexical; this one catches
+    paraphrases and translations that share no surface text).
+
+    Composition of two proven stages: ``cosine_pairs`` (LSH-bucketed by
+    default — the 100 TB candidate path; pass ``use_lsh=False`` only for
+    small oracle cross-checks) feeding ``dedup.duplicate_groups``
+    (edge-scoped label propagation + pointer jumping). Returns
+    (id, group_id, group_size) for ids in multi-member groups only —
+    group_id is the smallest member id (keep-first canonicalization:
+    callers drop rows where id != group_id).
+    """
+    from .dedup import duplicate_groups
+
+    pairs = cosine_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        use_lsh=use_lsh, n_planes=n_planes, bands=bands, dim=dim,
+        seed=seed, target_recall=target_recall,
+        max_exact_rows=max_exact_rows)
+    groups = duplicate_groups(
+        df.select(F.col(id_col)), pairs, id_col)
+    return groups.where(F.col("group_size") > 1)

@@ -731,3 +731,40 @@ def test_temperature_sample_rejects_negative_alpha(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="alpha"):
         sampling.temperature_sample(docs, -0.5, "lang")
+
+
+def test_embedding_dedup_groups_finds_semantic_clusters(spark):
+    """Planted clusters of nearly-identical vectors resolve to groups;
+    isolated noise vectors stay out. LSH path and exact path agree."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for c in range(3):                       # 3 clusters of 4 near-dups
+        center = rng.normal(size=16)
+        for _ in range(4):
+            v = center + rng.normal(scale=0.01, size=16)
+            rows.append((vid, c, v.tolist()))
+            vid += 1
+    for _ in range(8):                       # isolated noise
+        rows.append((vid, -1, rng.normal(size=16).tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, cluster int, "
+                                     "embedding array<double>")
+    exact = similarity.embedding_dedup_groups(
+        df, threshold=0.95, use_lsh=False, dim=16).collect()
+    by_group = {}
+    cluster_of = {r[0]: r[1] for r in rows}
+    for r in exact:
+        by_group.setdefault(r["group_id"], set()).add(r["vec_id"])
+    assert len(by_group) == 3
+    for members in by_group.values():
+        assert len(members) == 4
+        assert len({cluster_of[m] for m in members}) == 1  # no cross-cluster
+    # LSH path: recall-tuned candidates must recover the same groups
+    lsh = similarity.embedding_dedup_groups(
+        df, threshold=0.95, use_lsh=True, dim=16, n_planes=12, bands=6,
+        seed=7).collect()
+    assert {(r["vec_id"], r["group_id"]) for r in lsh} == \
+           {(r["vec_id"], r["group_id"]) for r in exact}
