@@ -72,6 +72,9 @@ COSINE_THRESHOLD = 0.35
 TOPK = 5
 MAX_SHINGLE_FREQ = 1000  # hot-shingle df cap (pre-agg filter, dedup.py)
 
+#: q_minhash_stream tmp roots with an atexit cleanup already registered
+_MINHASH_TMP_REGISTERED: set = set()
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: all-7-test anomaly detection per event_type on sf0.001."""
@@ -250,7 +253,11 @@ def q_minhash_stream(spark, sf_dir):
     tmp = os.path.join(
         tempfile.gettempdir(),
         f"anomalyzer_q_minhash_stream_{os.getuid()}_{os.getpid()}")
-    if not os.path.exists(tmp):
+    if tmp not in _MINHASH_TMP_REGISTERED:
+        # register unconditionally on first use — gating on "dir absent"
+        # would skip registration when a recycled pid inherits a stale
+        # leftover, leaking it forever; rmtree on a missing dir is a no-op
+        _MINHASH_TMP_REGISTERED.add(tmp)
         atexit.register(shutil.rmtree, tmp, ignore_errors=True)
     shutil.rmtree(tmp, ignore_errors=True)
     d = _docs(spark, sf_dir).select("doc_id", "text")

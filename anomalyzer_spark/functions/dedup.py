@@ -433,6 +433,12 @@ def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
         return frame.checkpoint(eager=True) if reliable \
             else frame.localCheckpoint(eager=True)
 
+    # materialize the edge list ONCE before iterating: edges is typically
+    # the most expensive lineage in the query (LSH bucket self-join +
+    # exact verification over the corpus), and every propagation round
+    # joins against it — without this, each of the O(log diameter) rounds
+    # would re-execute candidate generation from scratch.
+    edges = _ckpt(edges)
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")))
     converged = False

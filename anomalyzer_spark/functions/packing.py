@@ -196,8 +196,12 @@ def pack_bins_ffd(
 
 def packing_stats(packed_bins: DataFrame, capacity: int) -> DataFrame:
     """Utilization summary of a ``pack_bins_ffd`` result, per shard:
-    bins, docs, token fill, utilization (fill / (bins·capacity)), and
-    oversize-document count. Small aggregate for pipeline monitoring."""
+    bins, docs, token fill, utilization, and oversize-document count.
+    ``utilization`` = fill / (bins·capacity) over NON-oversize bins only
+    (an oversize doc's solo bin says nothing about packing quality);
+    a shard consisting solely of oversize bins reports 0.0, not NULL,
+    so threshold alerts can't silently skip it. Small aggregate for
+    pipeline monitoring."""
     per_bin = packed_bins.groupBy("shard", "bin_id").agg(
         F.sum("n_toks").alias("_fill"),
         F.count(F.lit(1)).alias("_docs"),
@@ -207,12 +211,15 @@ def packing_stats(packed_bins: DataFrame, capacity: int) -> DataFrame:
         F.count(F.lit(1)).alias("n_bins"),
         F.sum("_docs").alias("n_docs"),
         F.sum("_fill").alias("total_tokens"),
-        F.round(
-            F.sum(F.when(F.col("_over") == 0, F.col("_fill"))
-                  .otherwise(F.lit(0)))
-            / (F.sum(F.when(F.col("_over") == 0, F.lit(1)).otherwise(
-                F.lit(0))) * F.lit(capacity)),
-            6,
+        F.coalesce(
+            F.round(
+                F.sum(F.when(F.col("_over") == 0, F.col("_fill"))
+                      .otherwise(F.lit(0)))
+                / (F.sum(F.when(F.col("_over") == 0, F.lit(1)).otherwise(
+                    F.lit(0))) * F.lit(capacity)),
+                6,
+            ),
+            F.lit(0.0),
         ).alias("utilization"),
         F.sum("_over").alias("n_oversize"),
     )

@@ -28,6 +28,11 @@ from pyspark.sql.window import Window
 #: uniform, exact in int64
 _BUCKETS = 1 << 48
 
+#: above this many distinct domains, temperature_sample switches from a
+#: CASE expression (depth = domain count — planner-hostile at high
+#: cardinality) to a broadcast (domain, rate) join
+_CASE_MAX = 64
+
 
 def _hash48(id_col: Column, seed: int) -> Column:
     """Stable 48-bit uniform hash of (seed, id) — md5-derived so it is
@@ -68,13 +73,17 @@ def stratified_sample(
     """Per-stratum Bernoulli rates (e.g. language rebalancing: keep 100%
     of low-resource languages, 5% of English). Still map-only — the rate
     is a CASE expression on the stratum column; strata absent from
-    ``rates`` use ``default_rate``."""
+    ``rates`` use ``default_rate``. A ``None`` key sets the rate for
+    NULL-stratum rows (a bare equality CASE would never match NULL and
+    silently route those rows to ``default_rate``)."""
     for s, r in rates.items():
         if not 0.0 <= r <= 1.0:
             raise ValueError(f"rate for stratum {s!r} must be in [0, 1]")
     rate = F.lit(default_rate)
     for s, r in rates.items():
-        rate = F.when(F.col(strata_col) == s, F.lit(r)).otherwise(rate)
+        cond = (F.col(strata_col).isNull() if s is None
+                else (F.col(strata_col) == s))
+        rate = F.when(cond, F.lit(r)).otherwise(rate)
     return df.where(
         _hash48(F.col(id_col), seed)
         < (rate * F.lit(_BUCKETS)).cast("long"))
@@ -104,9 +113,15 @@ def temperature_sample(
 
     Plan shape: one tiny per-domain count aggregate (map-side partial),
     rates derived on the driver from that bounded aggregate (#domains
-    rows, never data), then the same deterministic md5-window filter as
-    ``hash_sample`` via ``stratified_sample`` — map-only over the corpus,
-    reproducible on any partitioning.
+    rows, never data), then the deterministic md5-window filter of
+    ``hash_sample``. Small domain maps (≤ ``_CASE_MAX`` distinct values
+    — the languages case) compile to a map-only CASE via
+    ``stratified_sample``; larger ones (source-site domains) would build
+    a CASE tree as deep as the domain count, so they route through a
+    broadcast null-safe equi-join against the tiny (domain, rate) frame
+    instead — one broadcast of #domains rows, still no corpus shuffle.
+    NULL domains are first-class: counted, weighted, and sampled like
+    any other domain value.
     """
     if alpha < 0.0:
         raise ValueError("alpha must be >= 0")
@@ -125,8 +140,21 @@ def temperature_sample(
         d: min(1.0, (w / z) * target / counts[d])
         for d, w in weights.items()
     }
-    return stratified_sample(
-        df, rates, domain_col, id_col, default_rate=0.0, seed=seed)
+    if len(rates) <= _CASE_MAX:
+        return stratified_sample(
+            df, rates, domain_col, id_col, default_rate=0.0, seed=seed)
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(d, r) for d, r in rates.items()],
+        f"_ts_domain {dict(df.dtypes)[domain_col]}, _ts_rate double")
+    joined = df.join(
+        F.broadcast(rate_df),
+        df[domain_col].eqNullSafe(rate_df["_ts_domain"]), "left")
+    return joined.where(
+        _hash48(F.col(id_col), seed)
+        < (F.coalesce(F.col("_ts_rate"), F.lit(0.0))
+           * F.lit(_BUCKETS)).cast("long")
+    ).drop("_ts_domain", "_ts_rate")
 
 
 def stratified_sample_n(

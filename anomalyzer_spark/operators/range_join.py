@@ -25,11 +25,18 @@ by the exact range predicate as a cheap post-filter.
 
 Pick ``bucket_width`` near the TYPICAL interval length: much smaller
 multiplies the interval explode; much larger packs unrelated rows into
-one bucket and pushes work into the post-filter. Both joins accept any
-numeric range column; time ranges should be epoch MICROSECONDS
+one bucket and pushes work into the post-filter. Range columns must be
+INTEGRAL (checked, ValueError otherwise): the covered-bucket arithmetic
+(``end − 1`` for the exclusive edge, first-shared-bucket dedup) is
+integer arithmetic — a fractional ``end`` would silently drop an
+interval's last bucket and the dedup filter could then drop real
+overlaps. Time ranges should be epoch MICROSECONDS
 (``timeutil.epoch_us_col``) — bucketing divides through ``double``, so
 magnitudes must stay under 2^53 for exact bucket ids (epoch-µs is exact
-until year ~2255; epoch-NANOS is not supported, convert first).
+until year ~2255; epoch-NANOS is not supported, convert first). The two
+inputs' column names must be DISJOINT apart from ``keys`` (checked):
+the post-join range predicate references both sides' columns by bare
+name — rename one side (the natural self-join case included) first.
 """
 
 from __future__ import annotations
@@ -39,6 +46,31 @@ from pyspark.sql import DataFrame, functions as F
 #: explode fan-out guard — one interval covering more buckets than this
 #: fails fast (raise_error) instead of silently materializing the fan-out
 DEFAULT_MAX_BUCKETS = 4096
+
+_INTEGRAL = {"tinyint", "smallint", "int", "bigint"}
+
+
+def _check_integral(df: DataFrame, cols: list[str], side: str) -> None:
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        if dtypes.get(c) not in _INTEGRAL:
+            raise ValueError(
+                f"range_join: {side} column {c!r} has type "
+                f"{dtypes.get(c)!r}; range columns must be integral "
+                f"(convert timestamps to epoch-µs via timeutil, scale "
+                f"fractional ranges to integers first)")
+
+
+def _check_disjoint(left: DataFrame, right: DataFrame,
+                    keys: list[str]) -> None:
+    clash = (set(left.columns) & set(right.columns)) - set(keys)
+    if clash:
+        raise ValueError(
+            f"range_join: both sides carry column(s) {sorted(clash)} — "
+            f"the post-join range predicate references columns by bare "
+            f"name, so non-key names must be disjoint; rename one side "
+            f"(e.g. a self-overlap join needs one side's columns "
+            f"aliased) or add them to keys")
 
 
 def _bucket(col, width):
@@ -94,6 +126,9 @@ def range_join_points(
     one post-filter.
     """
     keys = keys or []
+    _check_integral(points, [point_col], "points")
+    _check_integral(intervals, [start_col, end_col], "intervals")
+    _check_disjoint(points, intervals, keys)
     iv = _interval_buckets(
         intervals, start_col, end_col, bucket_width,
         max_buckets_per_interval, "intervals")
@@ -126,6 +161,9 @@ def range_join_intervals(
     columns already present, so the plan has no DISTINCT exchange.
     """
     keys = keys or []
+    _check_integral(left, [left_start, left_end], "left")
+    _check_integral(right, [right_start, right_end], "right")
+    _check_disjoint(left, right, keys)
     lv = _interval_buckets(left, left_start, left_end, bucket_width,
                            max_buckets_per_interval, "left")
     rv = _interval_buckets(right, right_start, right_end, bucket_width,

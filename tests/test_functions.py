@@ -768,3 +768,36 @@ def test_embedding_dedup_groups_finds_semantic_clusters(spark):
         seed=7).collect()
     assert {(r["vec_id"], r["group_id"]) for r in lsh} == \
            {(r["vec_id"], r["group_id"]) for r in exact}
+
+
+def test_temperature_sample_null_domain_participates(spark):
+    """NULL-domain rows are counted, weighted, and sampled — not silently
+    dropped by a CASE that can never match NULL."""
+    from anomalyzer_spark.functions import sampling
+
+    rows = ([(i, "en") for i in range(40)]
+            + [(i + 100, None) for i in range(40)])
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sampling.temperature_sample(df, 1.0, "lang")
+    # alpha=1, default target → every rate is 1 → identity INCLUDING NULLs
+    assert out.count() == 80
+    assert out.where(F.col("lang").isNull()).count() == 40
+
+
+def test_temperature_sample_high_cardinality_join_path(spark):
+    """Above the CASE cutoff the rates route through a broadcast join;
+    the selected set must still match the md5-window rule exactly."""
+    import hashlib
+
+    from anomalyzer_spark.functions import sampling
+
+    rows = [(d * 1000 + i, f"site{d}")
+            for d in range(100) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    # alpha=0, target=150 → every domain rate = min(1, (1/100)*150/3)=0.5
+    got = {r["doc_id"] for r in sampling.temperature_sample(
+        df, 0.0, "domain", target_rows=150).collect()}
+    want = {doc for doc, _ in rows
+            if int(hashlib.md5(f"42|{doc}".encode()).hexdigest()[:12], 16)
+            < int(0.5 * (1 << 48))}
+    assert got == want and 0 < len(got) < 300

@@ -120,3 +120,21 @@ def test_plan_is_equi_join_not_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "_rj_bucket" in plan  # the quantized key drives the join
+
+
+def test_rejects_fractional_range_columns(spark):
+    pts = spark.createDataFrame([(1, 5.5)], "pid long, ts double")
+    iv = spark.createDataFrame([(1, 0, 10)], "iid long, s long, e long")
+    with pytest.raises(ValueError, match="must be integral"):
+        rj.range_join_points(pts, iv, "ts", "s", "e", bucket_width=4)
+    ivd = spark.createDataFrame([(1, 0.0, 9.5)], "iid long, s double, e double")
+    ptl = spark.createDataFrame([(1, 5)], "pid long, ts long")
+    with pytest.raises(ValueError, match="must be integral"):
+        rj.range_join_points(ptl, ivd, "ts", "s", "e", bucket_width=4)
+
+
+def test_rejects_clashing_column_names(spark):
+    left = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
+    with pytest.raises(ValueError, match="disjoint"):
+        rj.range_join_intervals(left, left, "s", "e", "s", "e",
+                                bucket_width=4)
