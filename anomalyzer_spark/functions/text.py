@@ -406,3 +406,55 @@ def vocab(
     if min_count > 1:
         out = out.where(F.col("term_freq") >= min_count)
     return out
+
+
+#: PII patterns, applied in THIS order (url before email would eat the
+#: mailto-ish tails of urls; email first keeps a@b.com inside a url
+#: redacted as one email). Regex subset chosen to mean the same thing in
+#: Java regex (Spark) and RE2 (DuckDB/Go) — no lookaround, no backrefs —
+#: so redaction is reproducible cross-engine and oracle-checkable.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    # heuristic: international-ish phone runs, 9+ digits with separators
+    "phone": r"\+?\d[\d\- ().]{7,}\d\b",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    kinds: tuple[str, ...] = ("email", "url", "ipv4", "phone"),
+    with_counts: bool = False,
+) -> DataFrame:
+    """Redact PII-shaped spans: each match of the requested ``kinds``
+    becomes ``[KIND]``. Map-only (chained ``regexp_replace``), zero
+    shuffle — the curation pass that must run over every byte of a crawl
+    exactly once. Returns (id, <text_col> redacted); ``with_counts=True``
+    appends ``n_<kind>`` match counts per document (counted BEFORE
+    redaction, one extra regex pass per kind).
+
+    The patterns are heuristics tuned for recall on crawl text (phone
+    especially WILL catch long digit runs that aren't phone numbers) —
+    curation wants over-redaction over leakage. Order is fixed and
+    documented (``PII_PATTERNS``); outputs are engine-portable (same
+    regex subset in Java regex and RE2, DuckDB-parity-tested).
+    """
+    unknown = [k for k in kinds if k not in PII_PATTERNS]
+    if unknown:
+        raise ValueError(
+            f"unknown PII kind(s) {unknown}; available: "
+            f"{sorted(PII_PATTERNS)}")
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    if with_counts:
+        for k in kinds:
+            cols.append(_count_re(t, PII_PATTERNS[k]).alias(f"n_{k}"))
+    red = t
+    for k in PII_PATTERNS:  # module order, filtered — order is the spec
+        if k in kinds:
+            red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
+    return df.select(*cols[:1], red.alias(text_col), *cols[1:])

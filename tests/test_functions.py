@@ -801,3 +801,62 @@ def test_temperature_sample_high_cardinality_join_path(spark):
             if int(hashlib.md5(f"42|{doc}".encode()).hexdigest()[:12], 16)
             < int(0.5 * (1 << 48))}
     assert got == want and 0 < len(got) < 300
+
+
+def test_redact_pii_hand_cases(spark):
+    df = spark.createDataFrame(
+        [(0, "mail bob.smith+x@corp.example.org or visit "
+             "https://ex.com/a?b=1 from 10.0.0.1 call +1 (555) 123-4567."),
+         (1, "no pii here"),
+         (2, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in text.redact_pii(
+        df, with_counts=True).collect()}
+    t0 = got[0]["text"]
+    assert "[EMAIL]" in t0 and "[URL]" in t0 and "[IPV4]" in t0 \
+        and "[PHONE]" in t0
+    assert "bob.smith" not in t0 and "ex.com" not in t0 \
+        and "10.0.0.1" not in t0 and "555" not in t0
+    assert (got[0]["n_email"], got[0]["n_url"], got[0]["n_ipv4"],
+            got[0]["n_phone"]) == (1, 1, 1, 1)
+    assert got[1]["text"] == "no pii here" and got[1]["n_email"] == 0
+    assert got[2]["text"] == ""
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        text.redact_pii(df, kinds=("ssn",))
+
+
+def test_redact_pii_duckdb_parity(spark, sf_dir):
+    """Redaction must be engine-portable: the same regexes through
+    DuckDB's RE2 regexp_replace(g) yield byte-identical text — on the
+    fixture corpus AND on a PII-dense constructed frame."""
+    import duckdb
+
+    from anomalyzer_spark.functions.text import PII_PATTERNS
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["text"]
+           for r in text.redact_pii(docs).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    expr = "text"
+    for k, pat in PII_PATTERNS.items():
+        # DuckDB single-quoted strings are literal (no backslash
+        # processing) — only quotes need escaping
+        lit = pat.replace("'", "''")
+        expr = (f"regexp_replace({expr}, '{lit}', "
+                f"'[{k.upper()}]', 'g')")
+    want = dict(con.execute(
+        f"SELECT doc_id, {expr} AS text FROM documents").fetchall())
+    assert got == want and len(got) > 0
+    # constructed PII-dense rows through both engines
+    rows = [(0, "a@b.co http://x.io/p 1.2.3.4 +44 20 7946 0958 end"),
+            (1, "nested http://h.io/a@b.co tail 255.255.255.255")]
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    got2 = {r["doc_id"]: r["text"] for r in text.redact_pii(sdf).collect()}
+    want2 = {}
+    for i, txt in rows:
+        want2[i] = con.execute(
+            f"SELECT {expr.replace('text', '?', 1) if False else expr}"
+            f" FROM (SELECT ? AS text)", [txt]).fetchone()[0]
+    assert got2 == want2

@@ -162,3 +162,14 @@ def test_pack_chunks_rejects_bad_params(spark, sf_dir):
         packing.pack_chunks(docs, 0)
     with pytest.raises(ValueError, match="n_shards"):
         packing.pack_bins_ffd(docs, CAP, n_shards=0)
+
+
+def test_pack_chunks_plan_single_exchange(spark, sf_dir):
+    """The packing plan's only shuffle is the per-shard window — the
+    100 TB shape: token counting and span arithmetic are map-side, the
+    chunk explode rides above the window without a second exchange."""
+    from anomalyzer_spark.plans import count_exchanges, explain_str
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = explain_str(packing.pack_chunks(docs, CAP, n_shards=SHARDS))
+    assert count_exchanges(plan) == 1
