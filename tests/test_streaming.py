@@ -421,16 +421,17 @@ def test_text_profile_and_sampling_work_on_streams(spark, sf_dir, tmp_path):
     sdir = str(tmp_path / "txt_stream_in")
     d.coalesce(2).write.mode("overwrite").parquet(sdir)
 
+    def curate(s):
+        return text.text_profile(
+            text.redact_pii(sampling.hash_sample(s, 0.5), "text", "doc_id"),
+            "text", "doc_id")
+
     res = drain_available_now(
-        spark, sdir,
-        lambda s: text.text_profile(sampling.hash_sample(s, 0.5),
-                                    "text", "doc_id"),
-        "txt_stream_t", output_mode="append")
+        spark, sdir, curate, "txt_stream_t", output_mode="append")
     got = {r["doc_id"]: (r["quality_score"], r["lang_pred"], r["norm_words"])
            for r in res.collect()}
     exp = {r["doc_id"]: (r["quality_score"], r["lang_pred"], r["norm_words"])
-           for r in text.text_profile(sampling.hash_sample(d, 0.5),
-                                      "text", "doc_id").collect()}
+           for r in curate(d).collect()}
     assert got == exp and len(got) > 0
 
 
