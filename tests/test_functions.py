@@ -860,3 +860,4 @@ def test_redact_pii_duckdb_parity(spark, sf_dir):
             f"SELECT {expr.replace('text', '?', 1) if False else expr}"
             f" FROM (SELECT ? AS text)", [txt]).fetchone()[0]
     assert got2 == want2
+
