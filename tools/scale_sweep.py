@@ -73,6 +73,8 @@ def make_docs(spark, n_docs: int):
 def dedup_cells(spark, doc_counts, repeat):
     from anomalyzer_spark.functions import dedup, text
 
+    from anomalyzer_spark.functions import packing
+
     out = {}
     for n in doc_counts:
         d = make_docs(spark, n).repartition(
@@ -84,6 +86,11 @@ def dedup_cells(spark, doc_counts, repeat):
                 d, "text", "doc_id", k=3, num_hashes=64, bands=16,
                 threshold=0.7)),
             ("text_profile", lambda: text.text_profile(d, "text", "doc_id")),
+            ("redact_pii", lambda: text.redact_pii(d, "text", "doc_id")),
+            ("pack_chunks", lambda: packing.pack_chunks(
+                d, 2048, n_shards=64)),
+            ("pack_bins_ffd", lambda: packing.pack_bins_ffd(
+                d, 2048, n_shards=64)),
         ):
             best = float("inf")
             for _ in range(repeat):
