@@ -340,6 +340,17 @@ def minhash_lsh_pairs(
             .where(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
+    if not df.isStreaming:
+        # materialize the bucket rows once: Catalyst does NOT reuse the
+        # signature subtree across the self-join's two sides (no
+        # ReusedExchange — verified, 0 in the plan), so without this the
+        # interpreted minhash fold — the pipeline's dominant CPU — runs
+        # once per side. (id, bucket-hash) rows are a tiny fraction of the
+        # corpus. Same localCheckpoint pattern/trade as
+        # ann_index.search_ivfpq_index's twice-read query frame; skipped
+        # on streaming frames, which cannot checkpoint (the streaming
+        # store path materializes its buckets as parquet instead).
+        buckets = buckets.localCheckpoint(eager=True)
     cand = (
         buckets.alias("x")
         .join(buckets.alias("y"), "bucket")
@@ -349,6 +360,11 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
+    if not df.isStreaming:
+        # cand feeds three consumers (both legs of the id semi-join union
+        # and the verify join) — materialize the candidate list (tiny:
+        # ∝ true near-dups) instead of running the bucket self-join 3×
+        cand = cand.localCheckpoint(eager=True)
 
     # Exact verification touches only candidate docs: semi-join the corpus
     # down BEFORE recomputing shingles, so verify cost scales with the
