@@ -659,6 +659,11 @@ def simhash_pairs(
         ).alias("blk"),
     ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
 
+    if not sigs.isStreaming:
+        # no ReusedExchange across the block self-join — materialize the
+        # (id, simhash, block) rows once so the simhash fold (the CPU of
+        # this operator) runs once, not per join side
+        blocks = blocks.localCheckpoint(eager=True)
     x, y = blocks.alias("x"), blocks.alias("y")
     ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
     return (

@@ -690,6 +690,12 @@ def cosine_pairs(
             n_planes, bands = lsh_params(threshold, target_recall)
         planes = hyperplanes(dim, n_planes, seed)
         b = lsh_buckets(df, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands)
+        if not df.isStreaming:
+            # the self-join's two sides get no ReusedExchange, so the
+            # signature-fold subtree would run once per side — materialize
+            # the (id, band, bucket, vec) rows once (same trade as
+            # minhash_lsh_pairs / search_ivfpq_index)
+            b = b.localCheckpoint(eager=True)
         cand = (
             b.alias("x")
             .join(b.alias("y"), ["band", "bucket"])
