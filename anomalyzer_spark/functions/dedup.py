@@ -302,8 +302,17 @@ def minhash_lsh_pairs(
     bands: int = 32,
     threshold: float = 0.5,
     max_bucket_size: int | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verification.
+
+    ``materialize`` (batch frames): localCheckpoint the thrice-read
+    intermediates (bucket rows, candidate list, candidate shingles) —
+    Catalyst emits no ReusedExchange across the self-join/verify legs, so
+    the signature and shingle folds would otherwise re-run per consumer
+    (measured 2.7× the CPU at sf0.1). Pass ``materialize=False`` to build
+    the frame without running any jobs (plan inspection; the eager
+    checkpoints truncate explain output at ExistingRDD scans).
 
     Pipeline: signature → split into ``bands`` bands of num_hashes/bands rows
     → band bucket = md5(band index || minhashes) → self-join per bucket for
@@ -340,7 +349,8 @@ def minhash_lsh_pairs(
             .where(F.col("_bn") <= max_bucket_size)
             .drop("_bn")
         )
-    if not df.isStreaming:
+    materialize = materialize and not df.isStreaming
+    if materialize:
         # materialize the bucket rows once: Catalyst does NOT reuse the
         # signature subtree across the self-join's two sides (no
         # ReusedExchange — verified, 0 in the plan), so without this the
@@ -360,7 +370,7 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    if not df.isStreaming:
+    if materialize:
         # cand feeds three consumers (both legs of the id semi-join union
         # and the verify join) — materialize the candidate list (tiny:
         # ∝ true near-dups) instead of running the bucket self-join 3×
@@ -378,6 +388,11 @@ def minhash_lsh_pairs(
         df.join(cand_ids, id_col, "left_semi")
         .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
     )
+    if materialize:
+        # sh feeds verify's two join legs (id_a side, id_b side) — same
+        # no-ReusedExchange story, so the semi-join + shingle fold would
+        # run twice; candidate-scoped, so the materialized frame is small
+        sh = sh.localCheckpoint(eager=True)
     return verify_jaccard_pairs(sh, cand, threshold, id_col)
 
 
@@ -634,12 +649,16 @@ def simhash_pairs(
     *,
     bits: int = 32,
     max_hamming: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Banding: two signatures within Hamming d must agree exactly on at least
     one of d+1 equal bit-blocks → self-join per block value, verify with
-    bit_count(xor). Returns (id_a, id_b, hamming)."""
+    bit_count(xor). Returns (id_a, id_b, hamming). ``materialize``: see
+    ``minhash_lsh_pairs`` — checkpoint the block rows once instead of
+    running the simhash fold per self-join side; pass False for
+    job-free plan inspection."""
     sigs = simhash(df, text_col, id_col, bits=bits)
     nblocks = max_hamming + 1
     width = bits // nblocks
@@ -659,7 +678,7 @@ def simhash_pairs(
         ).alias("blk"),
     ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
 
-    if not sigs.isStreaming:
+    if materialize and not sigs.isStreaming:
         # no ReusedExchange across the block self-join — materialize the
         # (id, simhash, block) rows once so the simhash fold (the CPU of
         # this operator) runs once, not per join side

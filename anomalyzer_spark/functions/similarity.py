@@ -670,6 +670,7 @@ def cosine_pairs(
     seed: int = 42,
     max_exact_rows: int | None = 100_000,
     target_recall: float | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: (id_a, id_b, cos_sim) with id_a < id_b
     and cos_sim >= threshold. ``use_lsh`` switches candidate generation from
@@ -680,6 +681,15 @@ def cosine_pairs(
     ``threshold`` similarity is found with at least this probability
     (more-similar pairs with strictly higher probability).
 
+    ``materialize`` (LSH path, batch frames): localCheckpoint the
+    (id, band, bucket) rows once before the self-join — Catalyst emits no
+    ReusedExchange across the two sides, so the signature fold would
+    otherwise run per side. Only the BUCKET KEYS are materialized, never
+    the vectors (bands× replicated embeddings would pin corpus-scale
+    blocks); vectors are re-attached candidate-scoped afterwards. Pass
+    ``materialize=False`` for plan inspection without running jobs (the
+    checkpoint truncates the plan at an ExistingRDD scan and is eager).
+
     The exact path is O(n²) and exists for small-scale recall checks only;
     it REFUSES corpora larger than ``max_exact_rows`` (cheap bounded probe:
     scans at most max_exact_rows+1 rows) so a real corpus can never be
@@ -689,24 +699,26 @@ def cosine_pairs(
         if target_recall is not None:
             n_planes, bands = lsh_params(threshold, target_recall)
         planes = hyperplanes(dim, n_planes, seed)
-        b = lsh_buckets(df, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands)
-        if not df.isStreaming:
-            # the self-join's two sides get no ReusedExchange, so the
-            # signature-fold subtree would run once per side — materialize
-            # the (id, band, bucket, vec) rows once (same trade as
-            # minhash_lsh_pairs / search_ivfpq_index)
+        b = lsh_buckets(df, id_col=id_col, vec_col=vec_col, planes=planes,
+                        bands=bands).select(id_col, "band", "bucket")
+        if materialize and not df.isStreaming:
             b = b.localCheckpoint(eager=True)
-        cand = (
+        pair_ids = (
             b.alias("x")
             .join(b.alias("y"), ["band", "bucket"])
             .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             .select(
                 F.col(f"x.{id_col}").alias("id_a"),
                 F.col(f"y.{id_col}").alias("id_b"),
-                F.col(f"x.{vec_col}").alias("_va"),
-                F.col(f"y.{vec_col}").alias("_vb"),
             )
             .dropDuplicates(["id_a", "id_b"])
+        )
+        cand = (
+            pair_ids
+            .join(df.select(F.col(id_col).alias("id_a"),
+                            F.col(vec_col).alias("_va")), "id_a")
+            .join(df.select(F.col(id_col).alias("id_b"),
+                            F.col(vec_col).alias("_vb")), "id_b")
         )
     else:
         if max_exact_rows is not None:

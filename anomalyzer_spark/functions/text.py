@@ -435,7 +435,10 @@ def redact_pii(
     shuffle — the curation pass that must run over every byte of a crawl
     exactly once. Returns (id, <text_col> redacted); ``with_counts=True``
     appends ``n_<kind>`` match counts per document (counted BEFORE
-    redaction, one extra regex pass per kind).
+    redaction and INDEPENDENTLY per kind, one extra regex pass each — a
+    span matching two kinds, e.g. an email inside a url or an IPv4 that
+    also looks phone-shaped, counts under both even though the emitted
+    text holds one token; NULL text yields 0 counts and NULL text out).
 
     The patterns are heuristics tuned for recall on crawl text (phone
     especially WILL catch long digit runs that aren't phone numbers) —
@@ -452,7 +455,8 @@ def redact_pii(
     cols = [F.col(id_col)]
     if with_counts:
         for k in kinds:
-            cols.append(_count_re(t, PII_PATTERNS[k]).alias(f"n_{k}"))
+            cols.append(F.coalesce(_count_re(t, PII_PATTERNS[k]),
+                                   F.lit(0)).alias(f"n_{k}"))
     red = t
     for k in PII_PATTERNS:  # module order, filtered — order is the spec
         if k in kinds:

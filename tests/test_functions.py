@@ -808,7 +808,8 @@ def test_redact_pii_hand_cases(spark):
         [(0, "mail bob.smith+x@corp.example.org or visit "
              "https://ex.com/a?b=1 from 10.0.0.1 call +1 (555) 123-4567."),
          (1, "no pii here"),
-         (2, "")],
+         (2, ""),
+         (3, None)],
         "doc_id long, text string")
     got = {r["doc_id"]: r for r in text.redact_pii(
         df, with_counts=True).collect()}
@@ -821,6 +822,10 @@ def test_redact_pii_hand_cases(spark):
             got[0]["n_phone"]) == (1, 1, 1, 1)
     assert got[1]["text"] == "no pii here" and got[1]["n_email"] == 0
     assert got[2]["text"] == ""
+    # NULL text: counts are 0 (not NULL — a "n_phone > 0" filter must not
+    # silently drop the row), redacted text stays NULL
+    assert got[3]["text"] is None and got[3]["n_email"] == 0 \
+        and got[3]["n_phone"] == 0
     with pytest.raises(ValueError, match="unknown PII kind"):
         text.redact_pii(df, kinds=("ssn",))
 
@@ -857,7 +862,6 @@ def test_redact_pii_duckdb_parity(spark, sf_dir):
     want2 = {}
     for i, txt in rows:
         want2[i] = con.execute(
-            f"SELECT {expr.replace('text', '?', 1) if False else expr}"
-            f" FROM (SELECT ? AS text)", [txt]).fetchone()[0]
+            f"SELECT {expr} FROM (SELECT ? AS text)", [txt]).fetchone()[0]
     assert got2 == want2
 

@@ -65,7 +65,7 @@ def test_text_ops_no_shuffle(spark, sf_dir):
     from anomalyzer_spark.functions import text
     d = load_table(spark, sf_dir, "documents")  # no repartition
     for op in (text.text_stats, text.lang_id, text.fingerprint,
-               text.token_count, text.repetition_stats,
+               text.token_count, text.repetition_stats, text.redact_pii,
                # the merged five-operator profile must stay one map-only
                # projection — no joins, no exchanges
                text.text_profile):
@@ -79,9 +79,13 @@ def test_cosine_pairs_lsh_no_cartesian(spark, sf_dir):
     import pyspark.sql.functions as F
     e = load_table(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>"))
+    # materialize=False keeps the FULL plan visible (the checkpoint would
+    # truncate bucket generation behind an ExistingRDD scan, hiding the
+    # very subtree this test polices) and keeps the build job-free
     df = similarity.cosine_pairs(
         e, id_col="vec_id", vec_col="embedding", threshold=0.35,
-        use_lsh=True, n_planes=16, bands=4, dim=64, seed=7)
+        use_lsh=True, n_planes=16, bands=4, dim=64, seed=7,
+        materialize=False)
     assert_plan(df, forbids=("CartesianProduct",))
 
 

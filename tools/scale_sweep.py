@@ -71,9 +71,7 @@ def make_docs(spark, n_docs: int):
 
 
 def dedup_cells(spark, doc_counts, repeat):
-    from anomalyzer_spark.functions import dedup, text
-
-    from anomalyzer_spark.functions import packing
+    from anomalyzer_spark.functions import dedup, packing, text
 
     out = {}
     for n in doc_counts:
