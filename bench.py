@@ -6,8 +6,10 @@ end-to-end with the noop sink (full materialization, no driver transfer) and
 timed individually.
 
 Falsifiability (round-6): per-query swings of 2-5x across rounds could not
-previously be attributed to plan changes vs host variance. The JSON line now
-carries a ``detail`` map with, per query:
+previously be attributed to plan changes vs host variance. A ``detail`` map
+is written to ``BENCH_DETAIL.json`` beside this script (round-7: it used to
+ride the headline JSON line, which outgrew the driver's stdout-tail capture
+and broke the parse) with, per query:
 
 - ``plan_hash``  — md5 (12 hex) of the physical plan string with expression
   ids / plan ids / object addresses normalized. Identical hash across rounds
@@ -212,12 +214,25 @@ def main() -> None:
               f"gc={gc_ms}ms steal={steal_s:.1f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    # Driver contract: the FINAL stdout line is the compact headline JSON
+    # ({metric, value, unit, queries, sf}) and nothing else. The per-query
+    # attribution detail map (plan_hash/times/cpu_s/gc_ms/steal_s) made the
+    # round-6 line outgrow the driver's stdout-tail capture and the headline
+    # went unparsed — so detail now lands in BENCH_DETAIL.json next to this
+    # script, keeping every attribution field without touching the contract.
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    try:
+        with open(detail_path, "w") as f:
+            json.dump({"sf": sf, "detail": detail}, f, indent=1, sort_keys=True)
+        print(f"# detail -> {detail_path}", file=sys.stderr)
+    except OSError as e:  # never let attribution break the headline
+        print(f"# detail write failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "detail": detail,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
