@@ -60,6 +60,14 @@ def md5_rows(data: np.ndarray, lengths: np.ndarray) -> np.ndarray:
         return _md5_rows_hashlib(data, lengths)
     rows, L = data.shape
     lengths = np.asarray(lengths, dtype=np.int64)
+    if rows:
+        # trim dead columns beyond the longest row: a matrix padded wider
+        # than the batch-max message (e.g. all-short rows in a wide
+        # buffer) would otherwise overflow the B*64 block buffer below
+        l_max = int(lengths.max())
+        if L > l_max:
+            data = data[:, :l_max]
+            L = l_max
     nblocks = (lengths + 9 + 63) // 64
     B = int(nblocks.max()) if rows else 1
     buf = np.zeros((rows, B * 64), dtype=np.uint8)

@@ -109,9 +109,11 @@ def pack_chunks(
         "shard", id_col, "n_toks",
         (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
     )
-    end_tok = F.col("start_tok") + F.col("n_toks")
-    first_c = (F.col("start_tok") / capacity).cast("long")
-    last_c = ((end_tok - 1) / capacity).cast("long")
+    # integer `div`, not float `/`: double division loses exactness past
+    # 2^53 tokens per shard, which would silently misplace chunk
+    # boundaries on a shard-shaped token stream that large
+    first_c = F.expr(f"start_tok div {capacity}")
+    last_c = F.expr(f"(start_tok + n_toks - 1) div {capacity}")
     seg = spans.select(
         "shard", id_col, "n_toks", "start_tok",
         F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
@@ -213,10 +215,14 @@ def packing_stats(packed_bins: DataFrame, capacity: int) -> DataFrame:
         F.sum("_fill").alias("total_tokens"),
         F.coalesce(
             F.round(
-                F.sum(F.when(F.col("_over") == 0, F.col("_fill"))
-                      .otherwise(F.lit(0)))
-                / (F.sum(F.when(F.col("_over") == 0, F.lit(1)).otherwise(
-                    F.lit(0))) * F.lit(capacity)),
+                # try_divide, not `/`: an all-oversize shard has zero
+                # non-oversize bins and ANSI `/` throws DIVIDE_BY_ZERO
+                # instead of the NULL the coalesce expects
+                F.try_divide(
+                    F.sum(F.when(F.col("_over") == 0, F.col("_fill"))
+                          .otherwise(F.lit(0))),
+                    F.sum(F.when(F.col("_over") == 0, F.lit(1)).otherwise(
+                        F.lit(0))) * F.lit(capacity)),
                 6,
             ),
             F.lit(0.0),

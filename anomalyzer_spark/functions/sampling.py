@@ -122,9 +122,20 @@ def temperature_sample(
     instead — one broadcast of #domains rows, still no corpus shuffle.
     NULL domains are first-class: counted, weighted, and sampled like
     any other domain value.
+
+    Batch-only (the per-domain count is a blocking aggregate; use the
+    stream-capable ``hash_sample``/``stratified_sample`` with
+    pre-computed rates for streaming frames). Driver memory holds one
+    (domain, count) entry per DISTINCT domain — fine for languages or
+    source sites, not for a high-cardinality key like URL.
     """
     if alpha < 0.0:
         raise ValueError("alpha must be >= 0")
+    if df.isStreaming:
+        raise ValueError(
+            "temperature_sample requires a batch DataFrame (per-domain "
+            "counts are a blocking aggregate); compute rates on a batch "
+            "snapshot and apply stratified_sample to the stream instead")
     counts = {
         r["d"]: r["n"]
         for r in df.groupBy(F.col(domain_col).alias("d"))

@@ -733,6 +733,17 @@ def test_temperature_sample_rejects_negative_alpha(spark, sf_dir):
         sampling.temperature_sample(docs, -0.5, "lang")
 
 
+def test_temperature_sample_rejects_streaming_frame(spark, tmp_path):
+    """Streaming frames get a clear ValueError, not an opaque
+    AnalysisException from the blocking per-domain collect."""
+    from anomalyzer_spark.functions import sampling
+
+    stream = (spark.readStream.format("rate").option("rowsPerSecond", 1)
+              .load().selectExpr("value AS doc_id", "'en' AS lang"))
+    with pytest.raises(ValueError, match="batch"):
+        sampling.temperature_sample(stream, 0.5, "lang")
+
+
 def test_embedding_dedup_groups_finds_semantic_clusters(spark):
     """Planted clusters of nearly-identical vectors resolve to groups;
     isolated noise vectors stay out. LSH path and exact path agree."""

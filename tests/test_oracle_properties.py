@@ -227,6 +227,24 @@ def test_md5vec_matches_hashlib_across_lengths():
     assert (got == ref).all()
 
 
+def test_md5vec_accepts_overwide_padded_matrix():
+    """A matrix padded wider than the batch-max padded block size (all
+    rows short, width 200 → one 64-byte block) must still hash correctly:
+    the dead columns are trimmed, not broadcast into the block buffer."""
+    import hashlib
+
+    from anomalyzer_spark import _md5vec
+
+    data = np.zeros((3, 200), dtype=np.uint8)
+    msgs = [b"abc", b"", b"0123456789"]
+    for i, m in enumerate(msgs):
+        data[i, : len(m)] = np.frombuffer(m, dtype=np.uint8)
+    lens = np.array([len(m) for m in msgs], dtype=np.int64)
+    got = _md5vec.md5_rows(data, lens)
+    want = np.array([hashlib.md5(m).digest() for m in msgs], dtype="S16")
+    assert (got == want).all()
+
+
 def test_perm_matrix_identical_to_hashlib_loop():
     """The vectorized hash-spec perm matrix equals the original hashlib
     digest loop exactly — same argsort input ordering, same stable ties."""

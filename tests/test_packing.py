@@ -152,8 +152,24 @@ def test_packing_stats(spark, sf_dir):
     stats = packing.packing_stats(bins, CAP).collect()
     assert {r["shard"] for r in stats} <= set(range(SHARDS))
     for r in stats:
-        assert 0.0 < r["utilization"] <= 1.0
+        # >= 0.0, not > 0.0: a shard whose bins are ALL oversize reports
+        # utilization 0.0 by documented design (pinned below)
+        assert 0.0 <= r["utilization"] <= 1.0
         assert r["n_bins"] >= 1 and r["n_docs"] >= r["n_bins"] - r["n_oversize"]
+
+
+def test_packing_stats_all_oversize_shard_reports_zero(spark):
+    """A shard consisting solely of oversize solo bins pins the documented
+    utilization = 0.0 (not NULL, not an error) so threshold alerts can't
+    silently skip it."""
+    docs = spark.createDataFrame(
+        [(i, "x " * (CAP * 3)) for i in range(6)],
+        "doc_id long, text string")
+    bins = packing.pack_bins_ffd(docs, CAP, n_shards=1)
+    rows = bins.collect()
+    assert rows and all(r["oversize"] for r in rows)
+    stats = packing.packing_stats(bins, CAP).collect()
+    assert len(stats) == 1 and stats[0]["utilization"] == 0.0
 
 
 def test_pack_chunks_rejects_bad_params(spark, sf_dir):
