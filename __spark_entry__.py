@@ -72,6 +72,12 @@ COSINE_THRESHOLD = 0.35
 TOPK = 5
 MAX_SHINGLE_FREQ = 1000  # hot-shingle df cap (pre-agg filter, dedup.py)
 
+#: curation_pipeline knobs (redact -> temperature-mix -> pack)
+CURATION_CAP = 96       # tokens per packed chunk
+CURATION_SHARDS = 8     # deterministic md5 packing shards
+CURATION_ALPHA = 0.5    # temperature flattening exponent
+RANGE_BUCKET_WIDTH = 16  # range_join quantization bucket
+
 #: q_minhash_stream tmp roots with an atexit cleanup already registered
 _MINHASH_TMP_REGISTERED: set = set()
 
@@ -365,17 +371,102 @@ def q_cosine_topk(spark, sf_dir):
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
 
 
-def q_cosine_pairs(spark, sf_dir):
-    """Embedding near-dup pairs via LSH band buckets (the 100 TB path —
-    candidate generation is a bucket equi-join, no cartesian product; exact
-    cosine verification runs on candidates only). The exact all-pairs path
-    stays available as ``use_lsh=False`` for small-scale recall checks
-    (tests/test_functions.py)."""
+def q_emb_dedup_groups(spark, sf_dir):
+    """SEMANTIC near-duplicate groups (functions/similarity.py
+    embedding_dedup_groups): LSH-bucketed cosine pairs (the 100 TB
+    candidate path — a band-bucket equi-join, never a cartesian product;
+    exact cosine verified on candidates only) resolved to connected
+    components via edge-scoped min-label propagation + pointer jumping.
+    Output is integer-only (id, min-id group canonical, component size),
+    cross-checked against a DuckDB WITH RECURSIVE transitive closure over
+    the identical pair set. Replaced the round-6 ``cosine_pairs`` slot:
+    the same cosine_pairs call (same seed-7 LSH config, same threshold)
+    feeds both this query and ``emb_pipeline``, so raw-pair values stay
+    attested through those oracles while the component resolution gains
+    driver coverage."""
     e = _embs(spark, sf_dir)
-    out = similarity.cosine_pairs(e, id_col="vec_id", vec_col="embedding",
-                                  threshold=COSINE_THRESHOLD, use_lsh=True,
-                                  n_planes=16, bands=4, dim=64, seed=7)
-    return _round6(out, "cos_sim")
+    out = similarity.embedding_dedup_groups(
+        e, id_col="vec_id", vec_col="embedding", threshold=COSINE_THRESHOLD,
+        use_lsh=True, n_planes=16, bands=4, dim=64, seed=7)
+    return out
+
+
+def q_range_join(spark, sf_dir):
+    """Bucket-quantized range join (operators/range_join.py): points land
+    in the intervals containing them via ONE explode + ONE equi-join on
+    the quantized bucket + a post-filter — never a cartesian/theta join,
+    which is the plan Spark itself picks for a bare ``pt >= s AND pt < e``
+    condition and the 100 TB scale-killer. The oracle IS that theta join
+    (DuckDB runs it fine at sf0.01), so the value hash proves the bucket
+    arithmetic loses and invents nothing. Points derive from lineitem
+    line numbers, intervals from orders — arbitrary-overlap integer
+    geometry off the driver's own fixtures."""
+    from anomalyzer_spark.operators import range_join as rj
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt"),
+        "l_orderkey", "l_linenumber")
+    od = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderkey") * 9).alias("s"),
+        (F.col("o_orderkey") * 9 + F.pmod(F.col("o_orderkey"), F.lit(40))
+         + F.lit(5)).alias("e"))
+    out = rj.range_join_points(li, od, "pt", "s", "e",
+                               bucket_width=RANGE_BUCKET_WIDTH)
+    return out.select("l_orderkey", "l_linenumber", "o_orderkey",
+                      "pt", "s", "e")
+
+
+#: deterministic PII enrichment for q_curation_pipeline: the fixture
+#: corpus carries no PII-shaped spans, so both engines append the same
+#: doc_id-derived email/url/ipv4 tokens — redaction then has real work on
+#: every row and its effect flows through token counts into the packing
+#: arithmetic (all downstream values shift if redaction drifts).
+def _curation_text() -> F.Column:
+    did = F.col("doc_id").cast("string")
+    return F.concat_ws(
+        " ", F.col("text"),
+        F.concat(F.lit("user"), did, F.lit("@mail"),
+                 F.pmod(F.col("doc_id"), F.lit(5)).cast("string"),
+                 F.lit(".com")),
+        F.concat(F.lit("http://s"),
+                 F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                 F.lit(".example/p/"), did),
+        F.concat(F.pmod(F.col("doc_id"), F.lit(200)).cast("string"),
+                 F.lit("."),
+                 F.pmod(F.col("doc_id") * 3, F.lit(200)).cast("string"),
+                 F.lit(".8.24")),
+    )
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """Composed curation pass — the three round-6 curation operators under
+    one oracle: ``redact_pii`` (map-only chained regexp_replace + per-kind
+    match counts) -> ``temperature_sample`` (alpha=0.5 language
+    rebalancing: one bounded per-domain aggregate, then the deterministic
+    md5 acceptance window — no corpus shuffle) -> ``pack_chunks``
+    (md5-sharded concat-and-chunk packing, one exchange on the shard key).
+    Output rows are the packed chunks of the sampled redacted corpus with
+    language + PII-count provenance: the DuckDB oracle recomputes every
+    stage (including the temperature rates, in SQL) so the value hash
+    attests redaction bytes, sampling membership, and chunk arithmetic
+    at once."""
+    from anomalyzer_spark.functions import packing, sampling
+    d = _docs(spark, sf_dir)
+    enriched = d.select("doc_id", "lang", _curation_text().alias("text"))
+    red = text.redact_pii(enriched, with_counts=True)
+    meta = red.select(
+        "doc_id",
+        (F.col("n_email") + F.col("n_url") + F.col("n_ipv4")
+         + F.col("n_phone")).cast("long").alias("n_pii"))
+    cur = red.join(enriched.select("doc_id", "lang"), "doc_id")
+    samp = sampling.temperature_sample(cur, CURATION_ALPHA, "lang")
+    chunks = packing.pack_chunks(samp, CURATION_CAP,
+                                 n_shards=CURATION_SHARDS, seed=42)
+    out = (chunks.join(meta, "doc_id")
+           .join(enriched.select("doc_id", "lang"), "doc_id"))
+    return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
+                      "n_toks", "start_tok", "chunk_tok_start",
+                      "chunk_tok_end")
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -645,16 +736,6 @@ def q_events_json(spark, sf_dir):
     )
 
 
-def q_percentiles(spark, sf_dir):
-    """Exact interpolated percentiles per key (engine-general agg)."""
-    ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50"),
-        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 def q_set_ops(spark, sf_dir):
     """INTERSECT / EXCEPT / UNION ALL coverage over user cohorts."""
     ev = load_table(spark, sf_dir, "events")
@@ -698,19 +779,6 @@ def q_ks_stat(spark, sf_dir):
         tails.select("event_type", "n_points",
                      columnar.ks_stat_col(s).alias("ks")),
         "ks")
-
-
-def q_detect_multi(spark, sf_dir):
-    """Multivariate detection: raw value + a derived metric per key, one
-    prob per (event_type, metric) in a single-shuffle plan."""
-    from anomalyzer_spark.operators.detect import detect_multi
-    ev = load_table(spark, sf_dir, "events")
-    out = detect_multi(
-        ev, ["event_type"], "ts",
-        {"value": F.col("value"), "log1p": F.log(F.lit(1.0) + F.col("value"))},
-        DET_CONF, tiebreak_cols=["event_id"])
-    return _round6(out.select("event_type", "metric", "n_points", "prob"),
-                   "prob")
 
 
 def q_detect_multi_mc(spark, sf_dir):
@@ -921,7 +989,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_default": q_detect_default,
         "detect_full": q_detect_full,
         "detect_full_users": q_detect_full_users,
-        "detect_multi": q_detect_multi,
         "detect_multi_mc": q_detect_multi_mc,
         "text_profile": q_text_profile,
         "winnow": q_winnow,
@@ -934,7 +1001,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": q_cdc_dedup,
         "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
-        "cosine_pairs": q_cosine_pairs,
+        "emb_dedup_groups": q_emb_dedup_groups,
+        "range_join": q_range_join,
+        "curation_pipeline": q_curation_pipeline,
         "emb_pipeline": q_emb_pipeline,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
@@ -946,7 +1015,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineitem_cube": q_lineitem_cube,
         "running_totals": q_running_totals,
         "events_json": q_events_json,
-        "percentiles": q_percentiles,
         "sketch_stats": q_sketch_stats,
         "skew_median": q_skew_median,
         "set_ops": q_set_ops,
@@ -1319,8 +1387,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
   UNION ALL
   SELECT event_type, 'log1p' AS metric, ts, event_id, ln(1 + value) AS value
   FROM events)"""
-    sql["detect_multi"] = _detect_sql("event_type, metric", DET_CONF,
-                                      src=multi_src)
     sql["detect_multi_mc"] = _detect_sql("event_type, metric", DEFAULT_CONF,
                                          src=multi_src)
     # the streaming paths must converge to the same answer as batch detect
@@ -1980,11 +2046,17 @@ r AS (SELECT query_id, neighbor_id, pq_dist,
 SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk
 FROM r WHERE rnk <= {TOPK}"""
 
-    # cosine_pairs oracle mirrors the LSH-bucketed Spark path (same seed-7
-    # plane literals as lsh_topk): candidates = pairs sharing >=1 band
-    # bucket, exact cosine on candidates only.
-    sql["cosine_pairs"] = f"""
-WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+    # emb_dedup_groups oracle: the LSH-bucketed pair generation mirrors
+    # the Spark path exactly (same seed-7 plane literals as lsh_topk:
+    # candidates = pairs sharing >=1 band bucket, exact cosine on
+    # candidates only — this WAS the round-6 cosine_pairs oracle), then a
+    # WITH RECURSIVE transitive closure over the symmetric edge set
+    # resolves components: group_id = min reachable id, multi-member
+    # groups only — an implementation-independent check of the
+    # distributed label-propagation loop (dedup.duplicate_groups).
+    sql["emb_dedup_groups"] = f"""
+WITH RECURSIVE
+pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
 e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
        FROM e, pl),
@@ -1992,13 +2064,101 @@ eb AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
 cand AS (
   SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b, x.v AS va, y.v AS vb
   FROM eb x JOIN eb y USING (band, bucket) WHERE x.vec_id < y.vec_id),
-p AS (SELECT id_a, id_b,
-        list_dot_product(va, vb) /
+p AS (SELECT id_a, id_b
+      FROM cand
+      WHERE list_dot_product(va, vb) /
         (sqrt(list_dot_product(va, va)) * sqrt(list_dot_product(vb, vb)))
-          AS cos_sim
-      FROM cand)
-SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
-FROM p WHERE cos_sim >= {COSINE_THRESHOLD}"""
+        >= {COSINE_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM p
+          UNION SELECT id_b, id_a FROM p),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS group_id
+         FROM reach GROUP BY a),
+sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+SELECT c.vec_id, c.group_id, s.group_size
+FROM comp c JOIN sizes s USING (group_id)
+WHERE s.group_size > 1"""
+
+    # range_join oracle: the plain theta join the bucket-quantized
+    # equi-join must reproduce verbatim (DuckDB runs it fine at sf0.01;
+    # Spark would pick a cartesian product for the same predicate, which
+    # is exactly what operators/range_join.py exists to avoid).
+    sql["range_join"] = """
+WITH pts AS (SELECT l_orderkey * 10 + l_linenumber AS pt,
+                    l_orderkey, l_linenumber FROM lineitem),
+iv AS (SELECT o_orderkey, o_orderkey * 9 AS s,
+              o_orderkey * 9 + o_orderkey % 40 + 5 AS e FROM orders)
+SELECT l_orderkey, l_linenumber, o_orderkey, pt, s, e
+FROM pts JOIN iv ON pt >= s AND pt < e"""
+
+    # curation_pipeline oracle: every stage recomputed in SQL — the
+    # doc_id-derived PII enrichment, the ordered regexp_replace chain and
+    # per-kind counts (PII_PATTERNS order is the spec), the temperature
+    # rates (pow/least on per-language counts; trunc() mirrors Spark's
+    # toward-zero long cast of rate * 2^48), the md5 shard/order hashes,
+    # the per-shard running token sum, and the chunk segmentation.
+    _pii = text.PII_PATTERNS
+    _red_expr = "text"
+    for _k in ("email", "url", "ipv4", "phone"):
+        _lit = _pii[_k].replace("'", "''")
+        _red_expr = (f"regexp_replace({_red_expr}, '{_lit}', "
+                     f"'[{_k.upper()}]', 'g')")
+    _cnt_exprs = ", ".join(
+        f"len(regexp_extract_all(text, '{_pii[_k].replace(chr(39), chr(39) * 2)}'))::BIGINT"
+        f" AS n_{_k}" for _k in ("email", "url", "ipv4", "phone"))
+    sql["curation_pipeline"] = f"""
+WITH enr AS (
+  SELECT doc_id, lang,
+    concat_ws(' ', text,
+      'user' || doc_id::VARCHAR || '@mail' || (doc_id % 5)::VARCHAR || '.com',
+      'http://s' || (doc_id % 7)::VARCHAR || '.example/p/' || doc_id::VARCHAR,
+      (doc_id % 200)::VARCHAR || '.' || ((doc_id * 3) % 200)::VARCHAR
+        || '.8.24') AS text
+  FROM documents),
+red AS (
+  SELECT doc_id, lang, {_red_expr} AS rtext, {_cnt_exprs}
+  FROM enr),
+cnt AS (SELECT lang AS d, count(*)::DOUBLE AS n FROM red GROUP BY lang),
+tot AS (SELECT sum(n) AS total FROM cnt),
+wt AS (SELECT d, n, pow(n / total, {CURATION_ALPHA}) AS w FROM cnt, tot),
+zz AS (SELECT sum(w) AS z FROM wt),
+rates AS (SELECT d, least(1.0, (w / z) * total / n) AS rate
+          FROM wt, zz, tot),
+samp AS (
+  SELECT r.doc_id, r.lang, r.rtext,
+         r.n_email + r.n_url + r.n_ipv4 + r.n_phone AS n_pii
+  FROM red r JOIN rates ON r.lang IS NOT DISTINCT FROM rates.d
+  WHERE ('0x' || substr(md5('42|' || r.doc_id::VARCHAR), 1, 12))::BIGINT
+        < trunc(rate * 281474976710656.0)::BIGINT),
+toks AS (
+  SELECT doc_id, lang, n_pii,
+    len(regexp_extract_all(lower(rtext),
+        '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_toks,
+    ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      % {CURATION_SHARDS} AS shard,
+    ('0x' || substr(md5('43|' || doc_id::VARCHAR), 1, 12))::BIGINT AS ord
+  FROM samp),
+spans AS (
+  SELECT shard, doc_id, lang, n_pii, n_toks,
+    (sum(n_toks) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_toks)::BIGINT
+      AS start_tok
+  FROM toks WHERE n_toks > 0),
+seg AS (
+  SELECT shard, doc_id, lang, n_pii, n_toks, start_tok,
+    unnest(generate_series((start_tok // {CURATION_CAP})::BIGINT,
+                           ((start_tok + n_toks - 1) // {CURATION_CAP})::BIGINT))
+      AS chunk_id
+  FROM spans)
+SELECT shard::INT AS shard, chunk_id, doc_id, lang, n_pii, n_toks, start_tok,
+  greatest(chunk_id * {CURATION_CAP}, start_tok) - start_tok
+    AS chunk_tok_start,
+  least((chunk_id + 1) * {CURATION_CAP}, start_tok + n_toks) - start_tok
+    AS chunk_tok_end
+FROM seg"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
@@ -2076,13 +2236,6 @@ SELECT o_orderpriority, count(*) AS n_orders,
   true AS hll_within_bound,
   quantile_disc(o_totalprice, 0.5) AS p50_totalprice
 FROM orders GROUP BY o_orderpriority"""
-
-    sql["percentiles"] = """
-SELECT event_type,
-  round(quantile_cont(value, 0.5), 6) AS p50,
-  round(quantile_cont(value, 0.95), 6) AS p95,
-  count(*) AS n
-FROM events GROUP BY event_type"""
 
     sql["set_ops"] = """
 WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),

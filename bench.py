@@ -72,6 +72,10 @@ HEADLINE = (
     "top_customers",
     "running_totals",
     "asof_join",
+    # round-7 registry additions — tracked from their first round so the
+    # curation/range stacks get the same regression visibility as detect
+    "range_join",
+    "curation_pipeline",
 )
 
 
