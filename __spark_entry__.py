@@ -78,8 +78,29 @@ CURATION_SHARDS = 8     # deterministic md5 packing shards
 CURATION_ALPHA = 0.5    # temperature flattening exponent
 RANGE_BUCKET_WIDTH = 16  # range_join quantization bucket
 
-#: q_minhash_stream tmp roots with an atexit cleanup already registered
-_MINHASH_TMP_REGISTERED: set = set()
+#: per-query tmp roots with an atexit cleanup already registered
+_QUERY_TMP_REGISTERED: set = set()
+
+
+def _query_tmp(name: str) -> str:
+    """Fresh per-process tmp root for a query that needs on-disk state
+    (streaming checkpoints/stores, persisted indexes). Registered for
+    atexit cleanup unconditionally on first use — gating on "dir absent"
+    would skip registration when a recycled pid inherits a stale
+    leftover, leaking it forever; rmtree on a missing dir is a no-op."""
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    tmp = os.path.join(
+        tempfile.gettempdir(),
+        f"anomalyzer_q_{name}_{os.getuid()}_{os.getpid()}")
+    if tmp not in _QUERY_TMP_REGISTERED:
+        _QUERY_TMP_REGISTERED.add(tmp)
+        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return tmp
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -249,23 +270,9 @@ def q_minhash_stream(spark, sf_dir):
     checkpoint (a shared fixed path did exactly that — and a foreign
     leftover checkpoint would silently skip the fresh input as already
     processed)."""
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
     from anomalyzer_spark.streaming import run_minhash_stream_on_dir
 
-    tmp = os.path.join(
-        tempfile.gettempdir(),
-        f"anomalyzer_q_minhash_stream_{os.getuid()}_{os.getpid()}")
-    if tmp not in _MINHASH_TMP_REGISTERED:
-        # register unconditionally on first use — gating on "dir absent"
-        # would skip registration when a recycled pid inherits a stale
-        # leftover, leaking it forever; rmtree on a missing dir is a no-op
-        _MINHASH_TMP_REGISTERED.add(tmp)
-        atexit.register(shutil.rmtree, tmp, ignore_errors=True)
-    shutil.rmtree(tmp, ignore_errors=True)
+    tmp = _query_tmp("minhash_stream")
     d = _docs(spark, sf_dir).select("doc_id", "text")
     d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
     return run_minhash_stream_on_dir(
@@ -589,15 +596,36 @@ def q_ivfpq_topk(spark, sf_dir):
     ADC scoring, so the composed index is value-hash checked end to end.
     Registry slot freed by retiring detect_det (fully shadowed by
     detect_bytest_det's per-test prob/weight hashes over the same conf
-    and key)."""
+    and key).
+
+    Round 7: the query runs the FULL production path, not the one-shot
+    recompute — the corpus is STREAM-ingested into the cell-partitioned
+    store with the frozen models (ann_index.ingest_ivfpq_stream,
+    per-batch idempotent overwrite), compacted into the canonical
+    ``cell=C`` layout (compact_ingested_index), and searched with the
+    partition-pruned ``cell IN`` probe scan (search_ivfpq_index). The
+    oracle is unchanged (cell assignment + PQ encode + ADC scoring are
+    functions of models + vectors only), so a green hash attests
+    ingest → compact → search end to end, not just the math."""
+    from anomalyzer_spark.functions.ann_index import (
+        compact_ingested_index, ingest_ivfpq_stream, search_ivfpq_index)
     e = _embs(spark, sf_dir)
     sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
         .select("vec_id", "embedding").collect()
     rows = [(r["vec_id"], r["embedding"]) for r in sample]
     cents = _ivf_centroids(rows)
     books = _pq_codebooks(rows)
-    out = similarity.ivfpq_topk(
-        e, e.where(F.col("vec_id") < 20), cents, books, id_col="vec_id",
+    tmp = _query_tmp("ivfpq_ingest")
+    corpus = e.select("vec_id", "embedding")
+    corpus.repartition(3).write.mode("overwrite").parquet(f"{tmp}/corpus")
+    cstream = (spark.readStream.schema(corpus.schema)
+               .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/corpus"))
+    ingest = ingest_ivfpq_stream(
+        spark, cstream, f"{tmp}/ingested", cents, books, f"{tmp}/ckpt")
+    ingest.awaitTermination()
+    compact_ingested_index(spark, f"{tmp}/ingested", f"{tmp}/index")
+    out = search_ivfpq_index(
+        spark, f"{tmp}/index", e.where(F.col("vec_id") < 20), cents, books,
         vec_col="embedding", query_id_col="vec_id", k=TOPK,
         n_probe=IVF_PROBE)
     return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
