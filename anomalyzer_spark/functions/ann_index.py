@@ -194,7 +194,10 @@ def ingest_ivfpq_stream(
     stays a partition column under every batch directory, so
     ``search_ivfpq_index``'s ``cell IN (...)`` filter partition-prunes the
     streamed index exactly like a batch-built one; the extra ``batch_id``
-    discovery level changes nothing for the reader.
+    discovery level changes nothing for the reader. (Search-side note:
+    ``search_ivfpq_index`` localCheckpoints its staged query frame per
+    call — serving loops wrap calls in ``session.checkpoint_scope`` to
+    drop those blocks deterministically.)
 
     Models are FROZEN by design: retraining centroids/codebooks on drifted
     data is an offline rebuild (``build_ivfpq_index``), not an append —

@@ -313,6 +313,10 @@ def minhash_lsh_pairs(
     (measured 2.7× the CPU at sf0.1). Pass ``materialize=False`` to build
     the frame without running any jobs (plan inspection; the eager
     checkpoints truncate explain output at ExistingRDD scans).
+    Checkpoint blocks are reclaimed when the frame is garbage-collected;
+    a long-lived serving loop should wrap each call in
+    ``session.checkpoint_scope`` to release them deterministically per
+    iteration (bounded-storage test in tests/test_functions.py).
 
     Pipeline: signature → split into ``bands`` bands of num_hashes/bands rows
     → band bucket = md5(band index || minhashes) → self-join per bucket for

@@ -689,6 +689,9 @@ def cosine_pairs(
     blocks); vectors are re-attached candidate-scoped afterwards. Pass
     ``materialize=False`` for plan inspection without running jobs (the
     checkpoint truncates the plan at an ExistingRDD scan and is eager).
+    Long-lived serving loops: wrap each call in
+    ``session.checkpoint_scope`` to release the checkpoint blocks
+    deterministically per iteration instead of waiting on Python GC.
 
     The exact path is O(n²) and exists for small-scale recall checks only;
     it REFUSES corpora larger than ``max_exact_rows`` (cheap bounded probe:

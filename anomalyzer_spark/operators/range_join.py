@@ -23,6 +23,19 @@ Both joins then run as ordinary shuffled equi-joins on (keys…, bucket)
 — AQE-skew-splittable, broadcastable when one side is small — followed
 by the exact range predicate as a cheap post-filter.
 
+Skew contract: a HOT bucket (one spanning a popular time window — a
+flash-sale minute, a batch-load timestamp) concentrates its rows in one
+shuffle partition. This operator deliberately adds no salting of its
+own and relies on AQE skew-join splitting
+(``spark.sql.adaptive.enabled`` + ``spark.sql.adaptive.skewJoin
+.enabled``, both defaults here — see session.py) to split that
+partition at runtime; results are identical either way. With AQE
+disabled the join stays CORRECT but the hot bucket serializes into a
+single oversized task (straggler, possible spill) — pinned by the
+hot-bucket test in tests/test_range_join.py. If a workload's skew is
+KNOWN ahead of time, shrinking ``bucket_width`` spreads a hot window
+across more buckets at the cost of a wider interval explode.
+
 Pick ``bucket_width`` near the TYPICAL interval length: much smaller
 multiplies the interval explode; much larger packs unrelated rows into
 one bucket and pushes work into the post-filter. Range columns must be

@@ -7,6 +7,7 @@ for the pandas kernels).
 
 from __future__ import annotations
 
+import contextlib
 import os
 
 from pyspark.sql import SparkSession
@@ -29,6 +30,45 @@ def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = No
     # — pay it deterministically at session start.
     spark.sql("select lower('İstanbul 中文 ÉΑΒΓ')").collect()
     return spark
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
+
+
+@contextlib.contextmanager
+def checkpoint_scope(spark: SparkSession):
+    """Bound the storage of eager ``localCheckpoint`` frames to a scope.
+
+    The LSH/SimHash pair generators, ``cosine_pairs``, and
+    ``search_ivfpq_index`` localCheckpoint intermediates EAGERLY (Catalyst
+    gives their self-joins no ReusedExchange; see dedup.py/similarity.py).
+    Those checkpoint blocks are normally reclaimed only when the
+    ContextCleaner garbage-collects the Python frame reference — fine for
+    per-query sessions, but a long-lived serving session calling these in
+    a loop accumulates blocks between GC cycles. Wrap each serving
+    iteration in this scope and every RDD persisted INSIDE it (which is
+    what a localCheckpoint is under the hood) is explicitly unpersisted on
+    exit:
+
+        with checkpoint_scope(spark):
+            pairs = minhash_lsh_pairs(docs, ...)
+            out = pairs.collect()          # consume INSIDE the scope
+
+    Results must be fully consumed (collected/written) before the scope
+    closes — a checkpointed frame has no lineage left to recompute from
+    once its blocks are dropped. RDDs already persisted before entry are
+    left untouched; anything the scope body itself persisted on purpose
+    should be persisted OUTSIDE the scope."""
+    before = _persistent_rdd_ids(spark)
+    try:
+        yield
+    finally:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in jmap.keySet().toArray():
+            if int(k) not in before:
+                jmap.get(k).unpersist(False)
 
 
 def _build(app: str, cpus: str, shuffle_partitions: int | None):

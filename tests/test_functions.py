@@ -428,6 +428,43 @@ def test_cosine_pairs_exact_guard_trips(spark):
                             max_exact_rows=1).count()
 
 
+def test_checkpoint_scope_bounds_serving_loop_storage(spark):
+    """A long-lived serving loop over the eager-localCheckpoint pair
+    generators must not accumulate checkpoint blocks: each iteration
+    wrapped in session.checkpoint_scope returns the session to its
+    baseline persistent-RDD set, with identical values every iteration."""
+    from anomalyzer_spark.session import _persistent_rdd_ids, checkpoint_scope
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((6, 8))
+    # 3 planted near-dup clusters of 2
+    vecs = np.vstack([base, base + 1e-4])
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    baseline = _persistent_rdd_ids(spark)
+    results = []
+    for _ in range(3):
+        with checkpoint_scope(spark):
+            pairs = similarity.cosine_pairs(
+                df, threshold=0.95, use_lsh=True, dim=8, n_planes=8,
+                bands=4, seed=3)
+            results.append(sorted(
+                (r["id_a"], r["id_b"]) for r in pairs.collect()))
+        assert _persistent_rdd_ids(spark) == baseline
+    assert results[0] == results[1] == results[2]
+    assert len(results[0]) > 0
+    # pre-existing persisted frames are untouched by the scope
+    keep = df.persist()
+    keep.count()
+    with checkpoint_scope(spark):
+        similarity.cosine_pairs(df, threshold=0.95, use_lsh=True, dim=8,
+                                n_planes=8, bands=4, seed=3).collect()
+    assert keep.count() == 12  # still usable, still persisted
+    assert keep.storageLevel.useMemory
+    keep.unpersist()
+
+
 def test_lsh_params_math():
     """collision_prob at the threshold must meet the stated recall for the
     parameters lsh_params returns, and be monotone in similarity."""

@@ -133,6 +133,43 @@ def test_rejects_fractional_range_columns(spark):
         rj.range_join_points(ptl, ivd, "ts", "s", "e", bucket_width=4)
 
 
+def test_hot_bucket_correct_with_and_without_aqe(spark):
+    """Skew contract (module docstring): a hot bucket — most points
+    piled into one popular window — relies on AQE skew-join splitting
+    for BALANCE only; correctness must be identical with AQE disabled
+    (where the hot bucket serializes into one oversized task)."""
+    n = 20000
+    # 95% of points land in [0, 16) → bucket 0 is hot at width 16
+    pts = spark.range(n).select(
+        F.col("id").alias("pid"),
+        F.when(F.col("id") % 20 < 19, F.col("id") % 16)
+        .otherwise(F.col("id") % 1600).alias("ts"))
+    iv = spark.createDataFrame(
+        [(0, 0, 16), (1, 4, 12), (2, 100, 200), (3, 0, 1600)],
+        "iid long, s long, e long")
+    expected = (
+        pts.crossJoin(iv.withColumnRenamed("s", "cs")
+                      .withColumnRenamed("e", "ce")
+                      .withColumnRenamed("iid", "cid"))
+        .where((F.col("ts") >= F.col("cs")) & (F.col("ts") < F.col("ce")))
+        .groupBy("cid").count().orderBy("cid").collect())
+    aqe0 = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        results = []
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            out = rj.range_join_points(pts, iv, "ts", "s", "e",
+                                       bucket_width=16)
+            results.append(out.groupBy("iid").count()
+                           .orderBy("iid").collect())
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe0)
+    got_on = [(r["iid"], r["count"]) for r in results[0]]
+    got_off = [(r["iid"], r["count"]) for r in results[1]]
+    want = [(r["cid"], r["count"]) for r in expected]
+    assert got_on == got_off == want and len(want) == 4
+
+
 def test_rejects_clashing_column_names(spark):
     left = spark.createDataFrame([(1, 0, 10)], "id long, s long, e long")
     with pytest.raises(ValueError, match="disjoint"):
