@@ -89,6 +89,10 @@ def dedup_cells(spark, doc_counts, repeat):
                 d, 2048, n_shards=64)),
             ("pack_bins_ffd", lambda: packing.pack_bins_ffd(
                 d, 2048, n_shards=64)),
+            # bins + utilization summary; the delta vs the pack_bins_ffd
+            # cell isolates the stats aggregate's own cost
+            ("packing_stats", lambda: packing.packing_stats(
+                packing.pack_bins_ffd(d, 2048, n_shards=64), 2048)),
         ):
             best = float("inf")
             for _ in range(repeat):
