@@ -460,17 +460,19 @@ def q_curation_pipeline(spark, sf_dir):
     from anomalyzer_spark.functions import packing, sampling
     d = _docs(spark, sf_dir)
     enriched = d.select("doc_id", "lang", _curation_text().alias("text"))
-    red = text.redact_pii(enriched, with_counts=True)
-    meta = red.select(
-        "doc_id",
+    # provenance (lang, PII counts) CARRIES through each stage — no
+    # corpus×corpus join to re-attach it afterwards: the whole pipeline
+    # is map-only until pack_chunks' single shard exchange (plus the
+    # bounded per-language count aggregate temperature_sample runs).
+    red = text.redact_pii(enriched, with_counts=True, carry_cols=["lang"])
+    cur = red.withColumn(
+        "n_pii",
         (F.col("n_email") + F.col("n_url") + F.col("n_ipv4")
-         + F.col("n_phone")).cast("long").alias("n_pii"))
-    cur = red.join(enriched.select("doc_id", "lang"), "doc_id")
+         + F.col("n_phone")).cast("long"))
     samp = sampling.temperature_sample(cur, CURATION_ALPHA, "lang")
-    chunks = packing.pack_chunks(samp, CURATION_CAP,
-                                 n_shards=CURATION_SHARDS, seed=42)
-    out = (chunks.join(meta, "doc_id")
-           .join(enriched.select("doc_id", "lang"), "doc_id"))
+    out = packing.pack_chunks(samp, CURATION_CAP,
+                              n_shards=CURATION_SHARDS, seed=42,
+                              carry_cols=["lang", "n_pii"])
     return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
                       "n_toks", "start_tok", "chunk_tok_start",
                       "chunk_tok_end")

@@ -56,15 +56,24 @@ def _with_shard_and_length(
     id_col: str,
     n_shards: int,
     seed: int,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     if capacity < 1:
         raise ValueError("capacity must be >= 1 token")
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    reserved = {"shard", "_ord", "n_toks", "chunk_id", "start_tok",
+                "chunk_tok_start", "chunk_tok_end", "bin_id", "oversize",
+                id_col}
+    clash = [c for c in (carry_cols or []) if c in reserved]
+    if clash:
+        raise ValueError(f"carry_cols {clash} collide with packing "
+                         f"output columns; alias them first")
     n_toks = (F.col(length_col).cast("long") if length_col is not None
               else F.size(word_tokens(F.col(text_col))).cast("long"))
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in (carry_cols or [])],
         n_toks.alias("n_toks"),
         F.pmod(_hash48(F.col(id_col), seed), F.lit(n_shards))
         .cast("int").alias("shard"),
@@ -84,6 +93,7 @@ def pack_chunks(
     id_col: str = "doc_id",
     n_shards: int = 32,
     seed: int = 42,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Concat-and-chunk packing: one row per (document, chunk) span.
 
@@ -100,13 +110,18 @@ def pack_chunks(
     Plan shape: one exchange on ``shard`` (the window), then map-side
     span arithmetic + a bounded ``sequence`` explode (a document emits at
     most ceil(n_toks/capacity)+1 rows). No driver state, no Python.
+    ``carry_cols`` rides provenance columns (language, source, PII
+    counts…) through the shard exchange for free — re-attaching them
+    after the fact would cost a corpus×corpus join.
     """
+    carry = list(carry_cols or [])
     staged = _with_shard_and_length(
-        df, capacity, length_col, text_col, id_col, n_shards, seed)
+        df, capacity, length_col, text_col, id_col, n_shards, seed,
+        carry_cols=carry)
     w = Window.partitionBy("shard").orderBy(
         F.col("_ord").asc(), F.col(id_col).asc())
     spans = staged.select(
-        "shard", id_col, "n_toks",
+        "shard", id_col, "n_toks", *carry,
         (F.sum("n_toks").over(w) - F.col("n_toks")).alias("start_tok"),
     )
     # integer `div`, not float `/`: double division loses exactness past
@@ -115,13 +130,13 @@ def pack_chunks(
     first_c = F.expr(f"start_tok div {capacity}")
     last_c = F.expr(f"(start_tok + n_toks - 1) div {capacity}")
     seg = spans.select(
-        "shard", id_col, "n_toks", "start_tok",
+        "shard", id_col, "n_toks", "start_tok", *carry,
         F.explode(F.sequence(first_c, last_c)).alias("chunk_id"),
     )
     c_lo = F.col("chunk_id") * capacity
     c_hi = c_lo + capacity
     return seg.select(
-        "shard", "chunk_id", id_col, "n_toks", "start_tok",
+        "shard", "chunk_id", id_col, "n_toks", "start_tok", *carry,
         (F.greatest(c_lo, F.col("start_tok")) - F.col("start_tok"))
         .alias("chunk_tok_start"),
         (F.least(c_hi, F.col("start_tok") + F.col("n_toks"))

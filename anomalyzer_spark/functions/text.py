@@ -429,6 +429,7 @@ def redact_pii(
     *,
     kinds: tuple[str, ...] = ("email", "url", "ipv4", "phone"),
     with_counts: bool = False,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Redact PII-shaped spans: each match of the requested ``kinds``
     becomes ``[KIND]``. Map-only (chained ``regexp_replace``), zero
@@ -439,6 +440,9 @@ def redact_pii(
     span matching two kinds, e.g. an email inside a url or an IPv4 that
     also looks phone-shaped, counts under both even though the emitted
     text holds one token; NULL text yields 0 counts and NULL text out).
+    ``carry_cols`` passes provenance columns (language, source, license…)
+    through unchanged — free here (map-only projection) and it spares the
+    caller a corpus×corpus join to re-attach them downstream.
 
     The patterns are heuristics tuned for recall on crawl text (phone
     especially WILL catch long digit runs that aren't phone numbers) —
@@ -461,4 +465,5 @@ def redact_pii(
     for k in PII_PATTERNS:  # module order, filtered — order is the spec
         if k in kinds:
             red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
-    return df.select(*cols[:1], red.alias(text_col), *cols[1:])
+    carry = [F.col(c) for c in (carry_cols or [])]
+    return df.select(*cols[:1], red.alias(text_col), *cols[1:], *carry)

@@ -172,6 +172,26 @@ def test_packing_stats_all_oversize_shard_reports_zero(spark):
     assert len(stats) == 1 and stats[0]["utilization"] == 0.0
 
 
+def test_pack_chunks_carry_cols_ride_free(spark, sf_dir):
+    """carry_cols must pass provenance through unchanged (equal to a
+    post-hoc join on doc_id) without altering any packing output, and
+    must refuse names that collide with packing's own columns."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = packing.pack_chunks(docs, CAP, n_shards=SHARDS)
+    carried = packing.pack_chunks(docs, CAP, n_shards=SHARDS,
+                                  carry_cols=["lang", "source"])
+    keys = ("shard", "chunk_id", "doc_id", "n_toks", "start_tok",
+            "chunk_tok_start", "chunk_tok_end")
+    assert sorted(tuple(r[k] for k in keys) for r in plain.collect()) == \
+        sorted(tuple(r[k] for k in keys) for r in carried.collect())
+    want = {r["doc_id"]: (r["lang"], r["source"])
+            for r in docs.select("doc_id", "lang", "source").collect()}
+    for r in carried.collect():
+        assert (r["lang"], r["source"]) == want[r["doc_id"]]
+    with pytest.raises(ValueError, match="collide"):
+        packing.pack_chunks(docs, CAP, carry_cols=["start_tok"])
+
+
 def test_pack_chunks_rejects_bad_params(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     with pytest.raises(ValueError, match="capacity"):
