@@ -20,8 +20,16 @@ def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = No
     # comment on DontCompileHugeMethods)
     opts = os.environ.get("SPARK_SUBMIT_OPTS", "")
     if "DontCompileHugeMethods" not in opts:
+        # -XX:-DontCompileHugeMethods: JIT the huge whole-stage-codegen
+        # methods (see _build). ReservedCodeCacheSize: a long session
+        # running many wide generated stages fills the default ~240 MB
+        # code cache, C2 shuts off, and LATE queries silently fall back
+        # to the interpreter (observed: simhash at 26x CPU, identical
+        # plan hash, as query #12 of a 19-query session — back at its
+        # floor run alone or with 512m).
         os.environ["SPARK_SUBMIT_OPTS"] = (
-            opts + " -XX:-DontCompileHugeMethods").strip()
+            opts + " -XX:-DontCompileHugeMethods"
+            " -XX:ReservedCodeCacheSize=512m").strip()
     spark = _build(app, cpus, shuffle_partitions)
     # Warm Spark 4's ICU-backed Unicode casing ONCE, single-threaded: the
     # first non-ASCII lower()/upper() triggers CollationAwareUTF8String's
@@ -96,7 +104,8 @@ def _build(app: str, cpus: str, shuffle_partitions: int | None):
         # flags in local mode); the executor conf below covers real
         # clusters where executors are separate JVMs.
         .config("spark.executor.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods")
+                "-XX:-DontCompileHugeMethods "
+                "-XX:ReservedCodeCacheSize=512m")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
