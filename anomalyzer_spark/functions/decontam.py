@@ -1,0 +1,124 @@
+"""Benchmark decontamination — n-gram overlap between a training corpus
+and an evaluation set.
+
+The standard pre-training hygiene pass (the GPT-3 appendix-C /
+"13-gram dedup" family): any training document sharing at least
+``min_hits`` word n-grams with any eval document is CONTAMINATED and gets
+reported (``contamination``) or dropped (``decontaminate``).
+
+Scale shape — the asymmetry IS the design. The eval set is small by
+definition (benchmarks are thousands of documents; the corpus is the
+100 TB side), so:
+
+* eval n-grams build once, deduped, and BROADCAST — the corpus is never
+  shuffled to meet them;
+* the corpus side is one map-only shingle explode feeding the broadcast
+  inner join; only the HIT rows (a tiny fraction) reach the one exchange
+  (the per-document hit aggregate);
+* non-contaminated documents never leave their input split: returning
+  clean documents is a broadcast LEFT ANTI join against the bounded
+  contaminated-id frame.
+
+N-grams come from ``dedup.word_shingles`` (normalized text, DISTINCT
+word k-grams; a document shorter than n words contributes its full word
+sequence as one gram, so short eval prompts still match verbatim
+copies). Distinctness makes ``n_hit_grams`` count distinct overlapping
+grams, not occurrences — the conventional definition, and it bounds the
+per-document join fan-out by the document's vocabulary, not its length.
+
+No reference analogue (the reference is a single-series stats library);
+DuckDB parity + planted-contamination tests in tests/test_decontam.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import word_shingles
+
+
+def _grams(df: DataFrame, text_col: str, id_col: str, n: int,
+           out_id: str) -> DataFrame:
+    """(out_id, n_grams, gram) — one row per DISTINCT word n-gram."""
+    return df.select(
+        F.col(id_col).alias(out_id),
+        word_shingles(F.col(text_col), n).alias("_g"),
+    ).select(
+        F.col(out_id),
+        F.size("_g").alias("n_grams"),
+        F.explode("_g").alias("gram"),
+    )
+
+
+def contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Per-contaminated-training-document overlap report.
+
+    Returns (``<id_col>``, ``n_grams``, ``n_hit_grams``, ``n_eval_docs``,
+    ``contamination``) for training documents whose DISTINCT n-gram
+    overlap with the eval set reaches ``min_hits``:
+
+    * ``n_grams`` — the document's distinct n-gram count;
+    * ``n_hit_grams`` — how many of those occur in ANY eval document;
+    * ``n_eval_docs`` — how many distinct eval documents share >= 1 gram;
+    * ``contamination`` — n_hit_grams / n_grams in [0, 1], rounded to 6.
+
+    Raise ``n`` or ``min_hits`` to trade recall for precision (long rare
+    grams ~ verbatim copying; 1 hit of a short common gram ~ noise).
+    """
+    if n < 1:
+        raise ValueError("n must be >= 1")
+    if min_hits < 1:
+        raise ValueError("min_hits must be >= 1")
+    ev = (
+        _grams(eval_df, eval_text_col or text_col,
+               eval_id_col or id_col, n, "_eval_id")
+        .select("_eval_id", "gram")
+    )
+    tr = _grams(train_df, text_col, id_col, n, id_col)
+    hits = tr.join(F.broadcast(ev), "gram")
+    out = hits.groupBy(id_col).agg(
+        F.first("n_grams").alias("n_grams"),
+        F.count_distinct("gram").alias("n_hit_grams"),
+        F.count_distinct("_eval_id").alias("n_eval_docs"),
+    )
+    return out.where(F.col("n_hit_grams") >= min_hits).select(
+        id_col, "n_grams", "n_hit_grams", "n_eval_docs",
+        F.round(F.col("n_hit_grams") / F.col("n_grams"), 6)
+        .alias("contamination"),
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """The training corpus minus contaminated documents, schema unchanged.
+
+    Clean rows never shuffle: the contaminated-id frame is bounded by the
+    eval set's reach, so the removal is a broadcast LEFT ANTI join on the
+    id — every other column (and the input's partitioning) passes through
+    untouched."""
+    bad = contamination(
+        train_df, eval_df, text_col=text_col, id_col=id_col,
+        eval_text_col=eval_text_col, eval_id_col=eval_id_col,
+        n=n, min_hits=min_hits,
+    ).select(id_col)
+    return train_df.join(F.broadcast(bad), id_col, "left_anti")

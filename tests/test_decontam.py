@@ -1,0 +1,120 @@
+"""Benchmark decontamination (functions/decontam.py).
+
+Strongest available checks: full value parity of the contamination
+report against an independent DuckDB transcription over the driver's
+parquet fixtures (eval set drawn from the corpus itself, so hits are
+guaranteed), plus planted-contamination semantics and the broadcast
+plan shape the 100 TB asymmetry requires.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import decontam
+
+_NORM = ("trim(regexp_replace(regexp_replace(lower(text),"
+         "'[^a-z0-9]+',' ','g'),'\\s+',' ','g'))")
+
+N = 8
+
+
+def _duck_report(sf_dir: str, min_hits: int = 1):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con.execute(f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM norm),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(w) - {N - 1}, 1) + 1),
+          i -> array_to_string(w[i:i+{N - 1}], ' '))) AS grams
+      FROM w),
+tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+ev AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g
+       WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT tr.doc_id, any_value(n_grams) AS n_grams,
+         count(DISTINCT gram) AS n_hit_grams,
+         count(DISTINCT eval_id) AS n_eval_docs
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
+       round(n_hit_grams / n_grams, 6) AS contamination
+FROM hits WHERE n_hit_grams >= {min_hits}
+ORDER BY doc_id""").fetchall()
+
+
+def test_contamination_duckdb_parity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    got = sorted(
+        (r["doc_id"], r["n_grams"], r["n_hit_grams"], r["n_eval_docs"],
+         r["contamination"])
+        for r in decontam.contamination(docs, ev, n=N).collect())
+    want = [tuple(w) for w in _duck_report(sf_dir)]
+    assert len(got) > 0 and got == want
+    # every eval-source document is trivially contaminated with itself
+    ev_ids = {r["doc_id"] for r in ev.collect()}
+    assert ev_ids <= {g[0] for g in got}
+
+
+def test_decontaminate_removes_exactly_the_report(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    bad = {r["doc_id"]
+           for r in decontam.contamination(docs, ev, n=N).collect()}
+    clean = decontam.decontaminate(docs, ev, n=N)
+    assert clean.columns == docs.columns  # schema passes through
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    allids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == allids - bad and len(bad) > 0
+
+
+def test_planted_contamination_semantics(spark):
+    """A train doc sharing a verbatim n-word window with an eval doc is
+    flagged; one sharing only shorter overlaps is not. Short eval docs
+    (< n words) match verbatim copies via the full-sequence gram."""
+    w = [f"tok{i}" for i in range(40)]
+    train = spark.createDataFrame(
+        [(0, " ".join(w[:20])),                 # contains eval window
+         (1, " ".join(w[20:40])),               # disjoint vocab half
+         (2, " ".join(reversed(w[:20]))),       # same words, no 8-run
+         (3, "short prompt copy")],             # verbatim short eval doc
+        "doc_id long, text string")
+    ev = spark.createDataFrame(
+        [(100, " ".join(w[4:12])),              # one 8-gram inside doc 0
+         (101, "short prompt copy")],
+        "doc_id long, text string")
+    rep = {r["doc_id"]: r for r in
+           decontam.contamination(train, ev, n=8).collect()}
+    assert set(rep) == {0, 3}
+    assert rep[0]["n_hit_grams"] == 1 and rep[0]["n_eval_docs"] == 1
+    assert rep[3]["contamination"] == 1.0
+    kept = {r["doc_id"]
+            for r in decontam.decontaminate(train, ev, n=8).collect()}
+    assert kept == {1, 2}
+    # min_hits gates the report
+    assert decontam.contamination(train, ev, n=8, min_hits=2).count() == 0
+
+
+def test_rejects_bad_params(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="n must"):
+        decontam.contamination(df, df, n=0)
+    with pytest.raises(ValueError, match="min_hits"):
+        decontam.contamination(df, df, min_hits=0)
+
+
+def test_plan_broadcasts_eval_side(spark, sf_dir):
+    """The corpus must meet the eval grams via a BROADCAST join (the eval
+    side is the small one by definition) — never a shuffled corpus join,
+    never a cartesian product; the anti join is broadcast too."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    for frame in (decontam.contamination(docs, ev, n=N),
+                  decontam.decontaminate(docs, ev, n=N)):
+        s = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in s
+        assert "CartesianProduct" not in s
+        assert "BroadcastNestedLoop" not in s
