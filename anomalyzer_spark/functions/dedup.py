@@ -27,6 +27,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -524,6 +526,79 @@ def _propagate_labels(edges: DataFrame, max_iterations: int) -> DataFrame:
             f"are only partially merged (raise max_iterations)",
             RuntimeWarning, stacklevel=3)
     return labels
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_df: int = 2,
+    sep: str = "\n",
+) -> DataFrame:
+    """Paragraph-level dedup (boilerplate removal): drop every paragraph
+    that occurs in ``max_df`` or more DISTINCT documents, reconstruct
+    each document from its surviving paragraphs — the CCNet/Dolma-style
+    pass that strips nav bars, cookie banners, and license footers a
+    whole-document dedup can never touch (the documents differ; their
+    boilerplate doesn't).
+
+    Returns (id, <text_col> rebuilt, ``n_paragraphs``, ``n_dropped``).
+    Every input document comes back exactly once (a document that was
+    ALL boilerplate returns empty text — downstream length filters
+    decide its fate, not this operator). Paragraph identity is the EXACT
+    ``sep``-delimited span, keyed by md5; empty spans (consecutive
+    separators, leading/trailing) are structure, not content: never
+    counted, never dropped, always rebuilt in place, so a clean
+    document round-trips byte-identically (NULL text comes back as
+    empty text with zero counts).
+
+    Plan shape (the 100 TB read): posexplode → paragraph-frequency
+    aggregate keyed by md5 (partial map-side combine; a hot boilerplate
+    paragraph is exactly a hot KEY, which the hash aggregate absorbs —
+    no collect_set-over-window that would buffer a banner's million doc
+    ids in one task) → frequency join riding the same md5 exchange →
+    one exchange on the id to reassemble in original paragraph order.
+    DuckDB value parity + planted-boilerplate tests in
+    tests/test_functions.py.
+    """
+    if max_df < 1:
+        raise ValueError("max_df must be >= 1")
+    # _outer: a NULL-text document still yields one (NULL, NULL) row, so
+    # it comes back (as empty text) instead of vanishing from the output.
+    # sep is a LITERAL separator (escaped — Spark's split takes a regex,
+    # DuckDB's string_split a literal; literal is the portable contract).
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "para"),
+    ).withColumn(
+        "_h",
+        F.when(F.col("para") != "", F.md5(F.col("para").cast("binary"))),
+    )
+    freq = (
+        ex.where(F.col("_h").isNotNull())
+        .select(id_col, "_h").distinct()
+        .groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") >= max_df)
+    )
+    marked = ex.join(freq, "_h", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_df").isNull(),
+                        F.struct(F.col("pos"), F.col("para"))))),
+                    lambda s: s["para"]),
+                sep).alias(text_col),
+            F.sum((F.col("_h").isNotNull()).cast("long"))
+            .alias("n_paragraphs"),
+            F.sum((F.col("_df").isNotNull()).cast("long"))
+            .alias("n_dropped"),
+        )
+    )
 
 
 def cdc_chunks(

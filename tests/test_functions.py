@@ -114,6 +114,88 @@ def test_repetition_stats_hand_values(spark):
     assert got[3]["n_words"] == 0 and got[3]["dup_word_frac"] == 0.0
 
 
+def test_dedup_paragraphs_planted_boilerplate(spark):
+    """Shared banner/footer paragraphs vanish from every document; unique
+    content survives byte-identically; an all-boilerplate document comes
+    back as empty text; NULL text doesn't vanish; empty spans (blank
+    lines) are structure — kept in place, never counted."""
+    banner = "ACCEPT COOKIES TO CONTINUE"
+    footer = "(c) 2026 example.com all rights reserved"
+    rows = [
+        (0, f"{banner}\nalpha body one\n\nmore alpha\n{footer}"),
+        (1, f"{banner}\nbeta body two\n{footer}"),
+        (2, f"{banner}\n{footer}"),     # pure boilerplate
+        (3, "gamma only unique text"),  # clean: must round-trip exactly
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           dedup.dedup_paragraphs(df, max_df=2).collect()}
+    assert set(got) == {0, 1, 2, 3, 4}
+    assert got[0]["text"] == "alpha body one\n\nmore alpha"
+    assert got[0]["n_paragraphs"] == 4 and got[0]["n_dropped"] == 2
+    assert got[1]["text"] == "beta body two"
+    assert got[2]["text"] == "" and got[2]["n_dropped"] == 2
+    assert got[3]["text"] == "gamma only unique text"
+    assert got[3]["n_dropped"] == 0
+    assert got[4]["text"] == "" and got[4]["n_paragraphs"] == 0
+    # max_df above the banner's df keeps everything
+    clean = {r["doc_id"]: r["text"]
+             for r in dedup.dedup_paragraphs(df, max_df=4).collect()}
+    assert clean[0] == rows[0][1]
+    with pytest.raises(ValueError, match="max_df"):
+        dedup.dedup_paragraphs(df, max_df=0)
+
+
+def test_dedup_paragraphs_duckdb_parity(spark, sf_dir):
+    """Sentence-separated fixture text through both engines (sep '. ' is
+    a LITERAL, exercising the regex-escape contract): identical rebuilt
+    texts and counts."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        # plant per-source boilerplate (fixture sentences are unique
+        # across docs, so without this the pass would match trivially
+        # with zero drops): every doc gains its source's footer sentence
+        F.concat(F.col("text"), F.lit(". footer for "), F.col("source"),
+                 F.lit(" site")).alias("text"))
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_paragraphs"], r["n_dropped"])
+        for r in dedup.dedup_paragraphs(
+            docs, max_df=2, sep=". ").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = con.execute("""
+WITH d AS (SELECT doc_id,
+             text || '. footer for ' || source || ' site' AS text
+           FROM documents),
+ex AS (
+  SELECT doc_id, u.pos, u.para,
+         CASE WHEN u.para <> '' THEN md5(u.para) END AS h
+  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM d),
+       unnest(list_transform(range(1, len(ps) + 1),
+              i -> struct_pack(pos := i, para := ps[i]))) AS t(u)),
+freq AS (
+  SELECT h, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, h FROM ex WHERE h IS NOT NULL)
+  GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT ex.*, freq.df FROM ex LEFT JOIN freq USING (h))
+SELECT doc_id,
+  array_to_string(list_transform(
+    list_sort(list(struct_pack(pos := pos, para := para))
+              FILTER (WHERE df IS NULL)),
+    s -> s.para), '. ') AS text,
+  count(*) FILTER (WHERE h IS NOT NULL) AS n_paragraphs,
+  count(*) FILTER (WHERE df IS NOT NULL) AS n_dropped
+FROM m GROUP BY doc_id ORDER BY doc_id""").fetchall()
+    assert len(got) == len(want) > 0
+    assert got == [tuple(w) for w in want]
+    # the pass did real work on the fixtures
+    assert any(g[3] > 0 for g in got)
+
+
 def test_cdc_chunks_survive_prefix_insertion(spark):
     """The content-defined property: prepending text to a document shifts
     every byte offset, yet most chunk hashes must SURVIVE (boundaries are
