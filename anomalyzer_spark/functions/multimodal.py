@@ -33,6 +33,9 @@ MAGIC = {
     b"RIFF": "riff",  # wav/avi container
     b"GIF8": "gif",
     b"%PDF": "pdf",
+    b"P6": "ppm",
+    b"P5": "pgm",
+    b"BM": "bmp",
 }
 
 
@@ -177,13 +180,160 @@ def payload_profile(df: DataFrame, content_col: str = "content",
     return with_meta.mapInPandas(fn, _PROFILE_SCHEMA)
 
 
+def _pnm_decode(raw: bytes) -> np.ndarray:
+    """P5 (PGM) / P6 (PPM) → (h, w) or (h, w, 3) uint8. maxval <= 255
+    only (the 1-byte-per-sample binary variants). Full header grammar:
+    whitespace-separated tokens, ``#`` comments to end-of-line."""
+    if raw[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PGM/PPM payload")
+    channels = 1 if raw[:2] == b"P5" else 3
+    toks, i, n = [], 2, len(raw)
+    while len(toks) < 3:
+        while i < n and raw[i:i + 1].isspace():
+            i += 1
+        if i < n and raw[i:i + 1] == b"#":
+            while i < n and raw[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < n and not raw[j:j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ValueError("truncated PNM header")
+        toks.append(raw[i:j])
+        i = j
+    w, h, maxval = (int(t) for t in toks)
+    if not (0 < w and 0 < h):
+        raise ValueError("bad PNM dimensions")
+    if not 0 < maxval <= 255:
+        raise ValueError("only 1-byte PNM samples supported")
+    i += 1  # single whitespace byte after maxval, per spec
+    need = w * h * channels
+    if n - i < need:
+        raise ValueError("truncated PNM pixel data")
+    data = np.frombuffer(raw, dtype=np.uint8, count=need, offset=i)
+    px = data.reshape(h, w, channels)
+    return px[:, :, 0] if channels == 1 else px
+
+
+def _bmp_decode(raw: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP → (h, w, 3) uint8 RGB. Handles the 4-byte
+    row padding, bottom-up (positive height) and top-down storage."""
+    if raw[:2] != b"BM" or len(raw) < 54:
+        raise ValueError("not a BMP payload")
+
+    def _le(off: int, sz: int, signed: bool = False) -> int:
+        return int.from_bytes(raw[off:off + sz], "little", signed=signed)
+
+    data_off = _le(10, 4)
+    w = _le(18, 4, signed=True)
+    h = _le(22, 4, signed=True)
+    bpp = _le(28, 2)
+    compression = _le(30, 4)
+    if bpp != 24 or compression != 0:
+        raise ValueError("only uncompressed 24-bit BMP supported")
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    top_down = h < 0
+    h = abs(h)
+    stride = (w * 3 + 3) // 4 * 4
+    need = data_off + stride * h
+    if len(raw) < need:
+        raise ValueError("truncated BMP pixel data")
+    rows = np.frombuffer(raw, dtype=np.uint8, count=stride * h,
+                         offset=data_off).reshape(h, stride)
+    bgr = rows[:, : w * 3].reshape(h, w, 3)
+    if not top_down:
+        bgr = bgr[::-1]
+    return bgr[:, :, ::-1]  # BGR → RGB
+
+
+def _to_gray_unit(px: np.ndarray) -> np.ndarray:
+    """(h, w[, 3]) uint8 → (h, w) float64 in [0, 1]. Color uses the
+    ITU-R 601-2 luma weights as EXACT rationals ((299R+587G+114B)/1000 —
+    engine/libm-independent), then /255."""
+    if px.ndim == 2:
+        return px.astype(np.float64) / 255.0
+    p = px.astype(np.int64)
+    luma = 299 * p[:, :, 0] + 587 * p[:, :, 1] + 114 * p[:, :, 2]
+    return luma.astype(np.float64) / (1000.0 * 255.0)
+
+
+def _resize_nearest(g: np.ndarray, size: tuple[int, int]) -> np.ndarray:
+    """Deterministic nearest-neighbor resample to (w, h): source index =
+    floor((i + 0.5) * src / dst) — pure integer arithmetic, no libm."""
+    w, h = size
+    sh, sw = g.shape
+    ri = ((2 * np.arange(h) + 1) * sh) // (2 * h)
+    ci = ((2 * np.arange(w) + 1) * sw) // (2 * w)
+    return g[ri][:, ci]
+
+
+_DECODE_RAW_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("pixels", ArrayType(DoubleType())),
+    StructField("err", StringType()),
+])
+
+
+def decode_image_raw(df: DataFrame, content_col: str = "content",
+                     id_col: str = "doc_id", *,
+                     size: tuple[int, int] = (64, 64)) -> DataFrame:
+    """REAL library-free image decode for the uncompressed formats —
+    binary PGM (P5) / PPM (P6) and 24-bit uncompressed BMP — entirely in
+    NumPy inside one ``mapInPandas`` Arrow pass (compressed formats need
+    ``decode_image``'s PIL path, still environment-gated here).
+
+    Per-row error capture, not task failure: a corrupt or unsupported
+    payload yields (id, NULL pixels, ``err`` message) — at crawl scale
+    bad bytes are DATA, and one of them must not kill a 100 TB job.
+    Output pixels: ``size``-resampled (nearest-neighbor, integer index
+    arithmetic) grayscale (exact ITU-R 601-2 rational luma) row-major in
+    [0, 1]; ``width``/``height`` are the ORIGINAL decoded dimensions.
+    """
+    w_out, h_out = size
+    if w_out < 1 or h_out < 1:
+        raise ValueError("size must be positive")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(raw) if raw is not None else b""
+                try:
+                    if b[:2] in (b"P5", b"P6"):
+                        px = _pnm_decode(b)
+                    elif b[:2] == b"BM":
+                        px = _bmp_decode(b)
+                    else:
+                        raise ValueError(
+                            "unsupported format for raw decode "
+                            "(PGM/PPM/BMP only; compressed formats need "
+                            "the PIL path)")
+                    h0, w0 = px.shape[:2]
+                    g = _resize_nearest(_to_gray_unit(px), size)
+                    rows.append((int(did), w0, h0, g.ravel().tolist(),
+                                 None))
+                except (ValueError, IndexError) as e:
+                    rows.append((int(did), None, None, None, str(e)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _DECODE_RAW_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        fn, _DECODE_RAW_SCHEMA)
+
+
 def decode_image(df: DataFrame, content_col: str = "content",
                  id_col: str = "doc_id", *, size: tuple[int, int] = (64, 64)):
     """Decode + resize images to fixed-size float arrays.
 
-    REAL decode path — requires PIL, which this container does not ship;
-    the function raises ``NotImplementedError`` at plan-build time when the
-    library is missing (schema + batch shape below are the contract).
+    PIL path — for COMPRESSED formats (png/jpeg/gif…); this container
+    does not ship PIL, so the function raises ``NotImplementedError`` at
+    plan-build time when the library is missing (schema + batch shape
+    below are the contract). The uncompressed formats decode for real,
+    library-free, via ``decode_image_raw``.
     Output schema: (id, pixels array<double> of h*w grayscale in [0,1]).
     """
     try:
@@ -191,7 +341,8 @@ def decode_image(df: DataFrame, content_col: str = "content",
     except ImportError as e:
         raise NotImplementedError(
             "image decode needs PIL; this environment does not provide it — "
-            "use byte_features for the library-free path"
+            "use decode_image_raw (PGM/PPM/BMP, library-free) or "
+            "byte_features instead"
         ) from e
 
     schema = StructType([

@@ -410,6 +410,78 @@ def test_multimodal_decode_stub():
         multimodal.decode_image(None)
 
 
+def _ppm_bytes(w, h, px):
+    """Assemble a binary P6 with a comment in the header (grammar check)."""
+    return (f"P6\n# test comment\n{w} {h}\n255\n".encode()
+            + bytes(np.asarray(px, np.uint8).ravel()))
+
+
+def _bmp_bytes(w, h, rgb, top_down=False):
+    """Assemble an uncompressed 24-bit BMP (BGR rows, 4-byte padded,
+    bottom-up unless top_down)."""
+    stride = (w * 3 + 3) // 4 * 4
+    hdr_h = -h if top_down else h
+    header = (b"BM" + (54 + stride * h).to_bytes(4, "little") + b"\0" * 4
+              + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+              + w.to_bytes(4, "little", signed=True)
+              + hdr_h.to_bytes(4, "little", signed=True)
+              + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+              + (0).to_bytes(4, "little") + b"\0" * 20)
+    a = np.asarray(rgb, np.uint8)
+    rows = a if top_down else a[::-1]
+    body = b"".join(
+        bytes(rows[r][:, ::-1].ravel()) + b"\0" * (stride - w * 3)
+        for r in range(h))
+    return header + body
+
+
+def test_decode_image_raw_real_formats(spark):
+    """Library-free decode: PPM/PGM/BMP payloads decode to the exact
+    luma/resample spec; corrupt and unsupported payloads surface as err
+    rows, never task failures."""
+    rgb = [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]]
+    pgm = b"P5\n2 2\n255\n" + bytes([0, 64, 128, 255])
+    rows = [
+        (0, bytearray(_ppm_bytes(2, 2, rgb))),
+        (1, bytearray(pgm)),
+        (2, bytearray(_bmp_bytes(2, 2, rgb))),
+        (3, bytearray(_bmp_bytes(2, 2, rgb, top_down=True))),
+        (4, bytearray(b"P6\n2 2\n255\n\xff")),       # truncated
+        (5, bytearray(b"\x89PNG garbage")),          # needs PIL path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_image_raw(df, size=(2, 2)).collect()}
+    # exact rational luma: (299R + 587G + 114B) / (1000 * 255)
+    want_rgb = [299 / 255000 * 255, 587 / 255000 * 255,
+                114 / 255000 * 255, 1.0]
+    for did in (0, 2, 3):  # PPM, bottom-up BMP, top-down BMP agree
+        assert got[did]["width"] == 2 and got[did]["height"] == 2
+        assert got[did]["pixels"] == pytest.approx(want_rgb, abs=0)
+    assert got[1]["pixels"] == pytest.approx(
+        [0.0, 64 / 255, 128 / 255, 1.0], abs=0)
+    assert got[4]["pixels"] is None and "truncated" in got[4]["err"]
+    assert got[5]["pixels"] is None and "PIL" in got[5]["err"]
+    # magic sniff tags the raw formats
+    fmts = {r["doc_id"]: r["format"] for r in
+            multimodal.payload_meta(df).collect()}
+    assert (fmts[0], fmts[1], fmts[2]) == ("ppm", "pgm", "bmp")
+
+
+def test_decode_image_raw_resample_spec(spark):
+    """Nearest-neighbor spec pinned: source index floor((i+0.5)*src/dst),
+    checked by downsampling a 4x4 gradient to 2x2."""
+    g = np.arange(16, dtype=np.uint8).reshape(4, 4) * 17
+    pgm = b"P5\n4 4\n255\n" + bytes(g.ravel())
+    df = spark.createDataFrame([(0, bytearray(pgm))],
+                               "doc_id long, content binary")
+    got = multimodal.decode_image_raw(df, size=(2, 2)).collect()[0]
+    idx = ((2 * np.arange(2) + 1) * 4) // 4  # = [1, 3]
+    want = (g[idx][:, idx].astype(float) / 255.0).ravel().tolist()
+    assert got["pixels"] == pytest.approx(want, abs=0)
+    assert got["err"] is None
+
+
 def test_payload_profile_equals_meta_plus_features(spark, docs):
     """The fused one-pass profile must equal payload_meta ⊕ byte_features
     joined on doc_id, column for column — same values, one Arrow crossing
