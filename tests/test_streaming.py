@@ -698,3 +698,36 @@ def test_ingest_ivfpq_stream_equals_batch_build(spark, sf_dir, tmp_path):
     n_comp_files = len(glob.glob(f"{comp_idx}/**/*.parquet",
                                  recursive=True))
     assert 0 < n_comp_files < n_stream_files
+
+
+def test_decontaminate_stream_foreachbatch(spark, sf_dir, tmp_path):
+    """Streaming ingest hygiene: each micro-batch of crawl documents is
+    decontaminated against the STATIC eval set inside foreachBatch (the
+    per-doc hit aggregate makes the operator batch-shaped; foreachBatch
+    is the streaming adapter, as for minhash_stream). The union of batch
+    outputs must equal offline decontamination of the same corpus — no
+    document lost or kept differently because of how batches split."""
+    from anomalyzer_spark.functions import decontam
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    sdir = str(tmp_path / "decon_in")
+    out = str(tmp_path / "decon_out")
+    d.coalesce(3).write.mode("overwrite").parquet(sdir)
+    stream = (spark.readStream.schema(d.schema)
+              .option("maxFilesPerTrigger", 1).parquet(sdir))
+
+    def handle(batch_df, batch_id):
+        (decontam.decontaminate(batch_df, ev, n=8)
+         .write.mode("overwrite").parquet(f"{out}/batch_id={batch_id}"))
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", str(tmp_path / "decon_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in
+           spark.read.parquet(out).select("doc_id").collect()}
+    exp = {r["doc_id"] for r in
+           decontam.decontaminate(d, ev, n=8).select("doc_id").collect()}
+    assert got == exp and 0 < len(got) < d.count()
