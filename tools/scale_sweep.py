@@ -71,7 +71,7 @@ def make_docs(spark, n_docs: int):
 
 
 def dedup_cells(spark, doc_counts, repeat):
-    from anomalyzer_spark.functions import dedup, packing, text
+    from anomalyzer_spark.functions import decontam, dedup, packing, text
 
     out = {}
     for n in doc_counts:
@@ -93,6 +93,15 @@ def dedup_cells(spark, doc_counts, repeat):
             # cell isolates the stats aggregate's own cost
             ("packing_stats", lambda: packing.packing_stats(
                 packing.pack_bins_ffd(d, 2048, n_shards=64), 2048)),
+            # eval set = every 100th doc; near-dup pairs in make_docs
+            # guarantee real hits beyond self-matches
+            ("decontam", lambda: decontam.contamination(
+                d, d.where(F.col("doc_id") % 100 == 0), n=8)),
+            # word-level split (make_docs text is single-line): ~40
+            # paragraphs/doc — an upper-bound throughput shape for the
+            # explode+count+join+rebuild path
+            ("dedup_paragraphs", lambda: dedup.dedup_paragraphs(
+                d, sep=" ", max_df=max(n // 10, 2))),
         ):
             best = float("inf")
             for _ in range(repeat):
