@@ -559,6 +559,10 @@ def dedup_paragraphs(
     no collect_set-over-window that would buffer a banner's million doc
     ids in one task) → frequency join riding the same md5 exchange →
     one exchange on the id to reassemble in original paragraph order.
+    The paragraph explode is deliberately computed twice (frequency leg
+    + join leg): it is map-only off a pruned scan, and re-scanning beats
+    materializing a corpus-sized paragraph frame — the opposite trade
+    from the LSH generators, whose checkpointed frames are keys only.
     DuckDB value parity + planted-boilerplate tests in
     tests/test_functions.py.
     """

@@ -98,6 +98,18 @@ def test_planted_contamination_semantics(spark):
     assert decontam.contamination(train, ev, n=8, min_hits=2).count() == 0
 
 
+def test_self_decontamination_is_total(spark, sf_dir):
+    """Invariant: every document fully overlaps itself (full-sequence
+    gram for short docs included), so decontaminating a corpus against
+    ITSELF flags everything at contamination 1.0 and leaves nothing."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(50))
+    rep = decontam.contamination(docs, docs, n=N)
+    assert rep.count() == 50
+    assert rep.where(F.col("contamination") < 1.0).count() == 0
+    assert decontam.decontaminate(docs, docs, n=N).count() == 0
+
+
 def test_rejects_bad_params(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     with pytest.raises(ValueError, match="n must"):

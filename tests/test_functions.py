@@ -147,6 +147,21 @@ def test_dedup_paragraphs_planted_boilerplate(spark):
         dedup.dedup_paragraphs(df, max_df=0)
 
 
+def test_dedup_paragraphs_identity_on_unique_corpus(spark, sf_dir):
+    """Invariant: when no paragraph repeats across documents (fixture
+    sentences are unique), every document round-trips byte-identically
+    with zero drops — the operator is a no-op exactly when it should be."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    got = {r["doc_id"]: (r["text"], r["n_dropped"])
+           for r in dedup.dedup_paragraphs(docs, max_df=2,
+                                           sep=". ").collect()}
+    want = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert len(got) == len(want)
+    for did, (txt, dropped) in got.items():
+        assert dropped == 0 and txt == want[did]
+
+
 def test_dedup_paragraphs_duckdb_parity(spark, sf_dir):
     """Sentence-separated fixture text through both engines (sep '. ' is
     a LITERAL, exercising the regex-escape contract): identical rebuilt
