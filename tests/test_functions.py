@@ -483,6 +483,118 @@ def test_decode_image_raw_real_formats(spark):
     assert (fmts[0], fmts[1], fmts[2]) == ("ppm", "pgm", "bmp")
 
 
+def _wav_bytes(samples, rate=8000, bits=16, channels=1):
+    """Assemble a RIFF/WAVE integer-PCM payload (with a junk LIST chunk
+    before data to exercise chunk walking)."""
+    a = np.asarray(samples)
+    if bits == 16:
+        body = bytes(np.round(a * 32768).clip(-32768, 32767)
+                     .astype("<i2").tobytes())
+    elif bits == 8:
+        body = bytes(np.round(a * 128 + 128).clip(0, 255)
+                     .astype(np.uint8).tobytes())
+    else:
+        body = bytes(np.round(a * 2147483648).clip(-2**31, 2**31 - 1)
+                     .astype("<i4").tobytes())
+    blk = channels * bits // 8
+    fmt = ((1).to_bytes(2, "little") + channels.to_bytes(2, "little")
+           + rate.to_bytes(4, "little")
+           + (rate * blk).to_bytes(4, "little")
+           + blk.to_bytes(2, "little") + bits.to_bytes(2, "little"))
+    junk = b"LIST" + (4).to_bytes(4, "little") + b"INFO"
+    chunks = (b"fmt " + len(fmt).to_bytes(4, "little") + fmt + junk
+              + b"data" + len(body).to_bytes(4, "little") + body)
+    return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+
+def test_decode_audio_features_real_wav(spark):
+    """Library-free WAV decode: a known sine + a clipped square + an
+    8-bit silence give exact sample-rate/duration and the documented
+    feature definitions; corrupt payloads surface as err rows."""
+    t = np.arange(8000) / 8000.0
+    sine = 0.5 * np.sin(2 * np.pi * 440 * t)
+    square = np.where(np.sin(2 * np.pi * 100 * t) >= 0, 1.0, -1.0)
+    rows = [
+        (0, bytearray(_wav_bytes(sine))),
+        (1, bytearray(_wav_bytes(square))),
+        (2, bytearray(_wav_bytes(np.zeros(100), bits=8))),
+        (3, bytearray(b"RIFFxxxxWAVEdata")),   # truncated garbage
+        (4, bytearray(b"\xff\xd8\xffnot audio")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, content binary")
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_audio_features(df).collect()}
+    s = got[0]
+    assert (s["sample_rate"], s["n_samples"], s["n_channels"]) == (8000, 8000, 1)
+    assert s["duration_s"] == 1.0 and s["err"] is None
+    assert s["rms"] == pytest.approx(0.5 / np.sqrt(2), rel=1e-3)
+    assert s["clip_fraction"] == 0.0
+    # 440 Hz sine crosses zero ~880 times/s
+    assert s["zero_cross_rate"] == pytest.approx(880 / 7999, rel=0.01)
+    q = got[1]
+    assert q["clip_fraction"] > 0.4 and q["peak"] >= 0.999
+    assert got[2]["rms"] == 0.0 and got[2]["sample_rate"] == 8000
+    assert got[3]["err"] is not None and got[4]["err"] is not None
+    # stereo path: channel-mean of out-of-phase channels is silence but
+    # clip counts both channels
+    stereo = np.stack([square, -square], axis=1).ravel()
+    sdf = spark.createDataFrame(
+        [(9, bytearray(_wav_bytes(stereo, channels=2)))],
+        "doc_id long, content binary")
+    st = multimodal.decode_audio_features(sdf).collect()[0]
+    # int16 full scale is asymmetric (+1.0 -> 32767/32768), so the
+    # out-of-phase mean is ~1.5e-5, not exactly 0
+    assert st["n_channels"] == 2 and st["rms"] < 1e-4
+    assert st["clip_fraction"] > 0.4
+
+
+def _avi_bytes(frames):
+    """Minimal RIFF/AVI: hdrl LIST stub + movi LIST of 00dc chunks
+    (odd-length frames exercise the 2-byte alignment rule)."""
+    def chunk(cid, body):
+        return cid + len(body).to_bytes(4, "little") + body + (
+            b"\0" if len(body) & 1 else b"")
+
+    hdrl = b"LIST" + (4).to_bytes(4, "little") + b"hdrl"
+    movi_body = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
+    movi = b"LIST" + len(movi_body).to_bytes(4, "little") + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_frame_sample_real_avi_demux(spark):
+    """AVI payloads are REALLY demuxed: evenly spaced true frames with
+    their in-video indexes, byte-exact, odd-length alignment handled;
+    non-AVI payloads keep the documented byte-window fallback."""
+    frames = [bytes([i]) * (5 + i % 2) for i in range(10)]  # odd lengths
+    avi = _avi_bytes(frames)
+    df = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(b"plain text payload"))],
+        "doc_id long, content binary")
+    got = sorted(
+        (r["frame_idx"], bytes(r["frame"])) for r in
+        multimodal.frame_sample(df, n_frames=4)
+        .where(F.col("doc_id") == 0).collect())
+    # even spacing over 10 frames at k=4: indexes (2i+1)*10//8
+    assert [i for i, _ in got] == [1, 3, 6, 8]
+    assert all(b == frames[i] for i, b in got)
+    # asking for more frames than exist returns each frame once
+    assert (multimodal.frame_sample(df, n_frames=99)
+            .where(F.col("doc_id") == 0).count() == 10)
+    fallback = multimodal.frame_sample(df, n_frames=4) \
+        .where(F.col("doc_id") == 1).collect()
+    assert len(fallback) == 4 and bytes(fallback[0]["frame"]).startswith(b"plai")
+    # RIFF sniff resolves the container type
+    wav = _wav_bytes(np.zeros(10))
+    sniff = spark.createDataFrame(
+        [(0, bytearray(avi)), (1, bytearray(wav)),
+         (2, bytearray(b"RIFF\0\0\0\0JUNK"))],
+        "doc_id long, content binary")
+    fmts = {r["doc_id"]: r["format"]
+            for r in multimodal.payload_meta(sniff).collect()}
+    assert fmts == {0: "avi", 1: "wav", 2: "riff"}
+
+
 def test_decode_image_raw_resample_spec(spark):
     """Nearest-neighbor spec pinned: source index floor((i+0.5)*src/dst),
     checked by downsampling a 4x4 gradient to 2x2."""
