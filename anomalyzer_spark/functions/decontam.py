@@ -61,6 +61,7 @@ def contamination(
     eval_id_col: str | None = None,
     n: int = 8,
     min_hits: int = 1,
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Per-contaminated-training-document overlap report.
 
@@ -75,6 +76,13 @@ def contamination(
 
     Raise ``n`` or ``min_hits`` to trade recall for precision (long rare
     grams ~ verbatim copying; 1 hit of a short common gram ~ noise).
+
+    ``broadcast_eval=True`` (default) fits the benchmark shape: the eval
+    n-gram set must fit an executor broadcast (thousands of documents —
+    fine). For a LARGE right side (decontaminating against a whole prior
+    corpus release, not a benchmark) pass ``False``: the gram match runs
+    as an ordinary shuffled equi-join on the gram key instead — one
+    extra corpus exchange, no broadcast memory bound.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -86,7 +94,7 @@ def contamination(
         .select("_eval_id", "gram")
     )
     tr = _grams(train_df, text_col, id_col, n, id_col)
-    hits = tr.join(F.broadcast(ev), "gram")
+    hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "gram")
     out = hits.groupBy(id_col).agg(
         F.first("n_grams").alias("n_grams"),
         F.count_distinct("gram").alias("n_hit_grams"),

@@ -98,6 +98,20 @@ def test_planted_contamination_semantics(spark):
     assert decontam.contamination(train, ev, n=8, min_hits=2).count() == 0
 
 
+def test_shuffled_eval_join_same_answer(spark, sf_dir):
+    """broadcast_eval=False (the corpus-vs-corpus shape) must produce the
+    identical report through the shuffled gram equi-join."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    key = lambda r: (r["doc_id"], r["n_grams"], r["n_hit_grams"],
+                     r["n_eval_docs"], r["contamination"])
+    a = sorted(key(r) for r in
+               decontam.contamination(docs, ev, n=N).collect())
+    b = sorted(key(r) for r in decontam.contamination(
+        docs, ev, n=N, broadcast_eval=False).collect())
+    assert a == b and len(a) > 0
+
+
 def test_self_decontamination_is_total(spark, sf_dir):
     """Invariant: every document fully overlaps itself (full-sequence
     gram for short docs included), so decontaminating a corpus against

@@ -312,3 +312,28 @@ def test_ivfpq_index_scan_prunes_partitions(spark, sf_dir, tmp_path):
     # previously the probe collect and the join each rebuilt it
     assert "ExistingRDD" in plan
     assert "embeddings.parquet" not in plan
+
+
+def test_curation_pipeline_single_scan_no_joins(spark, sf_dir):
+    """The round-7 carry_cols contract: redact -> temperature-mix -> pack
+    reads the corpus ONCE and re-attaches nothing — provenance rides the
+    shard exchange. A refactor that reintroduces the corpus×corpus
+    join-back (8 exchanges, 4 scans in the round-6 draft) fails here."""
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.q_curation_pipeline(spark, sf_dir)
+    plan = assert_plan(df, max_exchanges=2)
+    assert "Join" not in plan
+    assert plan.count("documents.parquet") == 1
+
+
+def test_range_join_registry_plan_equi_not_theta(spark, sf_dir):
+    """The registry range_join slot must plan as a bucket equi-join
+    (broadcast or shuffled hash), never the cartesian/nested-loop Spark
+    picks for the bare range predicate."""
+    import __spark_entry__ as entry_mod
+
+    plan = explain_str(entry_mod.q_range_join(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan
