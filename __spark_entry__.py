@@ -570,21 +570,26 @@ def _pq_codebooks(rows) -> list[list[list[float]]]:
         np.asarray([r[1] for r in rows], dtype=np.float64), m=PQ_M, k=PQ_K)
 
 
-def q_pq_topk(spark, sf_dir):
-    """Product-quantization ANN: corpus compressed to m one-byte codes
-    (map-only encode), queries search by asymmetric distance — one lookup
-    table per QUERY, m array lookups per candidate. The 100 TB shape:
-    the scan side reads codes only (8 ints vs 64 floats), the LUT rides a
-    broadcast. Codebooks train on the same bounded sample as ivf_topk and
-    the oracle re-fits them identically from parquet."""
-    e = _embs(spark, sf_dir)
-    sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
-        .select("vec_id", "embedding").collect()
-    books = _pq_codebooks([(r["vec_id"], r["embedding"]) for r in sample])
-    out = similarity.pq_topk(
-        e, e.where(F.col("vec_id") < 20), books, id_col="vec_id",
-        vec_col="embedding", query_id_col="vec_id", k=TOPK)
-    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level boilerplate removal (dedup.dedup_paragraphs): every
+    fixture document gains its SOURCE's footer sentence (fixture sentences
+    are unique across documents, so without the plant the pass would match
+    trivially with zero drops), then any '. '-separated span appearing in
+    >= 2 distinct documents is stripped and each document is rebuilt from
+    its surviving spans in original order. The oracle replays the whole
+    pass in DuckDB (explode → md5-keyed document-frequency → rebuild), so
+    the value hash attests reconstructed BYTES, not just counts. Registry
+    slot freed by retiring pq_topk: the PQ model — same bounded-sample
+    codebook fit, map-only encode, ADC lookup-table scoring — is hashed
+    end-to-end inside ivfpq_topk's composed oracle, and the exact-scan
+    baseline it differed by is cosine_topk; only the 'PQ without IVF
+    pruning' plan shape was unique, which tests/test_plans.py still pins."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". footer for "), F.col("source"),
+                 F.lit(" site")).alias("text"))
+    return dedup.dedup_paragraphs(planted, max_df=2, sep=". ")
 
 
 def q_ivfpq_topk(spark, sf_dir):
@@ -795,20 +800,23 @@ def q_asof_join(spark, sf_dir):
         "last_value")
 
 
-def q_ks_stat(spark, sf_dir):
-    """Grid-interpolated two-sample KS statistic per key (the deterministic
-    core of the reference's ks test, algorithms.go:255-288) as a pure-column
-    query — the Monte-Carlo wrapper uses the same math in the kernel."""
-    from anomalyzer_spark.operators import columnar
-    from anomalyzer_spark.operators.detect import tail_window
-    ev = load_table(spark, sf_dir, "events")
-    tails = tail_window(ev, ["event_type"], "ts", "value",
-                        DET_CONF.window_size, ["event_id"])
-    s = columnar.WindowSlices(F.col("vec"), DET_CONF)
-    return _round6(
-        tails.select("event_type", "n_points",
-                     columnar.ks_stat_col(s).alias("ks")),
-        "ks")
+def q_decontam(spark, sf_dir):
+    """Benchmark decontamination report (decontam.contamination): eval set
+    = every 97th fixture document (guaranteed hits — each eval document is
+    verbatim in the corpus), 8-word-gram overlap, broadcast-eval plan. The
+    oracle recomputes normalization, distinct word 8-grams, the gram join,
+    and the per-document hit aggregate in DuckDB, so contamination ratios
+    are value-hash attested. Registry slot freed by retiring ks_stat: the
+    grid-interpolated KS statistic is the deterministic core of the MC ks
+    method, whose KS-derived probabilities are already hashed by the
+    detect_default / detect_multi_mc / detect_stream_mc oracles over the
+    same kernel and windows — the standalone column query added no
+    coverage beyond them (tests/test_columnar.py still pins ks_stat_col
+    against the NumPy oracle point-wise)."""
+    from anomalyzer_spark.functions import decontam
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    return decontam.contamination(d, ev, n=8)
 
 
 def q_detect_multi_mc(spark, sf_dir):
@@ -1037,7 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pipeline": q_emb_pipeline,
         "lsh_topk": q_lsh_topk,
         "ivf_topk": q_ivf_topk,
-        "pq_topk": q_pq_topk,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "ivfpq_topk": q_ivfpq_topk,
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
@@ -1049,7 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_median": q_skew_median,
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
-        "ks_stat": q_ks_stat,
+        "decontam": q_decontam,
         "detect_resampled": q_detect_resampled,
         "detect_rolling": q_detect_rolling,
         "detect_horizon": q_detect_horizon,
@@ -1424,43 +1432,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     sql["detect_stream_mc"] = _detect_sql("event_type", DEFAULT_CONF)
     sql["detect_rolling"] = _rolling_sql("event_type", DET_CONF)
 
-    a_, r_ = DET_CONF.active_size, DET_CONF.reference_size
-    sql["ks_stat"] = f"""
-WITH ranked AS (
-  SELECT event_type AS k, value,
-         row_number() OVER (PARTITION BY event_type
-                            ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events),
-tails AS (
-  SELECT k, list(value ORDER BY rn DESC) AS vec, count(*) AS n_points
-  FROM ranked WHERE rn <= {a_ + r_} GROUP BY k),
-feat AS (
-  SELECT k, n_points, vec, len(vec) AS n,
-         least({a_}, len(vec)) AS act_n,
-         least({r_}, len(vec) - least({a_}, len(vec))) AS ref_n
-  FROM tails),
-sliced AS (
-  SELECT k, n_points, act_n, ref_n,
-    vec[n - act_n + 1 : n] AS act,
-    CASE WHEN ref_n > 0 THEN vec[n - act_n - ref_n + 1 : n - act_n]
-         ELSE [] END AS ref
-  FROM feat),
-grid AS (
-  SELECT k, n_points, act_n, ref_n, act, ref,
-    least(list_aggregate(ref, 'min'), list_aggregate(act, 'min')) AS mn,
-    (greatest(list_aggregate(ref, 'max'), list_aggregate(act, 'max'))
-     - least(list_aggregate(ref, 'min'), list_aggregate(act, 'min')))
-      / (act_n + ref_n - 1) AS step
-  FROM sliced)
-SELECT k AS event_type, n_points,
-  CASE WHEN ref_n < {a_} OR ref_n % act_n != 0 THEN NULL
-       ELSE round(list_aggregate(list_transform(range(0, act_n + ref_n), i ->
-         abs(len(list_filter(act, x -> x <= mn + step * i))::DOUBLE / act_n
-           - len(list_filter(ref, x -> x <= mn + step * i))::DOUBLE / ref_n)),
-         'max'), 6)
-  END AS ks
-FROM grid"""
-
     day_us = 86400 * 1_000_000
     resample_src = f"""(
   SELECT event_type, (epoch_us(ts) // {day_us})::BIGINT AS bucket,
@@ -1652,6 +1623,56 @@ groups AS (
 SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
        h.doc_id != g.canonical_id AS is_duplicate
 FROM hashed h JOIN groups g USING (content_hash)"""
+
+    # decontam: replays word_shingles' normalized DISTINCT 8-grams for
+    # both sides (eval = every 97th document), the gram join, and the
+    # per-document hit aggregate (mirrors tests/test_decontam.py).
+    sql["decontam"] = f"""
+WITH norm AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS w FROM norm),
+g AS (SELECT doc_id,
+        list_distinct(list_transform(
+          range(1, greatest(len(w) - 7, 1) + 1),
+          i -> array_to_string(w[i:i+7], ' '))) AS grams
+      FROM w),
+tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram FROM g),
+ev AS (SELECT doc_id AS eval_id, unnest(grams) AS gram FROM g
+       WHERE doc_id % 97 = 0),
+hits AS (
+  SELECT tr.doc_id, any_value(n_grams) AS n_grams,
+         count(DISTINCT gram) AS n_hit_grams,
+         count(DISTINCT eval_id) AS n_eval_docs
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
+       round(n_hit_grams / n_grams, 6) AS contamination
+FROM hits WHERE n_hit_grams >= 1"""
+
+    # dedup_paragraphs: per-source footer plant, '. '-literal split,
+    # md5-keyed paragraph document-frequency, rebuild of surviving spans
+    # in original order (mirrors tests/test_functions.py parity test).
+    sql["dedup_paragraphs"] = """
+WITH d AS (SELECT doc_id,
+             text || '. footer for ' || source || ' site' AS text
+           FROM documents),
+ex AS (
+  SELECT doc_id, u.pos, u.para,
+         CASE WHEN u.para <> '' THEN md5(u.para) END AS h
+  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM d),
+       unnest(list_transform(range(1, len(ps) + 1),
+              i -> struct_pack(pos := i, para := ps[i]))) AS t(u)),
+freq AS (
+  SELECT h, count(*) AS df FROM (
+    SELECT DISTINCT doc_id, h FROM ex WHERE h IS NOT NULL)
+  GROUP BY h HAVING count(*) >= 2),
+m AS (SELECT ex.*, freq.df FROM ex LEFT JOIN freq USING (h))
+SELECT doc_id,
+  array_to_string(list_transform(
+    list_sort(list(struct_pack(pos := pos, para := para))
+              FILTER (WHERE df IS NULL)),
+    s -> s.para), '. ') AS text,
+  count(*) FILTER (WHERE h IS NOT NULL) AS n_paragraphs,
+  count(*) FILTER (WHERE df IS NOT NULL) AS n_dropped
+FROM m GROUP BY doc_id"""
 
     sql["repetition"] = f"""
 WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
@@ -2010,31 +2031,6 @@ FROM surv GROUP BY label"""
         l2 = (f"list_sum(list_transform(range(1, {pd_ + 1}), t -> "
               f"(v[(s - 1) * {pd_} + t] - pq[s][j][t]) * "
               f"(v[(s - 1) * {pd_} + t] - pq[s][j][t])))")
-        sql["pq_topk"] = f"""
-WITH pqb AS (SELECT [{book_sql}]::DOUBLE[][][] AS pq),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-codes AS (
-  SELECT vec_id AS neighbor_id,
-    list_transform(range(1, {PQ_M + 1}), s ->
-      list_sort(list_transform(range(1, {PQ_K + 1}), j ->
-        struct_pack(d := {l2}, cid := j - 1)))[1].cid) AS codes
-  FROM e, pqb),
-luts AS (
-  SELECT vec_id AS query_id,
-    list_transform(range(1, {PQ_M + 1}), s ->
-      list_transform(range(1, {PQ_K + 1}), j -> {l2})) AS lut
-  FROM e, pqb WHERE vec_id < 20),
-sc AS (
-  SELECT query_id, neighbor_id,
-    list_sum(list_transform(range(1, {PQ_M + 1}), s2 ->
-      lut[s2][codes[s2] + 1])) AS pq_dist
-  FROM codes, luts),
-r AS (SELECT query_id, neighbor_id, pq_dist,
-        row_number() OVER (PARTITION BY query_id
-                           ORDER BY pq_dist ASC, neighbor_id) AS rnk
-      FROM sc)
-SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk
-FROM r WHERE rnk <= {TOPK}"""
 
         # ivfpq_topk oracle: composes the two models above verbatim —
         # cell assignment (ivf_topk's cellified CTE) restricts WHICH rows

@@ -19,6 +19,8 @@ FAST_QUERIES = (
     "detect_bytest_det",
     "text_profile",
     "exact_dedup",
+    "dedup_paragraphs",
+    "decontam",
     "ngram_jaccard",
     "simhash",
     "cosine_topk",
