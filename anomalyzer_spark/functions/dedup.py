@@ -779,3 +779,56 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Corpus snapshot delta — the incremental-processing primitive: given
+    two versions of a corpus, classify every id as ``added`` (only in
+    new), ``removed`` (only in old), ``changed`` (both, different content
+    bytes), or ``unchanged``. A 100 TB pipeline re-runs its expensive
+    stages (dedup signatures, embeddings, tokenization) on the
+    added+changed slice only; ``removed`` drives index/state eviction.
+
+    Content identity is md5 over the RAW text bytes (no normalization —
+    a whitespace edit IS a change at the snapshot level; the dedup-style
+    normalized identity is ``exact_dedup``'s job). NULL text hashes as
+    NULL and two NULLs compare equal (null-safe), so a still-NULL row is
+    ``unchanged``, not ``changed``.
+
+    Returns (``<id_col>``, ``status``, ``old_hash``, ``new_hash``) —
+    ``unchanged`` rows are dropped unless ``include_unchanged`` (at scale
+    they dominate the output and callers almost never want them).
+
+    Plan shape: each side reduces to (id, hash) map-side off a pruned
+    two-column scan, then ONE full outer equi-join on the id — both
+    sides hash-partition the same way, no broadcast needed and no skew
+    (ids are unique per side). DuckDB value parity in
+    tests/test_text_extras.py.
+    """
+    oh = old_df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("old_hash"),
+        F.lit(True).alias("_in_old"))
+    nh = new_df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col).cast("binary")).alias("new_hash"),
+        F.lit(True).alias("_in_new"))
+    j = oh.join(nh, on=id_col, how="full_outer")
+    status = (
+        F.when(F.col("_in_old").isNull(), F.lit("added"))
+        .when(F.col("_in_new").isNull(), F.lit("removed"))
+        .when(F.col("old_hash").eqNullSafe(F.col("new_hash")),
+              F.lit("unchanged"))
+        .otherwise(F.lit("changed")))
+    out = j.select(F.col(id_col), status.alias("status"),
+                   "old_hash", "new_hash")
+    if not include_unchanged:
+        out = out.where(F.col("status") != "unchanged")
+    return out

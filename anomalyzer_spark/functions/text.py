@@ -467,3 +467,138 @@ def redact_pii(
             red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
     carry = [F.col(c) for c in (carry_cols or [])]
     return df.select(*cols[:1], red.alias(text_col), *cols[1:], *carry)
+
+
+def tfidf_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 5,
+    min_doc_freq: int = 1,
+) -> DataFrame:
+    """Per-document top-``k`` keywords by TF-IDF (the classic extraction
+    pass: corpus-aware salient terms per document, for labeling, topical
+    routing, or cheap near-dup triage).
+
+    Returns (``<id_col>``, ``token``, ``tf``, ``doc_freq``, ``tfidf``,
+    ``rnk``) — at most ``k`` rows per document, ranked by smoothed
+    ``tf * (ln((N + 1) / (doc_freq + 1)) + 1)`` (idf > 0 even for a term
+    in every document, the sklearn-style smoothing) with a token
+    tiebreak; ``tfidf`` rounded to 6. ``min_doc_freq`` drops hapax noise
+    before ranking.
+
+    Plan shape (the 100 TB read): term frequency is one (doc, token)
+    hash aggregate off the exploded token stream; document frequency
+    re-derives the distinct pairs from a SECOND map-only scan+explode
+    leg (Catalyst column-prunes the tf count out of that leg, so the two
+    subtrees legitimately differ — re-scanning beats materializing a
+    corpus-sized pair frame, the same trade ``dedup_paragraphs``
+    documents) and recounts on the token key. Hot tokens are hot KEYS
+    with map-side partial combine on every aggregate. The corpus size N
+    is a one-row aggregate riding a broadcast; the doc-frequency join is
+    left to Catalyst/AQE — broadcast while the vocabulary frame is small,
+    shuffled hash join once runtime stats say otherwise. The final
+    per-document top-k is one window exchange on the id with map-side
+    WindowGroupLimit, so no document ships more than ``k`` candidate
+    rows per input split. Tokens are ``word_tokens`` (same lexical spec
+    as ``vocab``/``text_profile``). DuckDB value parity in
+    tests/test_text_extras.py.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if min_doc_freq < 1:
+        raise ValueError("min_doc_freq must be >= 1")
+    tok = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("tf"))
+    # dfreq derives FROM tf — its rows are exactly the distinct
+    # (doc, token) pairs, so no separate distinct() pass is written;
+    # Catalyst prunes the unused count from this leg (see docstring).
+    dfreq = (
+        tf.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_doc_freq)
+    )
+    n_docs = df.select(
+        F.count(F.lit(1)).alias("_n")).withColumn("_j", F.lit(1))
+    scored = (
+        tf.join(dfreq, "token")
+        .withColumn("_j", F.lit(1))
+        .join(F.broadcast(n_docs), "_j")
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1) / (F.col("doc_freq") + 1)) + 1),
+                6))
+    )
+    from pyspark.sql import Window
+    w = (Window.partitionBy(id_col)
+         .orderBy(F.col("tfidf").desc(), F.col("token").asc()))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(id_col, "token", "tf", "doc_freq", "tfidf", "rnk")
+    )
+
+
+def chunk_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    size: int,
+    stride: int | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Sliding-window chunking with overlap — the per-document context-
+    window splitter (long-document training prep, retrieval chunking):
+    windows of ``size`` word tokens starting every ``stride`` tokens
+    (default ``size``, i.e. disjoint); the last window may be short and
+    is kept as-is. The
+    counterpart to ``packing.pack_chunks``: packing CONCATENATES many
+    short documents into fixed slots; this SPLITS one long document into
+    overlapping views — a pipeline typically windows long docs first,
+    then packs the pieces.
+
+    Returns (``<id_col>``, ``chunk_idx``, ``tok_start``, ``n_chunk_toks``,
+    ``chunk_text``, carry…): chunk ``i`` covers tokens
+    ``[i*stride, i*stride + size)``; a document emits
+    ``1 + floor((n_toks - 1) / stride)`` chunks trimmed of start offsets
+    at-or-past the token count (an empty/NULL document emits ZERO rows —
+    it has no window, matching the explode-of-nothing contract).
+
+    Plan shape: pure map — tokenize, build the start-offset sequence,
+    posexplode, slice. NO shuffle anywhere (plan-pinned); at 100 TB this
+    runs at scan speed and the output inherits input partitioning.
+    ``carry_cols`` rides the projection for free. DuckDB value parity in
+    tests/test_text_extras.py.
+    """
+    if size < 1:
+        raise ValueError("size must be >= 1")
+    stride = size if stride is None else stride
+    if stride < 1:
+        raise ValueError("stride must be >= 1")
+    toks = word_tokens(F.col(text_col))
+    carry = [F.col(c) for c in (carry_cols or [])]
+    base = df.select(
+        F.col(id_col), toks.alias("_toks"),
+        F.size(toks).alias("_n"), *carry)
+    starts = F.sequence(
+        F.lit(0),
+        F.when(F.col("_n") > 0, F.col("_n") - 1).otherwise(F.lit(-1)),
+        F.lit(stride))
+    ex = base.where(F.col("_n") > 0).select(
+        F.col(id_col), "_toks", "_n", *[F.col(c) for c in (carry_cols or [])],
+        F.posexplode(starts).alias("chunk_idx", "tok_start"))
+    chunk = F.slice(F.col("_toks"), F.col("tok_start") + 1, size)
+    return ex.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.col("tok_start").cast("long").alias("tok_start"),
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+        *[F.col(c) for c in (carry_cols or [])],
+    )

@@ -1,0 +1,203 @@
+"""Round-7 text/delta operators: tfidf_terms, chunk_windows,
+snapshot_diff — DuckDB value parity over the driver fixtures plus
+hand-built semantic pins and plan-shape checks."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import dedup, text
+
+_TOK_RE = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    return con
+
+
+# ---------------------------------------------------------------------------
+# tfidf_terms
+# ---------------------------------------------------------------------------
+
+def test_tfidf_terms_duckdb_parity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["token"], r["tf"], r["doc_freq"], r["tfidf"],
+         r["rnk"])
+        for r in text.tfidf_terms(docs, k=3, min_doc_freq=2).collect())
+    want = _duck(sf_dir).execute(f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}'))
+         AS token
+  FROM documents),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, token FROM tok)
+  GROUP BY token HAVING count(*) >= 2),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf, doc_freq,
+         round(tf * (ln((n_docs + 1) / (doc_freq + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token), n),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, token ASC) AS rnk FROM scored)
+SELECT doc_id, token, tf, doc_freq, tfidf, rnk FROM r WHERE rnk <= 3
+ORDER BY doc_id, rnk""").fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+
+
+def test_tfidf_terms_semantics(spark):
+    # doc 0: 'common' tf=2 * idf ln(4/4)+1 = 2.0 still beats 'rare'
+    # tf=1 * ln(4/2)+1 ≈ 1.693 — but at equal tf=1 (doc 1) the
+    # document-unique term outranks the corpus-wide one.
+    df = spark.createDataFrame(
+        [(0, "rare common common"), (1, "common alpha"), (2, "common beta")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["rnk"]): r
+           for r in text.tfidf_terms(df, k=2).collect()}
+    assert out[(0, 1)]["token"] == "common"
+    assert out[(0, 1)]["tfidf"] == pytest.approx(2.0)
+    assert out[(0, 2)]["token"] == "rare"
+    assert out[(0, 2)]["tfidf"] == pytest.approx(
+        round(__import__("math").log(2.0) + 1, 6))
+    assert out[(1, 1)]["token"] == "alpha"     # unique beats ubiquitous
+    assert out[(1, 2)]["token"] == "common"
+    assert out[(0, 2)]["doc_freq"] == 1
+    assert out[(0, 1)]["doc_freq"] == 3
+    with pytest.raises(ValueError):
+        text.tfidf_terms(df, k=0)
+    with pytest.raises(ValueError):
+        text.tfidf_terms(df, min_doc_freq=0)
+
+
+# ---------------------------------------------------------------------------
+# chunk_windows
+# ---------------------------------------------------------------------------
+
+def test_chunk_windows_duckdb_parity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["tok_start"], r["n_chunk_toks"],
+         r["chunk_text"], r["lang"])
+        for r in text.chunk_windows(
+            docs, size=16, stride=8, carry_cols=["lang"]).collect())
+    want = _duck(sf_dir).execute(f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         regexp_extract_all(lower(text), '{_TOK_RE}') AS toks
+  FROM documents),
+s AS (SELECT doc_id, lang, toks, len(toks) AS n,
+        unnest(range(0, greatest(len(toks), 0), 8)) AS tok_start
+      FROM t WHERE len(toks) > 0)
+SELECT doc_id, (tok_start // 8)::INT AS chunk_idx, tok_start,
+       len(toks[tok_start + 1 : tok_start + 16]) AS n_chunk_toks,
+       array_to_string(toks[tok_start + 1 : tok_start + 16], ' ')
+         AS chunk_text,
+       lang
+FROM s ORDER BY doc_id, chunk_idx""").fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+
+
+def test_chunk_windows_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a b c d e"), (1, "a"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    rows = text.chunk_windows(df, size=3, stride=2).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    # doc 0: starts 0,2,4 → 'a b c', 'c d e', 'e'
+    texts = [r["chunk_text"] for r in sorted(by[0],
+                                             key=lambda r: r["chunk_idx"])]
+    assert texts == ["a b c", "c d e", "e"]
+    assert [r["tok_start"] for r in sorted(by[0],
+            key=lambda r: r["chunk_idx"])] == [0, 2, 4]
+    assert by[1][0]["chunk_text"] == "a" and by[1][0]["n_chunk_toks"] == 1
+    assert 2 not in by and 3 not in by  # empty/NULL docs emit zero rows
+    # full coverage: every token index falls in >= 1 window
+    assert sum(r["n_chunk_toks"] for r in by[0]) >= 5
+    with pytest.raises(ValueError):
+        text.chunk_windows(df, size=0)
+    with pytest.raises(ValueError):
+        text.chunk_windows(df, size=3, stride=0)
+
+
+def test_chunk_windows_plan_is_shuffle_free(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text.chunk_windows(
+        docs, size=32, stride=16)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_duckdb_parity(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # new snapshot: drop ids % 7 == 0 (removed), rewrite ids % 5 == 0
+    # (changed), append shifted copies (added)
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"))
+        .unionAll(docs.where(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text"))
+    )
+    got = sorted(
+        (r["doc_id"], r["status"], r["old_hash"], r["new_hash"])
+        for r in dedup.snapshot_diff(old, new).collect())
+    want = _duck(sf_dir).execute("""
+WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+new_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+added AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id < 10),
+new AS (SELECT doc_id, md5(text) AS new_hash
+        FROM (SELECT * FROM new_base UNION ALL SELECT * FROM added)),
+j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_hash,
+             new_hash, old.doc_id IS NOT NULL AS in_old,
+             new.doc_id IS NOT NULL AS in_new
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
+            ELSE 'changed' END AS status,
+       old_hash, new_hash
+FROM j
+WHERE CASE WHEN NOT in_old THEN 'added'
+           WHEN NOT in_new THEN 'removed'
+           WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
+           ELSE 'changed' END <> 'unchanged'
+ORDER BY doc_id""").fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+    statuses = {g[1] for g in got}
+    assert statuses == {"added", "removed", "changed"}
+
+
+def test_snapshot_diff_null_text_semantics(spark):
+    old = spark.createDataFrame([(0, None), (1, "x"), (2, None)],
+                                "doc_id long, text string")
+    new = spark.createDataFrame([(0, None), (1, None), (2, "y")],
+                                "doc_id long, text string")
+    got = {r["doc_id"]: r["status"]
+           for r in dedup.snapshot_diff(
+               old, new, include_unchanged=True).collect()}
+    # NULL == NULL is unchanged; NULL vs text is changed (both directions)
+    assert got == {0: "unchanged", 1: "changed", 2: "changed"}
