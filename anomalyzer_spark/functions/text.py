@@ -602,3 +602,64 @@ def chunk_windows(
         F.array_join(chunk, " ").alias("chunk_text"),
         *[F.col(c) for c in (carry_cols or [])],
     )
+
+
+#: control characters stripped by normalize_text: C0 minus \t \n \r, plus
+#: DEL and the C1 block — the same class in Java regex (Spark) and RE2
+#: (DuckDB/Go), so stripping is oracle-checkable cross-engine.
+CONTROL_CHARS_RE = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    form: str | None = "NFC",
+    strip_control: bool = True,
+    collapse_ws: bool = False,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Unicode + byte hygiene for crawl text — the canonical FIRST pass of
+    a curation pipeline (before hashing, shingling, or tokenizing:
+    composed vs decomposed accents must not defeat exact dedup, and
+    stray control bytes must not leak into training data).
+
+    Stages, each optional, applied in this order:
+
+    * ``strip_control`` — remove C0 control chars (keeping tab/newline/
+      carriage-return), DEL, and the C1 block (``CONTROL_CHARS_RE``);
+      pure JVM ``regexp_replace``.
+    * ``form`` — Unicode normalization (``"NFC"``/``"NFKC"``/``"NFD"``/
+      ``"NFKD"``, ``None`` to skip). Spark exposes no normalizer
+      function, so this is the module's ONE Arrow stage: a vectorized
+      ``pandas_udf`` over ``Series.str.normalize`` — same batch shape as
+      ``bpe_encode``, map-only, no shuffle (ASCII-only corpora pass
+      through byte-identical).
+    * ``collapse_ws`` — runs of whitespace → one space, trimmed (OFF by
+      default: it destroys paragraph structure that
+      ``dedup_paragraphs``/``chunk_windows`` need).
+
+    Returns (``<id_col>``, ``<text_col>`` normalized, carry…); NULL text
+    stays NULL. The whole pass is one map-only projection — plan pinned
+    Exchange-free; NFC parity vs DuckDB ``nfc_normalize`` and the strip/
+    collapse stages oracle-checked in tests/test_text_extras.py.
+    """
+    if form is not None:
+        if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+            raise ValueError(f"unknown normalization form {form!r}")
+        import pandas as pd  # noqa: F401 (typing the udf signature)
+
+        @F.pandas_udf("string")
+        def _norm(s):
+            return s.str.normalize(form)
+
+    t: Column = F.col(text_col)
+    if strip_control:
+        t = F.regexp_replace(t, CONTROL_CHARS_RE, "")
+    if form is not None:
+        t = _norm(t)
+    if collapse_ws:
+        t = F.trim(F.regexp_replace(t, r"\s+", " "))
+    carry = [F.col(c) for c in (carry_cols or [])]
+    return df.select(F.col(id_col), t.alias(text_col), *carry)

@@ -201,3 +201,60 @@ def test_snapshot_diff_null_text_semantics(spark):
                old, new, include_unchanged=True).collect()}
     # NULL == NULL is unchanged; NULL vs text is changed (both directions)
     assert got == {0: "unchanged", 1: "changed", 2: "changed"}
+
+
+# ---------------------------------------------------------------------------
+# normalize_text
+# ---------------------------------------------------------------------------
+
+def test_normalize_text_duckdb_parity_nfc(spark, sf_dir):
+    """Planted decomposed accents + control bytes over the fixture text,
+    normalized by both engines (DuckDB nfc_normalize + regexp_replace)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("cafe\u0301 \x01"), F.col("text"),
+                 F.lit(" A\u030a end\x7f")).alias("text"))
+    got = sorted(
+        (r["doc_id"], r["text"])
+        for r in text.normalize_text(docs).collect())
+    want = _duck(sf_dir).execute("""
+SELECT doc_id,
+       nfc_normalize(regexp_replace(
+         'cafe' || chr(769) || ' ' || chr(1) || text || ' A' || chr(778)
+           || ' end' || chr(127),
+         '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F-\\x9F]', '', 'g')) AS t
+FROM documents ORDER BY doc_id""").fetchall()
+    assert len(got) == len(want) > 0
+    assert got == [tuple(w) for w in want]
+    # the plant did real work: NFC composed the accents
+    assert all("café" in t for _, t in got)
+    assert all("\u0301" not in t and "\x01" not in t and "\x7f" not in t
+               for _, t in got)
+
+
+def test_normalize_text_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "cafe\u0301"), (1, "a\x00b\tc\nd"), (2, None),
+         (3, "  x   y  ")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in text.normalize_text(df, collapse_ws=True).collect()}
+    assert out[0] == "caf\u00e9"          # NFC composed e+U+0301
+    assert out[1] == "ab c d"             # \x00 stripped, \t\n kept→collapsed
+    assert out[2] is None                 # NULL passes through
+    assert out[3] == "x y"
+    # skip stages independently
+    raw = {r["doc_id"]: r["text"]
+           for r in text.normalize_text(
+               df, form=None, strip_control=False).collect()}
+    assert raw[0] == "cafe\u0301"   # form=None leaves it decomposed
+    with pytest.raises(ValueError):
+        text.normalize_text(df, form="NFX")
+
+
+def test_normalize_text_plan_is_map_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = text.normalize_text(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan       # the one documented Arrow stage
