@@ -102,6 +102,20 @@ def dedup_cells(spark, doc_counts, repeat):
             # explode+count+join+rebuild path
             ("dedup_paragraphs", lambda: dedup.dedup_paragraphs(
                 d, sep=" ", max_df=max(n // 10, 2))),
+            ("tfidf_terms", lambda: text.tfidf_terms(
+                d, "text", "doc_id", k=5, min_doc_freq=2)),
+            ("chunk_windows", lambda: text.chunk_windows(
+                d, "text", "doc_id", size=16, stride=8)),
+            ("normalize_text", lambda: text.normalize_text(
+                d, "text", "doc_id", collapse_ws=True)),
+            # old = corpus, new = 9/10 kept with every 20th rewritten —
+            # the added/removed/changed classification does real work
+            ("snapshot_diff", lambda: dedup.snapshot_diff(
+                d, d.where(F.col("doc_id") % 10 != 0).select(
+                    "doc_id",
+                    F.when(F.col("doc_id") % 20 == 1,
+                           F.concat(F.col("text"), F.lit(" v2")))
+                    .otherwise(F.col("text")).alias("text")))),
         ):
             best = float("inf")
             for _ in range(repeat):
