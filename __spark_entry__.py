@@ -120,11 +120,43 @@ def _round6(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
-def q_detect_det_users(spark, sf_dir):
-    ev = load_table(spark, sf_dir, "events")
-    out = detect(ev, ["user_id"], "ts", "value", DET_CONF,
-                 tiebreak_cols=["event_id"])
-    return _round6(out.select("user_id", "n_points", "prob"), "prob")
+def q_text_pipeline(spark, sf_dir):
+    """Composed text pass — the three round-7 text operators under one
+    oracle: ``normalize_text`` (C0/C1 strip + Arrow NFC; the plant below
+    prepends DECOMPOSED accents and control bytes to every document so
+    normalization does real byte work the hash attests) →
+    ``chunk_windows`` (stride-overlap token windows; per-doc chunk count
+    + token-coverage sum) → ``tfidf_terms`` (top-3 corpus-aware keywords
+    per document, min_doc_freq=2). One row per document:
+    (doc_id, n_chunks, sum_chunk_toks, top_terms, top_tfidf). The DuckDB
+    oracle replays every stage (nfc_normalize + the same regex class +
+    range-windowing + the smoothed tf-idf), so chunk arithmetic, NFC
+    bytes, and ranking all sit under the value hash. Registry slot freed
+    by retiring detect_det_users: deterministic-method detection on the
+    user_id axis is shadowed by detect_full_users (SUPERSET method set,
+    same 150 keys/windows/combiner — a deterministic-prob error moves
+    its hash) plus detect_bytest_det's per-test deterministic
+    prob/weight hashes; the det-methods math keeps four other slots
+    (default/onesided/wide/bytest_det)."""
+    d = _docs(spark, sf_dir)
+    planted = d.select(
+        "doc_id",
+        F.concat(F.lit("cafe\u0301 \x01"), F.col("text"),
+                 F.lit(" A\u030a fin\x7f")).alias("text"))
+    norm = text.normalize_text(planted)
+    ch = text.chunk_windows(norm, size=24, stride=12)
+    chstats = ch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_chunk_toks").alias("sum_chunk_toks"))
+    tf = text.tfidf_terms(norm, k=3, min_doc_freq=2)
+    top = tf.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "token"))),
+                lambda s: s["token"]), " ").alias("top_terms"),
+        F.round(F.max(F.when(F.col("rnk") == 1, F.col("tfidf"))), 6)
+        .alias("top_tfidf"))
+    return chstats.join(top, "doc_id")
 
 
 def q_detect_bytest_det(spark, sf_dir):
@@ -1020,7 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # first (tests/test_entry_oracle.py pins the count).
     return {
         "detect_det_onesided": q_detect_det_onesided,
-        "detect_det_users": q_detect_det_users,
+        "text_pipeline": q_text_pipeline,
         "detect_bytest_det": q_detect_bytest_det,
         "detect_bytest_full": q_detect_bytest_full,
         "detect_wide": q_detect_wide,
@@ -1417,7 +1449,6 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["detect_det_onesided"] = _detect_sql("event_type", ONESIDED_CONF)
-    sql["detect_det_users"] = _detect_sql("user_id", DET_CONF)
     sql["detect_bytest_det"] = _detect_sql("event_type", DET_CONF, bytest=True)
     sql["detect_wide"] = _detect_sql("event_type", WIDE_CONF)
     multi_src = """(
@@ -1646,6 +1677,53 @@ hits AS (
 SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
        round(n_hit_grams / n_grams, 6) AS contamination
 FROM hits WHERE n_hit_grams >= 1"""
+
+    # text_pipeline: replays normalize_text (strip C0/C1 + NFC over the
+    # planted decomposed accents) -> chunk_windows (size 24 / stride 12)
+    # -> tfidf_terms (top-3, min_doc_freq=2) stage by stage; one row per
+    # document, so NFC bytes, chunk arithmetic, and tf-idf ranking all
+    # sit under the value hash.
+    from anomalyzer_spark.functions.text import CONTROL_CHARS_RE as _CTRL
+    sql["text_pipeline"] = f"""
+WITH planted AS (
+  SELECT doc_id,
+         'cafe' || chr(769) || ' ' || chr(1) || text
+           || ' A' || chr(778) || ' fin' || chr(127) AS text
+  FROM documents),
+norm AS (SELECT doc_id,
+           nfc_normalize(regexp_replace(text, '{_CTRL}', '', 'g')) AS text
+         FROM planted),
+tk AS (SELECT doc_id,
+         regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS toks
+       FROM norm),
+ch AS (SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks), 0), 12)) AS s
+       FROM tk WHERE len(toks) > 0),
+chstats AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         sum(len(toks[s + 1 : s + 24])) AS sum_chunk_toks
+  FROM ch GROUP BY doc_id),
+tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (
+  SELECT token, count(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, token FROM tok)
+  GROUP BY token HAVING count(*) >= 2),
+nd AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT doc_id, tf.token, tf, doc_freq,
+         round(tf * (ln((n_docs + 1) / (doc_freq + 1.0)) + 1), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token), nd),
+r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        ORDER BY tfidf DESC, token ASC) AS rnk FROM scored),
+top AS (
+  SELECT doc_id,
+         string_agg(token, ' ' ORDER BY rnk) AS top_terms,
+         round(max(CASE WHEN rnk = 1 THEN tfidf END), 6) AS top_tfidf
+  FROM r WHERE rnk <= 3 GROUP BY doc_id)
+SELECT doc_id, n_chunks, sum_chunk_toks, top_terms, top_tfidf
+FROM chstats JOIN top USING (doc_id)"""
 
     # dedup_paragraphs: per-source footer plant, '. '-literal split,
     # md5-keyed paragraph document-frequency, rebuild of surviving spans

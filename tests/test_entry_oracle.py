@@ -21,6 +21,7 @@ FAST_QUERIES = (
     "exact_dedup",
     "dedup_paragraphs",
     "decontam",
+    "text_pipeline",
     "ngram_jaccard",
     "simhash",
     "cosine_topk",
