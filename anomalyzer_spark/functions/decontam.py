@@ -130,3 +130,100 @@ def decontaminate(
         n=n, min_hits=min_hits,
     ).select(id_col)
     return train_df.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def fuzzy_contamination(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-duplicate decontamination — the recall layer above
+    ``contamination``: exact word-n-gram overlap misses an eval document
+    that was paraphrased or lightly edited into the corpus (every long
+    gram breaks), while shingle-set Jaccard survives edits. Flags
+    (``<id_col>``, ``eval_id``, ``jaccard``) for every training document
+    whose word-``k``-gram Jaccard with an eval document reaches
+    ``threshold`` — exact Jaccard, LSH only prunes candidates.
+
+    Same MinHash spec as the dedup stack (``minhash_band_buckets`` is THE
+    single bucket-key definition — this operator, the batch pair
+    generator, and the streaming store cannot drift), and the same
+    100 TB asymmetry as exact ``contamination``: the eval side's band
+    buckets and shingle sets are benchmark-sized and BROADCAST; the
+    corpus side is one map-only signature fold into the broadcast bucket
+    join — only bucket-colliding rows reach the candidate distinct, and
+    exact verification touches candidate documents only (semi-join
+    before the shingle recompute). The corpus never self-joins and never
+    shuffles whole.
+
+    Recall is the standard S-curve 1-(1-s^r)^b (r = num_hashes/bands):
+    at the defaults a 0.9-Jaccard copy is found with probability
+    ~1-3e-15 — and deterministically so (md5 signatures), the same
+    corpus always yields the same report.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError("threshold must be in (0, 1]")
+    from .dedup import minhash_band_buckets, word_shingles
+
+    etext = eval_text_col or text_col
+    eid = eval_id_col or id_col
+    tb = minhash_band_buckets(
+        train_df, text_col, id_col,
+        k=k, num_hashes=num_hashes, bands=bands)
+    eb = minhash_band_buckets(
+        eval_df, etext, eid,
+        k=k, num_hashes=num_hashes, bands=bands,
+    ).select(F.col(eid).alias("_eval_id"), "bucket")
+    cand = (
+        tb.join(F.broadcast(eb), "bucket")
+        .select(id_col, "_eval_id").distinct()
+    )
+    tsh = (
+        train_df.join(cand.select(id_col).distinct(), id_col, "left_semi")
+        .select(F.col(id_col),
+                word_shingles(F.col(text_col), k).alias("_sa"))
+    )
+    esh = eval_df.select(
+        F.col(eid).alias("_eval_id"),
+        word_shingles(F.col(etext), k).alias("_sb"))
+    jac = (F.size(F.array_intersect("_sa", "_sb"))
+           / F.size(F.array_union("_sa", "_sb")))
+    return (
+        cand.join(tsh, id_col)
+        .join(F.broadcast(esh), "_eval_id")
+        .select(F.col(id_col), F.col("_eval_id").alias("eval_id"),
+                F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_id_col: str | None = None,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Corpus minus near-duplicates of the eval set — schema, columns,
+    and partitioning pass through; clean rows never shuffle (broadcast
+    LEFT ANTI on the bounded flagged-id frame, like ``decontaminate``)."""
+    bad = fuzzy_contamination(
+        train_df, eval_df, text_col=text_col, id_col=id_col,
+        eval_text_col=eval_text_col, eval_id_col=eval_id_col,
+        k=k, num_hashes=num_hashes, bands=bands, threshold=threshold,
+    ).select(id_col).distinct()
+    return train_df.join(F.broadcast(bad), id_col, "left_anti")

@@ -144,3 +144,84 @@ def test_plan_broadcasts_eval_side(spark, sf_dir):
         assert "BroadcastHashJoin" in s
         assert "CartesianProduct" not in s
         assert "BroadcastNestedLoop" not in s
+
+
+# ---------------------------------------------------------------------------
+# fuzzy (MinHash) decontamination
+# ---------------------------------------------------------------------------
+
+def _corrupt_every_8th_word(col):
+    """Replace words at positions 0, 8, 16, … with 'zzz' — breaks EVERY
+    word 8-gram (each covers one replaced position) while most word
+    3-gram shingles survive."""
+    return F.array_join(
+        F.transform(
+            F.split(col, r"\s+"),
+            lambda w, i: F.when(i % 8 == 0, F.lit("zzz")).otherwise(w)),
+        " ")
+
+
+def test_fuzzy_catches_edits_exact_misses(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    # corpus carries EDITED copies of the eval docs under shifted ids
+    planted = docs.select("doc_id", "text").unionByName(
+        ev.select((F.col("doc_id") + 500_000).alias("doc_id"),
+                  _corrupt_every_8th_word(F.col("text")).alias("text")))
+    planted_ids = {r["doc_id"] + 500_000 for r in ev.collect()}
+
+    exact = {r["doc_id"] for r in decontam.contamination(
+        planted, ev, n=8).collect()}
+    assert not (exact & planted_ids), \
+        "every 8-gram must be broken in the edited copies"
+
+    fuzzy = decontam.fuzzy_contamination(planted, ev, threshold=0.3)
+    rows = fuzzy.collect()
+    hits = {r["doc_id"] for r in rows}
+    assert planted_ids <= hits, "edited copies must be flagged by MinHash"
+    # verbatim eval-source docs hit themselves at jaccard 1.0
+    ev_ids = {r["doc_id"] for r in ev.collect()}
+    assert ev_ids <= hits
+    assert all(r["jaccard"] >= 0.3 for r in rows)
+    selfpairs = {r["doc_id"]: r["jaccard"] for r in rows
+                 if r["doc_id"] == r["eval_id"]}
+    assert all(j == 1.0 for j in selfpairs.values()) and selfpairs
+
+
+def test_fuzzy_precision_matches_exact_jaccard(spark, sf_dir):
+    """Every flagged pair's jaccard must equal the brute-force shingle
+    Jaccard (LSH prunes candidates; it must never invent similarity)."""
+    from anomalyzer_spark.functions.dedup import word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    got = {(r["doc_id"], r["eval_id"]): r["jaccard"]
+           for r in decontam.fuzzy_contamination(
+               docs, ev, threshold=0.2).collect()}
+    sh = {r["doc_id"]: set(r["sh"]) for r in docs.select(
+        "doc_id", word_shingles(F.col("text"), 3).alias("sh")).collect()}
+    for (tid, eid), j in got.items():
+        a, b = sh[tid], sh[eid]
+        assert j == round(len(a & b) / len(a | b), 6)
+
+
+def test_fuzzy_decontaminate_removes_flagged_only(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    flagged = {r["doc_id"] for r in decontam.fuzzy_contamination(
+        docs, ev, threshold=0.3).collect()}
+    kept = {r["doc_id"] for r in decontam.fuzzy_decontaminate(
+        docs, ev, threshold=0.3).collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert kept == all_ids - flagged and flagged
+
+
+def test_fuzzy_plan_broadcasts_eval_side(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    plan = decontam.fuzzy_contamination(docs, ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastExchange") >= 2  # buckets + shingle sets
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan
+    with pytest.raises(ValueError):
+        decontam.fuzzy_contamination(docs, ev, threshold=0.0)
