@@ -778,3 +778,48 @@ def embedding_dedup_groups(
     groups = duplicate_groups(
         df.select(F.col(id_col)), pairs, id_col)
     return groups.where(F.col("group_size") > 1)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_id_col: str = "query_id",
+    neighbor_id_col: str = "neighbor_id",
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate top-k result against the exact baseline
+    — the measurement that turns 'we have IVF/PQ/LSH' into 'we know what
+    they trade away'. Both inputs are (query_id, neighbor_id[, rnk])
+    frames as produced by the ``*_topk`` operators; ``k`` truncates both
+    sides by their ``rnk`` column when given (pass None to compare
+    as-is).
+
+    Returns one row per query in the EXACT frame: (``query_id``,
+    ``n_exact``, ``n_hit``, ``recall``) with recall rounded to 6 — a
+    query the approximate index missed entirely still appears (n_hit 0),
+    so macro-averaging ``recall`` never silently drops failures.
+
+    Plan: one left-semi equi-join on (query, neighbor) + per-query
+    counts — both sides are top-k frames (bounded by queries × k), so
+    this is evaluation-scale, not corpus-scale.
+    """
+    qn = [query_id_col, neighbor_id_col]
+    e = exact.select(*qn, *(["rnk"] if k is not None else []))
+    a = approx.select(*qn, *(["rnk"] if k is not None else []))
+    if k is not None:
+        e = e.where(F.col("rnk") <= k).drop("rnk")
+        a = a.where(F.col("rnk") <= k).drop("rnk")
+    hits = e.join(a, qn, "left_semi").groupBy(query_id_col).agg(
+        F.count(F.lit(1)).alias("n_hit"))
+    base = e.groupBy(query_id_col).agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        base.join(hits, query_id_col, "left")
+        .select(
+            F.col(query_id_col),
+            "n_exact",
+            F.coalesce(F.col("n_hit"), F.lit(0)).alias("n_hit"),
+            F.round(F.coalesce(F.col("n_hit"), F.lit(0))
+                    / F.col("n_exact"), 6).alias("recall"),
+        )
+    )

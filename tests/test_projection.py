@@ -113,3 +113,46 @@ def test_project_rejects_bad_model_and_width(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(Exception):
         projection.project_embeddings(df9, m).collect()
+
+
+# ---------------------------------------------------------------------------
+# ann_recall (evaluation utility — lives with the model-quality tests)
+# ---------------------------------------------------------------------------
+
+def test_ann_recall_hand_built(spark):
+    from anomalyzer_spark.functions.similarity import ann_recall
+    exact = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (1, 20, 1), (1, 21, 2), (2, 30, 1)],
+        "query_id long, neighbor_id long, rnk long")
+    approx = spark.createDataFrame(
+        [(0, 10, 1), (0, 99, 2), (1, 21, 1), (1, 20, 2)],
+        "query_id long, neighbor_id long, rnk long")
+    out = {r["query_id"]: r for r in ann_recall(approx, exact).collect()}
+    assert out[0]["n_exact"] == 2 and out[0]["n_hit"] == 1
+    assert out[0]["recall"] == 0.5
+    assert out[1]["recall"] == 1.0          # order within k is irrelevant
+    assert out[2]["n_hit"] == 0 and out[2]["recall"] == 0.0  # missed query
+    # k truncation: at k=1 query 1's approx rank-1 (21) != exact rank-1 (20)
+    out1 = {r["query_id"]: r["recall"]
+            for r in ann_recall(approx, exact, k=1).collect()}
+    assert out1 == {0: 1.0, 1: 0.0, 2: 0.0}
+
+
+def test_ann_recall_on_real_indexes(spark, sf_dir):
+    from anomalyzer_spark.functions import similarity
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    q = e.where(F.col("vec_id") < 8)
+    exact = similarity.cosine_topk(e, q, id_col="vec_id",
+                                   vec_col="embedding",
+                                   query_id_col="vec_id", k=5)
+    lsh = similarity.lsh_topk(e, q, id_col="vec_id", vec_col="embedding",
+                              query_id_col="vec_id", k=5,
+                              n_planes=16, bands=4, dim=64, seed=7)
+    rec = similarity.ann_recall(lsh, exact).collect()
+    assert len(rec) == 8
+    macro = sum(r["recall"] for r in rec) / len(rec)
+    assert 0.0 <= macro <= 1.0
+    # self-neighbor (rank 1 = the query itself) is always in an LSH
+    # candidate set -> every query recalls at least 1 of 5
+    assert all(r["n_hit"] >= 1 for r in rec)

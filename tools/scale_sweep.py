@@ -71,7 +71,8 @@ def make_docs(spark, n_docs: int):
 
 
 def dedup_cells(spark, doc_counts, repeat):
-    from anomalyzer_spark.functions import decontam, dedup, packing, text
+    from anomalyzer_spark.functions import (decontam, dedup, ngram_lm,
+                                            packing, text)
 
     out = {}
     for n in doc_counts:
@@ -116,6 +117,13 @@ def dedup_cells(spark, doc_counts, repeat):
                     F.when(F.col("doc_id") % 20 == 1,
                            F.concat(F.col("text"), F.lit(" v2")))
                     .otherwise(F.col("text")).alias("text")))),
+            # LM trained on even ids, scores the whole corpus (training
+            # counts + scoring joins both inside the timed cell)
+            ("perplexity", lambda: ngram_lm.perplexity(
+                d, ngram_lm.train_bigram_lm(
+                    d.where(F.col("doc_id") % 2 == 0)))),
+            ("fuzzy_decontam", lambda: decontam.fuzzy_contamination(
+                d, d.where(F.col("doc_id") % 100 == 0), threshold=0.5)),
         ):
             best = float("inf")
             for _ in range(repeat):
