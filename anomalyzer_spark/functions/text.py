@@ -648,8 +648,6 @@ def normalize_text(
     if form is not None:
         if form not in ("NFC", "NFKC", "NFD", "NFKD"):
             raise ValueError(f"unknown normalization form {form!r}")
-        import pandas as pd  # noqa: F401 (typing the udf signature)
-
         @F.pandas_udf("string")
         def _norm(s):
             return s.str.normalize(form)
