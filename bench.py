@@ -57,7 +57,6 @@ from anomalyzer_spark.session import get_spark  # noqa: E402
 HEADLINE = (
     "detect_full",
     "detect_default",
-    "detect_det_users",
     "detect_full_users",
     "detect_wide",
     "detect_rolling",
@@ -74,8 +73,14 @@ HEADLINE = (
     "asof_join",
     # round-7 registry additions — tracked from their first round so the
     # curation/range stacks get the same regression visibility as detect
+    # (detect_det_users left the registry in the round-7 third rotation;
+    # its bench niche — deterministic methods × many keys — is inside
+    # detect_full_users' superset run)
     "range_join",
     "curation_pipeline",
+    "decontam",
+    "dedup_paragraphs",
+    "text_pipeline",
 )
 
 
