@@ -62,3 +62,12 @@ def test_entry_contract(spark):
     # tail silently loses its correctness row (see queries() comment)
     assert len(qs) == 50, f"registry must stay at exactly 50, got {len(qs)}"
     assert len(osql) == 50
+
+
+def test_bench_headline_queries_exist():
+    """A registry rotation must never orphan a bench HEADLINE entry — the
+    driver's bench run would KeyError (nearly shipped in round 7)."""
+    import bench
+    qs = entry_mod.queries()
+    missing = [h for h in bench.HEADLINE if h not in qs]
+    assert not missing, f"HEADLINE entries without registry slots: {missing}"
