@@ -258,3 +258,60 @@ def test_normalize_text_plan_is_map_only(spark, sf_dir):
         .executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan       # the one documented Arrow stage
+
+
+# ---------------------------------------------------------------------------
+# property pins (hypothesis): chunk coverage + diff identity
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_WORDS = st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "7"]),
+                  min_size=0, max_size=12)
+
+
+@settings(max_examples=12, deadline=None)
+@given(words=_WORDS, size=st.integers(1, 5), stride=st.integers(1, 5))
+def test_chunk_windows_property_coverage(spark, words, size, stride):
+    """Every token position is covered by >= 1 window; with stride==size
+    the windows are disjoint and concatenate back to the token stream."""
+    txt = " ".join(words)
+    df = spark.createDataFrame([(0, txt)], "doc_id long, text string")
+    rows = sorted(text.chunk_windows(df, size=size, stride=stride).collect(),
+                  key=lambda r: r["chunk_idx"])
+    n = len(words)
+    if n == 0:
+        assert rows == []
+        return
+    covered = set()
+    for r in rows:
+        covered |= set(range(r["tok_start"],
+                             r["tok_start"] + r["n_chunk_toks"]))
+    if stride <= size:
+        # dense chunking: every token position in >= 1 window
+        assert covered == set(range(n))
+    else:
+        # sparse sampling (stride > size): gaps are the contract; the
+        # sampled positions are exactly the per-start size-capped spans
+        want = set()
+        for s in range(0, n, stride):
+            want |= set(range(s, min(s + size, n)))
+        assert covered == want
+    if stride == size:
+        rebuilt = " ".join(r["chunk_text"] for r in rows)
+        assert rebuilt == " ".join(words)
+
+
+@settings(max_examples=10, deadline=None)
+@given(texts=st.lists(
+    st.one_of(st.none(), st.text(alphabet="ab x", max_size=8)),
+    min_size=1, max_size=6))
+def test_snapshot_diff_identity_property(spark, texts):
+    """diff(x, x) is empty without include_unchanged and all-unchanged
+    with it — regardless of NULLs and duplicated contents."""
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    assert dedup.snapshot_diff(df, df).count() == 0
+    full = dedup.snapshot_diff(df, df, include_unchanged=True).collect()
+    assert len(full) == len(rows)
+    assert all(r["status"] == "unchanged" for r in full)
