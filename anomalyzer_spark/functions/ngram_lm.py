@@ -71,6 +71,11 @@ def train_bigram_lm(
     The count frames are plain DataFrames — persist them with parquet if
     the model is reused across jobs.
     """
+    if ref_df.isStreaming:
+        raise ValueError(
+            "train_bigram_lm requires a batch DataFrame (the vocabulary "
+            "count is a blocking aggregate); train on a batch snapshot "
+            "and score the stream in foreachBatch instead")
     bg = _bigrams(ref_df, text_col, id_col)
     bigrams = bg.groupBy("ctx", "w").agg(F.count(F.lit(1)).alias("c_bi"))
     contexts = bigrams.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
@@ -105,6 +110,12 @@ def perplexity(
     """
     if k <= 0:
         raise ValueError("k must be > 0")
+    if df.isStreaming:
+        raise ValueError(
+            "perplexity requires a batch DataFrame (the per-document "
+            "mean is a blocking aggregate); run it inside foreachBatch "
+            "for streams — the count-frame joins are stream-safe but "
+            "the aggregate is not")
     v1 = lm["vocab_size"] + 1
     bg = _bigrams(df, text_col, id_col)
     scored = (
