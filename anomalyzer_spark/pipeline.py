@@ -1,0 +1,188 @@
+"""High-level curation pipeline — the one-call composition of the
+text-curation operators, in the order a production pretraining pipeline
+runs them:
+
+    normalize → profile/filter (length, quality, language) → exact dedup
+    → [near-dup removal] → [decontamination] → [PII redaction]
+    → [temperature mixture] → [sequence packing]
+
+Every stage is one of this repo's tested operators; this module adds NO
+new semantics — only the canonical wiring, a config dataclass that
+validates up front, and a stage-by-stage report. The composed frame is
+still ONE lazy Spark plan per output (nothing is collected or cached
+here), so Catalyst optimizes across stage boundaries exactly as it does
+in the hand-written `curation_pipeline` registry query.
+
+Scale notes are the operators' own (see each docstring): map-only until
+dedup's hash exchange; decontam/redact/sampling add no corpus shuffle;
+packing adds the one md5-shard exchange.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import decontam as _decontam
+from .functions import dedup as _dedup
+from .functions import packing as _packing
+from .functions import sampling as _sampling
+from .functions import text as _text
+
+__all__ = ["CurationConfig", "curate", "curation_report"]
+
+
+@dataclass(frozen=True)
+class CurationConfig:
+    """Knobs for :func:`curate`; every default is the no-op for its stage
+    except normalization and exact dedup (the two passes no corpus
+    should skip)."""
+
+    text_col: str = "text"
+    id_col: str = "doc_id"
+    #: Unicode normalization form for normalize_text (None skips it;
+    #: control-byte stripping runs whenever normalize is on)
+    normalize_form: str | None = "NFC"
+    #: minimum text_profile quality_score (None = no quality gate)
+    min_quality: float | None = None
+    #: minimum lexical token count (None = no length gate)
+    min_tokens: int | None = None
+    #: keep only these predicted languages (None = all)
+    langs: tuple[str, ...] | None = None
+    #: "exact" (hash groups) or "minhash" (exact + near-dup pairs) or None
+    dedup: str | None = "exact"
+    #: near-dup verify threshold when dedup="minhash"
+    dedup_threshold: float = 0.8
+    #: "exact" (word n-grams) / "fuzzy" (MinHash) / None; needs eval_df
+    decontam_mode: str | None = None
+    decontam_ngram: int = 8
+    decontam_threshold: float = 0.5
+    #: redact PII spans (map-only)
+    redact: bool = False
+    #: temperature-flatten the mixture over this column (None = skip)
+    temperature_alpha: float | None = None
+    domain_col: str = "lang"
+    #: pack surviving docs into fixed token slots (None = return docs)
+    pack_capacity: int | None = None
+    pack_shards: int = 64
+    seed: int = 42
+
+    def __post_init__(self):
+        if self.dedup not in (None, "exact", "minhash"):
+            raise ValueError(f"dedup must be exact|minhash|None, "
+                             f"got {self.dedup!r}")
+        if self.decontam_mode not in (None, "exact", "fuzzy"):
+            raise ValueError(f"decontam_mode must be exact|fuzzy|None, "
+                             f"got {self.decontam_mode!r}")
+        if self.min_quality is not None and not 0 <= self.min_quality <= 1:
+            raise ValueError("min_quality must be in [0, 1]")
+
+
+@dataclass
+class CurationResult:
+    """Stage frames, all lazy. ``output`` is packed chunks when
+    ``pack_capacity`` is set, else the surviving documents."""
+
+    stages: dict[str, DataFrame] = field(default_factory=dict)
+
+    @property
+    def output(self) -> DataFrame:
+        return next(reversed(self.stages.values()))
+
+
+def curate(
+    docs: DataFrame,
+    cfg: CurationConfig = CurationConfig(),
+    *,
+    eval_df: DataFrame | None = None,
+) -> CurationResult:
+    """Compose the curation stack per ``cfg`` over ``docs``
+    (``id_col``, ``text_col``[, ``domain_col``...]). Returns every stage
+    frame under its name (``normalized``, ``filtered``, ``deduped``,
+    ``decontaminated``, ``redacted``, ``sampled``, ``packed``) — feed
+    :func:`curation_report` for retained-count accounting, or take
+    ``.output`` and write it.
+    """
+    if cfg.decontam_mode and eval_df is None:
+        raise ValueError("decontam_mode set but no eval_df given")
+    tcol, icol = cfg.text_col, cfg.id_col
+    res = CurationResult()
+    cur = docs
+
+    carry = [c for c in cur.columns if c not in (icol, tcol)]
+    if cfg.normalize_form is not None:
+        cur = _text.normalize_text(
+            cur, tcol, icol, form=cfg.normalize_form, carry_cols=carry)
+        res.stages["normalized"] = cur
+
+    if (cfg.min_quality is not None or cfg.min_tokens is not None
+            or cfg.langs is not None):
+        prof = _text.text_profile(cur, tcol, icol)
+        keep = prof
+        if cfg.min_quality is not None:
+            keep = keep.where(F.col("quality_score") >= cfg.min_quality)
+        if cfg.min_tokens is not None:
+            keep = keep.where(F.col("lex_tokens") >= cfg.min_tokens)
+        if cfg.langs is not None:
+            keep = keep.where(F.col("lang_pred").isin(*cfg.langs))
+        cur = cur.join(keep.select(icol), icol, "left_semi")
+        res.stages["filtered"] = cur
+
+    if cfg.dedup is not None:
+        first = _dedup.exact_dedup(cur, tcol, icol).where(
+            ~F.col("is_duplicate")).select(icol)
+        cur = cur.join(first, icol, "left_semi")
+        if cfg.dedup == "minhash":
+            pairs = _dedup.minhash_lsh_pairs(
+                cur, tcol, icol, threshold=cfg.dedup_threshold)
+            # keep-first semantics on the near-dup graph: drop the larger
+            # id of every surviving pair's component via duplicate_groups
+            groups = _dedup.duplicate_groups(cur, pairs, icol)
+            keep = groups.groupBy("group_id").agg(
+                F.min(icol).alias(icol)).select(icol)
+            solo = cur.join(groups.select(icol), icol, "left_anti") \
+                .select(icol)
+            cur = cur.join(keep.unionByName(solo), icol, "left_semi")
+        res.stages["deduped"] = cur
+
+    if cfg.decontam_mode == "exact":
+        cur = _decontam.decontaminate(
+            cur, eval_df, text_col=tcol, id_col=icol,
+            n=cfg.decontam_ngram)
+        res.stages["decontaminated"] = cur
+    elif cfg.decontam_mode == "fuzzy":
+        cur = _decontam.fuzzy_decontaminate(
+            cur, eval_df, text_col=tcol, id_col=icol,
+            threshold=cfg.decontam_threshold)
+        res.stages["decontaminated"] = cur
+
+    if cfg.redact:
+        carry = [c for c in cur.columns if c not in (icol, tcol)]
+        cur = _text.redact_pii(cur, tcol, icol, carry_cols=carry)
+        res.stages["redacted"] = cur
+
+    if cfg.temperature_alpha is not None:
+        cur = _sampling.temperature_sample(
+            cur, cfg.temperature_alpha, cfg.domain_col, icol,
+            seed=cfg.seed)
+        res.stages["sampled"] = cur
+
+    if cfg.pack_capacity is not None:
+        carry = [c for c in cur.columns if c not in (icol, tcol)]
+        cur = _packing.pack_chunks(
+            cur, cfg.pack_capacity, text_col=tcol, id_col=icol,
+            n_shards=cfg.pack_shards, seed=cfg.seed, carry_cols=carry)
+        res.stages["packed"] = cur
+
+    if not res.stages:
+        res.stages["input"] = cur
+    return res
+
+
+def curation_report(result: CurationResult) -> dict[str, int]:
+    """Rows retained after each stage — one count action per stage
+    (deliberately eager; run it on samples or at checkpoints, not inside
+    a hot loop)."""
+    return {name: df.count() for name, df in result.stages.items()}

@@ -1,0 +1,74 @@
+"""High-level curate() composition (pipeline.py): stage wiring over the
+fixture corpus, keep-first near-dup semantics, determinism, and config
+validation. Each stage's own semantics are tested with its operator —
+here only the composition contract is pinned."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.pipeline import CurationConfig, curate, curation_report
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_full_pipeline_monotone_and_packed(spark, docs):
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cfg = CurationConfig(
+        min_quality=0.3, min_tokens=5, dedup="exact",
+        decontam_mode="exact", redact=True,
+        temperature_alpha=0.7, pack_capacity=256, pack_shards=8)
+    res = curate(docs, cfg, eval_df=ev)
+    rep = curation_report(res)
+    # every doc-count stage retains a non-increasing subset
+    doc_stages = [rep[s] for s in
+                  ("normalized", "filtered", "deduped", "decontaminated",
+                   "redacted", "sampled") if s in rep]
+    assert doc_stages == sorted(doc_stages, reverse=True)
+    assert doc_stages[0] == docs.count()          # normalize drops nothing
+    assert rep["decontaminated"] < rep["deduped"]  # eval hits removed
+    assert "packed" in rep and rep["packed"] > 0
+    out = res.output
+    assert {"shard", "chunk_id", "doc_id"} <= set(out.columns)
+    # provenance (lang/source) rode through every map stage
+    assert "lang" in out.columns
+
+
+def test_minhash_dedup_keep_first(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+        (3, "completely unrelated text about spark catalyst optimizer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(df, CurationConfig(
+        normalize_form=None, dedup="minhash", dedup_threshold=0.5))
+    kept = {r["doc_id"] for r in res.output.collect()}
+    assert kept == {1, 3}          # near-dup pair keeps the smaller id
+
+
+def test_determinism_same_config_same_output(spark, docs):
+    cfg = CurationConfig(min_tokens=3, temperature_alpha=0.5,
+                         pack_capacity=128, pack_shards=4)
+    a = sorted(map(tuple, curate(docs, cfg).output.collect()))
+    b = sorted(map(tuple, curate(docs, cfg).output.collect()))
+    assert a == b and a
+
+
+def test_config_validation(spark, docs):
+    with pytest.raises(ValueError):
+        CurationConfig(dedup="bogus")
+    with pytest.raises(ValueError):
+        CurationConfig(decontam_mode="bogus")
+    with pytest.raises(ValueError):
+        CurationConfig(min_quality=1.5)
+    with pytest.raises(ValueError):
+        curate(docs, CurationConfig(decontam_mode="exact"))  # no eval_df
+
+
+def test_noop_config_passes_through(spark, docs):
+    res = curate(docs, CurationConfig(normalize_form=None, dedup=None))
+    assert res.output.count() == docs.count()
+    assert list(res.stages) == ["input"]
