@@ -16,6 +16,15 @@ in the hand-written `curation_pipeline` registry query.
 Scale notes are the operators' own (see each docstring): map-only until
 dedup's hash exchange; decontam/redact/sampling add no corpus shuffle;
 packing adds the one md5-shard exchange.
+
+Streaming: run :func:`curate` inside ``foreachBatch`` for per-batch
+curation (the map stages are stream-safe as-is; dedup/temperature/
+packing are blocking aggregates, so per-batch scope is what a
+micro-batch can mean). CROSS-batch dedup state is a different contract
+— that is ``streaming.dedup_stream`` / ``streaming.minhash_stream``,
+which hold the seen-hash / signature state with retention and
+compaction; the batch-union-equals-offline property for foreachBatch
+decontamination is pinned in tests/test_streaming.py.
 """
 
 from __future__ import annotations
