@@ -661,3 +661,78 @@ def normalize_text(
         t = F.trim(F.regexp_replace(t, r"\s+", " "))
     carry = [F.col(c) for c in (carry_cols or [])]
     return df.select(F.col(id_col), t.alias(text_col), *carry)
+
+
+def hash_embeddings(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    dim: int = 64,
+    normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing document embeddings (the 'hashing trick',
+    Weinberger et al. 2009): each lexical token increments bucket
+    ``md5(token) mod dim``, giving a fixed-width ``array<double>`` per
+    document with NO trained model and NO vocabulary state — the
+    model-free bridge from raw text into this repo's vector stack
+    (``cosine_topk`` / ``lsh_topk`` / ``embedding_dedup_groups`` /
+    ``projection``) when no neural embedding is available or allowed.
+
+    ``normalize=True`` L2-normalizes (cosine-ready; all-empty documents
+    keep a zero vector rather than dividing by zero). The bucket hash is
+    the md5-prefix integer used across this repo — engine-portable, so
+    the whole embedding is DuckDB-reproducible bit-for-bit
+    (tests/test_text_extras.py), unlike Spark's Murmur3 ``hash()``.
+
+    Plan shape (the 100 TB read): explode → (id, bucket) count with
+    map-side combine → one per-document aggregate assembling the dense
+    vector from the ≤ ``dim`` bucket rows (``map_from_entries`` +
+    ``transform`` over the bucket range — no per-token dim-width fold,
+    which would be O(tokens × dim)). Two exchanges, both keyed by the
+    document id family; hot tokens are just hot ROWS here, not hot keys,
+    because the count key is (id, bucket).
+    """
+    if dim < 1:
+        raise ValueError("dim must be >= 1")
+    tok = df.select(
+        F.col(id_col),
+        F.explode(word_tokens(F.col(text_col))).alias("_t"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("_t").cast("binary")), 1, 8), 16, 10)
+        .cast("long") % dim)
+    counts = (
+        tok.select(id_col, bucket.alias("_b"))
+        .groupBy(id_col, "_b").agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.coalesce(
+            F.element_at("_m", i.cast("int")).cast("double"), F.lit(0.0)))
+    assembled = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b").cast("int"), "_c")))
+            .alias("_m"))
+        .select(F.col(id_col), vec.alias("embedding"))
+    )
+    # documents with zero tokens vanish at the explode — restore them
+    # with a zero vector so the operator is total over its input
+    out = (
+        df.select(id_col)
+        .join(assembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(
+                F.col("embedding"),
+                F.array_repeat(F.lit(0.0), dim)).alias("embedding"))
+    )
+    if normalize:
+        nrm = F.sqrt(F.aggregate(
+            "embedding", F.lit(0.0), lambda a, x: a + x * x))
+        out = out.select(
+            F.col(id_col),
+            F.when(nrm > 0,
+                   F.transform("embedding", lambda x: F.round(x / nrm, 6)))
+            .otherwise(F.col("embedding")).alias("embedding"))
+    return out

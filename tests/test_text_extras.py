@@ -315,3 +315,72 @@ def test_snapshot_diff_identity_property(spark, texts):
     full = dedup.snapshot_diff(df, df, include_unchanged=True).collect()
     assert len(full) == len(rows)
     assert all(r["status"] == "unchanged" for r in full)
+
+
+# ---------------------------------------------------------------------------
+# hash_embeddings (feature hashing)
+# ---------------------------------------------------------------------------
+
+def test_hash_embeddings_duckdb_parity(spark, sf_dir):
+    DIM = 16
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted((r["doc_id"], tuple(r["embedding"]))
+                 for r in text.hash_embeddings(docs, dim=DIM).collect())
+    want = _duck(sf_dir).execute(f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_TOK_RE}')) AS t
+  FROM documents),
+b AS (SELECT doc_id,
+        ('0x' || substr(md5(t), 1, 8))::BIGINT % {DIM} AS b
+      FROM tok),
+c AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM b GROUP BY 1, 2),
+m AS (SELECT doc_id, map_from_entries(list(struct_pack(k := b, v := c)))
+        AS m FROM c GROUP BY doc_id),
+v AS (SELECT d.doc_id,
+        list_transform(range(0, {DIM}),
+                       i -> coalesce(m.m[i][1], 0.0::DOUBLE)) AS raw
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN m USING (doc_id)),
+n AS (SELECT doc_id,
+        CASE WHEN raw IS NULL THEN list_transform(range(0,{DIM}), i -> 0.0::DOUBLE)
+             ELSE raw END AS raw FROM v),
+f AS (SELECT doc_id, raw,
+        sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM n)
+SELECT doc_id,
+  CASE WHEN nrm > 0 THEN list_transform(raw, x -> round(x / nrm, 6))
+       ELSE raw END AS embedding
+FROM f ORDER BY doc_id""").fetchall()
+    assert len(got) == len(want) > 0
+    for (gid, gv), (wid, wv) in zip(got, want):
+        assert gid == wid and gv == tuple(wv)
+
+
+def test_hash_embeddings_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a b a"), (1, ""), (2, None), (3, "a b a")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["embedding"]
+           for r in text.hash_embeddings(df, dim=8).collect()}
+    assert len(out) == 4                       # total over input
+    assert out[1] == [0.0] * 8 and out[2] == [0.0] * 8
+    assert out[0] == out[3]                    # content-determined
+    import math
+    assert math.isclose(sum(x * x for x in out[0]), 1.0, rel_tol=1e-4)
+    raw = {r["doc_id"]: r["embedding"] for r in
+           text.hash_embeddings(df, dim=8, normalize=False).collect()}
+    assert sum(raw[0]) == 3.0                  # token mass preserved
+    with pytest.raises(ValueError):
+        text.hash_embeddings(df, dim=0)
+
+
+def test_hash_embeddings_feed_the_vector_stack(spark, sf_dir):
+    """The bridge works end-to-end: text → hashed vectors → exact cosine
+    top-1 self-match."""
+    from anomalyzer_spark.functions import similarity
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    emb = text.hash_embeddings(docs, dim=32).withColumnRenamed(
+        "doc_id", "vec_id")
+    out = similarity.cosine_topk(
+        emb, emb.where(F.col("vec_id") < 3), id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=1)
+    top = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
+    assert all(q == n for q, n in top.items())
