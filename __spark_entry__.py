@@ -394,9 +394,24 @@ def q_data_pipeline(spark, sf_dir):
             .limit(1)
             .select(F.col("token").alias("sample_top_token"),
                     F.col("term_freq").alias("sample_top_tf")))
+    # round-7 stage: self-trained bigram-LM perplexity of the sampled
+    # sub-corpus, meaned per language (decimal-exact, like avg_quality) —
+    # puts ngram_lm's training counts, smoothing, and scoring joins under
+    # this slot's value hash without spending a new registry slot.
+    from anomalyzer_spark.functions import ngram_lm
+    lm = ngram_lm.train_bigram_lm(samp)
+    ppl = ngram_lm.perplexity(samp, lm)
+    ppl_lang = (
+        samp.select("doc_id", "lang_pred").join(ppl, "doc_id")
+        .where(F.col("ppl").isNotNull())
+        .groupBy("lang_pred").agg(
+            F.round(
+                F.sum(F.col("ppl").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("avg_sample_ppl")))
     return (
         per_lang.join(samp_counts, "lang_pred", "left")
         .na.fill({"n_sample_docs": 0})
+        .join(ppl_lang, "lang_pred", "left")
         .crossJoin(F.broadcast(vstats))
         .crossJoin(F.broadcast(vtop))
     )
@@ -1953,12 +1968,36 @@ vstats AS (
   FROM voc),
 vtop AS (
   SELECT token AS sample_top_token, term_freq AS sample_top_tf
-  FROM voc ORDER BY term_freq DESC, token ASC LIMIT 1)
+  FROM voc ORDER BY term_freq DESC, token ASC LIMIT 1),
+bgt AS (
+  SELECT doc_id, regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+  FROM samp),
+bg AS (SELECT doc_id, t[i] AS ctx, t[i + 1] AS w
+       FROM bgt, unnest(range(1, greatest(len(t), 1))) AS u(i)),
+refbg AS (SELECT ctx, w, count(*) AS c_bi FROM bg GROUP BY 1, 2),
+refctx AS (SELECT ctx, sum(c_bi) AS c_ctx FROM refbg GROUP BY ctx),
+vv AS (SELECT count(*) + 1 AS v1 FROM refctx),
+scd AS (
+  SELECT bg.doc_id,
+         -ln((coalesce(c_bi, 0) + 0.1) /
+             (coalesce(c_ctx, 0) + 0.1 * v1)) AS nlp
+  FROM bg LEFT JOIN refbg USING (ctx, w)
+          LEFT JOIN refctx USING (ctx), vv),
+dppl AS (SELECT doc_id, round(exp(round(avg(nlp), 6)), 6) AS ppl
+         FROM scd GROUP BY doc_id),
+lang_ppl AS (
+  SELECT lang_pred,
+         round(sum(ppl::DECIMAL(18,6))::DOUBLE / count(*), 6)
+           AS avg_sample_ppl
+  FROM dppl JOIN samp USING (doc_id) GROUP BY lang_pred)
 SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
   coalesce(sc.n_sample_docs, 0)::BIGINT AS n_sample_docs,
+  lp.avg_sample_ppl,
   v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf
 FROM per_lang p
 LEFT JOIN samp_counts sc USING (lang_pred)
+LEFT JOIN lang_ppl lp USING (lang_pred)
 CROSS JOIN vstats v CROSS JOIN vtop t""".replace(
         "__STATS__", sql["text_stats"].strip()).replace(
         "__LANGS__", sql["lang_id"].strip())
