@@ -617,6 +617,21 @@ def _pq_codebooks(rows) -> list[list[list[float]]]:
         np.asarray([r[1] for r in rows], dtype=np.float64), m=PQ_M, k=PQ_K)
 
 
+PCA_K = 4
+
+
+def _pca_model(rows) -> dict:
+    """Shared PCA fit for query + oracle (same vec_id-sorted bounded
+    sample as the IVF/PQ models; projection.train_pca is bit-deterministic
+    so both engines compile identical 6-decimal literals)."""
+    import numpy as np
+
+    from anomalyzer_spark.functions import projection
+    rows = sorted(rows, key=lambda r: r[0])
+    return projection.train_pca(
+        np.asarray([r[1] for r in rows], dtype=np.float64), PCA_K)
+
+
 def q_dedup_paragraphs(spark, sf_dir):
     """Paragraph-level boilerplate removal (dedup.dedup_paragraphs): every
     fixture document gains its SOURCE's footer sentence (fixture sentences
@@ -691,6 +706,8 @@ def q_emb_pipeline(spark, sf_dir):
     id_b, so each clique keeps its smallest id) → per-label corpus stats
     over survivors. One declarative plan: bucketed candidate join, an
     anti-join keep-list, and a decimal-exact aggregate."""
+    from anomalyzer_spark.functions import projection
+
     e = _embs(spark, sf_dir)
     pairs = similarity.cosine_pairs(
         e, id_col="vec_id", vec_col="embedding", threshold=0.9,
@@ -699,7 +716,7 @@ def q_emb_pipeline(spark, sf_dir):
     surv = e.join(dropped, "vec_id", "left_anti")
     norm = F.sqrt(F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x))
-    return (
+    base = (
         surv.select("label", norm.alias("_n"))
         .groupBy("label")
         .agg(
@@ -708,6 +725,27 @@ def q_emb_pipeline(spark, sf_dir):
                 F.sum(F.col("_n").cast("decimal(28,12)")).cast("double")
                 / F.count(F.lit(1)), 6).alias("avg_norm"),
         )
+    )
+    # round-7 stage: first-principal-coordinate mean per label over the
+    # survivors (literal PCA model off the shared bounded sample) — puts
+    # projection.train_pca/project_embeddings under this slot's value
+    # hash without a new registry slot.
+    pca = _pca_model([
+        (r["vec_id"], r["embedding"]) for r in
+        e.where(F.col("vec_id") < IVF_SAMPLE_N)
+        .select("vec_id", "embedding").collect()])
+    pc = (
+        projection.project_embeddings(
+            surv, pca, vec_col="embedding", id_col="vec_id",
+            keep_cols=["label"])
+        .select("label", F.element_at("proj", 1).alias("_p"))
+        .groupBy("label")
+        .agg(F.round(
+            F.sum(F.col("_p").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)), 6).alias("avg_pc1"))
+    )
+    return (
+        base.join(pc, "label")
         .withColumn("label", F.col("label").cast("long"))
     )
 
@@ -2138,6 +2176,26 @@ FROM surv GROUP BY label"""
     # per-subspace argmin of the same sequential L2 folds; ADC = LUT per
     # query + m lookups per candidate (mirrors similarity.pq_topk). Reuses
     # the ivf sample (same vec_id-sorted SELECT); gated like ivf_topk.
+    if sample_rows is None:
+        # emb_pipeline's avg_pc1 column needs the sample-fit PCA literals;
+        # without testdata the oracle would column-mismatch — downgrade to
+        # the driver's rows-only check instead (same policy as ivf/pq).
+        sql.pop("emb_pipeline", None)
+    else:
+        pca = _pca_model(sample_rows)
+        d_ = len(pca["mean"])
+        mean_sql = ", ".join(repr(float(v)) for v in pca["mean"])
+        c1_sql = ", ".join(repr(float(v)) for v in pca["components"][0])
+        pc1 = (f"list_sum(list_transform(range(1, {d_} + 1), i -> "
+               f"(v[i] - [{mean_sql}][i]) * [{c1_sql}][i]))")
+        sql["emb_pipeline"] = sql["emb_pipeline"].replace(
+            "        / count(*), 6) AS avg_norm\nFROM surv GROUP BY label",
+            f"""        / count(*), 6) AS avg_norm,
+  round(sum(round({pc1}, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6)
+    AS avg_pc1
+FROM surv GROUP BY label""")
+        assert "avg_pc1" in sql["emb_pipeline"]
+
     if sample_rows is not None:
         books = _pq_codebooks(sample_rows)
         book_sql = ", ".join(
