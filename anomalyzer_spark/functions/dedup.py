@@ -832,3 +832,48 @@ def snapshot_diff(
     if not include_unchanged:
         out = out.where(F.col("status") != "unchanged")
     return out
+
+
+def keep_best(
+    df: DataFrame,
+    groups: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Resolve duplicate GROUPS by keeping the best-scoring member — the
+    production keep policy: near-duplicate crawl copies differ (ads
+    stripped, truncation, encoding damage), and keep-FIRST throws away
+    quality information a keep-BEST pass uses (CCNet keeps the
+    highest-quality copy; ``min(id)`` is only the canonical for
+    determinism proofs).
+
+    ``df`` must carry ``score_col`` (e.g. ``quality_score`` from
+    ``text_profile`` or ``model_score`` from ``quality.score_quality``);
+    ``groups`` is ``duplicate_groups``' (id, group_id, group_size)
+    frame. Returns the KEPT rows of ``df`` — one winner per group
+    (highest score, smallest id on ties: deterministic), plus every
+    document not in any group. Schema and columns pass through.
+
+    Plan shape: the winner-per-group rank is a window over ``groups``
+    joined to the scores — both frames scoped to edge-touched documents
+    (the near-dup fraction), never the corpus; survivors come back via
+    one id-keyed semi-join and clean rows via one anti-join, so at
+    100 TB the corpus shuffles zero times and the window partitions are
+    duplicate GROUPS (bounded by the dedup clusters themselves).
+    """
+    from pyspark.sql.window import Window
+
+    # duplicate_groups is corpus-total (singletons carry their own id) —
+    # scope to REAL groups so the window partitions are duplicate
+    # clusters, not the corpus
+    dups = groups.where(F.col("group_size") >= 2)
+    scored = dups.join(
+        df.select(F.col(id_col), F.col(score_col).alias("_s")), id_col)
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("_s").desc_nulls_last(), F.col(id_col).asc())
+    winners = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1).select(id_col)
+    )
+    untouched = df.join(dups.select(id_col), id_col, "left_anti")
+    return df.join(winners, id_col, "left_semi").unionByName(untouched)

@@ -64,6 +64,9 @@ class CurationConfig:
     dedup: str | None = "exact"
     #: near-dup verify threshold when dedup="minhash"
     dedup_threshold: float = 0.8
+    #: near-dup group resolution: "first" (min id) or "best" (highest
+    #: text_profile quality_score via dedup.keep_best)
+    dedup_keep: str = "first"
     #: "exact" (word n-grams) / "fuzzy" (MinHash) / None; needs eval_df
     decontam_mode: str | None = None
     decontam_ngram: int = 8
@@ -82,6 +85,9 @@ class CurationConfig:
         if self.dedup not in (None, "exact", "minhash"):
             raise ValueError(f"dedup must be exact|minhash|None, "
                              f"got {self.dedup!r}")
+        if self.dedup_keep not in ("first", "best"):
+            raise ValueError(f"dedup_keep must be first|best, "
+                             f"got {self.dedup_keep!r}")
         if self.decontam_mode not in (None, "exact", "fuzzy"):
             raise ValueError(f"decontam_mode must be exact|fuzzy|None, "
                              f"got {self.decontam_mode!r}")
@@ -146,14 +152,21 @@ def curate(
         if cfg.dedup == "minhash":
             pairs = _dedup.minhash_lsh_pairs(
                 cur, tcol, icol, threshold=cfg.dedup_threshold)
-            # keep-first semantics on the near-dup graph: drop the larger
-            # id of every surviving pair's component via duplicate_groups
             groups = _dedup.duplicate_groups(cur, pairs, icol)
-            keep = groups.groupBy("group_id").agg(
-                F.min(icol).alias(icol)).select(icol)
-            solo = cur.join(groups.select(icol), icol, "left_anti") \
-                .select(icol)
-            cur = cur.join(keep.unionByName(solo), icol, "left_semi")
+            if cfg.dedup_keep == "best":
+                # keep the HIGHEST-quality member of every near-dup group
+                prof = _text.text_profile(cur, tcol, icol).select(
+                    icol, "quality_score")
+                cur = _dedup.keep_best(
+                    cur.join(prof, icol), groups, "quality_score", icol
+                ).drop("quality_score")
+            else:
+                # keep-first: the smallest id of every component
+                keep = groups.groupBy("group_id").agg(
+                    F.min(icol).alias(icol)).select(icol)
+                solo = cur.join(groups.select(icol), icol, "left_anti") \
+                    .select(icol)
+                cur = cur.join(keep.unionByName(solo), icol, "left_semi")
         res.stages["deduped"] = cur
 
     if cfg.decontam_mode == "exact":

@@ -1194,3 +1194,41 @@ def test_redact_pii_duckdb_parity(spark, sf_dir):
             f"SELECT {expr} FROM (SELECT ? AS text)", [txt]).fetchone()[0]
     assert got2 == want2
 
+
+
+def test_keep_best_prefers_high_score(spark):
+    """Two near-dup groups + one singleton: the winner is the best score
+    (smallest id on ties), clean docs pass through untouched."""
+    df = spark.createDataFrame(
+        [(1, "a", 0.2), (2, "a", 0.9), (3, "a", 0.9),   # group 1: tie 2/3
+         (10, "b", 0.5), (11, "b", 0.1),                # group 2
+         (20, "c", 0.0)],                               # singleton
+        "doc_id long, text string, quality double")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    groups = dedup.duplicate_groups(df, pairs, "doc_id")
+    kept = {r["doc_id"] for r in
+            dedup.keep_best(df, groups, "quality").collect()}
+    assert kept == {2, 10, 20}      # 2 beats 3 on the id tiebreak
+    # NULL scores lose to any scored member
+    df2 = df.withColumn("quality", F.when(F.col("doc_id") == 2, None)
+                        .otherwise(F.col("quality")))
+    kept2 = {r["doc_id"] for r in
+             dedup.keep_best(df2, groups, "quality").collect()}
+    assert kept2 == {3, 10, 20}
+    # schema passes through
+    out = dedup.keep_best(df, groups, "quality")
+    assert out.columns == df.columns
+
+
+def test_keep_best_vs_keep_first_same_group_count(spark, sf_dir):
+    """Both policies keep exactly one doc per group + all singletons."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", F.length("text").cast("double").alias("score"))
+    pairs = dedup.minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.5)
+    groups = dedup.duplicate_groups(docs, pairs, "doc_id")
+    n_groups = groups.where(F.col("group_size") >= 2) \
+        .select("group_id").distinct().count()
+    n_grouped = groups.where(F.col("group_size") >= 2).count()
+    best = dedup.keep_best(docs, groups, "score").count()
+    assert best == docs.count() - n_grouped + n_groups

@@ -72,3 +72,26 @@ def test_noop_config_passes_through(spark, docs):
     res = curate(docs, CurationConfig(normalize_form=None, dedup=None))
     assert res.output.count() == docs.count()
     assert list(res.stages) == ["input"]
+
+
+def test_minhash_dedup_keep_best(spark):
+    """dedup_keep='best' retains the higher-quality member of a near-dup
+    pair even when it has the larger id (keep-first would pick id 1)."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        # doc 2 = doc 1 doubled: near-identical distinct-shingle set
+        # (high Jaccard) but twice the length → higher quality_score
+        (2, base + " " + base),
+        (3, "completely unrelated text about spark catalyst optimizer"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    res = curate(df, CurationConfig(
+        normalize_form=None, dedup="minhash", dedup_threshold=0.4,
+        dedup_keep="best"))
+    kept = {r["doc_id"] for r in res.output.collect()}
+    assert kept == {2, 3}
+    # the helper column never leaks into the output schema
+    assert set(res.output.columns) == {"doc_id", "text"}
+    with pytest.raises(ValueError):
+        CurationConfig(dedup_keep="bogus")
