@@ -1797,10 +1797,10 @@ freq AS (
   GROUP BY h HAVING count(*) >= 2),
 m AS (SELECT ex.*, freq.df FROM ex LEFT JOIN freq USING (h))
 SELECT doc_id,
-  array_to_string(list_transform(
+  coalesce(array_to_string(list_transform(
     list_sort(list(struct_pack(pos := pos, para := para))
               FILTER (WHERE df IS NULL)),
-    s -> s.para), '. ') AS text,
+    s -> s.para), '. '), '') AS text,
   count(*) FILTER (WHERE h IS NOT NULL) AS n_paragraphs,
   count(*) FILTER (WHERE df IS NOT NULL) AS n_dropped
 FROM m GROUP BY doc_id"""
