@@ -191,3 +191,67 @@ def stratified_sample_n(
         .where(F.col("_rn") <= n_per_stratum)
         .drop("_rn")
     )
+
+
+def select_top_fraction(
+    df: DataFrame,
+    score_col: str,
+    fraction: float,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep (approximately, deterministically) the top ``fraction`` of
+    rows by ``score_col`` — the global-selection step of model-based
+    filtering ("keep the best 30% of the corpus by quality score")
+    WITHOUT a global sort.
+
+    Exact global threshold, no sort: scores round to 6 decimals (the
+    repo-wide comparison precision), the per-value count histogram is
+    one map-side-combined aggregate (bounded by the distinct rounded
+    scores — ≤ 2M values for a [0,1] score, trivially collected), and
+    the driver walks the descending cumulative counts to the threshold
+    value t. Rows with score > t all pass; rows AT t pass through the
+    deterministic md5 acceptance window at the residual rate — the
+    boundary is expected-count rather than exact-count, in exchange for
+    ZERO corpus shuffles (an exact boundary would rank the tie set: one
+    hot window partition holding every row at the threshold value).
+    NULL scores never pass. The same (histogram → threshold → hash
+    window) is replayable in SQL, so the pass is DuckDB-parity tested
+    (tests/test_functions.py).
+
+    Like the rest of the deterministic-sampling family: retry- and
+    partitioning-independent, and nested runs (same seed) select nested
+    sets as ``fraction`` grows across the SAME threshold value.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 0.0:
+        return df.where(F.lit(False))
+    if fraction == 1.0:
+        return df.where(F.col(score_col).isNotNull())
+    sc = F.round(F.col(score_col), 6)
+    hist = sorted(
+        ((r["_v"], r["_c"]) for r in
+         df.where(sc.isNotNull())
+         .groupBy(sc.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+         .collect()),
+        key=lambda t: -t[0])
+    total = sum(c for _, c in hist)
+    if total == 0:
+        return df.where(F.lit(False))
+    target = fraction * total
+    run = 0
+    thr, at_thr = None, 0
+    for v, c in hist:
+        if run + c >= target:
+            thr, at_thr = v, c
+            break
+        run += c
+    else:                                   # fraction*total > total
+        thr, at_thr = hist[-1]
+        run = total - at_thr
+    resid_rate = max(0.0, min(1.0, (target - run) / at_thr))
+    accept = _hash48(F.col(id_col), seed) < int(resid_rate * _BUCKETS)
+    return df.where(
+        sc.isNotNull() & ((sc > thr) | ((sc == thr) & accept)))

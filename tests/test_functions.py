@@ -1232,3 +1232,73 @@ def test_keep_best_vs_keep_first_same_group_count(spark, sf_dir):
     n_grouped = groups.where(F.col("group_size") >= 2).count()
     best = dedup.keep_best(docs, groups, "score").count()
     assert best == docs.count() - n_grouped + n_groups
+
+
+def test_select_top_fraction_duckdb_parity(spark, sf_dir):
+    """Same histogram → threshold → md5-window selection replayed in
+    DuckDB over the fixture quality scores."""
+    import duckdb
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = text.text_stats(docs).select("doc_id", "quality_score")
+    FRAC = 0.3
+    got = {r["doc_id"] for r in sampling.select_top_fraction(
+        scored, "quality_score", FRAC).collect()}
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    # mirror the Spark scores by re-reading them (the stats formula is
+    # already parity-tested via text_profile); replay only the selector
+    rows = sorted(((r["doc_id"], round(r["quality_score"], 6))
+                   for r in scored.collect()), key=lambda t: (-t[1], t[0]))
+    total = len(rows)
+    target = FRAC * total
+    from collections import Counter
+    hist = Counter(v for _, v in rows)
+    run, thr = 0, None
+    for v in sorted(hist, reverse=True):
+        if run + hist[v] >= target:
+            thr = v
+            break
+        run += hist[v]
+    resid = (target - run) / hist[thr]
+    want = set()
+    for did, v in rows:
+        if v > thr:
+            want.add(did)
+        elif v == thr:
+            h = con.execute(
+                "SELECT ('0x' || substr(md5('42|' || ?::VARCHAR), 1, 12))"
+                "::BIGINT", [did]).fetchone()[0]
+            if h < int(resid * (1 << 48)):
+                want.add(did)
+    assert got == want and 0 < len(got) < total
+    # expected-count boundary: within a few rows of the target
+    assert abs(len(got) - target) <= max(5, 0.05 * total)
+
+
+def test_select_top_fraction_semantics(spark):
+    from anomalyzer_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, 1.0 if i < 10 else (0.5 if i < 50 else None))
+         for i in range(60)],
+        "doc_id long, s double")
+    # 10 rows at 1.0, 40 at 0.5, 10 NULL
+    top = {r["doc_id"] for r in
+           sampling.select_top_fraction(df, "s", 0.2).collect()}
+    assert top == set(range(10))        # exactly the 1.0 block (10/50)
+    allr = {r["doc_id"] for r in
+            sampling.select_top_fraction(df, "s", 1.0).collect()}
+    assert allr == set(range(50))       # NULLs never pass
+    none = sampling.select_top_fraction(df, "s", 0.0).count()
+    assert none == 0
+    # nesting: smaller fraction ⊆ larger fraction (same seed)
+    a = {r["doc_id"] for r in
+         sampling.select_top_fraction(df, "s", 0.4).collect()}
+    b = {r["doc_id"] for r in
+         sampling.select_top_fraction(df, "s", 0.8).collect()}
+    assert top <= a <= b
+    with pytest.raises(ValueError):
+        sampling.select_top_fraction(df, "s", 1.5)
