@@ -56,6 +56,9 @@ class CurationConfig:
     normalize_form: str | None = "NFC"
     #: minimum text_profile quality_score (None = no quality gate)
     min_quality: float | None = None
+    #: keep only the globally best fraction by quality_score
+    #: (sampling.select_top_fraction — exact threshold, no global sort)
+    top_fraction: float | None = None
     #: minimum lexical token count (None = no length gate)
     min_tokens: int | None = None
     #: keep only these predicted languages (None = all)
@@ -93,6 +96,8 @@ class CurationConfig:
                              f"got {self.decontam_mode!r}")
         if self.min_quality is not None and not 0 <= self.min_quality <= 1:
             raise ValueError("min_quality must be in [0, 1]")
+        if self.top_fraction is not None and not 0 < self.top_fraction <= 1:
+            raise ValueError("top_fraction must be in (0, 1]")
 
 
 @dataclass
@@ -133,7 +138,7 @@ def curate(
         res.stages["normalized"] = cur
 
     if (cfg.min_quality is not None or cfg.min_tokens is not None
-            or cfg.langs is not None):
+            or cfg.langs is not None or cfg.top_fraction is not None):
         prof = _text.text_profile(cur, tcol, icol)
         keep = prof
         if cfg.min_quality is not None:
@@ -142,6 +147,12 @@ def curate(
             keep = keep.where(F.col("lex_tokens") >= cfg.min_tokens)
         if cfg.langs is not None:
             keep = keep.where(F.col("lang_pred").isin(*cfg.langs))
+        if cfg.top_fraction is not None:
+            # relative gate AFTER the absolute ones: the histogram walks
+            # the survivors, so "best 30%" means of what's still eligible
+            keep = _sampling.select_top_fraction(
+                keep.select(icol, "quality_score"), "quality_score",
+                cfg.top_fraction, icol, seed=cfg.seed)
         cur = cur.join(keep.select(icol), icol, "left_semi")
         res.stages["filtered"] = cur
 

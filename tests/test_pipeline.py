@@ -95,3 +95,17 @@ def test_minhash_dedup_keep_best(spark):
     assert set(res.output.columns) == {"doc_id", "text"}
     with pytest.raises(ValueError):
         CurationConfig(dedup_keep="bogus")
+
+
+def test_top_fraction_gate(spark, docs):
+    n = docs.count()
+    res = curate(docs, CurationConfig(
+        normalize_form=None, dedup=None, top_fraction=0.4))
+    kept = res.output.count()
+    assert abs(kept - 0.4 * n) <= max(5, 0.05 * n)
+    # composes with the absolute gate: relative-of-the-eligible
+    res2 = curate(docs, CurationConfig(
+        normalize_form=None, dedup=None, min_tokens=5, top_fraction=0.4))
+    assert res2.output.count() <= kept
+    with pytest.raises(ValueError):
+        CurationConfig(top_fraction=0.0)
