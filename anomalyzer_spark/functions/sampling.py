@@ -231,12 +231,23 @@ def select_top_fraction(
     if fraction == 1.0:
         return df.where(F.col(score_col).isNotNull())
     sc = F.round(F.col(score_col), 6)
-    hist = sorted(
-        ((r["_v"], r["_c"]) for r in
-         df.where(sc.isNotNull())
-         .groupBy(sc.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
-         .collect()),
-        key=lambda t: -t[0])
+    # driver memory holds one (value, count) entry per DISTINCT rounded
+    # score — fine for bounded scores ([0,1] quality → ≤ 2M entries), but
+    # an unbounded score (raw perplexity, byte lengths) can approach one
+    # entry per row: the limit turns a silent driver OOM into an
+    # actionable error (pre-bucket such scores, e.g. round/log them).
+    _max_distinct = 4_000_000
+    rows = (
+        df.where(sc.isNotNull())
+        .groupBy(sc.alias("_v")).agg(F.count(F.lit(1)).alias("_c"))
+        .limit(_max_distinct + 1)
+        .collect())
+    if len(rows) > _max_distinct:
+        raise ValueError(
+            f"select_top_fraction: > {_max_distinct:,} distinct rounded "
+            f"scores — the driver-side histogram would not be bounded. "
+            f"Pre-bucket the score (coarser rounding, log-scale) first.")
+    hist = sorted(((r["_v"], r["_c"]) for r in rows), key=lambda t: -t[0])
     total = sum(c for _, c in hist)
     if total == 0:
         return df.where(F.lit(False))

@@ -91,9 +91,12 @@ def read_csv(
     **options,
 ) -> DataFrame:
     """CSV with enforced schema + corrupt-line capture (same contract as
-    ``read_jsonl``). ``header=True`` drops every line equal to the
-    schema's own header rendering (per-shard headers in concatenated /
-    multi-file dumps drop too — same rule the DataSource reader applies)."""
+    ``read_jsonl``). ``header=True`` drops EVERY line byte-equal to the
+    schema's own header rendering — so per-shard headers in concatenated
+    or multi-file dumps drop wherever they appear (the DataSource reader
+    only skips each file's first line). The flip side: a DATA line that
+    happens to equal the header drops too — with a typed schema such a
+    line could only ever have parsed into the corrupt column anyway."""
     full = _parse_schema(schema)
     opts = dict(options)
     opts["mode"] = "PERMISSIVE"
