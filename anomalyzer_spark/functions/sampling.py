@@ -214,8 +214,11 @@ def select_top_fraction(
     value t. Rows with score > t all pass; rows AT t pass through the
     deterministic md5 acceptance window at the residual rate — the
     boundary is expected-count rather than exact-count, in exchange for
-    ZERO corpus shuffles (an exact boundary would rank the tie set: one
-    hot window partition holding every row at the threshold value).
+    a MAP-ONLY selection filter (an exact boundary would rank the tie
+    set: one hot window partition holding every row at the threshold
+    value); the only exchange anywhere is the histogram aggregate, whose
+    map-side partial combine reduces each split to at most one row per
+    distinct rounded score before anything moves.
     NULL scores never pass. The same (histogram → threshold → hash
     window) is replayable in SQL, so the pass is DuckDB-parity tested
     (tests/test_functions.py).
