@@ -732,7 +732,10 @@ def test_checkpoint_scope_bounds_serving_loop_storage(spark):
                 bands=4, seed=3)
             results.append(sorted(
                 (r["id_a"], r["id_b"]) for r in pairs.collect()))
-        assert _persistent_rdd_ids(spark) == baseline
+        # subset, not equality: the async ContextCleaner may reclaim
+        # OTHER tests' persisted frames between baseline and here — the
+        # scope's guarantee is that no NEW checkpoint blocks survive it
+        assert _persistent_rdd_ids(spark) <= baseline
     assert results[0] == results[1] == results[2]
     assert len(results[0]) > 0
     # pre-existing persisted frames are untouched by the scope
