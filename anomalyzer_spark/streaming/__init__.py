@@ -12,3 +12,5 @@ __all__ = ["dedup_stream", "dedup_stream_bounded", "detect_stream",
            "run_dedup_stream_on_dir", "run_minhash_stream_on_dir",
            "run_resample_stream_on_dir", "run_session_stream_on_dir",
            "run_stream_on_dir"]
+from .curate_stream import (batch_union_equals_offline,
+                            run_curation_stream_on_dir)

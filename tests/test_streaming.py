@@ -731,3 +731,38 @@ def test_decontaminate_stream_foreachbatch(spark, sf_dir, tmp_path):
     exp = {r["doc_id"] for r in
            decontam.decontaminate(d, ev, n=8).select("doc_id").collect()}
     assert got == exp and 0 < len(got) < d.count()
+
+
+def test_curation_stream_foreachbatch(spark, sf_dir, tmp_path):
+    """Streaming curate(): per-row stages (normalize + min_tokens filter +
+    redact + static-eval exact decontam) are batch-split-invariant, so
+    the union of idempotent batch outputs equals offline curate() of the
+    same corpus — and batch_union_equals_offline correctly classifies
+    configs."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    from anomalyzer_spark.streaming import (batch_union_equals_offline,
+                                            run_curation_stream_on_dir)
+
+    cfg = CurationConfig(dedup=None, min_tokens=5, redact=True,
+                         decontam_mode="exact")
+    assert batch_union_equals_offline(cfg)
+    assert not batch_union_equals_offline(CurationConfig())  # exact dedup
+    assert not batch_union_equals_offline(
+        CurationConfig(dedup=None, top_fraction=0.5))
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = d.where(F.col("doc_id") % 97 == 0)
+    sdir = str(tmp_path / "cur_in")
+    out = str(tmp_path / "cur_out")
+    d.coalesce(3).write.mode("overwrite").parquet(sdir)
+
+    q = run_curation_stream_on_dir(
+        spark, sdir, out, str(tmp_path / "cur_ckpt"), cfg, eval_df=ev)
+    q.awaitTermination()
+
+    got = sorted((r["doc_id"], r["text"]) for r in
+                 spark.read.parquet(out).select("doc_id", "text").collect())
+    exp = sorted((r["doc_id"], r["text"]) for r in
+                 curate(d, cfg, eval_df=ev).output
+                 .select("doc_id", "text").collect())
+    assert got == exp and 0 < len(got) < d.count()
