@@ -254,3 +254,87 @@ def compact_ingested_index(
         .repartition("cell")
         .write.mode("overwrite").partitionBy("cell").parquet(out_path)
     )
+
+
+def apply_diff_to_index(
+    spark: SparkSession,
+    path: str,
+    diff: DataFrame,
+    new_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incrementally maintain a persisted IVF-PQ index from a corpus
+    SNAPSHOT DELTA (``dedup.snapshot_diff`` output): removed ids leave,
+    changed ids re-encode, added ids enter — WITHOUT rebuilding the
+    index. The other leg of the incremental story next to
+    ``ingest_ivfpq_stream`` (append-only): diffs also retract.
+
+    Mechanics (the 100 TB read): victim locations come from ONE
+    two-column scan of the index (id + the ``cell`` partition value —
+    ids cannot partition-prune, so locating them costs a columnar
+    metadata-light pass, never a rebuild); new rows encode map-only with
+    the FROZEN models (an index is immutable w.r.t. its quantizers —
+    retrain = rebuild, by contract). The union of affected cells — old
+    homes of removed/changed ids, new homes of added/changed ids — is
+    rewritten via dynamic partition overwrite, so untouched cell
+    partitions keep their files byte-identical. Returns the number of
+    rewritten cells.
+
+    Idempotent: replaying the same diff converges to the same index
+    (victims are gone, re-encoded rows overwrite to identical bytes).
+    """
+    # EVERY id the diff mentions vacates its old rows first — including
+    # 'added' ids, which are absent on first apply (harmless anti-join)
+    # but present on a REPLAY, where skipping them would duplicate rows
+    victims = diff.select(
+        F.col(id_col).alias("neighbor_id")).distinct()
+    incoming_ids = diff.where(
+        F.col("status").isin("added", "changed")).select(id_col)
+
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    inc = new_corpus.join(incoming_ids, id_col, "left_semi")
+    inc = checked_width(inc, vec_col, m * d, "IVF-PQ models")
+    new_rows = inc.select(
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    ).select("neighbor_id", "cell", F.expr(_codes_sql(codebooks))
+             .alias("codes"))
+
+    idx = spark.read.parquet(path)
+    victim_cells = (
+        idx.join(victims, "neighbor_id", "left_semi")
+        .select("cell").distinct())
+    new_cells = new_rows.select("cell").distinct()
+    affected = sorted(r["cell"] for r in
+                      victim_cells.unionByName(new_cells)
+                      .distinct().collect())
+    if not affected:
+        return 0
+
+    survivors = (
+        idx.where(F.col("cell").isin(affected))
+        .join(victims, "neighbor_id", "left_anti")
+        .select("neighbor_id", "cell", "codes"))
+    rewrite = survivors.unionByName(
+        new_rows.where(F.col("cell").isin(affected)))
+    # localCheckpoint BEFORE the overwrite: the plan reads the very
+    # partitions the write replaces — materializing first avoids reading
+    # half-overwritten inputs (classic self-overwrite hazard)
+    rewrite = rewrite.localCheckpoint(eager=True)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (rewrite.write.mode("overwrite").partitionBy("cell").parquet(path))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(affected)
