@@ -736,3 +736,68 @@ def hash_embeddings(
                    F.transform("embedding", lambda x: F.round(x / nrm, 6)))
             .otherwise(F.col("embedding")).alias("embedding"))
     return out
+
+
+def corpus_card(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    lang_col: str | None = None,
+) -> DataFrame:
+    """The one-row corpus DATASHEET — the summary a pipeline publishes
+    next to every dataset release (doc/token/char volume, exact-dup
+    rate, dominant language, quality distribution): a handful of
+    aggregates composed over ONE pass of the per-document profile plus
+    the exact-dup hash aggregate, returned as a single row so it lands
+    in a release manifest verbatim.
+
+    Columns: ``n_docs``, ``n_tokens``, ``n_chars``, ``dup_rate``
+    (exact-dup fraction by normalized content hash, rounded 6),
+    ``top_lang`` / ``top_lang_share`` (predicted via ``lang_id`` unless
+    ``lang_col`` names a trusted column), ``avg_quality`` (decimal-exact
+    mean, rounded 6), ``p50_chars`` / ``p90_chars`` (EXACT percentiles —
+    the counting formulation ``skew.py`` documents; deterministic, so a
+    SQL oracle reproduces them, unlike a merged sketch).
+
+    Scale shape: every input column reduces map-side (profile stats are
+    map-only expressions; the exact percentile buffers distinct LENGTHS,
+    not rows); the only exchanges are the content-hash aggregate and the
+    tiny language count. DuckDB value parity in
+    tests/test_text_extras.py.
+    """
+    from .dedup import exact_dedup
+
+    prof = df.select(
+        F.col(id_col), *_stats_exprs(text_col),
+        *( [F.col(lang_col).alias("_lang")] if lang_col
+           else [_lang_exprs(text_col)[0].alias("_lang")] ))
+    totals = prof.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(10,6)"))
+            .cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+        F.expr("percentile(n_chars, 0.5)").alias("p50_chars"),
+        F.expr("percentile(n_chars, 0.9)").alias("p90_chars"),
+    ).withColumn("_j", F.lit(1))
+    dups = exact_dedup(df, text_col, id_col).agg(
+        F.round(F.avg(F.col("is_duplicate").cast("double")), 6)
+        .alias("dup_rate")).withColumn("_j", F.lit(1))
+    top = (
+        prof.groupBy("_lang").agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.col("_n").desc(), F.col("_lang").asc()).limit(1)
+        .select(F.col("_lang").alias("top_lang"), F.col("_n").alias("_tn"))
+        .withColumn("_j", F.lit(1))
+    )
+    return (
+        totals.join(F.broadcast(dups), "_j").join(F.broadcast(top), "_j")
+        .select(
+            "n_docs", "n_tokens", "n_chars", "dup_rate",
+            "top_lang",
+            F.round(F.col("_tn") / F.col("n_docs"), 6)
+            .alias("top_lang_share"),
+            "avg_quality", "p50_chars", "p90_chars",
+        )
+    )

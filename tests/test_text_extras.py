@@ -384,3 +384,67 @@ def test_hash_embeddings_feed_the_vector_stack(spark, sf_dir):
         vec_col="embedding", query_id_col="vec_id", k=1)
     top = {r["query_id"]: r["neighbor_id"] for r in out.collect()}
     assert all(q == n for q, n in top.items())
+
+
+# ---------------------------------------------------------------------------
+# corpus_card
+# ---------------------------------------------------------------------------
+
+def test_corpus_card_duckdb_parity(spark, sf_dir):
+    """One-row datasheet replayed in DuckDB: volumes, exact-dup rate via
+    the normalized content hash, dominant language via the trusted lang
+    column, decimal-exact avg quality, exact percentiles."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = text.corpus_card(docs, lang_col="lang").collect()
+    assert len(got) == 1
+    g = got[0].asDict()
+
+    w = _duck(sf_dir).execute("""
+WITH stats AS (
+  SELECT doc_id, lang, length(text) AS n_chars,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+    greatest(least(
+      0.4 * least(length(text) / 500.0, 1.0)
+      + 0.4 * coalesce(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              / nullif(length(text), 0)::DOUBLE, 0.0)
+      + 0.2 * (1.0 - least(coalesce(
+          len(regexp_extract_all(text, '[.,;:!?]'))
+          / nullif(length(text), 0)::DOUBLE, 0.0) * 5.0, 1.0)),
+      1.0), 0.0) AS q
+  FROM documents),
+hashed AS (SELECT doc_id, md5(trim(regexp_replace(regexp_replace(
+             lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g')))
+             AS h FROM documents),
+dupr AS (
+  SELECT round(avg((doc_id <> mn)::INT::DOUBLE), 6) AS dup_rate FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS mn FROM hashed)),
+top AS (SELECT lang, count(*) AS n FROM stats GROUP BY lang
+        ORDER BY n DESC, lang ASC LIMIT 1)
+SELECT count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+  sum(n_chars) AS n_chars,
+  (SELECT dup_rate FROM dupr) AS dup_rate,
+  (SELECT lang FROM top) AS top_lang,
+  round((SELECT n FROM top) / count(*)::DOUBLE, 6) AS top_lang_share,
+  round(sum(round(q, 6)::DECIMAL(10,6))::DOUBLE / count(*), 6)
+    AS avg_quality,
+  quantile_cont(n_chars, 0.5) AS p50_chars,
+  quantile_cont(n_chars, 0.9) AS p90_chars
+FROM stats""").fetchall()[0]
+    keys = ["n_docs", "n_tokens", "n_chars", "dup_rate", "top_lang",
+            "top_lang_share", "avg_quality", "p50_chars", "p90_chars"]
+    for k, v in zip(keys, w):
+        assert g[k] == v, (k, g[k], v)
+
+
+def test_corpus_card_predicted_lang_and_shapes(spark):
+    df = spark.createDataFrame(
+        [(0, "the cat and the dog was here for it"),
+         (1, "el perro y el gato de la casa por la"),
+         (2, "the fox and the hen of the farm it was"),
+         (3, "the fox and the hen of the farm it was")],  # exact dup
+        "doc_id long, text string")
+    g = text.corpus_card(df).collect()[0]
+    assert g["n_docs"] == 4 and g["top_lang"] == "en"
+    assert g["top_lang_share"] == 0.75
+    assert g["dup_rate"] == 0.25
