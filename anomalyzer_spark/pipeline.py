@@ -76,6 +76,11 @@ class CurationConfig:
     decontam_threshold: float = 0.5
     #: redact PII spans (map-only)
     redact: bool = False
+    #: split long documents into stride-overlap token windows BEFORE
+    #: mixture/packing (text.chunk_windows). (size, stride); None skips.
+    #: NOTE: downstream ids become strings "<doc_id>#<chunk_idx>" so the
+    #: window provenance survives sampling and packing.
+    window: tuple[int, int] | None = None
     #: temperature-flatten the mixture over this column (None = skip)
     temperature_alpha: float | None = None
     domain_col: str = "lang"
@@ -98,6 +103,10 @@ class CurationConfig:
             raise ValueError("min_quality must be in [0, 1]")
         if self.top_fraction is not None and not 0 < self.top_fraction <= 1:
             raise ValueError("top_fraction must be in (0, 1]")
+        if self.window is not None:
+            size, stride = self.window
+            if size < 1 or stride < 1:
+                raise ValueError("window (size, stride) must be >= 1")
 
 
 @dataclass
@@ -195,6 +204,19 @@ def curate(
         carry = [c for c in cur.columns if c not in (icol, tcol)]
         cur = _text.redact_pii(cur, tcol, icol, carry_cols=carry)
         res.stages["redacted"] = cur
+
+    if cfg.window is not None:
+        size, stride = cfg.window
+        carry = [c for c in cur.columns if c not in (icol, tcol)]
+        ch = _text.chunk_windows(
+            cur, tcol, icol, size=size, stride=stride, carry_cols=carry)
+        cur = ch.select(
+            F.concat(F.col(icol).cast("string"), F.lit("#"),
+                     F.col("chunk_idx").cast("string")).alias(icol),
+            F.col("chunk_text").alias(tcol),
+            *[F.col(c) for c in carry],
+        )
+        res.stages["windowed"] = cur
 
     if cfg.temperature_alpha is not None:
         cur = _sampling.temperature_sample(

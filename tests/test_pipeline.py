@@ -109,3 +109,26 @@ def test_top_fraction_gate(spark, docs):
     assert res2.output.count() <= kept
     with pytest.raises(ValueError):
         CurationConfig(top_fraction=0.0)
+
+
+def test_window_stage_feeds_packing(spark, docs):
+    """Long-doc windowing between curation and packing: chunk ids carry
+    provenance ('<doc>#<idx>'), every window lands in some packed chunk,
+    and token bookkeeping survives the whole composition."""
+    cfg = CurationConfig(normalize_form=None, dedup=None,
+                         window=(16, 8), pack_capacity=64, pack_shards=4)
+    res = curate(docs, cfg)
+    assert "windowed" in res.stages
+    win = res.stages["windowed"]
+    n_windows = win.count()
+    assert n_windows > docs.count()          # fixtures are > 16 tokens
+    assert dict(win.dtypes)["doc_id"] == "string"
+    assert win.where(~F.col("doc_id").contains("#")).count() == 0
+    packed = res.output
+    assert packed.select("doc_id").distinct().count() == n_windows
+    # windowing is per-row → still batch-split-invariant for streaming
+    from anomalyzer_spark.streaming import batch_union_equals_offline
+    assert batch_union_equals_offline(
+        CurationConfig(dedup=None, window=(16, 8)))
+    with pytest.raises(ValueError):
+        CurationConfig(window=(0, 8))
