@@ -60,3 +60,17 @@ def test_schema_must_not_predefine_capture_column(spark, tmp_path):
     with pytest.raises(ValueError):
         textfiles.read_jsonl(
             spark, str(tmp_path), "doc_id long, _corrupt_record string")
+
+
+def test_read_jsonl_gzip_passthrough(spark, tmp_path):
+    """Crawl dumps arrive gzipped; the text source decompresses by
+    extension and the parse contract is unchanged."""
+    import gzip
+    p = tmp_path / "docs.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        f.write('{"doc_id": 1, "text": "aaa"}\nbroken line\n'
+                '{"doc_id": 2, "text": "bbb"}\n')
+    df = textfiles.read_jsonl(spark, str(p), "doc_id long, text string")
+    clean, bad = textfiles.split_bad(df)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 2}
+    assert bad.collect()[0][0] == "broken line"
