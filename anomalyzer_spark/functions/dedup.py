@@ -877,3 +877,64 @@ def keep_best(
     )
     untouched = df.join(dups.select(id_col), id_col, "left_anti")
     return df.join(winners, id_col, "left_semi").unionByName(untouched)
+
+
+def strip_repeated_paragraphs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    sep: str = "\n",
+) -> DataFrame:
+    """WITHIN-document repeated-paragraph removal — the cell between
+    ``repetition_stats`` (which measures intra-doc repetition) and
+    ``dedup_paragraphs`` (which drops CROSS-doc boilerplate): a crawl
+    page that repeats the same block fifty times keeps exactly the
+    FIRST occurrence of each distinct paragraph, in original order.
+    Cross-doc frequency is irrelevant here; a paragraph appearing once
+    per document everywhere is untouched.
+
+    Returns (``<id_col>``, ``<text_col>`` rebuilt, ``n_paragraphs``,
+    ``n_repeats_dropped``). Same structural contract as
+    ``dedup_paragraphs``: empty spans are structure (never counted,
+    always rebuilt in place), a clean document round-trips
+    byte-identically, NULL text comes back empty with zero counts.
+
+    Plan shape: posexplode → ONE exchange on the id for the
+    first-occurrence window (a document's paragraphs meet in one
+    partition — bounded by the document, the natural unit) → rebuild in
+    the same aggregation. No corpus-wide frequency state at all, so
+    unlike ``dedup_paragraphs`` there is no md5-keyed exchange: at
+    100 TB this is scan → one doc-keyed shuffle → write. DuckDB value
+    parity in tests/test_text_extras.py.
+    """
+    from pyspark.sql.window import Window
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), _re.escape(sep)))
+        .alias("pos", "para"),
+    ).withColumn(
+        "_h",
+        F.when(F.col("para") != "", F.md5(F.col("para").cast("binary"))),
+    )
+    w = Window.partitionBy(id_col, "_h").orderBy("pos")
+    marked = ex.withColumn(
+        "_occ",
+        F.when(F.col("_h").isNotNull(), F.row_number().over(w)))
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.when(
+                        F.col("_h").isNull() | (F.col("_occ") == 1),
+                        F.struct(F.col("pos"), F.col("para"))))),
+                    lambda s: s["para"]),
+                sep).alias(text_col),
+            F.sum((F.col("_h").isNotNull()).cast("long"))
+            .alias("n_paragraphs"),
+            F.sum((F.col("_occ") > 1).cast("long"))
+            .alias("n_repeats_dropped"),
+        )
+    )

@@ -448,3 +448,62 @@ def test_corpus_card_predicted_lang_and_shapes(spark):
     assert g["n_docs"] == 4 and g["top_lang"] == "en"
     assert g["top_lang_share"] == 0.75
     assert g["dup_rate"] == 0.25
+
+
+# ---------------------------------------------------------------------------
+# strip_repeated_paragraphs (within-doc)
+# ---------------------------------------------------------------------------
+
+def test_strip_repeated_paragraphs_duckdb_parity(spark, sf_dir):
+    """Planted intra-doc repetition (every doc's first sentence appended
+    twice at the end) replayed in DuckDB: first occurrence kept in
+    place, appended repeats dropped, byte-identical rebuilds."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(". "),
+                 F.split(F.col("text"), r"\. ")[0], F.lit(". "),
+                 F.split(F.col("text"), r"\. ")[0]).alias("text"))
+    got = sorted(
+        (r["doc_id"], r["text"], r["n_paragraphs"], r["n_repeats_dropped"])
+        for r in dedup.strip_repeated_paragraphs(
+            docs, sep=". ").collect())
+    want = _duck(sf_dir).execute(r"""
+WITH d AS (SELECT doc_id,
+             text || '. ' || regexp_split_to_array(text, '\. ')[1]
+                  || '. ' || regexp_split_to_array(text, '\. ')[1] AS text
+           FROM documents),
+ex AS (
+  SELECT doc_id, u.pos, u.para,
+         CASE WHEN u.para <> '' THEN md5(u.para) END AS h
+  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM d),
+       unnest(list_transform(range(1, len(ps) + 1),
+              i -> struct_pack(pos := i, para := ps[i]))) AS t(u)),
+m AS (SELECT *, CASE WHEN h IS NOT NULL THEN
+        row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) END AS occ
+      FROM ex)
+SELECT doc_id,
+  coalesce(array_to_string(list_transform(
+    list_sort(list(struct_pack(pos := pos, para := para))
+              FILTER (WHERE h IS NULL OR occ = 1)),
+    s -> s.para), '. '), '') AS text,
+  count(*) FILTER (WHERE h IS NOT NULL) AS n_paragraphs,
+  count(*) FILTER (WHERE occ > 1) AS n_repeats_dropped
+FROM m GROUP BY doc_id ORDER BY doc_id""").fetchall()
+    assert len(got) == len(want) > 0
+    assert got == [tuple(w) for w in want]
+    assert all(g[3] >= 2 for g in got)   # the plant dropped both repeats
+
+
+def test_strip_repeated_paragraphs_semantics(spark):
+    df = spark.createDataFrame(
+        [(0, "a\nb\na\nc\na"), (1, "x\ny"), (2, ""), (3, None),
+         (4, "p\n\np")],   # empty span between repeats stays
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.strip_repeated_paragraphs(df).collect()}
+    assert out[0]["text"] == "a\nb\nc"
+    assert out[0]["n_repeats_dropped"] == 2
+    assert out[1]["text"] == "x\ny" and out[1]["n_repeats_dropped"] == 0
+    assert out[2]["text"] == "" and out[2]["n_paragraphs"] == 0
+    assert out[3]["text"] == "" and out[3]["n_paragraphs"] == 0
+    assert out[4]["text"] == "p\n" and out[4]["n_repeats_dropped"] == 1
