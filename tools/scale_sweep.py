@@ -124,6 +124,9 @@ def dedup_cells(spark, doc_counts, repeat):
                     d.where(F.col("doc_id") % 2 == 0)))),
             ("fuzzy_decontam", lambda: decontam.fuzzy_contamination(
                 d, d.where(F.col("doc_id") % 100 == 0), threshold=0.5)),
+            ("strip_repeats", lambda: dedup.strip_repeated_paragraphs(
+                d, sep=" ")),
+            ("corpus_card", lambda: text.corpus_card(d)),
         ):
             best = float("inf")
             for _ in range(repeat):
