@@ -766,3 +766,43 @@ def test_curation_stream_foreachbatch(spark, sf_dir, tmp_path):
                  curate(d, cfg, eval_df=ev).output
                  .select("doc_id", "text").collect())
     assert got == exp and 0 < len(got) < d.count()
+
+
+def test_curation_stream_incremental_restart(spark, sf_dir, tmp_path):
+    """Restart semantics: a second run over the SAME checkpoint processes
+    only files that arrived since, earlier batch outputs stay untouched,
+    and the union still equals offline curation of the full corpus."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    from anomalyzer_spark.streaming import run_curation_stream_on_dir
+
+    cfg = CurationConfig(dedup=None, min_tokens=5)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    first = d.where(F.col("doc_id") % 2 == 0)
+    second = d.where(F.col("doc_id") % 2 == 1)
+    sdir, out = str(tmp_path / "in"), str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    first.coalesce(2).write.mode("append").parquet(sdir)
+    q = run_curation_stream_on_dir(spark, sdir, out, ckpt, cfg,
+                                   schema=d.schema)
+    q.awaitTermination()
+    import glob
+    import os
+    batches_after_first = sorted(glob.glob(f"{out}/batch_id=*"))
+    mtimes = {p: os.path.getmtime(p) for p in batches_after_first}
+    got1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {r["doc_id"] for r in
+                    curate(first, cfg).output.select("doc_id").collect()}
+
+    second.coalesce(2).write.mode("append").parquet(sdir)
+    q2 = run_curation_stream_on_dir(spark, sdir, out, ckpt, cfg,
+                                    schema=d.schema)
+    q2.awaitTermination()
+    # earlier batch dirs untouched (no reprocessing), new batches appended
+    for p in batches_after_first:
+        assert os.path.getmtime(p) == mtimes[p]
+    assert len(glob.glob(f"{out}/batch_id=*")) > len(batches_after_first)
+    got = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    exp = {r["doc_id"] for r in
+           curate(d, cfg).output.select("doc_id").collect()}
+    assert got == exp
