@@ -132,3 +132,13 @@ def test_window_stage_feeds_packing(spark, docs):
         CurationConfig(dedup=None, window=(16, 8)))
     with pytest.raises(ValueError):
         CurationConfig(window=(0, 8))
+
+
+def test_map_only_config_compiles_shuffle_free(spark, docs):
+    """normalize + redact is the pure-hygiene config — the composed plan
+    must stay Exchange-free (the Arrow NFC stage is a map, not a
+    shuffle), so at 100 TB it runs at scan speed."""
+    res = curate(docs, CurationConfig(dedup=None, redact=True))
+    plan = res.output._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "ArrowEvalPython" in plan       # NFC stage present, still a map
