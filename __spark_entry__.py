@@ -378,6 +378,10 @@ def q_data_pipeline(spark, sf_dir):
         .join(stats, "doc_id")
         .join(langs, "doc_id")
         .where(F.col("quality_score") >= 0.4)
+        # surv feeds FIVE legs (per-lang agg, sample counts, vocab, LM
+        # training, LM scoring) — materialize the join/filter pyramid
+        # once (same trade as text_pipeline's NFC checkpoint)
+        .localCheckpoint(eager=True)
     )
     per_lang = surv.groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n_docs"),
