@@ -721,6 +721,9 @@ def q_emb_pipeline(spark, sf_dir):
         e, id_col="vec_id", vec_col="embedding", threshold=0.9,
         use_lsh=True, n_planes=16, bands=4, dim=64, seed=7)
     dropped = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    # NOT checkpointed (unlike text/data_pipeline's multi-leg frames):
+    # measured no win at sf0.1 — the cost here is the LSH verify, whose
+    # signature frames cosine_pairs already materializes internally
     surv = e.join(dropped, "vec_id", "left_anti")
     norm = F.sqrt(F.aggregate(
         F.col("embedding"), F.lit(0.0), lambda acc, x: acc + x * x))
