@@ -1766,7 +1766,7 @@ ch AS (SELECT doc_id, toks,
        FROM tk WHERE len(toks) > 0),
 chstats AS (
   SELECT doc_id, count(*) AS n_chunks,
-         sum(len(toks[s + 1 : s + 24])) AS sum_chunk_toks
+         sum(len(toks[s + 1 : s + 24]))::BIGINT AS sum_chunk_toks
   FROM ch GROUP BY doc_id),
 tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
 tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -2007,7 +2007,7 @@ samp_counts AS (
   SELECT lang_pred, count(*) AS n_sample_docs FROM samp GROUP BY lang_pred),
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text),
-         '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS token
+         '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS token
   FROM samp),
 voc AS (
   SELECT token, count(*) AS term_freq, count(DISTINCT doc_id) AS doc_freq
@@ -2020,7 +2020,7 @@ vtop AS (
   FROM voc ORDER BY term_freq DESC, token ASC LIMIT 1),
 bgt AS (
   SELECT doc_id, regexp_extract_all(lower(text),
-         '[a-z]+|[0-9]+|[^a-z0-9\s]') AS t
+         '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS t
   FROM samp),
 bg AS (SELECT doc_id, t[i] AS ctx, t[i + 1] AS w
        FROM bgt, unnest(range(1, greatest(len(t), 1))) AS u(i)),

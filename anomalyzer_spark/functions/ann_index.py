@@ -287,12 +287,24 @@ def apply_diff_to_index(
     Idempotent: replaying the same diff converges to the same index
     (victims are gone, re-encoded rows overwrite to identical bytes).
     """
-    # EVERY id the diff mentions vacates its old rows first — including
-    # 'added' ids, which are absent on first apply (harmless anti-join)
-    # but present on a REPLAY, where skipping them would duplicate rows
-    victims = diff.select(
+    # Only added/changed/removed rows act on the index; 'unchanged' rows
+    # (snapshot_diff(include_unchanged=True)) are no-ops — treating them
+    # as victims would vacate every unchanged doc and never re-add it.
+    # Unknown statuses are a contract violation, not a silent skip.
+    known = ("added", "changed", "removed", "unchanged")
+    unknown = [r["status"] for r in diff.select("status").distinct()
+               .collect() if r["status"] not in known]
+    if unknown:
+        raise ValueError(
+            f"apply_diff_to_index: unexpected diff status(es) {unknown!r}; "
+            f"expected snapshot_diff output with statuses in {known}")
+    active = diff.where(F.col("status").isin("added", "changed", "removed"))
+    # EVERY active id vacates its old rows first — including 'added' ids,
+    # which are absent on first apply (harmless anti-join) but present on
+    # a REPLAY, where skipping them would duplicate rows
+    victims = active.select(
         F.col(id_col).alias("neighbor_id")).distinct()
-    incoming_ids = diff.where(
+    incoming_ids = active.where(
         F.col("status").isin("added", "changed")).select(id_col)
 
     m = len(codebooks)

@@ -130,7 +130,8 @@ def curate(
     """Compose the curation stack per ``cfg`` over ``docs``
     (``id_col``, ``text_col``[, ``domain_col``...]). Returns every stage
     frame under its name (``normalized``, ``filtered``, ``deduped``,
-    ``decontaminated``, ``redacted``, ``sampled``, ``packed``) — feed
+    ``decontaminated``, ``redacted``, ``windowed``, ``sampled``,
+    ``packed``) — feed
     :func:`curation_report` for retained-count accounting, or take
     ``.output`` and write it.
     """
@@ -174,12 +175,14 @@ def curate(
                 cur, tcol, icol, threshold=cfg.dedup_threshold)
             groups = _dedup.duplicate_groups(cur, pairs, icol)
             if cfg.dedup_keep == "best":
-                # keep the HIGHEST-quality member of every near-dup group
+                # keep the HIGHEST-quality member of every near-dup group;
+                # the score column gets a reserved name so a user frame
+                # that already carries `quality_score` doesn't collide
                 prof = _text.text_profile(cur, tcol, icol).select(
-                    icol, "quality_score")
+                    icol, F.col("quality_score").alias("_curate_qscore"))
                 cur = _dedup.keep_best(
-                    cur.join(prof, icol), groups, "quality_score", icol
-                ).drop("quality_score")
+                    cur.join(prof, icol), groups, "_curate_qscore", icol
+                ).drop("_curate_qscore")
             else:
                 # keep-first: the smallest id of every component
                 keep = groups.groupBy("group_id").agg(

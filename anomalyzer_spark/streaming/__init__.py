@@ -1,3 +1,5 @@
+from .curate_stream import (batch_union_equals_offline,
+                            run_curation_stream_on_dir)
 from .dedup_stream import (dedup_stream, dedup_stream_bounded,
                            run_dedup_stream_on_dir)
 from .detect_stream import detect_stream, run_stream_on_dir
@@ -6,11 +8,10 @@ from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
 from .resample_stream import resample_stream, run_resample_stream_on_dir
 from .session_stream import run_session_stream_on_dir
 
-__all__ = ["dedup_stream", "dedup_stream_bounded", "detect_stream",
+__all__ = ["batch_union_equals_offline", "dedup_stream",
+           "dedup_stream_bounded", "detect_stream",
            "minhash_dedup_stream", "minhash_groups_store",
            "minhash_pairs_store", "resample_stream",
-           "run_dedup_stream_on_dir", "run_minhash_stream_on_dir",
-           "run_resample_stream_on_dir", "run_session_stream_on_dir",
-           "run_stream_on_dir"]
-from .curate_stream import (batch_union_equals_offline,
-                            run_curation_stream_on_dir)
+           "run_curation_stream_on_dir", "run_dedup_stream_on_dir",
+           "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
+           "run_session_stream_on_dir", "run_stream_on_dir"]

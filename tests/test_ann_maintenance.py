@@ -97,6 +97,38 @@ def test_updated_index_serves_identical_searches(spark, models, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_include_unchanged_diff_equals_fresh_build(spark, models, tmp_path):
+    """snapshot_diff(include_unchanged=True) output must be safe: the
+    'unchanged' rows are no-ops, NOT victims — the round-8 ADVICE bug
+    vacated every unchanged doc from the index and never re-added it."""
+    e, cents, books = models
+    path = str(tmp_path / "idx4")
+    ann_index.build_ivfpq_index(e, path, cents, books)
+
+    new = _new_corpus(e)
+    diff = _diff(spark, e)
+    unchanged = (
+        e.select("vec_id")
+        .where((F.col("vec_id") % 7 != 0) & (F.col("vec_id") % 5 != 0))
+        .select("vec_id", F.lit("unchanged").alias("status")))
+    full_diff = diff.unionByName(unchanged)
+
+    ann_index.apply_diff_to_index(spark, path, full_diff, new, cents, books)
+    fresh_path = str(tmp_path / "fresh4")
+    ann_index.build_ivfpq_index(new, fresh_path, cents, books)
+    assert _snapshot(spark, path) == _snapshot(spark, fresh_path)
+
+
+def test_unknown_status_raises(spark, models, tmp_path):
+    e, cents, books = models
+    path = str(tmp_path / "idx5")
+    ann_index.build_ivfpq_index(e, path, cents, books)
+    bad = spark.createDataFrame(
+        [(1, "modified")], "vec_id long, status string")
+    with pytest.raises(ValueError, match="unexpected diff status"):
+        ann_index.apply_diff_to_index(spark, path, bad, e, cents, books)
+
+
 def test_empty_diff_touches_nothing(spark, models, tmp_path):
     e, cents, books = models
     path = str(tmp_path / "idx3")

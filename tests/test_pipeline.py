@@ -97,6 +97,28 @@ def test_minhash_dedup_keep_best(spark):
         CurationConfig(dedup_keep="bogus")
 
 
+def test_minhash_dedup_keep_best_with_user_quality_score(spark):
+    """A user frame that already carries a `quality_score` column must
+    survive dedup_keep='best' — the internal score uses a reserved name,
+    so no ambiguous-column error and the user's column passes through."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base, 0.11),
+        (2, base + " " + base, 0.22),
+        (3, "completely unrelated text about spark catalyst optimizer",
+         0.33),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, quality_score double")
+    res = curate(df, CurationConfig(
+        normalize_form=None, dedup="minhash", dedup_threshold=0.4,
+        dedup_keep="best"))
+    out = {r["doc_id"]: r["quality_score"] for r in res.output.collect()}
+    assert set(out) == {2, 3}
+    assert out[2] == 0.22 and out[3] == 0.33
+    assert set(res.output.columns) == {"doc_id", "text", "quality_score"}
+
+
 def test_top_fraction_gate(spark, docs):
     n = docs.count()
     res = curate(docs, CurationConfig(

@@ -54,6 +54,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         a, b = s[c], d[c]
+        # Driver-faithful: the driver hashes serialized values, so int64 123
+        # vs float64 123.0 is a hash MISMATCH even though the values are
+        # numerically equal.  Flag dtype-kind disagreement instead of
+        # coercing it away (the round-7/8 text_pipeline failure mode).
+        ka, kb = a.dtype.kind, b.dtype.kind
+        if ka != kb and {ka, kb} <= {"i", "u", "f"}:
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={a.dtype} duck={b.dtype}"
+                " (driver value-hash would fail even if values are equal)")
+            continue
         if a.dtype.kind == "f" or b.dtype.kind == "f":
             a = a.astype(float)
             b = b.astype(float)
