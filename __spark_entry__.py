@@ -978,17 +978,30 @@ def q_detect_stream_mc(spark, sf_dir):
     return _round6(res.select("event_type", "n_points", "prob"), "prob")
 
 
-def q_sessions(spark, sf_dir):
-    """Gap-based sessionization (30-min gap) per user: per-session start /
-    end / duration / event count via the islands pattern (one exchange,
-    one sort; the per-session groupBy reuses the same partitioning).
-    Event time is normalized to epoch-µs via timeutil (NTZ wall clock as
-    UTC = DuckDB epoch_us), with the unique event_id tiebreak."""
-    from anomalyzer_spark.operators.sessions import session_stats
-    ev = load_table(spark, sf_dir, "events")
-    out = session_stats(ev, ["user_id"], "ts", gap_seconds=1800,
-                        tiebreak_cols=["event_id"])
-    return _round6(out, "duration_s")
+def q_snapshot_diff(spark, sf_dir):
+    """Corpus snapshot delta (dedup.snapshot_diff) — the incremental-
+    reprocessing primitive whose added+changed slice drives 100 TB
+    re-runs. old = the fixture documents; new = the same corpus minus
+    every 7th doc (removed), every remaining 5th doc's text rewritten
+    (changed), plus id-shifted copies of doc_id<10 (added). Each side
+    reduces to (id, md5) map-side off a pruned two-column scan, then ONE
+    full-outer equi-join on the id. Unchanged rows dropped (the default),
+    so the hashed contract covers the status classification AND the raw-
+    byte md5 content identities on both sides."""
+    from anomalyzer_spark.functions import dedup
+    docs = _docs(spark, sf_dir)
+    old = docs.select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.concat(F.col("text"), F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"))
+        .unionAll(docs.where(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text")))
+    return dedup.snapshot_diff(old, new, "text", "doc_id")
 
 
 def q_resample_stream(spark, sf_dir):
@@ -1160,7 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_stream": q_detect_stream,
         "detect_stream_mc": q_detect_stream_mc,
         "resample_stream": q_resample_stream,
-        "sessions": q_sessions,
+        "snapshot_diff": q_snapshot_diff,
         "sessions_stream": q_sessions_stream,
         "dedup_stream": q_dedup_stream,
         "kafka_parse": q_kafka_parse,
@@ -1537,24 +1550,31 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
     # sessionization oracle: identical islands formulation (lag + running
     # sum of gap-breaks) over µs event time with the event_id tiebreak.
-    sql["sessions"] = """
-WITH e AS (
-  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-flagged AS (
-  SELECT user_id, us, event_id,
-    CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-assigned AS (
-  SELECT user_id, us,
-    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-      AS session_idx
-  FROM flagged)
-SELECT user_id, session_idx::BIGINT AS session_idx,
-  min(us) AS start_us, max(us) AS end_us,
-  round((max(us) - min(us)) / 1000000.0, 6) AS duration_s,
-  count(*) AS n_events
-FROM assigned GROUP BY user_id, session_idx"""
+    # snapshot delta: same old/new derivation as the Spark side, md5 over
+    # the raw text bytes, one FULL OUTER join, unchanged rows dropped.
+    sql["snapshot_diff"] = """
+WITH old AS (SELECT doc_id, md5(text) AS old_hash FROM documents),
+new_base AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+  FROM documents WHERE doc_id % 7 <> 0),
+added AS (SELECT doc_id + 1000000 AS doc_id, text FROM documents
+          WHERE doc_id < 10),
+new AS (SELECT doc_id, md5(text) AS new_hash
+        FROM (SELECT * FROM new_base UNION ALL SELECT * FROM added)),
+j AS (SELECT coalesce(old.doc_id, new.doc_id) AS doc_id, old_hash,
+             new_hash, old.doc_id IS NOT NULL AS in_old,
+             new.doc_id IS NOT NULL AS in_new
+      FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id),
+cls AS (
+  SELECT doc_id, old_hash, new_hash,
+         CASE WHEN NOT in_old THEN 'added'
+              WHEN NOT in_new THEN 'removed'
+              WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
+              ELSE 'changed' END AS status
+  FROM j)
+SELECT doc_id, status, old_hash, new_hash
+FROM cls WHERE status <> 'unchanged'"""
 
     # streaming watermarked resample: emitted = batch buckets whose window
     # END has passed the final watermark (max event time - 1h). Spark

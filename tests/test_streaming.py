@@ -245,6 +245,51 @@ def test_kafka_source_gated_without_connector(spark):
             value_schema="event_id long, ts timestamp, value double")
 
 
+def test_session_stats_duckdb_parity(spark, sf_dir):
+    """Batch sessionization (islands pattern) value-parity vs DuckDB,
+    INCLUDING duration_s and the per-user session_idx ordinal — the full
+    contract the retired round-9 `sessions` registry slot hashed (slot
+    rotated to snapshot_diff; the stream slot hashes start/end/n_events
+    for every watermark-passed session but not these two columns)."""
+    import duckdb
+
+    from anomalyzer_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_stats(ev, ["user_id"], "ts", gap_seconds=1800,
+                        tiebreak_cols=["event_id"])
+    # no rounding on either side: both compute (end-start)/1e6 as the
+    # same double division, so the floats compare bit-equal
+    got = sorted(
+        (r["user_id"], r["session_idx"], r["start_us"], r["end_us"],
+         r["duration_s"], r["n_events"])
+        for r in out.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/events.parquet')")
+    want = con.execute("""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+flagged AS (
+  SELECT user_id, us, event_id,
+    CASE WHEN us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+assigned AS (
+  SELECT user_id, us,
+    sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      AS session_idx
+  FROM flagged)
+SELECT user_id, session_idx::BIGINT AS session_idx,
+  min(us) AS start_us, max(us) AS end_us,
+  (max(us) - min(us)) / 1000000.0 AS duration_s,
+  count(*) AS n_events
+FROM assigned GROUP BY user_id, session_idx
+ORDER BY user_id, session_idx""").fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)
+
+
 def test_session_stream_matches_batch(spark, sf_dir, tmp_path):
     """Native session_window streaming aggregation must produce the same
     sessions as the batch islands formulation — for every session CLOSED

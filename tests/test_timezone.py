@@ -14,8 +14,11 @@ from tools.check_correctness import TABLES, compare
 
 #: queries whose plans touch event time, watermarks, or temporal literals
 #: (plain `resample` retired round 5 — its bucket arithmetic is covered
-#: here through detect_resampled, which composes the same resample())
-TZ_SENSITIVE = ("detect_resampled", "sessions", "detect_horizon",
+#: here through detect_resampled, which composes the same resample();
+#: batch `sessions` retired round 9 for snapshot_diff — sessions_stream
+#: probes the same islands arithmetic PLUS the watermark cutoff, the
+#: most tz-sensitive path of the pair)
+TZ_SENSITIVE = ("detect_resampled", "sessions_stream", "detect_horizon",
                 "pricing_summary", "kafka_parse")
 
 
