@@ -851,3 +851,97 @@ def test_curation_stream_incremental_restart(spark, sf_dir, tmp_path):
     exp = {r["doc_id"] for r in
            curate(d, cfg).output.select("doc_id").collect()}
     assert got == exp
+
+
+def test_curation_stream_cross_batch_dedup_exact(spark, sf_dir, tmp_path):
+    """Composed streaming curation + cross-batch EXACT dedup: duplicates
+    planted so their group spans micro-batches IN BOTH directions (copy
+    arrives after its original AND copy arrives before a later-batch
+    original), and the result must equal offline curate() with dedup —
+    canonical choice is min-id, not first-arrival."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    from anomalyzer_spark.streaming import (
+        run_curation_stream_with_dedup_on_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    originals = d.where(F.col("doc_id") < 400)
+    late_originals = d.where(F.col("doc_id") >= 400)
+    copies = originals.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "text")
+    # copies of the LATE originals arrive in the FIRST file — keep-first
+    # by arrival would wrongly keep these big-id copies
+    early_copies = late_originals.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200_000).alias("doc_id"), "text")
+    corpus = originals.unionByName(late_originals) \
+        .unionByName(copies).unionByName(early_copies)
+
+    sdir = str(tmp_path / "in")
+    early_copies.coalesce(1).write.mode("append").parquet(sdir)
+    originals.coalesce(1).write.mode("append").parquet(sdir)
+    late_originals.unionByName(copies).coalesce(1) \
+        .write.mode("append").parquet(sdir)
+
+    cfg = CurationConfig(min_tokens=5)  # dedup="exact" is the default
+    got = run_curation_stream_with_dedup_on_dir(
+        spark, sdir, str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        schema=d.schema)
+    gset = sorted((r["doc_id"], r["text"]) for r in got.collect())
+    eset = sorted((r["doc_id"], r["text"]) for r in
+                  curate(corpus, cfg).output.collect())
+    assert gset == eset and 0 < len(gset) < corpus.count()
+    # every planted copy lost to its smaller-id original
+    kept = {i for i, _ in gset}
+    assert not any(i >= 100_000 for i in kept)
+
+
+def test_curation_stream_cross_batch_dedup_minhash(spark, sf_dir, tmp_path):
+    """Composed streaming curation + cross-batch NEAR-dup dedup: the
+    band-bucket store accumulated over 3 micro-batches must resolve the
+    same keep-first survivors as offline curate(dedup='minhash') — near-
+    dup pairs whose endpoints live in different batches included."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    from anomalyzer_spark.streaming import (
+        run_curation_stream_with_dedup_on_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = d.where(F.col("doc_id") < 300)
+    # near-dup copies: same text + a short suffix (high Jaccard, new hash)
+    near = base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" trailing marker")).alias("text"))
+    corpus = base.unionByName(near)
+    sdir = str(tmp_path / "in")
+    # 3 files -> 3 micro-batches; near-dups split from their partners
+    base.where(F.col("doc_id") < 150).coalesce(1) \
+        .write.mode("append").parquet(sdir)
+    base.where(F.col("doc_id") >= 150).coalesce(1) \
+        .write.mode("append").parquet(sdir)
+    near.coalesce(1).write.mode("append").parquet(sdir)
+
+    cfg = CurationConfig(dedup="minhash", dedup_threshold=0.6)
+    got = run_curation_stream_with_dedup_on_dir(
+        spark, sdir, str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        schema=d.schema)
+    gset = sorted((r["doc_id"], r["text"]) for r in got.collect())
+    eset = sorted((r["doc_id"], r["text"]) for r in
+                  curate(corpus, cfg).output.collect())
+    assert gset == eset and 0 < len(gset) < corpus.count()
+    # at least one cross-batch near-dup group actually resolved
+    assert len(gset) < corpus.count() - 0
+
+
+def test_curation_stream_with_dedup_rejects_unsupported(spark, tmp_path):
+    from anomalyzer_spark.pipeline import CurationConfig
+    from anomalyzer_spark.streaming import (
+        run_curation_stream_with_dedup_on_dir)
+
+    with pytest.raises(ValueError, match="requires cfg.dedup"):
+        run_curation_stream_with_dedup_on_dir(
+            spark, "x", "y", "z", CurationConfig(dedup=None))
+    with pytest.raises(ValueError, match="not batch-split-invariant"):
+        run_curation_stream_with_dedup_on_dir(
+            spark, "x", "y", "z", CurationConfig(redact=True))
+    with pytest.raises(ValueError, match="not batch-split-invariant"):
+        run_curation_stream_with_dedup_on_dir(
+            spark, "x", "y", "z",
+            CurationConfig(dedup="minhash", dedup_keep="best"))
