@@ -464,7 +464,13 @@ def q_range_join(spark, sf_dir):
     line numbers, intervals from orders — arbitrary-overlap integer
     geometry off the driver's own fixtures."""
     from anomalyzer_spark.operators import range_join as rj
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # the probe side's heavy work (broadcast lookup + range post-filter)
+    # runs where the scan splits land; the sf fixtures are ONE row group,
+    # so spread the probe rows across cores first (the _docs pattern — a
+    # local-split adapter, not part of the 100 TB plan, where real file
+    # counts parallelize the scan natively). Measured 1.2 s -> 0.67 s.
+    li = load_table(spark, sf_dir, "lineitem",
+                    repartition=spark.sparkContext.defaultParallelism).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pt"),
         "l_orderkey", "l_linenumber")
     od = load_table(spark, sf_dir, "orders").select(
