@@ -81,6 +81,9 @@ HEADLINE = (
     "decontam",
     "dedup_paragraphs",
     "text_pipeline",
+    # round-9 registry addition (rotated in for batch sessions): the
+    # incremental corpus-delta primitive, tracked from its first round
+    "snapshot_diff",
 )
 
 
