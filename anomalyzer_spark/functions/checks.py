@@ -1,0 +1,200 @@
+"""Declarative data-quality checks — the ingest gate for a 100 TB corpus.
+
+The pattern is the public Deequ/Great-Expectations one: the user declares
+WHAT must hold (completeness, uniqueness, value bounds, set membership,
+pattern conformance, row count) and the engine computes every declared
+metric in **one aggregate pass over the data** — a single scan, map-side
+partial aggregation, one tiny exchange to a 1-row frame. At 100 TB the
+cost is the scan you were already paying to ingest; adding a check adds a
+column to the agg, never a job.
+
+Report shape: the 1-row metric frame is unpivoted (driver-free — the
+unpivot runs on the single aggregated row) into the long-form contract
+    (check, column, metric, value, threshold, passed)
+so downstream gating is `report.where(~passed)` and the report itself is
+a DataFrame that can be written next to the data it describes.
+
+Scale notes:
+* every metric except exact uniqueness is an algebraic aggregate
+  (count/sum/min/max/avg of row-local predicates) — partial-agg friendly,
+  no distinct expansion;
+* ``uniqueness`` defaults to ``approx_count_distinct`` (HyperLogLog++,
+  single pass, mergeable — the only honest default at 100 TB); pass
+  ``exact=True`` for small frames or when the gate is exact-dup-free
+  (that is what the DuckDB oracle cross-checks, since HLL sketches are
+  engine-specific);
+* no ``.collect()`` anywhere — composing the report is plan surgery on a
+  1-row frame.
+
+Check constructors return plain dicts (the declarative spec is data, so
+configs serialize to JSON next to pipeline configs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "completeness", "uniqueness", "in_range", "in_set", "matches",
+    "mean_between", "row_count", "satisfies", "verify_checks",
+]
+
+
+def completeness(column: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of rows with ``column`` NOT NULL must be ≥ ``min_ratio``."""
+    return {"kind": "completeness", "column": column,
+            "threshold": float(min_ratio)}
+
+
+def uniqueness(column: str, min_ratio: float = 1.0, *,
+               exact: bool = False) -> dict:
+    """distinct(column) / count(column NOT NULL) must be ≥ ``min_ratio``.
+
+    ``exact=False`` (default) uses HyperLogLog++ — the single-pass,
+    mergeable sketch that is the only sane default at corpus scale;
+    ``exact=True`` uses COUNT(DISTINCT) (adds a distinct expansion —
+    fine on dimension-sized frames, deliberate on fact-sized ones).
+    """
+    return {"kind": "uniqueness", "column": column,
+            "threshold": float(min_ratio), "exact": bool(exact)}
+
+
+def in_range(column: str, lo=None, hi=None, min_ratio: float = 1.0) -> dict:
+    """Fraction of NON-NULL values inside [lo, hi] must be ≥ ``min_ratio``
+    (one bound may be None for a one-sided check; NULLs are completeness's
+    job, not this check's)."""
+    if lo is None and hi is None:
+        raise ValueError("in_range needs at least one of lo/hi")
+    return {"kind": "in_range", "column": column, "lo": lo, "hi": hi,
+            "threshold": float(min_ratio)}
+
+
+def in_set(column: str, values, min_ratio: float = 1.0) -> dict:
+    """Fraction of NON-NULL values in ``values`` must be ≥ ``min_ratio``."""
+    vals = list(values)
+    if not vals:
+        raise ValueError("in_set needs a non-empty value list")
+    return {"kind": "in_set", "column": column, "values": vals,
+            "threshold": float(min_ratio)}
+
+
+def matches(column: str, pattern: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of NON-NULL values fully matching regex ``pattern`` must be
+    ≥ ``min_ratio`` (Java/RE2-portable regex — same constraint as
+    ``text.redact_pii``)."""
+    return {"kind": "matches", "column": column, "pattern": pattern,
+            "threshold": float(min_ratio)}
+
+
+def mean_between(column: str, lo: float, hi: float) -> dict:
+    """avg(column) must lie in [lo, hi] (NULLs ignored, SQL semantics)."""
+    return {"kind": "mean_between", "column": column, "lo": float(lo),
+            "hi": float(hi)}
+
+
+def row_count(min_rows: int = 0, max_rows=None) -> dict:
+    """Total row count must lie in [min_rows, max_rows]."""
+    return {"kind": "row_count", "column": None, "lo": int(min_rows),
+            "hi": None if max_rows is None else int(max_rows)}
+
+
+def satisfies(predicate_sql: str, name: str, min_ratio: float = 1.0) -> dict:
+    """Fraction of rows where ``predicate_sql`` (a boolean SQL expression
+    over the frame's columns) is TRUE must be ≥ ``min_ratio`` — the escape
+    hatch for cross-column invariants (`"l_shipdate <= l_receiptdate"`)."""
+    return {"kind": "satisfies", "column": name,
+            "predicate": predicate_sql, "threshold": float(min_ratio)}
+
+
+def _ratio(num, den):
+    # 0/0 → NULL in SQL; an empty frame should FAIL ratio checks loudly,
+    # not pass vacuously, so map the empty-denominator case to 0.0.
+    return F.when(den > 0, num.cast("double") / den.cast("double")) \
+            .otherwise(F.lit(0.0))
+
+
+def _metric_expr(c: dict):
+    """(aggregate Column producing the metric value, metric label)."""
+    kind = c["kind"]
+    n = F.count(F.lit(1))
+    if kind == "completeness":
+        return _ratio(F.count(F.col(c["column"])), n), "non_null_ratio"
+    if kind == "uniqueness":
+        col = F.col(c["column"])
+        distinct = (F.count_distinct(col) if c["exact"]
+                    else F.approx_count_distinct(col))
+        return _ratio(distinct, F.count(col)), "distinct_ratio"
+    if kind == "in_range":
+        col = F.col(c["column"])
+        cond = F.lit(True)
+        if c["lo"] is not None:
+            cond = cond & (col >= F.lit(c["lo"]))
+        if c["hi"] is not None:
+            cond = cond & (col <= F.lit(c["hi"]))
+        ok = F.count(F.when(cond, 1))
+        return _ratio(ok, F.count(col)), "in_range_ratio"
+    if kind == "in_set":
+        col = F.col(c["column"])
+        ok = F.count(F.when(col.isin(c["values"]), 1))
+        return _ratio(ok, F.count(col)), "in_set_ratio"
+    if kind == "matches":
+        col = F.col(c["column"])
+        ok = F.count(F.when(col.rlike("^(?:" + c["pattern"] + ")$"), 1))
+        return _ratio(ok, F.count(col)), "match_ratio"
+    if kind == "mean_between":
+        return F.avg(F.col(c["column"])).cast("double"), "mean"
+    if kind == "row_count":
+        return n.cast("double"), "rows"
+    if kind == "satisfies":
+        ok = F.count(F.when(F.expr(c["predicate"]), 1))
+        return _ratio(ok, n), "satisfied_ratio"
+    raise ValueError(f"unknown check kind: {kind!r}")
+
+
+def _passed(c: dict, value):
+    if c["kind"] in ("mean_between", "row_count"):
+        ok = F.lit(True)
+        if c.get("lo") is not None:
+            ok = ok & (value >= F.lit(float(c["lo"])))
+        if c.get("hi") is not None:
+            ok = ok & (value <= F.lit(float(c["hi"])))
+        # empty-frame mean is NULL → fail, not pass
+        return F.coalesce(ok, F.lit(False))
+    return value >= F.lit(c["threshold"])
+
+
+def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run every check in ONE aggregate pass; return the long-form report
+    (check, column, metric, value, threshold, passed), one row per check,
+    in the declared order (``check`` is ``"<i>:<kind>"`` so the report
+    orders and keys deterministically even when one column carries two
+    checks of the same kind)."""
+    if not checks:
+        raise ValueError("verify_checks needs at least one check")
+    aggs, labels = [], []
+    for i, c in enumerate(checks):
+        expr, metric = _metric_expr(c)
+        aggs.append(expr.alias(f"m{i}"))
+        labels.append(metric)
+    metrics = df.agg(*aggs)  # 1 row; the only pass over the data
+
+    # unpivot via explode-of-structs on the 1-row frame: ONE plan branch,
+    # so the aggregate provably runs once (a union of N selects over the
+    # same agg would lean on exchange reuse instead).
+    rows = []
+    for i, (c, metric) in enumerate(zip(checks, labels)):
+        value = F.col(f"m{i}").cast("double")
+        if c["kind"] in ("mean_between", "row_count"):
+            thresh = F.lit(None).cast("double")
+        else:
+            thresh = F.lit(float(c["threshold"]))
+        rows.append(F.struct(
+            F.lit(f"{i}:{c['kind']}").alias("check"),
+            F.lit(c["column"]).cast("string").alias("column"),
+            F.lit(metric).alias("metric"),
+            value.alias("value"),
+            thresh.alias("threshold"),
+            _passed(c, value).alias("passed"),
+        ))
+    return (metrics.select(F.explode(F.array(*rows)).alias("r"))
+            .select("r.*"))

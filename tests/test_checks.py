@@ -1,0 +1,133 @@
+"""Data-quality checks (functions/checks.py): DuckDB value parity over
+the driver fixtures, semantic pins on hand-built edge frames, and the
+one-pass plan-shape guarantee."""
+
+import duckdb
+import pytest
+
+from anomalyzer_spark.functions import checks as C
+
+
+def _orders_checks():
+    return [
+        C.completeness("o_custkey"),
+        C.uniqueness("o_orderkey", exact=True),
+        C.in_range("o_totalprice", lo=0, hi=1e6, min_ratio=0.99),
+        C.in_set("o_orderstatus", ["O", "F", "P"]),
+        C.matches("o_orderpriority", r"[1-5]-[A-Z]+"),
+        C.mean_between("o_totalprice", 100.0, 500000.0),
+        C.row_count(min_rows=1),
+        C.satisfies("o_totalprice > 0", "price_positive"),
+    ]
+
+
+def test_verify_checks_duckdb_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = [tuple(r) for r in
+           C.verify_checks(df, _orders_checks()).collect()]
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    want = con.execute("""
+WITH m AS (SELECT
+  count(o_custkey)::DOUBLE / count(*) AS m0,
+  count(DISTINCT o_orderkey)::DOUBLE / count(o_orderkey) AS m1,
+  count(CASE WHEN o_totalprice BETWEEN 0 AND 1e6 THEN 1 END)::DOUBLE
+    / count(o_totalprice) AS m2,
+  count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)::DOUBLE
+    / count(o_orderstatus) AS m3,
+  count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+')
+        THEN 1 END)::DOUBLE / count(o_orderpriority) AS m4,
+  avg(o_totalprice) AS m5,
+  count(*)::DOUBLE AS m6,
+  count(CASE WHEN o_totalprice > 0 THEN 1 END)::DOUBLE / count(*) AS m7
+  FROM orders)
+SELECT '0:completeness', 'o_custkey', 'non_null_ratio', m0, 1.0::DOUBLE,
+       m0 >= 1.0 FROM m
+UNION ALL SELECT '1:uniqueness', 'o_orderkey', 'distinct_ratio', m1,
+       1.0::DOUBLE, m1 >= 1.0 FROM m
+UNION ALL SELECT '2:in_range', 'o_totalprice', 'in_range_ratio', m2,
+       0.99::DOUBLE, m2 >= 0.99 FROM m
+UNION ALL SELECT '3:in_set', 'o_orderstatus', 'in_set_ratio', m3, 1.0::DOUBLE,
+       m3 >= 1.0 FROM m
+UNION ALL SELECT '4:matches', 'o_orderpriority', 'match_ratio', m4,
+       1.0::DOUBLE, m4 >= 1.0 FROM m
+UNION ALL SELECT '5:mean_between', 'o_totalprice', 'mean', m5, NULL::DOUBLE,
+       m5 BETWEEN 100.0 AND 500000.0 FROM m
+UNION ALL SELECT '6:row_count', NULL, 'rows', m6, NULL::DOUBLE, m6 >= 1 FROM m
+UNION ALL SELECT '7:satisfies', 'price_positive', 'satisfied_ratio',
+       m7, 1.0::DOUBLE, m7 >= 1.0 FROM m""").fetchall()
+    assert len(got) == 8
+    for g, w in zip(got, [tuple(w) for w in want]):
+        assert g[:3] == w[:3] and g[4:] == w[4:]
+        # value: float summation order differs between engines for avg
+        assert g[3] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_single_pass_plan(spark, sf_dir):
+    # the contract: N checks = ONE scan + ONE exchange (plus the extra
+    # agg phase an exact-distinct adds — use the HLL default here).
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = C.verify_checks(df, [
+        C.completeness("o_custkey"),
+        C.uniqueness("o_orderkey"),          # approx (HLL) default
+        C.in_range("o_totalprice", lo=0),
+        C.row_count(min_rows=1),
+    ])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_null_and_empty_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, None), (2, "b"), (None, "c")], "a long, s string")
+    rep = {r["check"]: r for r in C.verify_checks(df, [
+        C.completeness("a", 0.5),
+        C.in_range("a", lo=1, hi=1),   # over NON-NULL a only: 1 of 2
+        C.matches("s", "b", 0.5),      # over non-null s: 1 of 2
+    ]).collect()}
+    assert rep["0:completeness"]["value"] == pytest.approx(2 / 3)
+    assert rep["0:completeness"]["passed"]
+    assert rep["1:in_range"]["value"] == pytest.approx(0.5)
+    assert rep["2:matches"]["value"] == pytest.approx(0.5)
+    assert rep["2:matches"]["passed"]
+
+    # empty frame: ratio checks FAIL loudly (0.0, not vacuous pass);
+    # mean is NULL -> failed; row_count(min_rows=0) passes.
+    empty = df.where("1=0")
+    rep = {r["check"]: r for r in C.verify_checks(empty, [
+        C.completeness("a"),
+        C.mean_between("a", 0, 10),
+        C.row_count(min_rows=0),
+    ]).collect()}
+    assert rep["0:completeness"]["value"] == 0.0
+    assert not rep["0:completeness"]["passed"]
+    assert rep["1:mean_between"]["value"] is None
+    assert not rep["1:mean_between"]["passed"]
+    assert rep["2:row_count"]["passed"]
+
+
+def test_matches_is_full_match(spark):
+    # 'matches' anchors the pattern (full-value conformance, not search)
+    df = spark.createDataFrame([("ab",), ("zab",), ("abz",)], "s string")
+    rep = C.verify_checks(df, [C.matches("s", "ab", 0.0)]).collect()[0]
+    assert rep["value"] == pytest.approx(1 / 3)
+
+
+def test_exact_vs_approx_uniqueness(spark):
+    df = spark.range(0, 2000).selectExpr("id % 1000 AS k")
+    exact = C.verify_checks(df, [C.uniqueness("k", exact=True)]) \
+        .collect()[0]["value"]
+    approx = C.verify_checks(df, [C.uniqueness("k")]).collect()[0]["value"]
+    assert exact == pytest.approx(0.5)
+    assert approx == pytest.approx(0.5, rel=0.1)  # HLL default rsd ~2.3%
+
+
+def test_spec_validation():
+    with pytest.raises(ValueError):
+        C.in_range("x")
+    with pytest.raises(ValueError):
+        C.in_set("x", [])
+    with pytest.raises(ValueError):
+        C.verify_checks(None, [])
