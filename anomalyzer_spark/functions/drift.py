@@ -1,0 +1,170 @@
+"""Distribution drift between corpus snapshots — the statistical
+complement to ``dedup.snapshot_diff`` (which answers "WHICH rows
+changed"; this answers "did the DATA MOVE": value distributions shifting
+between yesterday's 100 TB and today's).
+
+The scale design is the profile/compare split:
+
+* ``histogram_profile`` reduces a snapshot to a TINY long-form histogram
+  frame — (column, bucket, cnt, lo, hi), ≤ columns × (n_bins + 1) rows —
+  in one map-side-combined aggregate pass. At 100 TB you compute it once
+  per snapshot, piggy-backing the scan you already pay at write time, and
+  persist it next to the data;
+* ``psi_report`` compares two PROFILES — never the corpora — so drift
+  monitoring over a year of dailies joins kilobyte frames.
+
+``psi_drift(old, new, cols)`` is the one-call convenience that derives
+bin bounds from ``old``, profiles both frames, and compares.
+
+Semantics (each pinned in tests and reproduced in the DuckDB oracle):
+
+* bins are equi-width over [lo, hi] with bucket =
+  ``clamp(floor((v - lo) / w), 0, n_bins - 1)`` — values OUTSIDE the old
+  snapshot's range (the classic "new data beyond old bounds" drift) land
+  in the edge buckets rather than being dropped;
+* NULL gets its own bucket (-1): a nullness shift IS distribution drift;
+* a constant column (lo == hi) puts every non-null value in bucket 0;
+* proportions are Laplace-smoothed — ``p = (cnt + α) / (rows + α·B)``
+  with B = n_bins + 1 buckets — so empty buckets never produce ln(0)
+  and PSI is total (deterministic, no epsilon clipping);
+* PSI = Σ_b (p_b − q_b)·ln(p_b / q_b), rounded to 6 decimals (the
+  cross-engine float-sum-order tolerance every rounded metric in this
+  repo compiles to).
+
+Standard interpretation thresholds (industry convention, not enforced
+here): PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["histogram_profile", "psi_report", "psi_drift"]
+
+#: NULL values get their own bucket id — nullness drift is drift.
+NULL_BUCKET = -1
+
+
+def _unpivot(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, value double) long form — one map-only projection."""
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("double").alias("value"))
+            for c in cols]
+    return df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def _bounds_frame(df: DataFrame, cols: list[str],
+                  bounds: dict | None) -> DataFrame:
+    """(column, lo, hi) — literals when given, else one agg pass."""
+    spark = df.sparkSession
+    if bounds is not None:
+        missing = [c for c in cols if c not in bounds]
+        if missing:
+            raise ValueError(f"bounds missing for columns: {missing}")
+        return spark.createDataFrame(
+            [(c, float(bounds[c][0]), float(bounds[c][1])) for c in cols],
+            "column string, lo double, hi double")
+    long = _unpivot(df, cols)
+    return long.groupBy("column").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"))
+
+
+def histogram_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    n_bins: int = 10,
+    bounds: dict | None = None,
+) -> DataFrame:
+    """Long-form equi-width histogram: (column, bucket, cnt, lo, hi),
+    one row per non-empty bucket (plus the NULL bucket when present).
+
+    ``bounds`` maps column -> (lo, hi); omit to derive from ``df`` (an
+    extra aggregate pass over ``df`` — when profiling a NEW snapshot
+    against an OLD one, pass the old profile's bounds so the bins line
+    up AND the pass count stays at one)."""
+    if not cols:
+        raise ValueError("histogram_profile needs at least one column")
+    if n_bins < 1:
+        raise ValueError("n_bins must be >= 1")
+    b = F.broadcast(_bounds_frame(df, cols, bounds))
+    long = _unpivot(df, cols).join(b, "column")
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bucket = (
+        F.when(F.col("value").isNull(), F.lit(NULL_BUCKET))
+        .when(F.col("hi") <= F.col("lo"), F.lit(0))
+        .otherwise(F.least(
+            F.lit(n_bins - 1),
+            F.greatest(F.lit(0), F.floor(
+                (F.col("value") - F.col("lo")) / width).cast("int"))))
+    )
+    return (long.withColumn("bucket", bucket)
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"),
+                 F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+
+
+def psi_report(
+    old_profile: DataFrame,
+    new_profile: DataFrame,
+    *,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Compare two ``histogram_profile`` frames (they must share bounds —
+    profile the new snapshot with the old profile's bounds): returns
+    (column, psi, old_rows, new_rows), psi rounded to 6 decimals.
+
+    Operates purely on the tiny profiles: a full-outer join on
+    (column, bucket) then one groupBy — kilobytes at any corpus scale."""
+    B = float(n_bins + 1)  # possible buckets incl. the NULL bucket
+    o = old_profile.select("column", "bucket",
+                           F.col("cnt").alias("old_cnt"))
+    n = new_profile.select("column", "bucket",
+                           F.col("cnt").alias("new_cnt"))
+    joined = (
+        o.join(n, ["column", "bucket"], "full_outer")
+        .fillna(0, subset=["old_cnt", "new_cnt"])
+    )
+    totals = joined.groupBy("column").agg(
+        F.sum("old_cnt").alias("old_rows"),
+        F.sum("new_cnt").alias("new_rows"))
+    j = joined.join(totals, "column")
+    p = (F.col("old_cnt") + F.lit(alpha)) / \
+        (F.col("old_rows") + F.lit(alpha * B))
+    q = (F.col("new_cnt") + F.lit(alpha)) / \
+        (F.col("new_rows") + F.lit(alpha * B))
+    contrib = (p - q) * (F.log(p) - F.log(q))
+    return (j.withColumn("contrib", contrib)
+            .groupBy("column")
+            .agg(F.round(F.sum("contrib"), 6).alias("psi"),
+                 F.first("old_rows").alias("old_rows"),
+                 F.first("new_rows").alias("new_rows"))
+            )
+
+
+def psi_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    n_bins: int = 10,
+    alpha: float = 0.5,
+    bounds: dict | None = None,
+) -> DataFrame:
+    """One-call drift: bin bounds from ``old`` (or explicit ``bounds``),
+    both snapshots profiled on the SAME bins, PSI per column.
+
+    Note the pass count: deriving bounds costs one extra aggregate pass
+    over ``old``. Production drift monitoring should persist each
+    snapshot's ``histogram_profile`` at write time and call
+    ``psi_report`` on the stored profiles instead."""
+    if bounds is None:
+        b = _bounds_frame(old, cols, None)
+        bounds = {r["column"]: (r["lo"], r["hi"]) for r in b.collect()}
+        for c in cols:  # all-NULL column derives no bounds
+            if bounds.get(c, (None, None))[0] is None:
+                bounds[c] = (0.0, 0.0)
+    op = histogram_profile(old, cols, n_bins=n_bins, bounds=bounds)
+    np_ = histogram_profile(new, cols, n_bins=n_bins, bounds=bounds)
+    return psi_report(op, np_, n_bins=n_bins, alpha=alpha)

@@ -1,0 +1,120 @@
+"""Snapshot distribution drift (functions/drift.py): DuckDB value
+parity for the full psi_drift composition, semantic pins (NULL bucket,
+out-of-range clamp, constant column, self-drift = 0), and the
+profile/compare split contract."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions.drift import (
+    histogram_profile, psi_drift, psi_report)
+
+
+def test_psi_drift_duckdb_parity(spark, sf_dir):
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+    got = {r["column"]: (r["psi"], r["old_rows"], r["new_rows"])
+           for r in psi_drift(old, new,
+                              ["o_totalprice", "o_custkey"]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    # same spec in SQL: bounds from OLD, 10 equi-width bins + NULL
+    # bucket, Laplace alpha=0.5 over B=11 buckets, PSI rounded to 6.
+    want = {}
+    for col, scale in [("o_totalprice", 1.2), ("o_custkey", 1.0)]:
+        rows = con.execute(f"""
+WITH b AS (SELECT min({col}::DOUBLE) lo, max({col}::DOUBLE) hi
+           FROM orders),
+o AS (SELECT CASE WHEN {col} IS NULL THEN -1
+        WHEN (SELECT hi FROM b) <= (SELECT lo FROM b) THEN 0
+        ELSE least(9, greatest(0, floor(({col}::DOUBLE - (SELECT lo FROM b))
+          / (((SELECT hi FROM b) - (SELECT lo FROM b)) / 10))::INT)) END
+        AS bucket, count(*) cnt FROM orders GROUP BY 1),
+n AS (SELECT CASE WHEN v IS NULL THEN -1
+        WHEN (SELECT hi FROM b) <= (SELECT lo FROM b) THEN 0
+        ELSE least(9, greatest(0, floor((v - (SELECT lo FROM b))
+          / (((SELECT hi FROM b) - (SELECT lo FROM b)) / 10))::INT)) END
+        AS bucket, count(*) cnt
+      FROM (SELECT {col}::DOUBLE * {scale} AS v FROM orders) GROUP BY 1),
+j AS (SELECT coalesce(o.bucket, n.bucket) bucket,
+        coalesce(o.cnt, 0) oc, coalesce(n.cnt, 0) nc
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+t AS (SELECT sum(oc) ot, sum(nc) nt FROM j)
+SELECT round(sum((p - q) * ln(p / q)), 6), (SELECT ot FROM t),
+       (SELECT nt FROM t)
+FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 0.5 * 11) p,
+             (nc + 0.5) / ((SELECT nt FROM t) + 0.5 * 11) q FROM j)
+""").fetchone()
+        want[col] = (rows[0], rows[1], rows[2])
+    for col in want:
+        assert got[col][1:] == want[col][1:]
+        assert got[col][0] == pytest.approx(want[col][0], abs=2e-6)
+
+
+def test_self_drift_is_zero(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = psi_drift(df, df, ["o_totalprice", "o_orderkey"]).collect()
+    assert all(r["psi"] == 0.0 for r in rep)
+
+
+def test_null_bucket_counts_nullness_drift(spark):
+    old = spark.range(0, 100).selectExpr("id * 1.0 AS x")
+    new = spark.range(0, 100).selectExpr(
+        "CASE WHEN id % 2 = 0 THEN id * 1.0 END AS x")
+    psi = psi_drift(old, new, ["x"]).collect()[0]["psi"]
+    assert psi > 0.25  # half the mass moved into the NULL bucket
+
+
+def test_out_of_range_values_clamp_to_edge_buckets(spark):
+    old = spark.range(0, 100).selectExpr("id * 1.0 AS x")  # [0, 99]
+    new = spark.range(0, 100).selectExpr("id * 1.0 + 1000 AS x")
+    prof = histogram_profile(
+        new, ["x"], n_bins=10, bounds={"x": (0.0, 99.0)})
+    rows = prof.collect()
+    assert len(rows) == 1 and rows[0]["bucket"] == 9  # all clamp high
+    psi = psi_drift(old, new, ["x"]).collect()[0]["psi"]
+    assert psi > 0.25
+
+
+def test_constant_column(spark):
+    old = spark.range(0, 50).selectExpr("7.0 AS x")
+    new = spark.range(0, 50).selectExpr("7.0 AS x")
+    rep = psi_drift(old, new, ["x"]).collect()[0]
+    assert rep["psi"] == 0.0
+
+
+def test_profile_compare_split_matches_one_call(spark, sf_dir):
+    # the production path (persisted profiles, shared bounds) must give
+    # the same PSI as the convenience call
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") * 1.5)
+    bounds = {"o_totalprice": (
+        old.agg(F.min("o_totalprice")).first()[0],
+        old.agg(F.max("o_totalprice")).first()[0])}
+    po = histogram_profile(old, ["o_totalprice"], bounds=bounds)
+    pn = histogram_profile(new, ["o_totalprice"], bounds=bounds)
+    split = psi_report(po, pn).collect()[0]["psi"]
+    one = psi_drift(old, new, ["o_totalprice"]).collect()[0]["psi"]
+    assert split == one
+
+
+def test_profile_is_tiny_and_buckets_bounded(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    prof = histogram_profile(df, ["l_quantity", "l_extendedprice"],
+                             n_bins=10).collect()
+    assert len(prof) <= 2 * 11
+    assert all(-1 <= r["bucket"] <= 9 for r in prof)
+    got = sum(r["cnt"] for r in prof if r["column"] == "l_quantity")
+    assert got == df.count()
+
+
+def test_spec_validation(spark):
+    df = spark.range(1).selectExpr("1.0 AS x")
+    with pytest.raises(ValueError):
+        histogram_profile(df, [])
+    with pytest.raises(ValueError):
+        histogram_profile(df, ["x"], n_bins=0)
+    with pytest.raises(ValueError):
+        histogram_profile(df, ["x"], bounds={"y": (0, 1)})
