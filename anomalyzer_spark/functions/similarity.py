@@ -780,6 +780,131 @@ def embedding_dedup_groups(
     return groups.where(F.col("group_size") > 1)
 
 
+def semantic_pairs(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    n_assign: int = 1,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_cell_rows: int | None = 100_000,
+) -> DataFrame:
+    """Cluster-blocked near-duplicate candidate pairs — the SemDeDup
+    recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the embeddings,
+    compare ONLY within a cluster. The alternative candidate generator to
+    ``cosine_pairs(use_lsh=True)``: LSH bounds per-pair recall
+    analytically; clustering exploits the corpus's own density structure
+    (semantic near-dups sit in the same cell almost by definition) and
+    reuses the exact centroid model the IVF index already maintains.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b, cos_sim >= threshold.
+
+    * ``centroids`` — pass the corpus's existing IVF model to share it;
+      None trains ``train_ivf_centroids`` on a bounded deterministic
+      md5-ordered sample (same bounded-collect contract as every model
+      fit in this repo: ``sample_rows`` rows, never the corpus);
+    * ``n_assign`` — assign each vector to its n nearest cells (> 1
+      recovers pairs straddling a cell boundary, the method's known
+      blind spot; pairs sharing ANY cell are deduplicated);
+    * ``max_cell_rows`` — per-cell cap: an over-dense cell keeps only its
+      most-central ``max_cell_rows`` members as pair candidates (rank by
+      centroid similarity — the cap trades recall on the cell's fringe,
+      the same documented trade as the hot-shingle cap in
+      ``dedup.ngram_jaccard_pairs``). The ranking window shuffles by the
+      SAME key as the pair join, so enforcement rides the shuffle the
+      join already pays.
+
+    100 TB shape: the model is a literal broadcast; assignment is
+    map-only; the pair join shuffles by cell (cells are bounded by the
+    cap); no all-pairs path exists at any setting.
+    """
+    if centroids is None:
+        samp = (
+            df.select(F.col(vec_col))
+            .withColumn("_h", F.md5(F.concat(
+                F.lit(str(seed)), F.col(vec_col).cast("string"))))
+            .orderBy("_h").limit(sample_rows)
+        )
+        vecs = np.array([r[0] for r in samp.collect()], dtype=np.float64)
+        if len(vecs) < n_clusters:
+            raise ValueError(
+                f"corpus sample ({len(vecs)} rows) smaller than "
+                f"n_clusters={n_clusters}")
+        centroids = train_ivf_centroids(vecs, n_clusters)
+    dim = len(centroids[0])
+    df = checked_width(df, vec_col, dim, "semantic_pairs centroids")
+    assigned = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.explode(
+            nearest_cells(vec_col, centroids, n_assign)).alias("cell"),
+    )
+    if max_cell_rows is not None:
+        # most-central members first — similarity to the CELL's centroid,
+        # a CASE chain over the literal model (n_clusters branches, tiny)
+        sim_to_cell = cosine(F.col("_v"), F.array(
+            *[F.lit(float(x)) for x in centroids[0]]))
+        for i, c in enumerate(centroids[1:], start=1):
+            arr = F.array(*[F.lit(float(x)) for x in c])
+            sim_to_cell = F.when(
+                F.col("cell") == i, cosine(F.col("_v"), arr)
+            ).otherwise(sim_to_cell)
+        w = Window.partitionBy("cell").orderBy(
+            sim_to_cell.desc_nulls_last(), F.col("_id").asc())
+        assigned = (
+            assigned.withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= max_cell_rows)
+            .drop("_rnk")
+        )
+    a = assigned.select("cell", F.col("_id").alias("id_a"),
+                        F.col("_v").alias("_va"))
+    b = assigned.select("cell", F.col("_id").alias("id_b"),
+                        F.col("_v").alias("_vb"))
+    pairs = (
+        a.join(b, "cell")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .where(F.col("cos_sim") >= threshold)
+    )
+    if n_assign > 1:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    return pairs
+
+
+def semantic_dedup_groups(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    n_assign: int = 1,
+    sample_rows: int = 4096,
+    seed: int = 42,
+    centroids: list[list[float]] | None = None,
+    max_cell_rows: int | None = 100_000,
+) -> DataFrame:
+    """SemDeDup end-to-end: ``semantic_pairs`` resolved to connected
+    components via ``dedup.duplicate_groups`` — (id, group_id,
+    group_size) for multi-member groups, group_id = min member id
+    (keep-first: drop rows where id != group_id). Same return contract
+    as ``embedding_dedup_groups``; this one blocks by k-means cell
+    instead of LSH bucket."""
+    from .dedup import duplicate_groups
+
+    pairs = semantic_pairs(
+        df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_clusters=n_clusters, n_assign=n_assign,
+        sample_rows=sample_rows, seed=seed, centroids=centroids,
+        max_cell_rows=max_cell_rows)
+    groups = duplicate_groups(df.select(F.col(id_col)), pairs, id_col)
+    return groups.where(F.col("group_size") > 1)
+
+
 def ann_recall(
     approx: DataFrame,
     exact: DataFrame,
