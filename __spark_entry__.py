@@ -539,13 +539,11 @@ def q_curation_pipeline(spark, sf_dir):
                       "chunk_tok_end")
 
 
-def q_lsh_topk(spark, sf_dir):
-    e = _embs(spark, sf_dir)
-    out = similarity.lsh_topk(
-        e, e.where(F.col("vec_id") < 20), id_col="vec_id",
-        vec_col="embedding", query_id_col="vec_id", k=TOPK,
-        n_planes=16, bands=4, dim=64, seed=7)
-    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "cos_sim")
+# (q_lsh_topk retired round 9 for q_quality_checks: the hyperplane-LSH
+# machinery — signatures, band buckets, candidate equi-join — stays
+# slot-attested through emb_dedup_groups/emb_pipeline (same seed-7
+# config), and the top-k ranking window through cosine_topk/ivf_topk;
+# lsh_topk keeps full DuckDB parity in tests/test_functions.py.)
 
 
 IVF_SAMPLE_N = 256   # quantizer training sample: vec_id < IVF_SAMPLE_N
@@ -945,15 +943,55 @@ def q_detect_rolling(spark, sf_dir):
                    "prob")
 
 
-def q_detect_resampled(spark, sf_dir):
-    """Composed pipeline: resample to daily buckets → detect. The shape the
-    reference documents (regular samples in, windows over samples)."""
-    from anomalyzer_spark.operators.resample import resample
-    ev = load_table(spark, sf_dir, "events")
-    series = resample(ev, ["event_type"], "ts", "value",
-                      every_seconds=86400, agg="avg")
-    out = detect(series, ["event_type"], "bucket", "value", DET_CONF)
-    return _round6(out.select("event_type", "n_points", "prob"), "prob")
+def q_quality_checks(spark, sf_dir):
+    """Declarative data-quality gate (functions/checks.py): 8 checks —
+    completeness, exact uniqueness, range/set/regex conformance, mean
+    bound, row count, a cross-column predicate — computed in ONE
+    aggregate pass (single scan, map-side partial agg, 1-row exchange,
+    report unpivoted via explode). Rotated in round 9 for lsh_topk,
+    whose surfaces stay attested: hyperplane-LSH bucketing through
+    emb_dedup_groups/emb_pipeline (same seed-7 config), the top-k
+    window through cosine_topk/ivf_topk, and the retired slot's oracle
+    itself now lives verbatim in
+    tests/test_functions.py::test_lsh_topk_duckdb_parity."""
+    from anomalyzer_spark.functions import checks as C
+    orders = load_table(spark, sf_dir, "orders")
+    rep = C.verify_checks(orders, [
+        C.completeness("o_custkey"),
+        C.uniqueness("o_orderkey", exact=True),
+        C.in_range("o_totalprice", lo=1000, hi=450000, min_ratio=0.9),
+        C.in_set("o_orderstatus", ["O", "F", "P"]),
+        C.matches("o_orderpriority", r"[1-5]-[A-Z]+"),
+        C.mean_between("o_totalprice", 100.0, 500000.0),
+        C.row_count(min_rows=1),
+        C.satisfies("o_totalprice > 0", "price_positive"),
+    ])
+    return _round6(rep, "value")
+
+
+def q_drift_psi(spark, sf_dir):
+    """Snapshot distribution drift (functions/drift.py): PSI between the
+    orders table and a deterministically drifted copy (+20% price scale,
+    every 5th custkey nulled) over equi-width histogram profiles — 10
+    bins + the NULL bucket, bounds from the OLD snapshot, Laplace
+    α=0.5 smoothing, PSI rounded to 6. o_orderkey is the no-drift
+    control lane (psi exactly 0). Rotated in round 9 for
+    detect_resampled, whose unique surfaces stay value-attested:
+    batch-resample bucket arithmetic through resample_stream's oracle
+    (every emitted bucket ≡ the batch bucket, tz-coverage moved with
+    it in tests/test_timezone.py) and the detect combiner through the
+    12 remaining detect slots."""
+    from anomalyzer_spark.functions.drift import psi_drift
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = (
+        orders
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+        .withColumn("o_custkey", F.when(
+            F.col("o_orderkey") % 5 == 0, F.lit(None)
+        ).otherwise(F.col("o_custkey")))
+    )
+    return psi_drift(orders, drifted,
+                     ["o_totalprice", "o_custkey", "o_orderkey"])
 
 
 def q_detect_stream(spark, sf_dir):
@@ -1158,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join": q_range_join,
         "curation_pipeline": q_curation_pipeline,
         "emb_pipeline": q_emb_pipeline,
-        "lsh_topk": q_lsh_topk,
+        "quality_checks": q_quality_checks,
         "ivf_topk": q_ivf_topk,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ivfpq_topk": q_ivfpq_topk,
@@ -1173,7 +1211,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": q_set_ops,
         "asof_join": q_asof_join,
         "decontam": q_decontam,
-        "detect_resampled": q_detect_resampled,
+        "drift_psi": q_drift_psi,
         "detect_rolling": q_detect_rolling,
         "detect_horizon": q_detect_horizon,
         "detect_stream": q_detect_stream,
@@ -1552,8 +1590,75 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
          sum(value::DECIMAL(28,6))::DOUBLE / count(value) AS value,
          count(*) AS n_raw
   FROM events GROUP BY 1, 2)"""
-    sql["detect_resampled"] = _detect_sql(
-        "event_type", DET_CONF, src=resample_src, order_cols=("bucket",))
+    # quality-checks oracle: the identical 8 metrics in one aggregate CTE,
+    # unpivoted by UNION ALL; thresholds cast ::DOUBLE (DuckDB decimal
+    # literals otherwise), mean passed coalesced false on empty.
+    sql["quality_checks"] = """
+WITH m AS (SELECT
+  count(o_custkey)::DOUBLE / count(*) AS m0,
+  count(DISTINCT o_orderkey)::DOUBLE / count(o_orderkey) AS m1,
+  count(CASE WHEN o_totalprice BETWEEN 1000 AND 450000 THEN 1
+        END)::DOUBLE / count(o_totalprice) AS m2,
+  count(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 END)::DOUBLE
+    / count(o_orderstatus) AS m3,
+  count(CASE WHEN regexp_full_match(o_orderpriority, '[1-5]-[A-Z]+')
+        THEN 1 END)::DOUBLE / count(o_orderpriority) AS m4,
+  avg(o_totalprice) AS m5,
+  count(*)::DOUBLE AS m6,
+  count(CASE WHEN o_totalprice > 0 THEN 1 END)::DOUBLE / count(*) AS m7
+  FROM orders)
+SELECT '0:completeness' AS check, 'o_custkey' AS "column",
+       'non_null_ratio' AS metric, round(m0, 6) AS value,
+       1.0::DOUBLE AS threshold, m0 >= 1.0 AS passed FROM m
+UNION ALL SELECT '1:uniqueness', 'o_orderkey', 'distinct_ratio',
+       round(m1, 6), 1.0::DOUBLE, m1 >= 1.0 FROM m
+UNION ALL SELECT '2:in_range', 'o_totalprice', 'in_range_ratio',
+       round(m2, 6), 0.9::DOUBLE, m2 >= 0.9 FROM m
+UNION ALL SELECT '3:in_set', 'o_orderstatus', 'in_set_ratio',
+       round(m3, 6), 1.0::DOUBLE, m3 >= 1.0 FROM m
+UNION ALL SELECT '4:matches', 'o_orderpriority', 'match_ratio',
+       round(m4, 6), 1.0::DOUBLE, m4 >= 1.0 FROM m
+UNION ALL SELECT '5:mean_between', 'o_totalprice', 'mean', round(m5, 6),
+       NULL::DOUBLE, coalesce(m5 BETWEEN 100.0 AND 500000.0, false) FROM m
+UNION ALL SELECT '6:row_count', NULL, 'rows', round(m6, 6),
+       NULL::DOUBLE, m6 >= 1 FROM m
+UNION ALL SELECT '7:satisfies', 'price_positive', 'satisfied_ratio',
+       round(m7, 6), 1.0::DOUBLE, m7 >= 1.0 FROM m"""
+
+    # drift oracle: per-column CTE block (bounds from OLD, 10 equi-width
+    # bins + NULL bucket -1, edge clamp, Laplace alpha=0.5 over B=11,
+    # PSI rounded 6); row counts ::BIGINT (DuckDB sum -> HUGEINT).
+    def _psi_block(col: str, newv: str) -> str:
+        bucket = (
+            "CASE WHEN {v} IS NULL THEN -1 "
+            "WHEN (SELECT hi FROM b) <= (SELECT lo FROM b) THEN 0 "
+            "ELSE least(9, greatest(0, floor(({v} - (SELECT lo FROM b)) / "
+            "(((SELECT hi FROM b) - (SELECT lo FROM b)) / 10))::INT)) END")
+        return f"""(
+WITH b AS (SELECT min({col}::DOUBLE) AS lo, max({col}::DOUBLE) AS hi
+           FROM orders),
+o AS (SELECT {bucket.format(v=f'{col}::DOUBLE')} AS bucket, count(*) cnt
+      FROM orders GROUP BY 1),
+n AS (SELECT {bucket.format(v='v')} AS bucket, count(*) cnt
+      FROM (SELECT {newv} AS v FROM orders) GROUP BY 1),
+j AS (SELECT coalesce(o.bucket, n.bucket) AS bucket,
+             coalesce(o.cnt, 0) AS oc, coalesce(n.cnt, 0) AS nc
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+t AS (SELECT sum(oc) AS ot, sum(nc) AS nt FROM j)
+SELECT '{col}' AS "column", round(sum((p - q) * ln(p / q)), 6) AS psi,
+       (SELECT ot FROM t)::BIGINT AS old_rows,
+       (SELECT nt FROM t)::BIGINT AS new_rows
+FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 5.5) AS p,
+             (nc + 0.5) / ((SELECT nt FROM t) + 5.5) AS q FROM j))"""
+
+    sql["drift_psi"] = (
+        _psi_block("o_totalprice", "o_totalprice::DOUBLE * 1.2")
+        + "\nUNION ALL\n"
+        + _psi_block("o_custkey",
+                     "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
+                     "ELSE o_custkey::DOUBLE END")
+        + "\nUNION ALL\n"
+        + _psi_block("o_orderkey", "o_orderkey::DOUBLE"))
     # sessionization oracle: identical islands formulation (lag + running
     # sum of gap-breaks) over µs event time with the event_id tiebreak.
     # snapshot delta: same old/new derivation as the Spark side, md5 over
@@ -1979,28 +2084,9 @@ SELECT doc_id, list_sum(terms)::BIGINT AS simhash, n_words FROM bits"""
             "THEN 1 ELSE 0 END)::VARCHAR"
             for j in range(rows_per_band))
         band_exprs.append(f"struct_pack(band := {b}, bucket := {bits})")
-    sql["lsh_topk"] = f"""
-WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
-e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
-       FROM e, pl),
-corpus_b AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
-query_b AS (SELECT vec_id AS query_id, v AS qv, band, bucket
-            FROM corpus_b WHERE vec_id < 20),
-cand AS (
-  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
-  FROM corpus_b c JOIN query_b q USING (band, bucket)),
-s AS (SELECT query_id, neighbor_id,
-        list_dot_product(qv, cv) /
-        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
-          AS cos_sim
-      FROM cand),
-r AS (SELECT query_id, neighbor_id, cos_sim,
-        row_number() OVER (PARTITION BY query_id
-                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
-      FROM s WHERE cos_sim IS NOT NULL)
-SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
-FROM r WHERE rnk <= {TOPK}"""
+    # (lsh_topk oracle retired with its slot, round 9 — see q_quality_checks;
+    # plane_sql/band_exprs stay: emb_dedup_groups/emb_pipeline oracles use
+    # them below.)
 
     # composed pipeline: reuse the per-operator oracle SQL as CTEs
     sql["data_pipeline"] = f"""

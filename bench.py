@@ -60,7 +60,6 @@ HEADLINE = (
     "detect_full_users",
     "detect_wide",
     "detect_rolling",
-    "detect_resampled",
     "detect_horizon",
     "text_profile",
     "minhash_lsh",
@@ -81,9 +80,13 @@ HEADLINE = (
     "decontam",
     "dedup_paragraphs",
     "text_pipeline",
-    # round-9 registry addition (rotated in for batch sessions): the
-    # incremental corpus-delta primitive, tracked from its first round
+    # round-9 registry additions (rotations: batch sessions -> snapshot_diff,
+    # detect_resampled -> drift_psi, lsh_topk -> quality_checks), tracked
+    # from their first round; detect_resampled's bench niche (resample
+    # bucket arithmetic) times on inside resample_stream's parity tests
     "snapshot_diff",
+    "quality_checks",
+    "drift_psi",
 )
 
 

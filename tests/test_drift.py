@@ -50,7 +50,9 @@ FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 0.5 * 11) p,
         want[col] = (rows[0], rows[1], rows[2])
     for col in want:
         assert got[col][1:] == want[col][1:]
-        assert got[col][0] == pytest.approx(want[col][0], abs=2e-6)
+        # both engines round to 6: equal outright (probed: raw values
+        # differ ~1e-16 from sum order, never at the rounding boundary)
+        assert got[col][0] == want[col][0]
 
 
 def test_self_drift_is_zero(spark, sf_dir):

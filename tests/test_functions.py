@@ -1305,3 +1305,55 @@ def test_select_top_fraction_semantics(spark):
     assert top <= a <= b
     with pytest.raises(ValueError):
         sampling.select_top_fraction(df, "s", 1.5)
+
+
+def test_lsh_topk_duckdb_parity(spark, sf_dir):
+    # full value parity for the round-9-retired lsh_topk registry slot
+    # (rotation contract: a slot leaves the registry only if its values
+    # stay attested — this test carries the retired oracle verbatim:
+    # same seed-7 16-plane/4-band config, queries = vec_id < 20, k=5)
+    import duckdb
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 6), r["rnk"])
+        for r in similarity.lsh_topk(
+            e, e.where(F.col("vec_id") < 20), id_col="vec_id",
+            vec_col="embedding", query_id_col="vec_id", k=5,
+            n_planes=16, bands=4, dim=64, seed=7).collect())
+    planes = similarity.hyperplanes(64, 16, 7)
+    plane_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes)
+    band_exprs = []
+    for b in range(4):
+        bits = " || ".join(
+            f"(CASE WHEN list_dot_product(v, pl[{b * 4 + j + 1}]) >= 0 "
+            "THEN 1 ELSE 0 END)::VARCHAR" for j in range(4))
+        band_exprs.append(f"struct_pack(band := {b}, bucket := {bits})")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(f"""
+WITH pl AS (SELECT [{plane_sql}]::DOUBLE[][] AS pl),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id, v, unnest([{', '.join(band_exprs)}]) AS bb
+       FROM e, pl),
+corpus_b AS (SELECT vec_id, v, bb.band AS band, bb.bucket AS bucket FROM cb),
+query_b AS (SELECT vec_id AS query_id, v AS qv, band, bucket
+            FROM corpus_b WHERE vec_id < 20),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id, q.qv, c.v AS cv
+  FROM corpus_b c JOIN query_b q USING (band, bucket)),
+s AS (SELECT query_id, neighbor_id,
+        list_dot_product(qv, cv) /
+        (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+          AS cos_sim
+      FROM cand),
+r AS (SELECT query_id, neighbor_id, cos_sim,
+        row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos_sim DESC, neighbor_id) AS rnk
+      FROM s WHERE cos_sim IS NOT NULL)
+SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
+FROM r WHERE rnk <= 5""").fetchall()
+    assert len(got) > 0
+    assert got == sorted(tuple(w) for w in want)

@@ -13,12 +13,13 @@ import __spark_entry__ as entry_mod
 from tools.check_correctness import TABLES, compare
 
 #: queries whose plans touch event time, watermarks, or temporal literals
-#: (plain `resample` retired round 5 — its bucket arithmetic is covered
-#: here through detect_resampled, which composes the same resample();
+#: (plain `resample` retired round 5 and detect_resampled round 9 — the
+#: bucket arithmetic both composed is covered here through
+#: resample_stream, which runs the same bucketing under a watermark;
 #: batch `sessions` retired round 9 for snapshot_diff — sessions_stream
 #: probes the same islands arithmetic PLUS the watermark cutoff, the
 #: most tz-sensitive path of the pair)
-TZ_SENSITIVE = ("detect_resampled", "sessions_stream", "detect_horizon",
+TZ_SENSITIVE = ("resample_stream", "sessions_stream", "detect_horizon",
                 "pricing_summary", "kafka_parse")
 
 
