@@ -38,8 +38,10 @@ here): PSI < 0.1 stable, 0.1–0.25 moderate shift, > 0.25 major shift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
 
-__all__ = ["histogram_profile", "psi_report", "psi_drift"]
+__all__ = ["histogram_profile", "psi_report", "psi_drift",
+           "category_profile", "psi_cat_drift"]
 
 #: NULL values get their own bucket id — nullness drift is drift.
 NULL_BUCKET = -1
@@ -110,14 +112,20 @@ def psi_report(
     *,
     n_bins: int = 10,
     alpha: float = 0.5,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Compare two ``histogram_profile`` frames (they must share bounds —
     profile the new snapshot with the old profile's bounds): returns
     (column, psi, old_rows, new_rows), psi rounded to 6 decimals.
 
+    Works for ``category_profile`` frames too (string buckets) — pass
+    ``n_buckets`` = the fixed bucket universe size (vocab + OTHER +
+    NULL) so the Laplace denominator stays deterministic; numeric
+    callers leave it None (n_bins + the NULL bucket).
+
     Operates purely on the tiny profiles: a full-outer join on
     (column, bucket) then one groupBy — kilobytes at any corpus scale."""
-    B = float(n_bins + 1)  # possible buckets incl. the NULL bucket
+    B = float(n_buckets if n_buckets is not None else n_bins + 1)
     o = old_profile.select("column", "bucket",
                            F.col("cnt").alias("old_cnt"))
     n = new_profile.select("column", "bucket",
@@ -141,6 +149,101 @@ def psi_report(
                  F.first("old_rows").alias("old_rows"),
                  F.first("new_rows").alias("new_rows"))
             )
+
+
+#: reserved category buckets — a real value colliding with these would
+#: be folded; both are outside every fixture/TPC-H domain by design
+OTHER_BUCKET = "__OTHER__"
+NULL_CAT_BUCKET = "__NULL__"
+
+
+def _str_unpivot(df: DataFrame, cols: list[str]) -> DataFrame:
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("string").alias("value"))
+            for c in cols]
+    return df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+
+
+def category_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    categories: dict[str, list[str]],
+    count_col: str = "cnt",
+) -> DataFrame:
+    """Categorical histogram: (column, bucket, cnt) where bucket is the
+    value itself for vocabulary members, ``__OTHER__`` for the tail,
+    ``__NULL__`` for NULLs. One map pass + one tiny aggregate —
+    the categorical sibling of ``histogram_profile``, same
+    profile/compare contract (persist per snapshot; the VOCABULARY must
+    come from the OLD snapshot so buckets line up — ``psi_cat_drift``
+    wires that).
+
+    ``categories`` maps column -> vocabulary list (derive with
+    ``top_categories`` or pass a domain list outright)."""
+    if not cols:
+        raise ValueError("category_profile needs at least one column")
+    missing = [c for c in cols if c not in categories]
+    if missing:
+        raise ValueError(f"categories missing for columns: {missing}")
+    long = _str_unpivot(df, cols)
+    bucket = F.lit(None).cast("string")
+    for c in cols:  # per-column vocab: CASE chains over tiny literal sets
+        vocab = [str(v) for v in categories[c]]
+        in_vocab = F.col("value").isin(vocab) if vocab else F.lit(False)
+        bucket = F.when(
+            F.col("column") == c,
+            F.when(F.col("value").isNull(), F.lit(NULL_CAT_BUCKET))
+            .when(in_vocab, F.col("value"))
+            .otherwise(F.lit(OTHER_BUCKET)),
+        ).otherwise(bucket)
+    return (long.withColumn("bucket", bucket)
+            .groupBy("column", "bucket")
+            .agg(F.count(F.lit(1)).alias(count_col)))
+
+
+def top_categories(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    top_k: int = 20,
+) -> dict[str, list[str]]:
+    """Derive each column's top-``top_k`` vocabulary by frequency
+    (count desc, value asc — deterministic under count ties). Bounded
+    driver collect: ≤ cols × top_k rows, never data-sized."""
+    long = _str_unpivot(df, cols).where(F.col("value").isNotNull())
+    counts = long.groupBy("column", "value").count()
+    w = Window.partitionBy("column").orderBy(
+        F.col("count").desc(), F.col("value").asc())
+    kept = (counts.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= top_k)
+            .select("column", "value", "_r").collect())
+    out: dict[str, list[str]] = {c: [] for c in cols}
+    for r in sorted(kept, key=lambda r: (r["column"], r["_r"])):
+        out[r["column"]].append(r["value"])
+    return out
+
+
+def psi_cat_drift(
+    old: DataFrame,
+    new: DataFrame,
+    cols: list[str],
+    *,
+    top_k: int = 20,
+    alpha: float = 0.5,
+    categories: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Categorical drift in one call: vocabulary = OLD snapshot's top-k
+    (or explicit ``categories``), both snapshots profiled on it, PSI per
+    column. Bucket universe is fixed at top_k + OTHER + NULL so the
+    smoothing denominator is deterministic."""
+    if categories is None:
+        categories = top_categories(old, cols, top_k=top_k)
+    else:
+        top_k = max((len(v) for v in categories.values()), default=top_k)
+    po = category_profile(old, cols, categories=categories)
+    pn = category_profile(new, cols, categories=categories)
+    return psi_report(po, pn, alpha=alpha, n_buckets=top_k + 2)
 
 
 def psi_drift(

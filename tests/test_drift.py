@@ -120,3 +120,78 @@ def test_spec_validation(spark):
         histogram_profile(df, ["x"], n_bins=0)
     with pytest.raises(ValueError):
         histogram_profile(df, ["x"], bounds={"y": (0, 1)})
+
+
+# ---------------------------------------------------------------------------
+# categorical drift
+# ---------------------------------------------------------------------------
+
+def test_psi_cat_drift_duckdb_parity(spark, sf_dir):
+    from anomalyzer_spark.functions.drift import psi_cat_drift
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # drift: force a chunk of statuses to a brand-new value (lands in
+    # OTHER) and null out some priorities (lands in __NULL__)
+    new = (old
+           .withColumn("o_orderstatus", F.when(
+               F.col("o_orderkey") % 4 == 0, F.lit("Z")
+           ).otherwise(F.col("o_orderstatus")))
+           .withColumn("o_orderpriority", F.when(
+               F.col("o_orderkey") % 6 == 0, F.lit(None)
+           ).otherwise(F.col("o_orderpriority"))))
+    got = {r["column"]: (r["psi"], r["old_rows"], r["new_rows"])
+           for r in psi_cat_drift(
+               old, new, ["o_orderstatus", "o_orderpriority"],
+               top_k=3).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    want = {}
+    for col, newv in [
+        ("o_orderstatus",
+         "CASE WHEN o_orderkey % 4 = 0 THEN 'Z' ELSE o_orderstatus END"),
+        ("o_orderpriority",
+         "CASE WHEN o_orderkey % 6 = 0 THEN NULL ELSE o_orderpriority END"),
+    ]:
+        row = con.execute(f"""
+WITH vocab AS (SELECT {col} AS v FROM orders WHERE {col} IS NOT NULL
+               GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 3),
+o AS (SELECT CASE WHEN {col} IS NULL THEN '__NULL__'
+        WHEN {col} IN (SELECT v FROM vocab) THEN {col}
+        ELSE '__OTHER__' END AS bucket, count(*) cnt FROM orders GROUP BY 1),
+n AS (SELECT CASE WHEN v IS NULL THEN '__NULL__'
+        WHEN v IN (SELECT v FROM vocab) THEN v
+        ELSE '__OTHER__' END AS bucket, count(*) cnt
+      FROM (SELECT {newv} AS v FROM orders) GROUP BY 1),
+j AS (SELECT coalesce(o.bucket, n.bucket) bucket,
+        coalesce(o.cnt, 0) oc, coalesce(n.cnt, 0) nc
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+t AS (SELECT sum(oc) ot, sum(nc) nt FROM j)
+SELECT round(sum((p - q) * ln(p / q)), 6),
+       (SELECT ot FROM t)::BIGINT, (SELECT nt FROM t)::BIGINT
+FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 0.5 * 5) p,
+             (nc + 0.5) / ((SELECT nt FROM t) + 0.5 * 5) q FROM j)
+""").fetchone()
+        want[col] = (row[0], row[1], row[2])
+    assert got == want
+
+
+def test_cat_self_drift_zero_and_other_bucket(spark):
+    from anomalyzer_spark.functions.drift import (
+        category_profile, psi_cat_drift, top_categories)
+    old = spark.createDataFrame(
+        [("a",), ("a",), ("b",), ("c",), (None,)], "s string")
+    assert psi_cat_drift(old, old, ["s"]).collect()[0]["psi"] == 0.0
+    vocab = top_categories(old, ["s"], top_k=2)
+    assert vocab == {"s": ["a", "b"]}  # count desc, value asc on the tie
+    prof = {r["bucket"]: r["cnt"] for r in category_profile(
+        old, ["s"], categories=vocab).collect()}
+    assert prof == {"a": 2, "b": 1, "__OTHER__": 1, "__NULL__": 1}
+
+
+def test_cat_new_value_lands_in_other(spark):
+    from anomalyzer_spark.functions.drift import psi_cat_drift
+    old = spark.createDataFrame([("x",)] * 50 + [("y",)] * 50, "s string")
+    new = spark.createDataFrame([("x",)] * 50 + [("brand_new",)] * 50,
+                                "s string")
+    psi = psi_cat_drift(old, new, ["s"], top_k=5).collect()[0]["psi"]
+    assert psi > 0.25
