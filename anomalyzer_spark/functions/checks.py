@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "completeness", "uniqueness", "in_range", "in_set", "matches",
     "mean_between", "row_count", "satisfies", "verify_checks",
+    "verify_checks_by",
 ]
 
 
@@ -163,24 +164,11 @@ def _passed(c: dict, value):
     return value >= F.lit(c["threshold"])
 
 
-def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
-    """Run every check in ONE aggregate pass; return the long-form report
-    (check, column, metric, value, threshold, passed), one row per check,
-    in the declared order (``check`` is ``"<i>:<kind>"`` so the report
-    orders and keys deterministically even when one column carries two
-    checks of the same kind)."""
-    if not checks:
-        raise ValueError("verify_checks needs at least one check")
-    aggs, labels = [], []
-    for i, c in enumerate(checks):
-        expr, metric = _metric_expr(c)
-        aggs.append(expr.alias(f"m{i}"))
-        labels.append(metric)
-    metrics = df.agg(*aggs)  # 1 row; the only pass over the data
-
-    # unpivot via explode-of-structs on the 1-row frame: ONE plan branch,
-    # so the aggregate provably runs once (a union of N selects over the
-    # same agg would lean on exchange reuse instead).
+def _report(metrics: DataFrame, checks: list[dict], labels: list[str],
+            keys: list[str]) -> DataFrame:
+    # unpivot via explode-of-structs on the aggregated frame: ONE plan
+    # branch, so the aggregate provably runs once (a union of N selects
+    # over the same agg would lean on exchange reuse instead).
     rows = []
     for i, (c, metric) in enumerate(zip(checks, labels)):
         value = F.col(f"m{i}").cast("double")
@@ -196,5 +184,43 @@ def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
             thresh.alias("threshold"),
             _passed(c, value).alias("passed"),
         ))
-    return (metrics.select(F.explode(F.array(*rows)).alias("r"))
-            .select("r.*"))
+    return (metrics.select(*keys, F.explode(F.array(*rows)).alias("r"))
+            .select(*keys, "r.*"))
+
+
+def _compile(checks: list[dict]):
+    if not checks:
+        raise ValueError("verify_checks needs at least one check")
+    aggs, labels = [], []
+    for i, c in enumerate(checks):
+        expr, metric = _metric_expr(c)
+        aggs.append(expr.alias(f"m{i}"))
+        labels.append(metric)
+    return aggs, labels
+
+
+def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
+    """Run every check in ONE aggregate pass; return the long-form report
+    (check, column, metric, value, threshold, passed), one row per check,
+    in the declared order (``check`` is ``"<i>:<kind>"`` so the report
+    orders and keys deterministically even when one column carries two
+    checks of the same kind)."""
+    aggs, labels = _compile(checks)
+    metrics = df.agg(*aggs)  # 1 row; the only pass over the data
+    return _report(metrics, checks, labels, [])
+
+
+def verify_checks_by(df: DataFrame, keys: list[str],
+                     checks: list[dict]) -> DataFrame:
+    """Per-group quality gate: every check evaluated independently for
+    each ``keys`` group — the shape for "did TODAY's partition land
+    complete?" or per-domain conformance. Report = (*keys, check,
+    column, metric, value, threshold, passed), one row per group ×
+    check. Still one pass: a single groupBy aggregate (map-side partial
+    agg; output rows = groups × checks, data scanned once)."""
+    if not keys:
+        raise ValueError("verify_checks_by needs at least one key "
+                         "(use verify_checks for the global gate)")
+    aggs, labels = _compile(checks)
+    metrics = df.groupBy(*keys).agg(*aggs)
+    return _report(metrics, checks, labels, list(keys))

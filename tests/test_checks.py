@@ -131,3 +131,58 @@ def test_spec_validation():
         C.in_set("x", [])
     with pytest.raises(ValueError):
         C.verify_checks(None, [])
+
+
+# ---------------------------------------------------------------------------
+# per-group checks
+# ---------------------------------------------------------------------------
+
+def test_verify_checks_by_duckdb_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = C.verify_checks_by(df, ["o_orderstatus"], [
+        C.completeness("o_custkey"),
+        C.in_range("o_totalprice", lo=0, hi=1e6, min_ratio=0.99),
+        C.mean_between("o_totalprice", 100.0, 500000.0),
+        C.row_count(min_rows=10),
+    ])
+    got = sorted(tuple(r) for r in rep.collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    want = con.execute("""
+WITH m AS (SELECT o_orderstatus,
+  count(o_custkey)::DOUBLE / count(*) AS m0,
+  count(CASE WHEN o_totalprice BETWEEN 0 AND 1e6 THEN 1 END)::DOUBLE
+    / count(o_totalprice) AS m1,
+  avg(o_totalprice) AS m2,
+  count(*)::DOUBLE AS m3
+  FROM orders GROUP BY 1)
+SELECT o_orderstatus, '0:completeness', 'o_custkey', 'non_null_ratio',
+       m0, 1.0::DOUBLE, m0 >= 1.0 FROM m
+UNION ALL SELECT o_orderstatus, '1:in_range', 'o_totalprice',
+       'in_range_ratio', m1, 0.99::DOUBLE, m1 >= 0.99 FROM m
+UNION ALL SELECT o_orderstatus, '2:mean_between', 'o_totalprice',
+       'mean', m2, NULL::DOUBLE,
+       coalesce(m2 BETWEEN 100.0 AND 500000.0, false) FROM m
+UNION ALL SELECT o_orderstatus, '3:row_count', NULL, 'rows', m3,
+       NULL::DOUBLE, m3 >= 10 FROM m""").fetchall()
+    want = sorted(tuple(w) for w in want)
+    assert len(got) == len(want) and len(got) >= 12  # >=3 statuses x 4
+    for g, w in zip(got, want):
+        assert g[:4] == w[:4] and g[5:] == w[5:]
+        assert g[4] == pytest.approx(w[4], rel=1e-9)
+
+
+def test_verify_checks_by_single_shuffle(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = C.verify_checks_by(df, ["o_orderstatus"], [
+        C.completeness("o_custkey"), C.row_count(min_rows=1)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_verify_checks_by_requires_keys(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError):
+        C.verify_checks_by(df, [], [C.row_count()])
