@@ -134,10 +134,15 @@ def psi_report(
         o.join(n, ["column", "bucket"], "full_outer")
         .fillna(0, subset=["old_cnt", "new_cnt"])
     )
-    totals = joined.groupBy("column").agg(
-        F.sum("old_cnt").alias("old_rows"),
-        F.sum("new_cnt").alias("new_rows"))
-    j = joined.join(totals, "column")
+    # per-column totals via a WINDOW, not a groupBy + self-join: the
+    # joined frame is consumed ONCE, so the profile subtrees (which may
+    # be full corpus scans when profiles aren't pre-persisted) appear
+    # once in the plan instead of twice (plan-shape pinned in
+    # tests/test_drift.py::test_psi_report_single_profile_subtree).
+    w = Window.partitionBy("column")
+    j = (joined
+         .withColumn("old_rows", F.sum("old_cnt").over(w))
+         .withColumn("new_rows", F.sum("new_cnt").over(w)))
     p = (F.col("old_cnt") + F.lit(alpha)) / \
         (F.col("old_rows") + F.lit(alpha * B))
     q = (F.col("new_cnt") + F.lit(alpha)) / \

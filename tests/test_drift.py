@@ -195,3 +195,19 @@ def test_cat_new_value_lands_in_other(spark):
                                 "s string")
     psi = psi_cat_drift(old, new, ["s"], top_k=5).collect()[0]["psi"]
     assert psi > 0.25
+
+
+def test_psi_report_single_profile_subtree(spark, sf_dir):
+    # scale contract: each snapshot's profile subtree (a corpus scan when
+    # not pre-persisted) must appear ONCE in the executed plan — totals
+    # come from a window over the tiny joined frame, not a self-join
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = old.withColumn("o_totalprice", F.col("o_totalprice") * 1.2)
+    rep = psi_drift(old, new, ["o_totalprice"])
+    rep.collect()
+    # AQE toString appends the pre-adaptive "Initial Plan" — count the
+    # final section only
+    plan = rep._jdf.queryExecution().executedPlan().toString() \
+        .split("Initial Plan")[0]
+    assert plan.count("FileScan parquet") == 2  # old profile + new profile
+    assert plan.count("SortMergeJoin") == 1     # one full-outer, no totals join
