@@ -4,6 +4,7 @@ from .curate_stream import (batch_union_equals_offline,
 from .dedup_stream import (dedup_stream, dedup_stream_bounded,
                            run_dedup_stream_on_dir)
 from .detect_stream import detect_stream, run_stream_on_dir
+from .drift_stream import run_drift_stream_on_dir
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_pairs_store, run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
@@ -15,6 +16,6 @@ __all__ = ["batch_union_equals_offline", "dedup_stream",
            "minhash_pairs_store", "resample_stream",
            "run_curation_stream_on_dir",
            "run_curation_stream_with_dedup_on_dir",
-           "run_dedup_stream_on_dir",
+           "run_dedup_stream_on_dir", "run_drift_stream_on_dir",
            "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
            "run_session_stream_on_dir", "run_stream_on_dir"]

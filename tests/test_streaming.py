@@ -945,3 +945,72 @@ def test_curation_stream_with_dedup_rejects_unsupported(spark, tmp_path):
         run_curation_stream_with_dedup_on_dir(
             spark, "x", "y", "z",
             CurationConfig(dedup="minhash", dedup_keep="best"))
+
+
+# ---------------------------------------------------------------------------
+# streaming drift monitor
+# ---------------------------------------------------------------------------
+
+def test_drift_stream_per_batch_equals_offline(spark, sf_dir, tmp_path):
+    # 3 single-file micro-batches; every emitted (batch, column) PSI must
+    # equal the offline psi_report of the baseline vs that file alone —
+    # batch placement decides grouping, never numbers
+    from anomalyzer_spark.functions.drift import (
+        histogram_profile, psi_report)
+    from anomalyzer_spark.streaming import run_drift_stream_on_dir
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    bounds = {"o_totalprice": (0.0, 600000.0)}
+    baseline = histogram_profile(orders, ["o_totalprice"], bounds=bounds)
+
+    sdir = str(tmp_path / "drift_in")
+    splits = [orders.where(F.col("o_orderkey") % 6 < 1),
+              orders.where((F.col("o_orderkey") % 6 >= 1)
+                           & (F.col("o_orderkey") % 6 < 3)),
+              orders.where(F.col("o_orderkey") % 6 >= 3)]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append").parquet(sdir)
+
+    monitor = run_drift_stream_on_dir(
+        spark, sdir, ["o_totalprice"], bounds=bounds, baseline=baseline,
+        query_name="drift_mon_test").collect()
+    assert len(monitor) == 3  # 3 batches x 1 column
+    assert sorted(r["batch_id"] for r in monitor) == [0, 1, 2]
+
+    # identify each batch by its row count (split sizes differ) and
+    # check the psi against the offline report for that exact split
+    offline = {}
+    for part in splits:
+        prof = histogram_profile(part, ["o_totalprice"], bounds=bounds)
+        r = psi_report(baseline, prof).collect()[0]
+        offline[r["new_rows"]] = (r["psi"], r["old_rows"])
+    assert len(offline) == 3, "split sizes must differ for this pin"
+    for r in monitor:
+        psi, old_rows = offline[r["new_rows"]]
+        assert r["psi"] == psi and r["old_rows"] == old_rows
+
+
+def test_drift_stream_categorical_and_validation(spark, sf_dir, tmp_path):
+    from anomalyzer_spark.functions.drift import (
+        category_profile, top_categories)
+    from anomalyzer_spark.streaming import run_drift_stream_on_dir
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vocab = top_categories(orders, ["o_orderstatus"], top_k=3)
+    cat_base = category_profile(orders, ["o_orderstatus"],
+                                categories=vocab)
+    sdir = str(tmp_path / "drift_cat_in")
+    orders.coalesce(1).write.parquet(sdir)
+    mon = run_drift_stream_on_dir(
+        spark, sdir, [], bounds={}, categories=vocab,
+        cat_baseline=cat_base, query_name="drift_cat_test").collect()
+    # whole table in one batch vs itself-as-baseline: psi exactly 0
+    assert len(mon) == 1
+    assert mon[0]["psi"] == 0.0 and mon[0]["column"] == "o_orderstatus"
+
+    with pytest.raises(ValueError):
+        run_drift_stream_on_dir(spark, sdir, [], bounds={})
+    with pytest.raises(ValueError):
+        run_drift_stream_on_dir(spark, sdir, [], bounds={},
+                                categories=vocab)  # no cat_baseline
