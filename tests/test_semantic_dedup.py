@@ -124,3 +124,49 @@ def test_sample_smaller_than_clusters_raises(spark):
         "vec_id long, embedding array<double>")
     with pytest.raises(ValueError):
         S.semantic_pairs(df, n_clusters=8, sample_rows=4096)
+
+
+def test_semantic_pairs_duckdb_parity_on_fixture(spark, sf_dir):
+    # cross-engine value parity on the driver fixture: centroids from the
+    # deterministic vec_id<256 sample (the entry-contract pattern), cell
+    # assignment + within-cell pairs replayed in DuckDB SQL
+    import duckdb
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    sample = e.where(F.col("vec_id") < 256) \
+        .orderBy("vec_id").select("embedding").collect()
+    cents = S.train_ivf_centroids(
+        np.asarray([r[0] for r in sample], dtype=np.float64), 8)
+    thr = 0.25
+    got = sorted(
+        (r["id_a"], r["id_b"], round(r["cos_sim"], 6))
+        for r in S.semantic_pairs(
+            e, threshold=thr, centroids=cents).collect())
+    assert len(got) > 0, "threshold too high for the fixture"
+
+    cent_sql = ", ".join(
+        "[" + ", ".join(repr(x) for x in c) + "]" for c in cents)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/embeddings.parquet')")
+    want = con.execute(f"""
+WITH ce AS (SELECT [{cent_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cellified AS (
+  SELECT vec_id, v,
+    list_sort(list_transform(range(1, 9), i ->
+      struct_pack(neg := -(list_dot_product(v, cents[i]) /
+                  (sqrt(list_dot_product(v, v)) *
+                   sqrt(list_dot_product(cents[i], cents[i])))),
+                  cid := i - 1)))[1].cid AS cell
+  FROM e, ce),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM cellified a JOIN cellified b USING (cell)
+      WHERE a.vec_id < b.vec_id)
+SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+FROM p WHERE cos_sim >= {thr}""").fetchall()
+    assert got == sorted(tuple(w) for w in want)
