@@ -820,7 +820,11 @@ def semantic_pairs(
 
     100 TB shape: the model is a literal broadcast; assignment is
     map-only; the pair join shuffles by cell (cells are bounded by the
-    cap); no all-pairs path exists at any setting.
+    cap); no all-pairs path exists at any setting. SIZE ``n_clusters``
+    WITH THE CORPUS: the cell id is the join key, so join parallelism
+    (and per-task pair work ~ (n/k)²) is set by the cluster count — the
+    SemDeDup paper runs ~11k clusters at web scale; a handful of cells
+    serializes the join into a handful of hot tasks.
     """
     if centroids is None:
         samp = (

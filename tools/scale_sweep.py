@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, ".")
 
+import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from anomalyzer_spark import AnomalyzerConf, detect  # noqa: E402
@@ -70,15 +71,42 @@ def make_docs(spark, n_docs: int):
     )
 
 
+def make_embs(spark, n_vecs: int, dim: int = 16):
+    """Deterministic synthetic embeddings (crc32-derived coordinates —
+    near-uniform, the quantizer worst case, matching the fixture)."""
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (F.crc32(F.concat(F.col("id"), F.lit("|"), j))
+                       % 2000).cast("double") / 1000.0 - 1.0,
+        ).alias("embedding"))
+
+
 def dedup_cells(spark, doc_counts, repeat):
-    from anomalyzer_spark.functions import (decontam, dedup, ngram_lm,
-                                            packing, text)
+    from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
+                                            ngram_lm, packing, similarity,
+                                            text)
 
     out = {}
     for n in doc_counts:
         d = make_docs(spark, n).repartition(
             spark.sparkContext.defaultParallelism)
         d.cache().count()
+        # embeddings sibling for the semantic-dedup cell; centroid fit
+        # is once per scale (the model is corpus-level, not per-run)
+        embs = make_embs(spark, n).repartition(
+            spark.sparkContext.defaultParallelism)
+        embs.cache().count()
+        sem_sample = np.asarray(
+            [r["embedding"] for r in
+             embs.where(F.col("vec_id") < 512).orderBy("vec_id").collect()],
+            dtype=np.float64)
+        # join parallelism = n_clusters (cells are the join key), so the
+        # cell count must scale with the corpus — the SemDeDup paper runs
+        # ~11k clusters at web scale; docstring documents the rule
+        sem_cents = similarity.train_ivf_centroids(
+            sem_sample, min(64, max(16, n // 250)))
         for name, build in (
             ("exact_dedup", lambda: dedup.exact_dedup(d, "text", "doc_id")),
             ("minhash_lsh", lambda: dedup.minhash_lsh_pairs(
@@ -127,6 +155,22 @@ def dedup_cells(spark, doc_counts, repeat):
             ("strip_repeats", lambda: dedup.strip_repeated_paragraphs(
                 d, sep=" ")),
             ("corpus_card", lambda: text.corpus_card(d)),
+            # round-9 governance cells: one-pass quality gate over the
+            # corpus frame, PSI drift old-vs-rewritten, and the
+            # cluster-blocked semantic pair generator
+            ("quality_checks", lambda: checks.verify_checks(d, [
+                checks.completeness("text"),
+                checks.uniqueness("doc_id", exact=True),
+                checks.matches("text", r"[ -~]*", 0.9),
+                checks.satisfies("length(text) > 0", "non_empty"),
+                checks.row_count(min_rows=1)])),
+            ("psi_drift", lambda: drift.psi_drift(
+                d.withColumn("len", F.length("text")),
+                d.withColumn("len", F.length("text") + F.when(
+                    F.col("doc_id") % 3 == 0, 40).otherwise(0)),
+                ["len"])),
+            ("semantic_pairs", lambda: similarity.semantic_pairs(
+                embs, centroids=sem_cents, threshold=0.6)),
         ):
             best = float("inf")
             for _ in range(repeat):
@@ -138,6 +182,7 @@ def dedup_cells(spark, doc_counts, repeat):
             print(f"# {name} @ {n} docs: {best:.2f}s "
                   f"({n / best:,.0f} docs/s)", file=sys.stderr)
         d.unpersist()
+        embs.unpersist()
     return out
 
 
