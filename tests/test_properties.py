@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from anomalyzer_spark import AnomalyzerConf, detect
 from anomalyzer_spark.operators.rolling import detect_rolling
@@ -136,3 +137,75 @@ def test_cdc_chunks_tile_and_deterministic(spark):
         chunks.sort()
         assert [i for i, _ in chunks] == list(range(len(chunks)))
         assert sum(l for _, l in chunks) == len(lens[did])
+
+
+# ---------------------------------------------------------------------------
+# round-9 governance operators: partitioning invariance (the local proxy
+# for "results don't depend on executor layout at 1000 nodes")
+# ---------------------------------------------------------------------------
+
+def _gov_frame(spark, n=400, seed=11):
+    rng = np.random.default_rng(seed)
+    pdf = pd.DataFrame({
+        "id": np.arange(n),
+        "grp": rng.choice(["a", "b", "c"], n),
+        "x": rng.normal(100, 15, n).round(3),
+    })
+    pdf.loc[rng.choice(n, n // 10, replace=False), "x"] = np.nan
+    return spark.createDataFrame(pdf)
+
+
+def test_checks_partitioning_invariance(spark):
+    from anomalyzer_spark.functions import checks as C
+    df = _gov_frame(spark)
+    spec = [C.completeness("x", 0.8), C.uniqueness("id"),
+            C.in_range("x", lo=0, hi=200), C.mean_between("x", 50, 150),
+            C.row_count(min_rows=1)]
+    a = sorted(tuple(r) for r in
+               C.verify_checks(df.repartition(13), spec).collect())
+    b = sorted(tuple(r) for r in
+               C.verify_checks(df.coalesce(1), spec).collect())
+    assert a == b  # incl. the HLL sketch: register merge is layout-free
+
+
+def test_checks_by_consistent_with_global_per_group(spark):
+    from anomalyzer_spark.functions import checks as C
+    df = _gov_frame(spark)
+    spec = [C.completeness("x", 0.8), C.mean_between("x", 50, 150)]
+    grouped = C.verify_checks_by(df, ["grp"], spec).collect()
+    for g in ("a", "b", "c"):
+        solo = {r["check"]: r for r in C.verify_checks(
+            df.where(F.col("grp") == g), spec).collect()}
+        for r in (x for x in grouped if x["grp"] == g):
+            s = solo[r["check"]]
+            # mean: summation order differs between the grouped agg and
+            # the filtered global agg — ulp-level float tolerance
+            assert r["value"] == pytest.approx(s["value"], rel=1e-12)
+            assert r["passed"] == s["passed"]
+
+
+def test_psi_partitioning_invariance_and_identity(spark):
+    from anomalyzer_spark.functions.drift import psi_drift
+    old = _gov_frame(spark)
+    new = _gov_frame(spark, seed=12)
+    a = {r["column"]: r["psi"] for r in psi_drift(
+        old.repartition(13), new.repartition(7), ["x"]).collect()}
+    b = {r["column"]: r["psi"] for r in psi_drift(
+        old.coalesce(1), new.coalesce(1), ["x"]).collect()}
+    assert a == b  # round-6 PSI absorbs sum-order float noise
+    assert psi_drift(old, old, ["x"]).collect()[0]["psi"] == 0.0
+
+
+def test_semantic_pairs_partitioning_invariance(spark):
+    from anomalyzer_spark.functions import similarity as S
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((120, 8))
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    cents = S.train_ivf_centroids(vecs[::3], 4)
+    a = sorted((r["id_a"], r["id_b"]) for r in S.semantic_pairs(
+        df.repartition(13), threshold=0.5, centroids=cents).collect())
+    b = sorted((r["id_a"], r["id_b"]) for r in S.semantic_pairs(
+        df.coalesce(1), threshold=0.5, centroids=cents).collect())
+    assert a == b and len(a) > 0
