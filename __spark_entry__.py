@@ -982,6 +982,10 @@ def q_drift_psi(spark, sf_dir):
     it in tests/test_timezone.py) and the detect combiner through the
     12 remaining detect slots."""
     from anomalyzer_spark.functions.drift import psi_drift
+    # (probed round 9: the range_join local-split adapter does NOT help
+    # here — the cell cost is job-count overhead [bounds derive + two
+    # tiny-shuffle profiles], not per-row compute, so the extra exchange
+    # was scale-negative for zero local win and was reverted)
     orders = load_table(spark, sf_dir, "orders")
     drifted = (
         orders
