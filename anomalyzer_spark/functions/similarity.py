@@ -792,6 +792,7 @@ def semantic_pairs(
     seed: int = 42,
     centroids: list[list[float]] | None = None,
     max_cell_rows: int | None = 100_000,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cluster-blocked near-duplicate candidate pairs — the SemDeDup
     recipe (Abbas et al. 2023, arXiv:2303.09540): k-means the embeddings,
@@ -846,23 +847,50 @@ def semantic_pairs(
         F.explode(
             nearest_cells(vec_col, centroids, n_assign)).alias("cell"),
     )
+    if materialize and not df.isStreaming:
+        # the assignment expression (n_clusters interpreted cosine folds
+        # per row — HOFs never reach codegen) would otherwise re-execute
+        # per consumer: the hot-cell probe and BOTH self-join sides
+        # (Catalyst gives the self-join no ReusedExchange — the
+        # cosine_pairs precedent). Unlike the LSH path this materializes
+        # the vector column too: within-cell candidates are dense, so
+        # re-attaching vectors candidate-scoped would join against the
+        # full pair fan-out — the worse trade here. Eager: builds run
+        # jobs; pass materialize=False for plan-only inspection.
+        assigned = assigned.localCheckpoint(eager=True)
     if max_cell_rows is not None:
-        # most-central members first — similarity to the CELL's centroid,
-        # a CASE chain over the literal model (n_clusters branches, tiny)
-        sim_to_cell = cosine(F.col("_v"), F.array(
-            *[F.lit(float(x)) for x in centroids[0]]))
-        for i, c in enumerate(centroids[1:], start=1):
-            arr = F.array(*[F.lit(float(x)) for x in c])
-            sim_to_cell = F.when(
-                F.col("cell") == i, cosine(F.col("_v"), arr)
-            ).otherwise(sim_to_cell)
-        w = Window.partitionBy("cell").orderBy(
-            sim_to_cell.desc_nulls_last(), F.col("_id").asc())
-        assigned = (
-            assigned.withColumn("_rnk", F.row_number().over(w))
-            .where(F.col("_rnk") <= max_cell_rows)
-            .drop("_rnk")
-        )
+        # bounded probe first (one tiny aggregate job): the cap exists for
+        # pathological density, so in the common no-hot-cell case the
+        # whole ranking pass — measured at 2.5× the rest of the operator —
+        # must cost nothing but this count.
+        hot = (assigned.groupBy("cell")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") > max_cell_rows).limit(1).count() > 0)
+        if hot:
+            # most-central members first. Centroid similarity comes from a
+            # broadcast join against the tiny (cell, centroid) frame — ONE
+            # interpreted cosine fold per row; the CASE-chain-over-model
+            # alternative evaluates up to n_clusters folds per row
+            # (measured 25 s vs this join's noise at 50k×64 cells).
+            cent_rows = assigned.sparkSession.createDataFrame(
+                [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+                "cell int, _cent array<double>")
+            w = Window.partitionBy("cell").orderBy(
+                cosine(F.col("_v"), F.col("_cent")).desc_nulls_last(),
+                F.col("_id").asc())
+            assigned = (
+                assigned.join(F.broadcast(cent_rows), "cell")
+                .withColumn("_rnk", F.row_number().over(w))
+                .where(F.col("_rnk") <= max_cell_rows)
+                .drop("_rnk", "_cent")
+            )
+    # EXPLICIT partition count for the pair join: AQE sizes the exchange
+    # from the tiny pre-join signature rows and would coalesce it blind
+    # to the quadratic fan-out (measured: a 50k×64-cell sweep ran its
+    # 19.5M candidate pairs in 4 AQE-coalesced tasks). An explicit count
+    # is exempt from AQE coalescing — the r2 MC-kernel precedent.
+    nparts = assigned.sparkSession.sparkContext.defaultParallelism
+    assigned = assigned.repartition(nparts, "cell")
     a = assigned.select("cell", F.col("_id").alias("id_a"),
                         F.col("_v").alias("_va"))
     b = assigned.select("cell", F.col("_id").alias("id_b"),
