@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "completeness", "uniqueness", "in_range", "in_set", "matches",
-    "mean_between", "row_count", "satisfies", "verify_checks",
+    "mean_between", "min_between", "max_between", "stddev_between",
+    "quantile_between", "row_count", "satisfies", "verify_checks",
     "verify_checks_by",
 ]
 
@@ -93,6 +94,43 @@ def mean_between(column: str, lo: float, hi: float) -> dict:
             "hi": float(hi)}
 
 
+def min_between(column: str, lo: float, hi: float) -> dict:
+    """min(column) must lie in [lo, hi] (NULLs ignored)."""
+    return {"kind": "min_between", "column": column, "lo": float(lo),
+            "hi": float(hi)}
+
+
+def max_between(column: str, lo: float, hi: float) -> dict:
+    """max(column) must lie in [lo, hi] (NULLs ignored)."""
+    return {"kind": "max_between", "column": column, "lo": float(lo),
+            "hi": float(hi)}
+
+
+def stddev_between(column: str, lo: float, hi: float) -> dict:
+    """Sample standard deviation must lie in [lo, hi] (the variance
+    gate: a column going constant — stddev collapsing to 0 — is a
+    classic silent upstream failure)."""
+    return {"kind": "stddev_between", "column": column, "lo": float(lo),
+            "hi": float(hi)}
+
+
+def quantile_between(column: str, q: float, lo: float, hi: float, *,
+                     exact: bool = True) -> dict:
+    """The q-quantile (0 < q < 1, linear interpolation) must lie in
+    [lo, hi]. ``exact=True`` (default) uses ``percentile`` — a holistic
+    aggregate that buffers the column per partition; fine for the
+    dimension-sized frames a gate usually profiles, and what the DuckDB
+    oracle reproduces (``quantile_cont``). ``exact=False`` switches to
+    ``approx_percentile`` (GK sketch, mergeable, bounded memory — the
+    100 TB default; estimates are engine-specific, so cross-engine
+    attestation covers the exact path and the sketch is asserted only
+    within its documented accuracy, as in the sketch_stats slot)."""
+    if not 0.0 < q < 1.0:
+        raise ValueError("q must be in (0, 1)")
+    return {"kind": "quantile_between", "column": column, "q": float(q),
+            "lo": float(lo), "hi": float(hi), "exact": bool(exact)}
+
+
 def row_count(min_rows: int = 0, max_rows=None) -> dict:
     """Total row count must lie in [min_rows, max_rows]."""
     return {"kind": "row_count", "column": None, "lo": int(min_rows),
@@ -144,6 +182,17 @@ def _metric_expr(c: dict):
         return _ratio(ok, F.count(col)), "match_ratio"
     if kind == "mean_between":
         return F.avg(F.col(c["column"])).cast("double"), "mean"
+    if kind == "min_between":
+        return F.min(F.col(c["column"])).cast("double"), "min"
+    if kind == "max_between":
+        return F.max(F.col(c["column"])).cast("double"), "max"
+    if kind == "stddev_between":
+        return F.stddev_samp(F.col(c["column"])).cast("double"), "stddev"
+    if kind == "quantile_between":
+        col = F.col(c["column"]).cast("double")
+        expr = (F.percentile(col, F.lit(c["q"])) if c["exact"]
+                else F.percentile_approx(col, F.lit(c["q"])))
+        return expr.cast("double"), f"q{c['q']}"
     if kind == "row_count":
         return n.cast("double"), "rows"
     if kind == "satisfies":
@@ -152,8 +201,14 @@ def _metric_expr(c: dict):
     raise ValueError(f"unknown check kind: {kind!r}")
 
 
+#: checks gated by [lo, hi] bounds on the metric itself (threshold NULL
+#: in the report) rather than a min-ratio threshold
+_BOUNDED = ("mean_between", "min_between", "max_between",
+            "stddev_between", "quantile_between", "row_count")
+
+
 def _passed(c: dict, value):
-    if c["kind"] in ("mean_between", "row_count"):
+    if c["kind"] in _BOUNDED:
         ok = F.lit(True)
         if c.get("lo") is not None:
             ok = ok & (value >= F.lit(float(c["lo"])))
@@ -172,7 +227,7 @@ def _report(metrics: DataFrame, checks: list[dict], labels: list[str],
     rows = []
     for i, (c, metric) in enumerate(zip(checks, labels)):
         value = F.col(f"m{i}").cast("double")
-        if c["kind"] in ("mean_between", "row_count"):
+        if c["kind"] in _BOUNDED:
             thresh = F.lit(None).cast("double")
         else:
             thresh = F.lit(float(c["threshold"]))

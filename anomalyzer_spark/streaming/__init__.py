@@ -3,6 +3,7 @@ from .curate_stream import (batch_union_equals_offline,
                             run_curation_stream_with_dedup_on_dir)
 from .dedup_stream import (dedup_stream, dedup_stream_bounded,
                            run_dedup_stream_on_dir)
+from .checks_stream import run_checks_stream_on_dir
 from .detect_stream import detect_stream, run_stream_on_dir
 from .drift_stream import run_drift_stream_on_dir
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
@@ -11,6 +12,7 @@ from .resample_stream import resample_stream, run_resample_stream_on_dir
 from .session_stream import run_session_stream_on_dir
 
 __all__ = ["batch_union_equals_offline", "dedup_stream",
+           "run_checks_stream_on_dir",
            "dedup_stream_bounded", "detect_stream",
            "minhash_dedup_stream", "minhash_groups_store",
            "minhash_pairs_store", "resample_stream",

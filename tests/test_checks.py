@@ -186,3 +186,48 @@ def test_verify_checks_by_requires_keys(spark):
     df = spark.range(1)
     with pytest.raises(ValueError):
         C.verify_checks_by(df, [], [C.row_count()])
+
+
+# ---------------------------------------------------------------------------
+# bounded-metric checks (min/max/stddev/quantile)
+# ---------------------------------------------------------------------------
+
+def test_bounded_metrics_duckdb_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = {r["check"]: r for r in C.verify_checks(df, [
+        C.min_between("o_totalprice", 0, 1e4),
+        C.max_between("o_totalprice", 1e5, 1e6),
+        C.stddev_between("o_totalprice", 1.0, 1e6),
+        C.quantile_between("o_totalprice", 0.5, 1e5, 4e5),
+    ]).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+    mn, mx, sd, med = con.execute(
+        "SELECT min(o_totalprice), max(o_totalprice),"
+        " stddev_samp(o_totalprice),"
+        " quantile_cont(o_totalprice, 0.5) FROM orders").fetchone()
+    assert rep["0:min_between"]["value"] == mn
+    assert rep["1:max_between"]["value"] == mx
+    assert rep["2:stddev_between"]["value"] == pytest.approx(sd, rel=1e-9)
+    assert rep["3:quantile_between"]["value"] == pytest.approx(med, rel=1e-12)
+    assert all(r["threshold"] is None for r in rep.values())
+
+
+def test_stddev_collapse_and_quantile_semantics(spark):
+    const = spark.range(50).selectExpr("7.0 AS x")
+    rep = C.verify_checks(const, [
+        C.stddev_between("x", 0.1, 10)]).collect()[0]
+    assert rep["value"] == 0.0 and not rep["passed"]  # variance collapse
+
+    df = spark.createDataFrame([(float(i),) for i in range(1, 5)], "x double")
+    q = C.verify_checks(df, [C.quantile_between("x", 0.5, 0, 10)]) \
+        .collect()[0]
+    assert q["value"] == pytest.approx(2.5)  # linear interpolation
+
+    approx = C.verify_checks(df, [
+        C.quantile_between("x", 0.5, 0, 10, exact=False)]).collect()[0]
+    assert 2.0 <= approx["value"] <= 3.0  # GK sketch, documented accuracy
+
+    with pytest.raises(ValueError):
+        C.quantile_between("x", 1.5, 0, 1)

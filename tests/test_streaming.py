@@ -1014,3 +1014,44 @@ def test_drift_stream_categorical_and_validation(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError):
         run_drift_stream_on_dir(spark, sdir, [], bounds={},
                                 categories=vocab)  # no cat_baseline
+
+
+def test_checks_stream_per_batch_equals_offline(spark, sf_dir, tmp_path):
+    from anomalyzer_spark.functions import checks as C
+    from anomalyzer_spark.streaming import run_checks_stream_on_dir
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    sdir = str(tmp_path / "checks_in")
+    splits = [orders.where(F.col("o_orderkey") % 6 < 1),
+              orders.where((F.col("o_orderkey") % 6 >= 1)
+                           & (F.col("o_orderkey") % 6 < 3)),
+              orders.where(F.col("o_orderkey") % 6 >= 3)]
+    for i, part in enumerate(splits):
+        part.coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append").parquet(sdir)
+
+    spec = [C.completeness("o_custkey"),
+            C.mean_between("o_totalprice", 1e5, 4e5),
+            C.row_count(min_rows=300)]
+    mon = run_checks_stream_on_dir(
+        spark, sdir, spec, query_name="checks_mon_test").collect()
+    assert len(mon) == 9  # 3 batches x 3 checks
+    # row_count identifies each batch; its value keys the batch -> the
+    # offline report of that exact split must match row-for-row
+    by_batch = {}
+    for r in mon:
+        by_batch.setdefault(r["batch_id"], {})[r["check"]] = r
+    sizes = {}
+    for part in splits:
+        rep = {r["check"]: r for r in
+               C.verify_checks(part, spec).collect()}
+        sizes[rep["2:row_count"]["value"]] = rep
+    assert len(sizes) == 3
+    for batch in by_batch.values():
+        offline = sizes[batch["2:row_count"]["value"]]
+        for check, r in batch.items():
+            o = offline[check]
+            assert r["value"] == o["value"] and r["passed"] == o["passed"]
+
+    with pytest.raises(ValueError):
+        run_checks_stream_on_dir(spark, sdir, [])
