@@ -975,13 +975,17 @@ def q_drift_psi(spark, sf_dir):
     every 5th custkey nulled) over equi-width histogram profiles — 10
     bins + the NULL bucket, bounds from the OLD snapshot, Laplace
     α=0.5 smoothing, PSI rounded to 6. o_orderkey is the no-drift
-    control lane (psi exactly 0). Rotated in round 9 for
+    control lane (psi exactly 0). A fourth, CATEGORICAL lane
+    (psi_cat_drift on o_orderstatus: old top-3 vocabulary, forced
+    OTHER-bucket drift) rides the same output schema, so
+    category_profile's vocab/OTHER/NULL bucketing sits under the value
+    hash too. Rotated in round 9 for
     detect_resampled, whose unique surfaces stay value-attested:
     batch-resample bucket arithmetic through resample_stream's oracle
     (every emitted bucket ≡ the batch bucket, tz-coverage moved with
     it in tests/test_timezone.py) and the detect combiner through the
     12 remaining detect slots."""
-    from anomalyzer_spark.functions.drift import psi_drift
+    from anomalyzer_spark.functions.drift import psi_cat_drift, psi_drift
     # (probed round 9: the range_join local-split adapter does NOT help
     # here — the cell cost is job-count overhead [bounds derive + two
     # tiny-shuffle profiles], not per-row compute, so the extra exchange
@@ -993,9 +997,14 @@ def q_drift_psi(spark, sf_dir):
         .withColumn("o_custkey", F.when(
             F.col("o_orderkey") % 5 == 0, F.lit(None)
         ).otherwise(F.col("o_custkey")))
+        .withColumn("o_orderstatus", F.when(
+            F.col("o_orderkey") % 4 == 0, F.lit("Z")
+        ).otherwise(F.col("o_orderstatus")))
     )
-    return psi_drift(orders, drifted,
-                     ["o_totalprice", "o_custkey", "o_orderkey"])
+    num = psi_drift(orders, drifted,
+                    ["o_totalprice", "o_custkey", "o_orderkey"])
+    cat = psi_cat_drift(orders, drifted, ["o_orderstatus"], top_k=3)
+    return num.unionByName(cat)
 
 
 def q_detect_stream(spark, sf_dir):
@@ -1655,6 +1664,32 @@ SELECT '{col}' AS "column", round(sum((p - q) * ln(p / q)), 6) AS psi,
 FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 5.5) AS p,
              (nc + 0.5) / ((SELECT nt FROM t) + 5.5) AS q FROM j))"""
 
+    # categorical lane: old top-3 vocabulary (count desc, value asc),
+    # __OTHER__/__NULL__ buckets, Laplace over B = top_k + 2 = 5
+    cat_psi = """(
+WITH vocab AS (SELECT o_orderstatus AS v FROM orders
+               WHERE o_orderstatus IS NOT NULL
+               GROUP BY 1 ORDER BY count(*) DESC, v ASC LIMIT 3),
+o AS (SELECT CASE WHEN o_orderstatus IS NULL THEN '__NULL__'
+        WHEN o_orderstatus IN (SELECT v FROM vocab) THEN o_orderstatus
+        ELSE '__OTHER__' END AS bucket, count(*) cnt
+      FROM orders GROUP BY 1),
+n AS (SELECT CASE WHEN v IS NULL THEN '__NULL__'
+        WHEN v IN (SELECT v FROM vocab) THEN v
+        ELSE '__OTHER__' END AS bucket, count(*) cnt
+      FROM (SELECT CASE WHEN o_orderkey % 4 = 0 THEN 'Z'
+                   ELSE o_orderstatus END AS v FROM orders) GROUP BY 1),
+j AS (SELECT coalesce(o.bucket, n.bucket) AS bucket,
+             coalesce(o.cnt, 0) AS oc, coalesce(n.cnt, 0) AS nc
+      FROM o FULL OUTER JOIN n ON o.bucket = n.bucket),
+t AS (SELECT sum(oc) AS ot, sum(nc) AS nt FROM j)
+SELECT 'o_orderstatus' AS "column",
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       (SELECT ot FROM t)::BIGINT AS old_rows,
+       (SELECT nt FROM t)::BIGINT AS new_rows
+FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 2.5) AS p,
+             (nc + 0.5) / ((SELECT nt FROM t) + 2.5) AS q FROM j))"""
+
     sql["drift_psi"] = (
         _psi_block("o_totalprice", "o_totalprice::DOUBLE * 1.2")
         + "\nUNION ALL\n"
@@ -1662,7 +1697,8 @@ FROM (SELECT (oc + 0.5) / ((SELECT ot FROM t) + 5.5) AS p,
                      "CASE WHEN o_orderkey % 5 = 0 THEN NULL "
                      "ELSE o_custkey::DOUBLE END")
         + "\nUNION ALL\n"
-        + _psi_block("o_orderkey", "o_orderkey::DOUBLE"))
+        + _psi_block("o_orderkey", "o_orderkey::DOUBLE")
+        + "\nUNION ALL\n" + cat_psi)
     # sessionization oracle: identical islands formulation (lag + running
     # sum of gap-breaks) over µs event time with the event_id tiebreak.
     # snapshot delta: same old/new derivation as the Spark side, md5 over
