@@ -269,3 +269,164 @@ def select_top_fraction(
     accept = _hash48(F.col(id_col), seed) < int(resid_rate * _BUCKETS)
     return df.where(
         sc.isNotNull() & ((sc > thr) | ((sc == thr) & accept)))
+
+
+def mixture_plan(
+    df: DataFrame,
+    domain_col: str,
+    *,
+    alpha: float | None = None,
+    weights: dict[str, float] | None = None,
+    target_rows: int | None = None,
+    target_tokens: int | None = None,
+    token_col: str | None = None,
+    max_epochs: float = 4.0,
+) -> DataFrame:
+    """Epoch-aware domain-mixture plan — the decision `temperature_sample`
+    explicitly declines to make: when flattening a skewed corpus, small
+    domains should be UP-sampled (seen for more than one epoch), not just
+    protected from down-sampling. This computes, per domain, how many
+    epochs of that domain the mixed dataset should contain.
+
+    Target shares come from exactly one of:
+
+    * ``alpha`` — temperature flattening, share q_d ∝ p_d^alpha over the
+      natural shares p_d (``alpha=1`` natural, ``alpha=0`` uniform); or
+    * ``weights`` — an explicit {domain: weight} map (normalized; domains
+      absent from the map get weight 0; a ``None`` key weights the NULL
+      domain).
+
+    The budget is ``target_rows`` (or ``target_tokens`` with
+    ``token_col`` — shares and epochs then measured in tokens, the unit
+    a training run actually budgets); default is the corpus size, i.e.
+    pure re-mixing. Per domain: ``epochs = min(max_epochs,
+    share · budget / size)`` — a value < 1 is a down-sampling rate, > 1
+    repeats the domain, and ``max_epochs`` caps repetition (the standard
+    guard against memorizing a tiny domain; see e.g. the data-constrained
+    scaling literature on diminishing returns past ~4 epochs).
+
+    Returns one row per domain — (``domain``, ``n_rows``[, ``n_tokens``],
+    ``natural_share``, ``target_share``, ``epochs``, ``planned_rows``
+    [, ``planned_tokens``]), shares/epochs rounded to 6 — computed fully
+    declaratively: ONE map-side-combined aggregate over the corpus, then
+    window totals over the #domains-row result (each subtree plans once —
+    the ``psi_report`` precedent), so the plan frame is itself a small
+    DataFrame: persistable next to the dataset it describes, joinable,
+    and replayable as pure SQL. NULL domains are first-class. Feed the
+    result to ``apply_mixture_plan``.
+    """
+    if (alpha is None) == (weights is None):
+        raise ValueError("pass exactly one of alpha= or weights=")
+    if alpha is not None and alpha < 0.0:
+        raise ValueError("alpha must be >= 0")
+    if target_tokens is not None and token_col is None:
+        raise ValueError("target_tokens requires token_col")
+    if token_col is not None and target_rows is not None:
+        raise ValueError(
+            "token_col plans in tokens — use target_tokens, not "
+            "target_rows (mixed units would mis-scale every epoch)")
+    if max_epochs <= 0.0:
+        raise ValueError("max_epochs must be > 0")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    per = df.groupBy(F.col(domain_col).alias("domain")).agg(*aggs)
+    size = F.col("n_tokens") if token_col is not None else F.col("n_rows")
+    w_all = Window.partitionBy()
+    per = per.withColumn(
+        "natural_share", size / F.sum(size).over(w_all))
+    if alpha is not None:
+        wcol = F.pow(F.col("natural_share"), F.lit(float(alpha)))
+        per = per.withColumn("_w", wcol)
+    else:
+        spark = df.sparkSession
+        wdf = spark.createDataFrame(
+            [(d, float(v)) for d, v in weights.items()],
+            f"_mx_domain {dict(df.dtypes)[domain_col]}, _w double")
+        per = (per.join(
+            F.broadcast(wdf),
+            per["domain"].eqNullSafe(wdf["_mx_domain"]), "left")
+            .drop("_mx_domain")
+            .withColumn("_w", F.coalesce(F.col("_w"), F.lit(0.0))))
+    budget = (target_tokens if token_col is not None and
+              target_tokens is not None else target_rows)
+    budget_col = (F.lit(float(budget)) if budget is not None
+                  else F.sum(size).over(w_all))
+    per = per.withColumn(
+        "target_share", F.col("_w") / F.sum("_w").over(w_all))
+    per = per.withColumn(
+        "epochs",
+        F.round(F.least(
+            F.lit(float(max_epochs)),
+            F.col("target_share") * budget_col / size), 6))
+    out = [F.col("domain"), F.col("n_rows")]
+    if token_col is not None:
+        out.append(F.col("n_tokens"))
+    out += [
+        F.round("natural_share", 6).alias("natural_share"),
+        F.round("target_share", 6).alias("target_share"),
+        F.col("epochs"),
+        F.round(F.col("epochs") * F.col("n_rows"), 0)
+        .cast("long").alias("planned_rows"),
+    ]
+    if token_col is not None:
+        out.append(F.round(F.col("epochs") * F.col("n_tokens"), 0)
+                   .cast("long").alias("planned_tokens"))
+    return per.select(*out)
+
+
+def apply_mixture_plan(
+    df: DataFrame,
+    plan: DataFrame,
+    domain_col: str,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Materialize a ``mixture_plan``: each row is kept ``floor(epochs)``
+    times unconditionally plus once more with probability
+    ``frac(epochs)`` — deterministic, by the same md5 acceptance window
+    as ``hash_sample``, salted with the epoch index so the fractional
+    epoch is an independent draw from the full epochs. Output adds an
+    ``epoch`` column (0-based) so repeated rows are distinguishable
+    downstream (shuffling/packing should treat (id, epoch) as the key;
+    epoch-aware shuffles also keep repeats apart in training order).
+
+    Domains absent from the plan are dropped (epochs 0). Fractional
+    epochs NEST: re-planning a domain from 2.3 to 2.6 epochs keeps every
+    previously selected row and adds more, because the acceptance window
+    only widens (same property as ``hash_sample``).
+
+    Plan shape: the plan frame is #domains rows — broadcast onto the
+    corpus (null-safe equi-join, no corpus shuffle), then a map-side
+    ``explode(sequence(...))`` fans each row to its candidate epochs and
+    the acceptance filter trims the last one. The whole apply is
+    MAP-ONLY: no aggregate, no window, no driver state — it composes
+    with streaming frames (plan from a batch snapshot, the standard
+    rates-then-stream split ``temperature_sample`` documents) and scales
+    by rows. The md5 window is engine-portable (DuckDB-parity tested,
+    tests/test_functions.py).
+    """
+    if "epochs" not in plan.columns or "domain" not in plan.columns:
+        raise ValueError("plan must have (domain, epochs) columns "
+                         "(the mixture_plan output)")
+    p = plan.select("domain", "epochs").withColumnRenamed(
+        "domain", "_mx_domain")
+    joined = df.join(
+        F.broadcast(p),
+        df[domain_col].eqNullSafe(p["_mx_domain"]), "inner")
+    full = F.floor(F.col("epochs")).cast("int")
+    frac = F.col("epochs") - full
+    cand = F.explode(
+        F.sequence(F.lit(0), F.greatest(
+            F.ceil(F.col("epochs")).cast("int") - 1, F.lit(0))))
+    salted = F.concat_ws(
+        "#", F.col(id_col).cast("string"), F.col("_epoch").cast("string"))
+    return (
+        joined.withColumn("_epoch", cand)
+        .where((F.col("_epoch") < full)
+               | (_hash48(salted, seed)
+                  < (frac * F.lit(_BUCKETS)).cast("long")))
+        .drop("_mx_domain", "epochs")
+        .withColumnRenamed("_epoch", "epoch")
+    )
