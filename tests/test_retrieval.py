@@ -1,0 +1,145 @@
+"""Tests for BM25 top-k retrieval: formula pinned against an independent
+pure-Python implementation, ranking/tiebreak semantics, and DuckDB
+value parity on the fixture corpus."""
+
+import math
+import re
+
+import pytest
+
+from anomalyzer_spark.functions import retrieval
+
+_TOK = re.compile(r"[a-z]+|[0-9]+|[^a-z0-9\s]")
+
+
+def _bm25_py(docs, queries, k=10, k1=1.2, b=0.75):
+    """Independent reference implementation (dict-and-loop)."""
+    toks = {d: _TOK.findall(t.lower()) for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, q in queries:
+        scores = {}
+        for term in sorted(set(_TOK.findall(q.lower()))):
+            df = sum(1 for v in toks.values() if term in v)
+            if df == 0:
+                continue
+            idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+            for d, v in toks.items():
+                tf = v.count(term)
+                if tf:
+                    scores[d] = scores.get(d, 0.0) + (
+                        idf * tf * (k1 + 1)
+                        / (tf + k1 * (1 - b + b * len(v) / avgdl)))
+        ranked = sorted(scores.items(), key=lambda t: (-round(t[1], 6), t[0]))
+        out[qid] = [(d, round(s, 6)) for d, s in ranked[:k]]
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "spark shuffles data between executors during wide operations"),
+        (1, "broadcast joins avoid the shuffle when one side is small"),
+        (2, "the catalyst optimizer prunes columns and pushes filters"),
+        (3, "executors cache shuffle files between stages"),
+        (4, "a totally unrelated document about cooking pasta"),
+        (5, "shuffle shuffle shuffle"),           # tf saturation case
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+@pytest.fixture(scope="module")
+def queries(spark):
+    return spark.createDataFrame(
+        [(0, "shuffle executors"), (1, "broadcast join"), (2, "quantum")],
+        "query_id long, query string")
+
+
+def test_bm25_matches_reference_impl(spark, corpus, queries):
+    got = {}
+    for r in retrieval.bm25_topk(corpus, queries, k=4).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rnk"], r["doc_id"], r["score"]))
+    for qid in got:
+        got[qid] = [(d, s) for _, d, s in sorted(got[qid])]
+    docs = [(r["doc_id"], r["text"]) for r in corpus.collect()]
+    qs = [(r["query_id"], r["query"]) for r in queries.collect()]
+    want = _bm25_py(docs, qs, k=4)
+    assert got[0] == pytest.approx(want[0])
+    assert got[1] == pytest.approx(want[1])
+    # no shared term → query absent from the result entirely
+    assert 2 not in got
+    # sanity on semantics: doc 5 is pure repetition of 'shuffle' but tf
+    # saturates — it must not dominate a doc matching BOTH query terms
+    assert got[0][0][0] in (0, 3)
+
+
+def test_bm25_validation_and_k(spark, corpus, queries):
+    with pytest.raises(ValueError, match="k must be"):
+        retrieval.bm25_topk(corpus, queries, k=0)
+    with pytest.raises(ValueError, match="k1"):
+        retrieval.bm25_topk(corpus, queries, b=1.5)
+    out = retrieval.bm25_topk(corpus, queries, k=1)
+    per = {}
+    for r in out.collect():
+        per[r["query_id"]] = per.get(r["query_id"], 0) + 1
+    assert all(v == 1 for v in per.values())
+    # partitioning invariance
+    a = sorted(map(tuple, retrieval.bm25_topk(
+        corpus.repartition(5), queries, k=3).collect()))
+    c = sorted(map(tuple, retrieval.bm25_topk(corpus, queries, k=3).collect()))
+    assert a == c
+
+
+def test_bm25_duckdb_parity(spark, sf_dir):
+    """Full-stack replay in DuckDB SQL on the fixture corpus: identical
+    (query, doc, score, rnk) rows."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qrows = [(0, "anomaly detection pipeline"), (1, "model training data"),
+             (2, "spark shuffle")]
+    queries = spark.createDataFrame(qrows, "query_id long, query string")
+    got = sorted(map(tuple, retrieval.bm25_topk(
+        docs, queries, k=5).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    con.execute("CREATE TABLE queries (query_id BIGINT, query VARCHAR)")
+    con.executemany("INSERT INTO queries VALUES (?, ?)", qrows)
+    tok = r"regexp_extract_all(lower({0}), '[a-z]+|[0-9]+|[^a-z0-9\s]')"
+    want = sorted(map(tuple, con.execute(f"""
+WITH q AS (
+  SELECT query_id, unnest(list_distinct({tok.format('query')})) AS token
+  FROM queries),
+dtok AS (
+  SELECT doc_id, len({tok.format('text')}) AS dl,
+         unnest({tok.format('text')}) AS token
+  FROM documents),
+post AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+  FROM dtok WHERE token IN (SELECT DISTINCT token FROM q)
+  GROUP BY 1, 2),
+stats AS (
+  SELECT count(*) AS n, avg(len({tok.format('text')})) AS avgdl
+  FROM documents),
+ts AS (
+  SELECT p.doc_id, p.token,
+         ln(1 + (s.n - f.doc_freq + 0.5) / (f.doc_freq + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS tsc
+  FROM post p
+  JOIN (SELECT token, count(*) AS doc_freq FROM post GROUP BY 1) f
+    USING (token)
+  CROSS JOIN stats s),
+sc AS (
+  SELECT q.query_id, t.doc_id, round(sum(t.tsc), 6) AS score
+  FROM ts t JOIN q USING (token) GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sc)
+SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
+""").fetchall()))
+    assert got == want and len(got) > 0
