@@ -263,9 +263,28 @@ def q_winnow(spark, sf_dir):
                       F.explode("fingerprints").alias("fp"))
 
 
-def q_exact_dedup(spark, sf_dir):
+#: bm25 slot: fixed query set over the fixture vocabulary (several shared
+#: terms with varying document frequency, so idf/tf/length-norm all do
+#: real work) — inlined as VALUES in the DuckDB oracle.
+BM25_QUERIES = [(0, "shuffle merge join"), (1, "stream window batch"),
+                (2, "spark filter"), (3, "xyzzy nothing matches this")]
+BM25_K = 10
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 top-k lexical retrieval (functions/retrieval.py). Rotated in
+    round 9 for exact_dedup, whose surfaces stay attested: the per-group
+    state (content-hash grouping, group_size, min-id canonical) is the
+    dedup_stream slot's oracle VERBATIM over the same normalization; the
+    keep-first filter semantics sit under data_pipeline's and
+    curation_pipeline's value hashes; md5 content identity per document
+    is hashed by snapshot_diff (both sides); and the retired slot's
+    per-document rendering oracle lives verbatim in
+    tests/test_functions.py::test_exact_dedup_duckdb_parity."""
+    from anomalyzer_spark.functions import retrieval
     d = _docs(spark, sf_dir)
-    return dedup.exact_dedup(d, "text", "doc_id")
+    q = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    return retrieval.bm25_topk(d, q, k=BM25_K)
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -416,10 +435,27 @@ def q_data_pipeline(spark, sf_dir):
             F.round(
                 F.sum(F.col("ppl").cast("decimal(18,6)")).cast("double")
                 / F.count(F.lit(1)), 6).alias("avg_sample_ppl")))
+    # round-9 stage: epoch-aware mixture over the survivor languages
+    # (alpha=0.3 temperature flattening in TOKEN space, default budget =
+    # pure re-mix) — puts mixture_plan's share/epoch arithmetic AND
+    # apply_mixture_plan's epoch replication + salted md5 fractional
+    # window under this slot's value hash without a new registry slot.
+    mplan = sampling.mixture_plan(surv, "lang_pred", alpha=0.3,
+                                  token_col="n_tokens")
+    mixed = sampling.apply_mixture_plan(surv, mplan, "lang_pred")
+    mix_counts = mixed.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_mixed_rows"))
+    plan_cols = mplan.select(
+        F.col("domain").alias("lang_pred"),
+        F.col("epochs").alias("mix_epochs"),
+        F.col("planned_tokens").alias("mix_planned_tokens"))
     return (
         per_lang.join(samp_counts, "lang_pred", "left")
         .na.fill({"n_sample_docs": 0})
         .join(ppl_lang, "lang_pred", "left")
+        .join(plan_cols, "lang_pred", "left")
+        .join(mix_counts, "lang_pred", "left")
+        .na.fill({"n_mixed_rows": 0})
         .crossJoin(F.broadcast(vstats))
         .crossJoin(F.broadcast(vtop))
     )
@@ -1196,7 +1232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "detect_multi_mc": q_detect_multi_mc,
         "text_profile": q_text_profile,
         "winnow": q_winnow,
-        "exact_dedup": q_exact_dedup,
+        "bm25": q_bm25,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_lsh": q_minhash_lsh,
         "minhash_stream": q_minhash_stream,
@@ -1881,14 +1917,44 @@ m AS (SELECT doc_id, len(hashes) AS n_grams,
   ELSE [] END AS mins FROM h)
 SELECT doc_id, n_grams, unnest(list_distinct(mins)) AS fp FROM m"""
 
-    sql["exact_dedup"] = f"""
-WITH hashed AS (SELECT doc_id, md5({_NORM}) AS content_hash FROM documents),
-groups AS (
-  SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
-  FROM hashed GROUP BY content_hash)
-SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
-       h.doc_id != g.canonical_id AS is_duplicate
-FROM hashed h JOIN groups g USING (content_hash)"""
+    # bm25: full replay — word_tokens lexical spec, distinct query terms,
+    # Lucene idf, tf/length normalization, per-query top-k with the
+    # (score DESC, doc_id) tiebreak. Queries inlined from BM25_QUERIES.
+    _bm25_q = ", ".join(f"({i}, '{s}')" for i, s in BM25_QUERIES)
+    _tokx = "regexp_extract_all(lower({0}), '[a-z]+|[0-9]+|[^a-z0-9\\s]')"
+    sql["bm25"] = f"""
+WITH queries(query_id, query) AS (VALUES {_bm25_q}),
+q AS (
+  SELECT query_id, unnest(list_distinct({_tokx.format('query')})) AS token
+  FROM queries),
+dtok AS (
+  SELECT doc_id, len({_tokx.format('text')}) AS dl,
+         unnest({_tokx.format('text')}) AS token
+  FROM documents),
+post AS (
+  SELECT doc_id, token, count(*) AS tf, max(dl) AS dl
+  FROM dtok WHERE token IN (SELECT DISTINCT token FROM q)
+  GROUP BY 1, 2),
+stats AS (
+  SELECT count(*) AS n, avg(len({_tokx.format('text')})) AS avgdl
+  FROM documents),
+ts AS (
+  SELECT p.doc_id, p.token,
+         ln(1 + (s.n - f.doc_freq + 0.5) / (f.doc_freq + 0.5))
+           * p.tf * 2.2
+           / (p.tf + 1.2 * (1 - 0.75 + 0.75 * p.dl / s.avgdl)) AS tsc
+  FROM post p
+  JOIN (SELECT token, count(*) AS doc_freq FROM post GROUP BY 1) f
+    USING (token)
+  CROSS JOIN stats s),
+sc AS (
+  SELECT q.query_id, t.doc_id, round(sum(t.tsc), 6) AS score
+  FROM ts t JOIN q USING (token) GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
+  FROM sc)
+SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_K}"""
 
     # decontam: replays word_shingles' normalized DISTINCT 8-grams for
     # both sides (eval = every 97th document), the gram join, and the
@@ -2191,14 +2257,49 @@ lang_ppl AS (
   SELECT lang_pred,
          round(sum(ppl::DECIMAL(18,6))::DOUBLE / count(*), 6)
            AS avg_sample_ppl
-  FROM dppl JOIN samp USING (doc_id) GROUP BY lang_pred)
+  FROM dppl JOIN samp USING (doc_id) GROUP BY lang_pred),
+-- round-9 mixture stage: mixture_plan(alpha=0.3, token space, default
+-- budget) epochs + apply_mixture_plan realized counts (epoch
+-- replication; fractional epoch through the '#'-salted md5 window,
+-- floor() = Spark's truncating long cast)
+mpl AS (
+  SELECT lang_pred, count(*) AS mn_rows, sum(n_tokens) AS mn_tok
+  FROM surv GROUP BY 1),
+mw AS (SELECT *, pow(mn_tok / sum(mn_tok) OVER (), 0.3) AS w FROM mpl),
+mep AS (
+  SELECT lang_pred, mn_tok,
+         round(least(4.0, (w / sum(w) OVER ()) * sum(mn_tok) OVER ()
+                          / mn_tok), 6) AS mix_epochs
+  FROM mw),
+mpt AS (
+  SELECT lang_pred, mix_epochs,
+         round(mix_epochs * mn_tok, 0)::BIGINT AS mix_planned_tokens
+  FROM mep),
+mcand AS (
+  SELECT s.doc_id, s.lang_pred, e.mix_epochs,
+         floor(e.mix_epochs)::INT AS fe, gs.epoch
+  FROM surv s
+  JOIN mep e USING (lang_pred)
+  JOIN (SELECT unnest(range(0, 8)) AS epoch) gs
+    ON gs.epoch < ceil(e.mix_epochs)::INT),
+mmix AS (
+  SELECT lang_pred, count(*) AS n_mixed_rows FROM mcand
+  WHERE epoch < fe
+     OR ('0x' || substr(md5('42|' || doc_id::VARCHAR || '#' ||
+           fe::VARCHAR), 1, 12))::BIGINT
+        < floor((mix_epochs - fe) * 281474976710656)::BIGINT
+  GROUP BY 1)
 SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
   coalesce(sc.n_sample_docs, 0)::BIGINT AS n_sample_docs,
   lp.avg_sample_ppl,
+  m.mix_epochs, m.mix_planned_tokens,
+  coalesce(mm.n_mixed_rows, 0)::BIGINT AS n_mixed_rows,
   v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf
 FROM per_lang p
 LEFT JOIN samp_counts sc USING (lang_pred)
 LEFT JOIN lang_ppl lp USING (lang_pred)
+LEFT JOIN mpt m USING (lang_pred)
+LEFT JOIN mmix mm USING (lang_pred)
 CROSS JOIN vstats v CROSS JOIN vtop t""".replace(
         "__STATS__", sql["text_stats"].strip()).replace(
         "__LANGS__", sql["lang_id"].strip())

@@ -87,6 +87,10 @@ HEADLINE = (
     "snapshot_diff",
     "quality_checks",
     "drift_psi",
+    # round-9 second-session rotation (exact_dedup -> bm25): tracked from
+    # its first round; exact_dedup's bench niche (content-hash groupBy)
+    # times on inside data_pipeline's keep-first stage and dedup_stream
+    "bm25",
 )
 
 

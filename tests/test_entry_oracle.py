@@ -18,7 +18,10 @@ FAST_QUERIES = (
     # fully shadowed by detect_bytest_det's per-test prob/weight hashes)
     "detect_bytest_det",
     "text_profile",
-    "exact_dedup",
+    # exact_dedup retired round 9 (slot given to bm25; shadowing argument
+    # in q_bm25's docstring — its oracle lives verbatim in
+    # tests/test_functions.py::test_exact_dedup_duckdb_parity)
+    "bm25",
     "dedup_paragraphs",
     "decontam",
     "text_pipeline",

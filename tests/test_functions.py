@@ -41,6 +41,32 @@ def test_exact_dedup_groups(spark, docs):
     assert not out[3]["is_duplicate"]
 
 
+def test_exact_dedup_duckdb_parity(spark, sf_dir):
+    """The retired round-9 registry slot's oracle, VERBATIM (slot rotated
+    to bm25 — see q_bm25's docstring for the shadowing argument): the
+    per-document rendering (content_hash, group_size, canonical_id,
+    is_duplicate) hash-matches the DuckDB replay on the fixture corpus."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = sorted(map(tuple, dedup.exact_dedup(
+        docs, "text", "doc_id").collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            "'[^a-z0-9]+',' ','g'),'\\s+',' ','g'))")
+    want = sorted(map(tuple, con.execute(f"""
+WITH hashed AS (SELECT doc_id, md5({norm}) AS content_hash FROM documents),
+groups AS (
+  SELECT content_hash, count(*) AS group_size, min(doc_id) AS canonical_id
+  FROM hashed GROUP BY content_hash)
+SELECT h.doc_id, h.content_hash, g.group_size, g.canonical_id,
+       h.doc_id != g.canonical_id AS is_duplicate
+FROM hashed h JOIN groups g USING (content_hash)""").fetchall()))
+    assert got == want and len(got) > 0
+
+
 def test_ngram_jaccard_exact_values(spark, docs):
     out = dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                     k=3, threshold=0.2).collect()

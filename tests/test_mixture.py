@@ -191,5 +191,5 @@ SELECT doc_id, epoch FROM cand
 WHERE epoch < fullep
    OR ('0x' || substr(md5('42|' || doc_id::VARCHAR || '#' ||
          fullep::VARCHAR), 1, 12))::BIGINT
-      < ((epochs - fullep) * 281474976710656)::BIGINT""").fetchall())
+      < floor((epochs - fullep) * 281474976710656)::BIGINT""").fetchall())
     assert got == want and len(got) > 0
