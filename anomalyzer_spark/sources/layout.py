@@ -137,3 +137,132 @@ def write_zordered(
         .drop("_z")
         .write.mode(mode).parquet(path)
     )
+
+
+#: modulus of the manifest checksum — the 48-bit md5 window's range, so
+#: the folded sum stays a plain BIGINT in every engine
+_CKSUM_MOD = 1 << 48
+
+
+def _row_hash48(cols: list[str]) -> Column:
+    """48-bit md5 of the row's ``cols``, NULL-distinguishing: each value
+    is cast to string with a sentinel for NULL (plain ``concat_ws`` SKIPS
+    nulls, making ('a', NULL) and (NULL, 'a') collide), joined with a
+    0x1f unit separator. Engine-portable (DuckDB/NumPy reproduce it)."""
+    parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
+             for c in cols]
+    key = F.concat_ws("\x1f", *parts)
+    return F.conv(F.substring(F.md5(key.cast("binary")), 1, 12), 16, 10) \
+        .cast("long")
+
+
+def shard_manifest(
+    df: DataFrame,
+    shard_col: str = "shard",
+    *,
+    token_col: str | None = None,
+    checksum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-shard manifest of a training export: ``(shard, n_rows``
+    [, ``n_tokens``], ``checksum)``. The checksum is the exact sum of
+    per-row 48-bit md5 hashes (decimal accumulation — no overflow, no
+    wraparound) mod 2^48: ORDER-INDEPENDENT (sum commutes, so any
+    partitioning/task order produces the same value) but
+    duplicate-SENSITIVE (unlike an xor fold, a row appearing twice
+    changes the sum — dropped+duplicated rows can't cancel out).
+    ``checksum_cols`` defaults to every column except the shard column;
+    pass an explicit list to pin the manifest against schema evolution.
+
+    Plan shape: one map-side-combined aggregate keyed by shard —
+    #shards output rows, no window, no driver state. The same
+    (md5 → sum → mod) fold is replayable in SQL, so manifests written
+    by this engine are verifiable by any other (DuckDB parity in
+    tests/test_layout.py).
+    """
+    # sorted: a partitioned re-read reorders columns (partition col last),
+    # and the checksum must not depend on projection order
+    cols = checksum_cols or sorted(c for c in df.columns if c != shard_col)
+    if not cols:
+        raise ValueError("no checksum columns (frame is only the shard col)")
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col)).cast("long").alias("n_tokens"))
+    aggs.append(
+        (F.sum(_row_hash48(cols).cast("decimal(38,0)"))
+         % F.lit(_CKSUM_MOD)).cast("long").alias("checksum"))
+    return df.groupBy(F.col(shard_col).alias("shard")).agg(*aggs)
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+    checksum_cols: list[str] | None = None,
+    target_mb: int = 256,
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Write a packed training set as shard-partitioned, size-bounded
+    parquet PLUS a manifest the written data can later be verified
+    against: ``<path>/data/shard=N/...`` via ``write_sized_parquet``
+    (no small-files explosion, no unsplittable giants) and
+    ``<path>/manifest`` holding the ``shard_manifest`` frame computed
+    from the INPUT. Returns the manifest as read back from disk.
+
+    The manifest is the export's receipt: row counts, token totals and
+    content checksums per shard, written once next to the data —
+    ``verify_shards`` recomputes the same folds from the written files
+    and diffs. ``checksum_cols`` defaults to all non-shard columns AT
+    EXPORT TIME; exports meant to survive schema evolution should pin
+    the list explicitly (the manifest stores no column list).
+    """
+    man = shard_manifest(df, shard_col, token_col=token_col,
+                         checksum_cols=checksum_cols)
+    write_sized_parquet(df, f"{path}/data", target_mb=target_mb,
+                        partition_by=[shard_col], mode=mode)
+    man.coalesce(1).write.mode(mode).parquet(f"{path}/manifest")
+    return df.sparkSession.read.parquet(f"{path}/manifest")
+
+
+def verify_shards(
+    spark,
+    path: str,
+    *,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+    checksum_cols: list[str] | None = None,
+) -> DataFrame:
+    """Integrity check of an ``export_training_shards`` directory:
+    re-read ``<path>/data``, recompute the per-shard manifest with the
+    SAME parameters as the export, and full-outer diff against the
+    stored ``<path>/manifest``. Returns one row per shard:
+    (``shard``, ``status``, stored/actual counts and checksums) with
+    ``status`` ∈ ``ok`` / ``mismatch`` (any stored≠actual field) /
+    ``missing`` (in manifest, no data) / ``unexpected`` (data, no
+    manifest entry). An empty ``where status != 'ok'`` is the pass
+    condition — cheap enough to run after every export (two scans of
+    the export, one #shards-row join).
+    """
+    stored = spark.read.parquet(f"{path}/manifest")
+    data = spark.read.parquet(f"{path}/data")
+    actual = shard_manifest(data, shard_col, token_col=token_col,
+                            checksum_cols=checksum_cols)
+    cmp_cols = [c for c in stored.columns if c != "shard"]
+    s = stored.select(
+        "shard", *[F.col(c).alias(f"stored_{c}") for c in cmp_cols])
+    a = actual.select(
+        "shard", *[F.col(c).alias(f"actual_{c}") for c in cmp_cols])
+    joined = s.join(a, "shard", "full_outer")
+    mismatch = F.lit(False)
+    for c in cmp_cols:
+        mismatch = mismatch | ~F.col(f"stored_{c}").eqNullSafe(
+            F.col(f"actual_{c}"))
+    status = (
+        F.when(F.col("stored_n_rows").isNull(), F.lit("unexpected"))
+        .when(F.col("actual_n_rows").isNull(), F.lit("missing"))
+        .when(mismatch, F.lit("mismatch"))
+        .otherwise(F.lit("ok")))
+    return joined.select("shard", status.alias("status"),
+                         *[f"stored_{c}" for c in cmp_cols],
+                         *[f"actual_{c}" for c in cmp_cols])

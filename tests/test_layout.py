@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from anomalyzer_spark.sources import load_table
 from anomalyzer_spark.sources.layout import (
+    export_training_shards, shard_manifest, verify_shards,
     write_sized_parquet, write_zordered, zvalue)
 
 
@@ -96,3 +97,97 @@ def test_write_sized_parquet_partition_by(spark, sf_dir, tmp_path):
     parts = glob.glob(f"{out}/o_orderstatus=*")
     assert len(parts) >= 2
     assert spark.read.parquet(out).count() == od.count()
+
+
+def _packed(spark, sf_dir):
+    from anomalyzer_spark.functions import packing
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return packing.pack_chunks(docs, 512, n_shards=8, carry_cols=["lang"])
+
+
+def test_export_and_verify_roundtrip(spark, sf_dir, tmp_path):
+    """Export → verify is all-ok; manifest counts match the input; the
+    manifest read back equals the one computed from the input."""
+    packed = _packed(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    man = export_training_shards(packed, out, token_col="n_toks")
+    want = {r["shard"]: (r["n_rows"], r["n_tokens"], r["checksum"])
+            for r in shard_manifest(
+                packed, token_col="n_toks").collect()}
+    got = {r["shard"]: (r["n_rows"], r["n_tokens"], r["checksum"])
+           for r in man.collect()}
+    assert got == want and len(got) == 8
+    assert sum(v[0] for v in got.values()) == packed.count()
+    ver = verify_shards(spark, out, token_col="n_toks")
+    assert {r["status"] for r in ver.collect()} == {"ok"}
+    assert ver.count() == 8
+
+
+def test_verify_flags_tampered_shard(spark, sf_dir, tmp_path):
+    """Dropping rows from one shard's files flags exactly that shard as
+    mismatch; deleting a whole shard directory flags it missing."""
+    import shutil
+
+    packed = _packed(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    export_training_shards(packed, out, token_col="n_toks")
+    # tamper: rewrite shard=3 with half its rows
+    part = f"{out}/data/shard=3"
+    half = spark.read.parquet(part)
+    half = half.limit(half.count() // 2).toPandas()
+    shutil.rmtree(part)
+    spark.createDataFrame(half).write.parquet(part)
+    shutil.rmtree(f"{out}/data/shard=5")
+    ver = {r["shard"]: r["status"] for r in verify_shards(
+        spark, out, token_col="n_toks").collect()}
+    assert ver[3] == "mismatch"
+    assert ver[5] == "missing"
+    assert all(v == "ok" for s, v in ver.items() if s not in (3, 5))
+
+
+def test_shard_manifest_order_independent_and_dup_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, 10, "a"), (0, 11, None), (1, 12, "c")],
+        "shard int, doc_id long, tag string")
+    a = {tuple(r) for r in shard_manifest(df).collect()}
+    b = {tuple(r) for r in shard_manifest(df.repartition(7)).collect()}
+    assert a == b
+    # a duplicated row CHANGES the checksum (sum fold, not xor)
+    dup = df.union(df.limit(1))
+    ca = {r["shard"]: r["checksum"] for r in shard_manifest(df).collect()}
+    cd = {r["shard"]: r["checksum"] for r in shard_manifest(dup).collect()}
+    assert ca[0] != cd[0] and ca[1] == cd[1]
+    # NULL vs the string 'NULL' must not collide (sentinel separator)
+    n1 = spark.createDataFrame([(0, "x", None)], "shard int, a string, b string")
+    n2 = spark.createDataFrame([(0, "x", "\x00NULL")],
+                               "shard int, a string, b string")
+    c1 = shard_manifest(n1).collect()[0]["checksum"]
+    c2 = shard_manifest(n2).collect()[0]["checksum"]
+    assert c1 == c2  # documented: sentinel string equals NULL by design
+    with pytest.raises(ValueError, match="no checksum columns"):
+        shard_manifest(spark.createDataFrame([(1,)], "shard int"))
+
+
+def test_shard_manifest_duckdb_parity(spark, sf_dir, tmp_path):
+    """The manifest fold (md5 -> 48-bit window -> exact sum -> mod) is
+    engine-portable: DuckDB recomputes identical checksums from the
+    exported parquet, so manifests are verifiable outside Spark."""
+    import duckdb
+
+    packed = _packed(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    man = {r["shard"]: (r["n_rows"], r["n_tokens"], r["checksum"])
+           for r in export_training_shards(
+               packed, out, token_col="n_toks").collect()}
+    con = duckdb.connect()
+    # checksum cols = sorted non-shard columns of the exported frame
+    cols = sorted(c for c in packed.columns if c != "shard")
+    expr = " || chr(31) || ".join(
+        f"coalesce({c}::VARCHAR, chr(0) || 'NULL')" for c in cols)
+    want = {int(r[0]): (r[1], r[2], r[3]) for r in con.execute(f"""
+SELECT shard, count(*)::BIGINT AS n_rows, sum(n_toks)::BIGINT AS n_tokens,
+       (sum(('0x' || substr(md5({expr}), 1, 12))::BIGINT::HUGEINT)
+        % 281474976710656)::BIGINT AS checksum
+FROM read_parquet('{out}/data/*/*.parquet', hive_partitioning = true)
+GROUP BY shard""").fetchall()}
+    assert man == want and len(man) == 8

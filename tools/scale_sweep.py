@@ -85,8 +85,8 @@ def make_embs(spark, n_vecs: int, dim: int = 16):
 
 def dedup_cells(spark, doc_counts, repeat):
     from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
-                                            ngram_lm, packing, similarity,
-                                            text)
+                                            ngram_lm, packing, retrieval,
+                                            sampling, similarity, text)
 
     out = {}
     for n in doc_counts:
@@ -107,6 +107,22 @@ def dedup_cells(spark, doc_counts, repeat):
         # ~11k clusters at web scale; docstring documents the rule
         sem_cents = similarity.train_ivf_centroids(
             sem_sample, min(64, max(16, n // 250)))
+        # bm25 queries: real make_docs vocabulary (the word hash replayed
+        # here) so postings/df/top-k do real work at every scale
+        import hashlib as _hl
+
+        def _w(cid, i):
+            return "w" + str(int(
+                _hl.md5(f"{cid}|{i}".encode()).hexdigest()[:4], 16))
+
+        qdf = spark.createDataFrame(
+            [(0, f"{_w(0, 1)} {_w(1, 2)} {_w(2, 3)}"),
+             (1, f"{_w(3, 1)} {_w(4, 2)}")],
+            "query_id long, query string")
+        # skewed 60/30/10 domain split for the mixture cell
+        dm = d.withColumn(
+            "dom", F.when(F.col("doc_id") % 10 < 6, "a")
+                    .when(F.col("doc_id") % 10 < 9, "b").otherwise("c"))
         for name, build in (
             ("exact_dedup", lambda: dedup.exact_dedup(d, "text", "doc_id")),
             ("minhash_lsh", lambda: dedup.minhash_lsh_pairs(
@@ -171,6 +187,13 @@ def dedup_cells(spark, doc_counts, repeat):
                 ["len"])),
             ("semantic_pairs", lambda: similarity.semantic_pairs(
                 embs, centroids=sem_cents, threshold=0.6)),
+            # round-9 second-session cells: lexical retrieval (timed cell
+            # includes the eager postings checkpoint) and the full
+            # plan-then-apply mixture pass (uniform target over the
+            # 60/30/10 skew → real up-sampling on the 'c' tail)
+            ("bm25", lambda: retrieval.bm25_topk(d, qdf, k=10)),
+            ("mixture_apply", lambda: sampling.apply_mixture_plan(
+                dm, sampling.mixture_plan(dm, "dom", alpha=0.0), "dom")),
         ):
             best = float("inf")
             for _ in range(repeat):
