@@ -209,3 +209,47 @@ def test_semantic_pairs_partitioning_invariance(spark):
     b = sorted((r["id_a"], r["id_b"]) for r in S.semantic_pairs(
         df.coalesce(1), threshold=0.5, centroids=cents).collect())
     assert a == b and len(a) > 0
+
+
+def test_bm25_partitioning_invariance(spark):
+    from anomalyzer_spark.functions import retrieval
+    rows = [(i, f"w{i % 7} w{i % 3} common term") for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    qs = spark.createDataFrame([(0, "common w2"), (1, "term w5")],
+                               "query_id long, query string")
+    a = sorted(tuple(r) for r in retrieval.bm25_topk(
+        docs.repartition(13), qs.repartition(3), k=5).collect())
+    b = sorted(tuple(r) for r in retrieval.bm25_topk(
+        docs.coalesce(1), qs.coalesce(1), k=5).collect())
+    assert a == b and len(a) > 0
+
+
+def test_mixture_partitioning_invariance(spark):
+    from anomalyzer_spark.functions import sampling
+    df = spark.createDataFrame(
+        [(i, "a" if i % 10 < 7 else "b") for i in range(200)],
+        "doc_id long, dom string")
+    plan = sampling.mixture_plan(df, "dom", alpha=0.0)
+    pa = sorted(tuple(r) for r in sampling.mixture_plan(
+        df.repartition(13), "dom", alpha=0.0).collect())
+    pb = sorted(tuple(r) for r in plan.collect())
+    assert pa == pb
+    a = sorted((r["doc_id"], r["epoch"]) for r in
+               sampling.apply_mixture_plan(
+                   df.repartition(13), plan, "dom").collect())
+    b = sorted((r["doc_id"], r["epoch"]) for r in
+               sampling.apply_mixture_plan(
+                   df.coalesce(1), plan, "dom").collect())
+    assert a == b and len(a) > 0
+
+
+def test_shard_manifest_partitioning_invariance(spark):
+    from anomalyzer_spark.sources.layout import shard_manifest
+    df = spark.createDataFrame(
+        [(i % 4, i, f"t{i}") for i in range(300)],
+        "shard int, doc_id long, text string")
+    a = sorted(tuple(r) for r in shard_manifest(
+        df.repartition(13), token_col="doc_id").collect())
+    b = sorted(tuple(r) for r in shard_manifest(
+        df.coalesce(1), token_col="doc_id").collect())
+    assert a == b  # exact decimal hash-sum: no float, no order effects

@@ -1055,3 +1055,29 @@ def test_checks_stream_per_batch_equals_offline(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError):
         run_checks_stream_on_dir(spark, sdir, [])
+
+
+def test_apply_mixture_plan_works_on_streams(spark, sf_dir, tmp_path):
+    """apply_mixture_plan is map-only (broadcast plan join + epoch
+    explode + hash filter — no aggregate, no window, no state), so the
+    batch-planned mixture applies unchanged to a STREAM of documents:
+    the standard plan-on-snapshot / apply-to-stream split the docstring
+    documents. Streamed output must equal the batch apply exactly."""
+    from anomalyzer_spark.functions import sampling
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming._drain import drain_available_now
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    plan = sampling.mixture_plan(d, "lang", alpha=0.2)
+    sdir = str(tmp_path / "mix_stream_in")
+    d.coalesce(3).write.mode("overwrite").parquet(sdir)
+
+    res = drain_available_now(
+        spark, sdir,
+        lambda s: sampling.apply_mixture_plan(s, plan, "lang"),
+        "mix_stream_t", output_mode="append")
+    got = sorted((r["doc_id"], r["epoch"]) for r in res.collect())
+    exp = sorted((r["doc_id"], r["epoch"]) for r in
+                 sampling.apply_mixture_plan(d, plan, "lang").collect())
+    assert got == exp and len(got) > 0
+    assert max(e for _, e in got) >= 1      # real up-sampling occurred
