@@ -144,16 +144,83 @@ def write_zordered(
 _CKSUM_MOD = 1 << 48
 
 
-def _row_hash48(cols: list[str]) -> Column:
+def _row_hash48(cols: list[str], salt: str | None = None) -> Column:
     """48-bit md5 of the row's ``cols``, NULL-distinguishing: each value
     is cast to string with a sentinel for NULL (plain ``concat_ws`` SKIPS
     nulls, making ('a', NULL) and (NULL, 'a') collide), joined with a
-    0x1f unit separator. Engine-portable (DuckDB/NumPy reproduce it)."""
+    0x1f unit separator. ``salt`` (prepended as a literal part) keys the
+    hash to a use-site/seed so different consumers draw independent
+    hashes. Engine-portable (DuckDB/NumPy reproduce it)."""
     parts = [F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL"))
              for c in cols]
+    if salt is not None:
+        parts.insert(0, F.lit(salt))
     key = F.concat_ws("\x1f", *parts)
     return F.conv(F.substring(F.md5(key.cast("binary")), 1, 12), 16, 10) \
         .cast("long")
+
+
+def assign_shards(
+    df: DataFrame,
+    n_shards: int,
+    *,
+    id_cols: list[str] | None = None,
+    seed: int = 0,
+    shard_col: str = "shard",
+    key_col: str | None = None,
+    cluster: bool = False,
+) -> DataFrame:
+    """Deterministic seed-keyed global shuffle: assign every row a shard
+    in ``[0, n_shards)`` and a pseudo-random within-shard order, the step
+    between curation and ``export_training_shards`` that fixes a
+    TRAINING ORDER. Training runs need the order (a) shuffled — no
+    source/time clustering surviving into consecutive batches — and (b)
+    reproducible — re-running the export from the same snapshot and seed
+    must rebuild byte-identical shards, or the export receipt
+    (``shard_manifest``) attests nothing.
+
+    Both come from one 48-bit md5 over ``(seed, id_cols)``
+    (``id_cols`` defaults to all columns, sorted — pass the stable
+    document key explicitly when rows carry mutable payload):
+    ``shard = hash % n_shards`` and the hash itself is the shuffle sort
+    key (exposed as ``key_col`` when given). md5 uniformity makes shard
+    sizes even by construction — no planned skew, so the downstream
+    sharded write needs no AQE rescue. Different ``seed`` values draw
+    independent hashes, so reshuffling between epochs is a seed bump,
+    not a new mechanism.
+
+    ``cluster=False`` (default) is map-only — zero exchanges, columns
+    ride existing stages. ``cluster=True`` additionally repartitions by
+    shard and sorts ``(shard, hash)`` within partitions — exactly the
+    physical layout the sharded write wants, spending the ONE exchange
+    that write needs anyway (a task may hold several of the
+    ``n_shards`` hash-colliding shard ids; ``partitionBy(shard)`` on
+    write splits them back out).
+
+    The fold is the engine-portable house hash, so the assignment is
+    replayable as pure SQL (DuckDB parity in tests/test_layout.py): an
+    auditor can recompute from the snapshot which shard ANY document
+    landed in without running Spark.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ids = id_cols or sorted(df.columns)
+    if not ids:
+        raise ValueError("no id columns to hash")
+    missing = [c for c in ids if c not in df.columns]
+    if missing:
+        raise ValueError(f"id_cols not in frame: {missing}")
+    if shard_col in df.columns:
+        raise ValueError(f"column {shard_col!r} already exists")
+    h = _row_hash48(ids, salt=f"shard:{seed}")
+    out = df.withColumn(shard_col, F.pmod(h, F.lit(n_shards)).cast("int"))
+    if key_col is not None:
+        out = out.withColumn(key_col, h)
+    if cluster:
+        out = (out.repartition(n_shards, F.col(shard_col))
+               .sortWithinPartitions(F.col(shard_col),
+                                     F.col(key_col) if key_col else h))
+    return out
 
 
 def shard_manifest(

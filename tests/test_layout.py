@@ -191,3 +191,81 @@ SELECT shard, count(*)::BIGINT AS n_rows, sum(n_toks)::BIGINT AS n_tokens,
 FROM read_parquet('{out}/data/*/*.parquet', hive_partitioning = true)
 GROUP BY shard""").fetchall()}
     assert man == want and len(man) == 8
+
+
+def test_assign_shards_deterministic_and_balanced(spark, sf_dir):
+    from anomalyzer_spark.sources.layout import assign_shards
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    a = assign_shards(docs, 8, id_cols=["doc_id"], seed=7,
+                      key_col="k")
+    rows = {r["doc_id"]: (r["shard"], r["k"]) for r in a.collect()}
+    # deterministic: a second independent plan reproduces the assignment
+    b = {r["doc_id"]: (r["shard"], r["k"])
+         for r in assign_shards(docs.repartition(13), 8,
+                                id_cols=["doc_id"], seed=7,
+                                key_col="k").collect()}
+    assert rows == b
+    # every shard populated, roughly balanced (md5-uniform)
+    from collections import Counter
+    sizes = Counter(s for s, _ in rows.values())
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2.5 * min(sizes.values())
+    # a different seed draws an independent permutation
+    c = {r["doc_id"]: r["shard"]
+         for r in assign_shards(docs, 8, id_cols=["doc_id"],
+                                seed=8).collect()}
+    assert any(c[d] != s for d, (s, _) in rows.items())
+    # shard == key % n_shards: the order key and placement agree
+    assert all(k % 8 == s for s, k in rows.values())
+
+
+def test_assign_shards_validation(spark):
+    from anomalyzer_spark.sources.layout import assign_shards
+    df = spark.createDataFrame([(1, "a")], "doc_id long, shard string")
+    with pytest.raises(ValueError, match="n_shards"):
+        assign_shards(df, 0)
+    with pytest.raises(ValueError, match="already exists"):
+        assign_shards(df, 2)
+    with pytest.raises(ValueError, match="not in frame"):
+        assign_shards(df.select("doc_id"), 2, id_cols=["nope"])
+
+
+def test_assign_shards_duckdb_parity(spark, sf_dir, tmp_path):
+    """The (seed, id) -> shard fold is replayable as pure SQL: DuckDB
+    recomputes identical shard ids from the raw parquet."""
+    import duckdb
+    from anomalyzer_spark.sources.layout import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {r["doc_id"]: r["shard"]
+           for r in assign_shards(docs, 5, id_cols=["doc_id"],
+                                  seed=3).collect()}
+    con = duckdb.connect()
+    want = {int(r[0]): int(r[1]) for r in con.execute(f"""
+SELECT doc_id,
+       ('0x' || substr(md5('shard:3' || chr(31) ||
+                        coalesce(doc_id::VARCHAR, chr(0) || 'NULL')),
+                       1, 12))::BIGINT % 5 AS shard
+FROM read_parquet('{sf_dir}/documents.parquet')""").fetchall()}
+    assert got == want and len(got) > 0
+
+
+def test_assign_shards_export_roundtrip(spark, sf_dir, tmp_path):
+    """assign_shards(cluster=True) -> export -> verify is all-ok, and
+    re-running the whole pipeline from the same snapshot+seed rebuilds
+    shards with identical manifests (the reproducibility contract)."""
+    from anomalyzer_spark.sources.layout import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    mans = []
+    for out in (str(tmp_path / "e1"), str(tmp_path / "e2")):
+        sharded = assign_shards(docs, 4, id_cols=["doc_id"], seed=1,
+                                cluster=True)
+        man = export_training_shards(sharded, out)
+        mans.append({r["shard"]: (r["n_rows"], r["checksum"])
+                     for r in man.collect()})
+        ver = verify_shards(spark, out)
+        assert {r["status"] for r in ver.collect()} == {"ok"}
+    assert mans[0] == mans[1] and len(mans[0]) == 4
