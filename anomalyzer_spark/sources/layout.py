@@ -333,3 +333,112 @@ def verify_shards(
     return joined.select("shard", status.alias("status"),
                          *[f"stored_{c}" for c in cmp_cols],
                          *[f"actual_{c}" for c in cmp_cols])
+
+
+def refresh_shards(
+    new_df: DataFrame,
+    diff: DataFrame,
+    path: str,
+    n_shards: int,
+    *,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    shard_col: str = "shard",
+    token_col: str | None = None,
+    checksum_cols: list[str] | None = None,
+    target_mb: int = 256,
+) -> int:
+    """Diff-driven incremental re-export: given the NEW corpus snapshot
+    and a ``dedup.snapshot_diff`` against the previously exported one,
+    rewrite ONLY the shard partitions that contain added / changed /
+    removed documents and patch the manifest to match — never a full
+    re-export. The sharded-training-set leg of the incremental story
+    next to ``ann_index.apply_diff_to_index`` (index cells).
+
+    Requires the export to have been sharded by the stable document key
+    (``assign_shards(..., id_cols=[id_col], seed=seed)``): because the
+    shard is then a PURE FUNCTION of the id, affected shards are
+    computed map-only from the diff frame itself — no scan of the
+    existing export to locate victims (cheaper than the index case,
+    where ids had to be looked up). Content-keyed sharding would move a
+    document between shards on every edit and is exactly what this
+    refuses to support.
+
+    Affected shards are rebuilt WHOLLY from ``new_df`` (the snapshot is
+    the source of truth — survivors and incoming rows come from the same
+    scan, so replaying a diff converges: idempotent like the index
+    apply). An affected shard with no remaining rows is DELETED
+    (dynamic partition overwrite skips empty partitions, which would
+    leave stale files behind a vanished manifest row). Pass the same
+    ``token_col`` / ``checksum_cols`` / ``target_mb`` as the original
+    export — the manifest stores no parameters (``verify_shards``
+    contract).
+
+    Plan shape: one map-only pass over the diff (#affected-shards
+    distinct), one pruned scan of ``new_df`` filtered to affected shards
+    before its single repartition-by-shard exchange, one dynamic
+    partition overwrite, and a #shards-row manifest merge. Unaffected
+    shard partitions keep their files byte-identical; manifest equality
+    with a fresh full export is pinned in tests/test_layout.py.
+
+    Returns the number of rewritten (incl. deleted) shard partitions.
+    """
+    spark = new_df.sparkSession
+    known = ("added", "changed", "removed", "unchanged")
+    unknown = [r["status"] for r in diff.select("status").distinct()
+               .collect() if r["status"] not in known]
+    if unknown:
+        raise ValueError(
+            f"refresh_shards: unexpected diff status(es) {unknown!r}; "
+            f"expected snapshot_diff output with statuses in {known}")
+    active = diff.where(F.col("status").isin("added", "changed", "removed"))
+    h_diff = _row_hash48([id_col], salt=f"shard:{seed}")
+    affected = sorted(r["s"] for r in active.select(
+        F.pmod(h_diff, F.lit(n_shards)).cast("int").alias("s"))
+        .distinct().collect())
+    if not affected:
+        return 0
+
+    h_new = _row_hash48([id_col], salt=f"shard:{seed}")
+    rewrite = (new_df
+               .withColumn(shard_col,
+                           F.pmod(h_new, F.lit(n_shards)).cast("int"))
+               .where(F.col(shard_col).isin(affected))
+               .repartition(min(n_shards, len(affected)), F.col(shard_col))
+               .sortWithinPartitions(F.col(shard_col), h_new))
+    # materialize BEFORE any overwrite: self-overwrite hazard (the
+    # manifest merge below reads the directory the write replaces), and
+    # the frame is read twice (data write + manifest recompute)
+    rewrite = rewrite.localCheckpoint(eager=True)
+
+    new_man = shard_manifest(rewrite, shard_col, token_col=token_col,
+                             checksum_cols=checksum_cols)
+    stored = spark.read.parquet(f"{path}/manifest")
+    merged = (stored.where(~F.col("shard").isin(affected))
+              .unionByName(new_man)).localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_sized_parquet(rewrite, f"{path}/data", target_mb=target_mb,
+                            partition_by=[shard_col], mode="overwrite")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    # dynamic overwrite never touches a partition the rewrite frame has
+    # no rows for — an affected shard that emptied out must be deleted
+    # explicitly or its stale files survive with no manifest row
+    still = {r["shard"] for r in new_man.select("shard").collect()}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for s in affected:
+        if s not in still:
+            p = jvm.org.apache.hadoop.fs.Path(
+                f"{path}/data/{shard_col}={s}")
+            p.getFileSystem(hconf).delete(p, True)
+
+    merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
+    return len(affected)

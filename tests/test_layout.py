@@ -269,3 +269,114 @@ def test_assign_shards_export_roundtrip(spark, sf_dir, tmp_path):
         ver = verify_shards(spark, out)
         assert {r["status"] for r in ver.collect()} == {"ok"}
     assert mans[0] == mans[1] and len(mans[0]) == 4
+
+
+def _doc_snapshots(spark, sf_dir):
+    """Old snapshot, new snapshot (adds + changes + removes), and docs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang")
+    old = docs.where(F.col("doc_id") < 450)
+    new = (docs.where((F.col("doc_id") < 430) | (F.col("doc_id") >= 460))
+           .withColumn("text", F.when(F.col("doc_id") % 97 == 0,
+                                      F.concat(F.col("text"), F.lit(" v2")))
+                       .otherwise(F.col("text"))))
+    return old, new
+
+
+def test_refresh_shards_equals_full_reexport(spark, sf_dir, tmp_path):
+    """Incremental refresh from a snapshot diff converges to exactly the
+    manifest a fresh full export of the new snapshot produces; verify is
+    all-ok; untouched shard partitions keep their files byte-identical;
+    replaying the same diff is a no-op on the manifest (idempotent)."""
+    import hashlib
+
+    from anomalyzer_spark.functions.dedup import snapshot_diff
+    from anomalyzer_spark.sources.layout import assign_shards, refresh_shards
+
+    old, new = _doc_snapshots(spark, sf_dir)
+    inc = str(tmp_path / "inc")
+    export_training_shards(
+        assign_shards(old, 6, id_cols=["doc_id"], seed=2, cluster=True),
+        inc)
+    diff = snapshot_diff(old, new)
+    affected = {r["shard"] for r in diff.select(
+        (F.conv(F.substring(F.md5(F.concat_ws(
+            "\x1f", F.lit("shard:2"), F.col("doc_id").cast("string"))
+            .cast("binary")), 1, 12), 16, 10).cast("long") % 6)
+        .cast("int").alias("shard")).distinct().collect()}
+    untouched = sorted(set(range(6)) - affected)
+
+    def _dirhash(shard):
+        h = hashlib.md5()
+        for f in sorted(glob.glob(f"{inc}/data/shard={shard}/*.parquet")):
+            h.update(open(f, "rb").read())
+        return h.hexdigest()
+
+    before = {s: _dirhash(s) for s in untouched}
+    n = refresh_shards(new, diff, inc, 6, seed=2)
+    assert n == len(affected) > 0
+    assert {s: _dirhash(s) for s in untouched} == before
+
+    ver = verify_shards(spark, inc)
+    assert {r["status"] for r in ver.collect()} == {"ok"}
+
+    full = str(tmp_path / "full")
+    export_training_shards(
+        assign_shards(new, 6, id_cols=["doc_id"], seed=2, cluster=True),
+        full)
+    man_inc = {r["shard"]: (r["n_rows"], r["checksum"]) for r in
+               spark.read.parquet(f"{inc}/manifest").collect()}
+    man_full = {r["shard"]: (r["n_rows"], r["checksum"]) for r in
+                spark.read.parquet(f"{full}/manifest").collect()}
+    assert man_inc == man_full
+
+    # replay: same diff again converges to the same manifest
+    refresh_shards(new, diff, inc, 6, seed=2)
+    assert {r["shard"]: (r["n_rows"], r["checksum"]) for r in
+            spark.read.parquet(f"{inc}/manifest").collect()} == man_full
+
+
+def test_refresh_shards_deletes_emptied_shard(spark, sf_dir, tmp_path):
+    """An affected shard whose documents ALL disappear is deleted from
+    disk (dynamic overwrite alone would leave stale files), and verify
+    stays all-ok with the remaining shards."""
+    from anomalyzer_spark.functions.dedup import snapshot_diff
+    from anomalyzer_spark.sources.layout import assign_shards, refresh_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") < 40)
+    # keep only the docs of shard 0 (seed 5, 2 shards) -> shard 1 empties
+    sharded = assign_shards(old, 2, id_cols=["doc_id"], seed=5)
+    keep_ids = [r["doc_id"] for r in
+                sharded.where(F.col("shard") == 0).collect()]
+    new = old.where(F.col("doc_id").isin(keep_ids))
+
+    out = str(tmp_path / "exp")
+    export_training_shards(
+        assign_shards(old, 2, id_cols=["doc_id"], seed=5, cluster=True),
+        out)
+    n = refresh_shards(new, snapshot_diff(old, new), out, 2, seed=5)
+    assert n == 1
+    assert glob.glob(f"{out}/data/shard=1") == []
+    ver = verify_shards(spark, out)
+    assert {(r["shard"], r["status"]) for r in ver.collect()} == {(0, "ok")}
+
+
+def test_refresh_shards_contract(spark, sf_dir, tmp_path):
+    """Unknown diff statuses raise; an unchanged-only diff is a no-op."""
+    from anomalyzer_spark.functions.dedup import snapshot_diff
+    from anomalyzer_spark.sources.layout import assign_shards, refresh_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .where(F.col("doc_id") < 50)
+    out = str(tmp_path / "exp")
+    export_training_shards(
+        assign_shards(docs, 3, id_cols=["doc_id"], seed=0, cluster=True),
+        out)
+    bad = spark.createDataFrame([(1, "mutated")], "doc_id long, status string")
+    with pytest.raises(ValueError, match="unexpected diff status"):
+        refresh_shards(docs, bad, out, 3)
+    noop = snapshot_diff(docs, docs, include_unchanged=True)
+    assert refresh_shards(docs, noop, out, 3) == 0
+    assert {r["status"] for r in verify_shards(spark, out).collect()} \
+        == {"ok"}
