@@ -1,6 +1,6 @@
 """Deduplication operators for training-data pipelines.
 
-Five flavors, all DataFrame-first:
+Six flavors, all DataFrame-first:
 
   * exact_dedup           — md5-hash groupBy (one shuffle on a 16-byte key)
   * ngram_jaccard_pairs   — exact n-gram-shingle Jaccard via shingle self-join
@@ -8,6 +8,10 @@ Five flavors, all DataFrame-first:
                             exact-Jaccard verification of candidates only
   * simhash               — 32-bit SimHash signatures + near-pair mining
   * embedding near-dup    — see similarity.cosine_pairs (cosine > threshold)
+  * duplicate_spans       — cross-doc exact-SUBSTRING dedup (ExactSubstr
+                            semantics): maximal duplicated runs of >=
+                            min_len words, one canonical copy kept,
+                            suffix-array-free (two ordinary shuffles)
 
 Hash choice: md5 (not murmur) everywhere a signature participates in
 results, because md5 is bit-identical across engines — the DuckDB oracle can
@@ -936,5 +940,269 @@ def strip_repeated_paragraphs(
             .alias("n_paragraphs"),
             F.sum((F.col("_occ") > 1).cast("long"))
             .alias("n_repeats_dropped"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate-SPAN removal (ExactSubstr semantics)
+# ---------------------------------------------------------------------------
+
+_WS_BOUNDARY = r"(?<=\S)(?=\s)"
+
+
+def _ws_exact_tokens(text: Column) -> Column:
+    """Whitespace-EXACT tokenization: split at every \\S→\\s boundary, so
+    each element is one word with its PRECEDING whitespace run attached
+    (the first element may have none; an all/trailing-whitespace run forms
+    one final word-less element). ``concat(tokens) == text`` byte-for-byte,
+    which is what lets ``strip_duplicate_spans`` cut words out of a
+    document and keep every surviving byte identical to the original —
+    unlike a trim/split/re-join pipeline, which silently normalizes
+    whitespace everywhere."""
+    return F.split(F.coalesce(text, F.lit("")), _WS_BOUNDARY)
+
+
+def _gram_hashes(toks: Column, k: int) -> Column:
+    """md5 of every word k-gram of a ``_ws_exact_tokens`` array, in
+    position order (``array<string>``, element i = gram starting at word
+    i). The gram key is the EXACT bytes of the k words including their
+    interior separators, with the first word's leading whitespace
+    stripped — i.e. the byte string from the first word's start to the
+    last word's end. Interior whitespace differences therefore distinguish
+    grams (true exact-substring semantics), while the context before the
+    gram does not (a passage at document start matches the same passage
+    mid-document)."""
+    n = F.size(toks)
+    # a trailing pure-whitespace element carries no word: exclude it from
+    # the gram universe (it would otherwise corrupt the last k-1 grams)
+    m = n - F.when(F.trim(F.element_at(toks, -1)) == "", 1).otherwise(0)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(m - k, F.lit(0))),
+        lambda i: F.md5(
+            F.concat(
+                F.regexp_replace(F.get(toks, i), r"^\s+", ""),
+                F.array_join(F.slice(toks, i + 2, k - 1), ""),
+            ).cast("binary")
+        ),
+    )
+    return F.when(m >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+    scope: str = "cross_doc",
+    keep: str = "canonical",
+) -> DataFrame:
+    """Find duplicated word SPANS — maximal runs of ``min_len``-or-more
+    consecutive words whose exact bytes recur elsewhere in the corpus.
+    The substring-granular complement to the document-level
+    (``exact_dedup``), paragraph-level (``dedup_paragraphs``) and
+    chunk-level (``cdc_chunks``) operators: boilerplate, licenses, and
+    quoted passages duplicate across otherwise-distinct documents, and
+    document-level dedup never sees them. This is the standard
+    exact-substring training-data dedup (deduplicating repeated spans of
+    >= a length threshold, keeping one canonical copy); the published
+    implementations build a corpus-wide suffix array on one giant
+    machine — here the equivalent span set falls out of two ordinary
+    shuffles, because a duplicated span of length >= k is EXACTLY a
+    maximal run of duplicated word k-grams (k = ``min_len``).
+
+    Returns one row per (document, kind, maximal span):
+    ``(<id_col>, kind, span_start, span_end, n_grams, n_tokens)`` with
+    word-index bounds (inclusive, 0-based over the document's words).
+    ``kind`` is ``'remove'`` for spans slated for deletion and (under
+    ``keep='canonical'``) ``'keep'`` for the globally-first occurrence of
+    each duplicated gram — ``strip_duplicate_spans`` deletes
+    remove-coverage MINUS keep-coverage, so the canonical copy survives
+    even where a neighboring duplicated region overlaps it.
+
+    * ``scope='cross_doc'`` (default): a gram is duplicated when it
+      occurs in >= 2 distinct documents (within-doc repetition is
+      ``strip_repeated_paragraphs`` / ``repetition_stats`` territory).
+      ``scope='all'``: any gram occurring >= 2 times anywhere.
+    * ``keep='canonical'``: the occurrence with the smallest
+      (``id_col``, position) survives; ``keep='none'``: every occurrence
+      is marked remove (decontamination-style hard delete).
+
+    Plan shape (2 exchanges): map-only gram build (O(words x min_len)
+    byte hashing per doc, array-local, ~32 B/word output); ONE exchange
+    on the gram hash where a single window pass computes occurrence
+    count / id range / canonical occurrence (window, NOT agg+self-join —
+    the self-join would recompute the gram explode twice, the
+    ``_shingle_exploded`` precedent; hot boilerplate grams each land one
+    spill-safe partition, and only duplicated grams — the tiny fraction —
+    survive to the next stage); ONE exchange on (id, kind) where a
+    lag/running-sum window merges gram runs into maximal spans (same-key
+    groupBy rides the same partitioning, no third exchange). At 100 TB
+    nothing corpus-wide ever sits on one node and there is no index
+    build; the deliberate trade vs a suffix array is O(n·k) distributed
+    map CPU for zero global state.
+
+    64-bit-hash collisions would merge unrelated grams; md5's 128 bits
+    make that negligible AND keep every signature engine-reproducible
+    (the house rule) — though the DuckDB replay needs a regex dialect
+    workaround for the lookbehind tokenizer, so parity is pinned by the
+    brute-force oracle in tests/test_dedup_spans.py instead of a
+    registry slot.
+    """
+    from pyspark.sql.window import Window
+
+    if scope not in ("cross_doc", "all"):
+        raise ValueError(f"duplicate_spans: unknown scope {scope!r}")
+    if keep not in ("canonical", "none"):
+        raise ValueError(f"duplicate_spans: unknown keep {keep!r}")
+    if min_len < 2:
+        raise ValueError("duplicate_spans: min_len must be >= 2")
+
+    occ = df.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes(_ws_exact_tokens(F.col(text_col)), min_len))
+        .alias("pos", "_gh"),
+    )
+    w = Window.partitionBy("_gh")
+    occ = (
+        occ.withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn("_min_id", F.min(id_col).over(w))
+        .withColumn("_max_id", F.max(id_col).over(w))
+        .withColumn(
+            "_canon",
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).over(w),
+        )
+    )
+    dup = occ.where(
+        (F.col("_min_id") != F.col("_max_id"))
+        if scope == "cross_doc"
+        else (F.col("_n") > 1)
+    )
+    is_canon = (F.col("_canon.i") == F.col(id_col)) & (F.col("_canon.p") == F.col("pos"))
+    kind = (
+        F.when(is_canon, F.lit("keep")).otherwise(F.lit("remove"))
+        if keep == "canonical"
+        else F.lit("remove")
+    )
+    marked = dup.select(F.col(id_col), F.col("pos"), kind.alias("kind"))
+
+    # adjacent/overlapping k-gram intervals [pos, pos+k-1] merge exactly
+    # when consecutive duplicated positions are <= k apart
+    w2 = Window.partitionBy(id_col, "kind").orderBy("pos")
+    prev = F.lag("pos").over(w2)
+    runs = marked.withColumn(
+        "_run",
+        F.sum(
+            F.when(prev.isNull() | (F.col("pos") - prev > min_len), 1).otherwise(0)
+        ).over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        runs.groupBy(id_col, "kind", "_run")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + min_len - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_grams"),
+        )
+        .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + 1)
+        .drop("_run")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+    scope: str = "cross_doc",
+    keep: str = "canonical",
+) -> DataFrame:
+    """Rewrite each document with its ``duplicate_spans`` removed: a word
+    is deleted iff it is covered by a ``remove`` span and NOT by a
+    ``keep`` span (so under ``keep='canonical'`` exactly one copy of
+    every duplicated passage survives corpus-wide, even where
+    overlapping duplicated regions from different grams would otherwise
+    chop it). Returns (``<id_col>``, ``<text_col>`` rebuilt,
+    ``n_spans_removed``, ``n_tokens_dropped``).
+
+    Byte-exactness contract: a document with nothing to remove
+    round-trips BYTE-IDENTICALLY (tabs, runs of spaces, newlines,
+    leading/trailing whitespace all preserved — the whole point of the
+    ``_ws_exact_tokens`` representation); an edited document is the
+    concatenation of its surviving words with their original preceding
+    separators, except that a surviving word promoted to document start
+    sheds the separator it inherited (it belonged between two words, one
+    of which is gone). NULL text comes back as the empty string with
+    zero counts.
+
+    Plan: ``duplicate_spans``'s two exchanges, + one groupBy(id) to fold
+    spans per doc (a handful of rows each), + one join back to the
+    corpus — at 100 TB the span side is minuscule next to the corpus
+    scan, and the rewrite itself is a map-only higher-order filter
+    (O(words x spans-per-doc), spans-per-doc ~ a few).
+    """
+    spans = duplicate_spans(
+        df, text_col, id_col, min_len=min_len, scope=scope, keep=keep
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.when(
+                F.col("kind") == "remove",
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")),
+            )
+        ).alias("_rm"),
+        F.collect_list(
+            F.when(
+                F.col("kind") == "keep",
+                F.struct(F.col("span_start").alias("s"), F.col("span_end").alias("e")),
+            )
+        ).alias("_kp"),
+    )
+
+    toks = _ws_exact_tokens(F.col(text_col))
+    indexed = F.transform(
+        toks, lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+
+    def _covered(col: str, i: Column) -> Column:
+        return F.coalesce(
+            F.exists(
+                F.col(col), lambda sp: (i >= sp["s"]) & (i <= sp["e"])
+            ),
+            F.lit(False),
+        )
+
+    kept = F.filter(
+        indexed,
+        lambda s: ~(_covered("_rm", s["i"]) & ~_covered("_kp", s["i"])),
+    )
+    head = F.element_at(kept, 1)
+    head_txt = F.when(head["i"] == 0, head["t"]).otherwise(
+        F.regexp_replace(head["t"], r"^\s+", "")
+    )
+    rebuilt = F.when(F.size(kept) == 0, F.lit("")).otherwise(
+        F.concat(
+            head_txt,
+            F.array_join(
+                F.transform(
+                    F.slice(kept, 2, F.greatest(F.size(kept) - 1, F.lit(0))),
+                    lambda s: s["t"],
+                ),
+                "",
+            ),
+        )
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            rebuilt.alias(text_col),
+            # size(NULL) is -1 under default (non-ANSI) semantics, so the
+            # no-spans left-join miss needs an explicit isNull guard
+            F.when(F.col("_rm").isNull(), F.lit(0))
+            .otherwise(F.size(F.col("_rm"))).cast("long")
+            .alias("n_spans_removed"),
+            (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_dropped"),
         )
     )
