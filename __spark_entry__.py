@@ -71,6 +71,7 @@ JACCARD_THRESHOLD = 0.05
 COSINE_THRESHOLD = 0.35
 TOPK = 5
 MAX_SHINGLE_FREQ = 1000  # hot-shingle df cap (pre-agg filter, dedup.py)
+DUP_SPAN_LEN = 15        # duplicate_spans word-run threshold
 
 #: curation_pipeline knobs (redact -> temperature-mix -> pack)
 CURATION_CAP = 96       # tokens per packed chunk
@@ -297,6 +298,27 @@ def q_ngram_jaccard(spark, sf_dir):
                                     max_shingle_freq=MAX_SHINGLE_FREQ)
     return out.withColumn("n_a", F.col("n_a").cast("long")).withColumn(
         "n_b", F.col("n_b").cast("long"))
+
+
+def q_dup_spans(spark, sf_dir):
+    """Cross-document exact-substring dedup (dedup.duplicate_spans):
+    maximal duplicated word runs >= DUP_SPAN_LEN with the canonical
+    occurrence flagged 'keep'. Rotated in round 9 for lineitem_cube,
+    whose machinery stays attested: the grouping-sets engine surface
+    (Expand, grouping-NULL -> 'ALL' rendering, partial agg through the
+    expand) is orders_rollup's slot VERBATIM — CUBE is the same Expand
+    with a larger lattice — the lineitem scan + decimal-sum arithmetic
+    sit under pricing_summary's and skew_median's value hashes, and the
+    retired slot's oracle lives verbatim in
+    tests/test_functions.py::test_lineitem_cube_duckdb_parity."""
+    d = _docs(spark, sf_dir)
+    out = dedup.duplicate_spans(d, "text", "doc_id", min_len=DUP_SPAN_LEN)
+    return out.select(
+        "doc_id", "kind",
+        F.col("span_start").cast("long").alias("span_start"),
+        F.col("span_end").cast("long").alias("span_end"),
+        F.col("n_grams").cast("long").alias("n_grams"),
+        F.col("n_tokens").cast("long").alias("n_tokens"))
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1252,7 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "orders_rollup": q_orders_rollup,
-        "lineitem_cube": q_lineitem_cube,
+        "dup_spans": q_dup_spans,
         "running_totals": q_running_totals,
         "events_json": q_events_json,
         "sketch_stats": q_sketch_stats,
@@ -2661,13 +2683,47 @@ SELECT coalesce(o_orderstatus, 'ALL') AS status,
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)"""
 
-    sql["lineitem_cube"] = """
-SELECT coalesce(l_returnflag, 'ALL') AS rf,
-  coalesce(l_linestatus, 'ALL') AS ls,
-  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
-  count(*) AS n
-FROM lineitem
-GROUP BY CUBE(l_returnflag, l_linestatus)"""
+    # duplicate_spans replay: RE2 has no lookbehind, so the whitespace-
+    # exact tokenizer is replayed as regexp_extract_all('\s*\S+') — the
+    # identical word-with-preceding-separator representation (the trailing
+    # pure-whitespace element Spark excludes via its m-adjustment simply
+    # never matches). Gram keys, canonical min-struct, and the lag/run-sum
+    # interval merge mirror dedup.duplicate_spans one-to-one.
+    sql["dup_spans"] = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\s*\\S+') AS tk,
+         len(regexp_extract_all(text, '\\s*\\S+')) AS m
+  FROM documents),
+grams AS (
+  SELECT doc_id, j - 1 AS pos,
+         md5(regexp_replace(tk[j], '^\\s+', '') ||
+             array_to_string(tk[j + 1 : j + {DUP_SPAN_LEN} - 1], '')) AS gh
+  FROM toks, unnest(generate_series(1, m - {DUP_SPAN_LEN} + 1)) AS t(j)
+  WHERE m >= {DUP_SPAN_LEN}),
+occ AS (
+  SELECT doc_id, pos,
+    min(doc_id) OVER (PARTITION BY gh) AS min_id,
+    max(doc_id) OVER (PARTITION BY gh) AS max_id,
+    min(struct_pack(i := doc_id, p := pos)) OVER (PARTITION BY gh) AS canon
+  FROM grams),
+marked AS (
+  SELECT doc_id, pos,
+    CASE WHEN canon.i = doc_id AND canon.p = pos
+         THEN 'keep' ELSE 'remove' END AS kind
+  FROM occ WHERE min_id <> max_id),
+runs AS (
+  SELECT doc_id, kind, pos,
+    sum(CASE WHEN prev IS NULL OR pos - prev > {DUP_SPAN_LEN}
+        THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id, kind ORDER BY pos) AS run
+  FROM (SELECT *, lag(pos) OVER (PARTITION BY doc_id, kind ORDER BY pos)
+          AS prev FROM marked) z)
+SELECT doc_id, kind,
+  min(pos)::BIGINT AS span_start,
+  (max(pos) + {DUP_SPAN_LEN} - 1)::BIGINT AS span_end,
+  count(*)::BIGINT AS n_grams,
+  (max(pos) - min(pos) + {DUP_SPAN_LEN})::BIGINT AS n_tokens
+FROM runs GROUP BY doc_id, kind, run"""
 
     sql["running_totals"] = """
 SELECT o_orderkey, o_custkey,

@@ -26,6 +26,10 @@ FAST_QUERIES = (
     "decontam",
     "text_pipeline",
     "ngram_jaccard",
+    # lineitem_cube retired round 9 (slot given to dup_spans; shadowing
+    # argument in q_dup_spans's docstring — its oracle lives verbatim in
+    # tests/test_functions.py::test_lineitem_cube_duckdb_parity)
+    "dup_spans",
     "simhash",
     "cosine_topk",
     "pricing_summary",

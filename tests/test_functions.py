@@ -1383,3 +1383,28 @@ SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= 5""").fetchall()
     assert len(got) > 0
     assert got == sorted(tuple(w) for w in want)
+
+
+def test_lineitem_cube_duckdb_parity(spark, sf_dir):
+    """The retired round-9 registry slot's oracle, VERBATIM (slot rotated
+    to dup_spans — see q_dup_spans's docstring for the shadowing
+    argument: CUBE is orders_rollup's Expand with a larger lattice; the
+    lineitem scan + decimal sums stay hashed under pricing_summary and
+    skew_median)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    got = sorted(map(tuple, entry_mod.q_lineitem_cube(
+        spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/lineitem.parquet')")
+    want = sorted(map(tuple, con.execute("""
+SELECT coalesce(l_returnflag, 'ALL') AS rf,
+  coalesce(l_linestatus, 'ALL') AS ls,
+  sum(l_quantity::DECIMAL(18,2))::DOUBLE AS sum_qty,
+  count(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)""").fetchall()))
+    assert got == want and len(got) > 0
