@@ -91,6 +91,10 @@ HEADLINE = (
     # its first round; exact_dedup's bench niche (content-hash groupBy)
     # times on inside data_pipeline's keep-first stage and dedup_stream
     "bm25",
+    # round-9 fifth-session rotation (lineitem_cube -> dup_spans): tracked
+    # from its first round; lineitem_cube's bench niche (grouping-sets
+    # Expand) times on inside orders_rollup's parity test
+    "dup_spans",
 )
 
 
