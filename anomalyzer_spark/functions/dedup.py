@@ -1117,6 +1117,7 @@ def strip_duplicate_spans(
     min_len: int = 20,
     scope: str = "cross_doc",
     keep: str = "canonical",
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Rewrite each document with its ``duplicate_spans`` removed: a word
     is deleted iff it is covered by a ``remove`` span and NOT by a
@@ -1124,7 +1125,8 @@ def strip_duplicate_spans(
     every duplicated passage survives corpus-wide, even where
     overlapping duplicated regions from different grams would otherwise
     chop it). Returns (``<id_col>``, ``<text_col>`` rebuilt,
-    ``n_spans_removed``, ``n_tokens_dropped``).
+    ``n_spans_removed``, ``n_tokens_dropped``[, ``carry_cols``
+    passed through unchanged]).
 
     Byte-exactness contract: a document with nothing to remove
     round-trips BYTE-IDENTICALLY (tabs, runs of spaces, newlines,
@@ -1204,5 +1206,6 @@ def strip_duplicate_spans(
             .otherwise(F.size(F.col("_rm"))).cast("long")
             .alias("n_spans_removed"),
             (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_dropped"),
+            *[F.col(c) for c in (carry_cols or [])],
         )
     )

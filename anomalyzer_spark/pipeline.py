@@ -3,8 +3,9 @@ text-curation operators, in the order a production pretraining pipeline
 runs them:
 
     normalize → profile/filter (length, quality, language) → exact dedup
-    → [near-dup removal] → [decontamination] → [PII redaction]
-    → [temperature mixture] → [sequence packing]
+    → [near-dup removal] → [duplicate-span strip] → [decontamination]
+    → [PII redaction] → [windowing] → [temperature mixture]
+    → [sequence packing]
 
 Every stage is one of this repo's tested operators; this module adds NO
 new semantics — only the canonical wiring, a config dataclass that
@@ -70,6 +71,10 @@ class CurationConfig:
     #: near-dup group resolution: "first" (min id) or "best" (highest
     #: text_profile quality_score via dedup.keep_best)
     dedup_keep: str = "first"
+    #: cross-document exact-substring dedup AFTER document dedup: strip
+    #: duplicated word runs >= this many words, one canonical copy kept
+    #: corpus-wide (dedup.strip_duplicate_spans). None skips.
+    strip_spans: int | None = None
     #: "exact" (word n-grams) / "fuzzy" (MinHash) / None; needs eval_df
     decontam_mode: str | None = None
     decontam_ngram: int = 8
@@ -99,6 +104,8 @@ class CurationConfig:
         if self.decontam_mode not in (None, "exact", "fuzzy"):
             raise ValueError(f"decontam_mode must be exact|fuzzy|None, "
                              f"got {self.decontam_mode!r}")
+        if self.strip_spans is not None and self.strip_spans < 2:
+            raise ValueError("strip_spans must be >= 2 words")
         if self.min_quality is not None and not 0 <= self.min_quality <= 1:
             raise ValueError("min_quality must be in [0, 1]")
         if self.top_fraction is not None and not 0 < self.top_fraction <= 1:
@@ -130,8 +137,8 @@ def curate(
     """Compose the curation stack per ``cfg`` over ``docs``
     (``id_col``, ``text_col``[, ``domain_col``...]). Returns every stage
     frame under its name (``normalized``, ``filtered``, ``deduped``,
-    ``decontaminated``, ``redacted``, ``windowed``, ``sampled``,
-    ``packed``) — feed
+    ``span_deduped``, ``decontaminated``, ``redacted``, ``windowed``,
+    ``sampled``, ``packed``) — feed
     :func:`curation_report` for retained-count accounting, or take
     ``.output`` and write it.
     """
@@ -191,6 +198,19 @@ def curate(
                     .select(icol)
                 cur = cur.join(keep.unionByName(solo), icol, "left_semi")
         res.stages["deduped"] = cur
+
+    if cfg.strip_spans is not None:
+        # substring granularity AFTER document dedup (whole-document
+        # copies are already gone, so the gram pass only sees the spans
+        # document dedup cannot). The stage rewrites text, so it sits
+        # before decontam/redact/window like the other text rewrites;
+        # the standalone operator's span counters are dropped here to
+        # keep the stage schema uniform (use it directly for audits).
+        carry = [c for c in cur.columns if c not in (icol, tcol)]
+        cur = _dedup.strip_duplicate_spans(
+            cur, tcol, icol, min_len=cfg.strip_spans, carry_cols=carry,
+        ).drop("n_spans_removed", "n_tokens_dropped")
+        res.stages["span_deduped"] = cur
 
     if cfg.decontam_mode == "exact":
         cur = _decontam.decontaminate(

@@ -11,11 +11,14 @@ Scope semantics are the honest part (see pipeline.py's streaming note):
 
 * map-shaped stages — normalize, profile filters, redaction — mean the
   same thing per batch as offline;
-* **exact dedup, near-dup dedup, the top_fraction gate, and the
-  temperature mixture are BATCH-SCOPED**: "unique", "best X%", and the
+* **exact dedup, near-dup dedup, duplicate-SPAN dedup (strip_spans),
+  the top_fraction gate, and the temperature mixture are
+  BATCH-SCOPED**: "unique", "duplicated span", "best X%", and the
   domain shares are computed within each micro-batch. Cross-batch
   exact/near dedup state is ``dedup_stream`` / ``minhash_dedup_stream``
   (run them downstream of this writer, or upstream of a final compact);
+  no cross-batch gram store exists for spans — strip corpus-wide
+  offline, after a compact;
 * decontamination against a STATIC eval frame is batch-safe as-is (the
   eval side never changes mid-stream).
 
@@ -44,6 +47,7 @@ def batch_union_equals_offline(cfg: CurationConfig) -> bool:
     """True iff every configured stage is per-row (batch-split-invariant):
     the streamed union then equals offline curation byte-for-byte."""
     return (cfg.dedup is None
+            and cfg.strip_spans is None
             and cfg.temperature_alpha is None
             and cfg.top_fraction is None
             and cfg.pack_capacity is None)
@@ -140,6 +144,11 @@ def run_curation_stream_with_dedup_on_dir(
         ("pack_capacity", cfg.pack_capacity is not None),
         ("decontam_mode", cfg.decontam_mode is not None),
         ("dedup_keep='best'", cfg.dedup_keep == "best"),
+        # duplicate-SPAN dedup is corpus-relative at gram granularity
+        # (the canonical occurrence is a global min) — no cross-batch
+        # gram store exists, so a batch split changes which spans are
+        # visible AND which copy is canonical
+        ("strip_spans", cfg.strip_spans is not None),
     ) if bad]
     if blocked:
         raise ValueError(

@@ -164,3 +164,36 @@ def test_map_only_config_compiles_shuffle_free(spark, docs):
     plan = res.output._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan       # NFC stage present, still a map
+
+
+def test_strip_spans_stage_composition(spark, docs):
+    """The span_deduped stage equals strip_duplicate_spans applied to the
+    deduped stage's frame (composition contract), carries provenance
+    columns, drops the audit counters, and sits between dedup and the
+    later rewrites."""
+    from anomalyzer_spark.functions.dedup import strip_duplicate_spans
+
+    cfg = CurationConfig(dedup="exact", strip_spans=15)
+    res = curate(docs, cfg)
+    assert list(res.stages) == ["normalized", "deduped", "span_deduped"]
+    got = res.stages["span_deduped"]
+    assert "n_spans_removed" not in got.columns
+    assert "lang" in got.columns                    # provenance carried
+
+    deduped = res.stages["deduped"]
+    carry = [c for c in deduped.columns if c not in ("doc_id", "text")]
+    want = strip_duplicate_spans(
+        deduped, "text", "doc_id", min_len=15, carry_cols=carry
+    ).drop("n_spans_removed", "n_tokens_dropped")
+    assert sorted(got.columns) == sorted(want.columns)
+    a = {r["doc_id"]: r["text"] for r in got.collect()}
+    b = {r["doc_id"]: r["text"] for r in want.collect()}
+    assert a == b and len(a) > 0
+    # the fixture corpus HAS cross-doc duplicate passages: some doc shrank
+    orig = {r["doc_id"]: r["text"] for r in deduped.collect()}
+    assert any(len(a[d]) < len(orig[d]) for d in a)
+
+
+def test_strip_spans_validation():
+    with pytest.raises(ValueError, match="strip_spans"):
+        CurationConfig(strip_spans=1)

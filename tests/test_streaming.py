@@ -945,6 +945,10 @@ def test_curation_stream_with_dedup_rejects_unsupported(spark, tmp_path):
         run_curation_stream_with_dedup_on_dir(
             spark, "x", "y", "z",
             CurationConfig(dedup="minhash", dedup_keep="best"))
+    # duplicate-span dedup is corpus-relative (global canonical): blocked
+    with pytest.raises(ValueError, match="not batch-split-invariant"):
+        run_curation_stream_with_dedup_on_dir(
+            spark, "x", "y", "z", CurationConfig(strip_spans=15))
 
 
 # ---------------------------------------------------------------------------
