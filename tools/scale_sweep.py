@@ -192,6 +192,11 @@ def dedup_cells(spark, doc_counts, repeat):
             # plan-then-apply mixture pass (uniform target over the
             # 60/30/10 skew → real up-sampling on the 'c' tail)
             ("bm25", lambda: retrieval.bm25_topk(d, qdf, k=10)),
+            # cross-doc exact-substring dedup: the planted every-10th-doc
+            # copies give ~n/5 docs real duplicated 40-word spans; the
+            # timed cell is the FULL strip (span mining + text rebuild)
+            ("strip_spans", lambda: dedup.strip_duplicate_spans(
+                d, min_len=10)),
             ("mixture_apply", lambda: sampling.apply_mixture_plan(
                 dm, sampling.mixture_plan(dm, "dom", alpha=0.0), "dom")),
         ):
