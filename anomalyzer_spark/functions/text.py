@@ -34,9 +34,29 @@ def n_tokens(text: Column) -> Column:
     )
 
 
+#: The one lexical pattern shared by ``word_tokens`` / ``word_token_count``;
+#: keep in sync with the LIKE-replayable DuckDB transcriptions in oracles.
+WORD_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
 def word_tokens(text: Column) -> Column:
     """BPE-ish lexical split: lowercase words, digit runs, single symbols."""
-    return F.regexp_extract_all(F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0)
+    return F.regexp_extract_all(F.lower(text), F.lit(WORD_TOKEN_RE), 0)
+
+
+def word_token_count(text: Column) -> Column:
+    """``size(word_tokens(text))`` as a named spec — the token-COUNT of
+    the repo lexical split (e.g. the BM25 N/avgdl corpus constants).
+
+    Implementation note: this intentionally does NOT use
+    ``F.regexp_count`` — in Spark that function is RuntimeReplaceable
+    and expands to exactly ``size(regexp_extract_all(...))`` anyway
+    (verified against the executed plan), so there is no cheaper
+    count-only regex path; the helper exists for call-site clarity and
+    to keep the pattern in one place. Parity with
+    ``size(word_tokens(x))`` pinned in tests/test_retrieval.py.
+    """
+    return F.size(word_tokens(text))
 
 
 def _count_re(text: Column, pattern: str) -> Column:

@@ -143,3 +143,56 @@ r AS (
 SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= 5
 """).fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_word_token_count_parity(spark, sf_dir):
+    """word_token_count == size(word_tokens) on every fixture document
+    (same pattern, leftmost non-overlapping matches)."""
+    from pyspark.sql import functions as F
+
+    from anomalyzer_spark.functions.text import word_token_count, word_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.select(
+        word_token_count(F.col("text")).alias("a"),
+        F.size(word_tokens(F.col("text"))).alias("b"),
+    ).where(F.col("a") != F.col("b")).count()
+    assert bad == 0
+
+
+def test_bm25_corpus_stats_shortcut(spark, corpus, queries):
+    """Passing precomputed (n_docs, avgdl) must reproduce the self-computed
+    scores exactly (the production skip-the-stats-scan path), and bogus
+    stats must be rejected."""
+    from pyspark.sql import functions as F
+
+    from anomalyzer_spark.functions.text import word_token_count
+
+    n, avgdl = corpus.select(
+        F.count(F.lit(1)),
+        F.avg(word_token_count(F.col("text")))).first()
+    a = sorted(map(tuple, retrieval.bm25_topk(
+        corpus, queries, k=4, corpus_stats=(n, avgdl)).collect()))
+    b = sorted(map(tuple, retrieval.bm25_topk(corpus, queries, k=4).collect()))
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="corpus_stats"):
+        retrieval.bm25_topk(corpus, queries, corpus_stats=(0, 5.0))
+
+
+def test_bm25_single_tokenization_plan(spark, corpus, queries):
+    """The corpus postings leg stages word_tokens ONCE per subtree: in
+    the lazy (materialize=False, corpus_stats given) plan the only
+    corpus-text regex sites are the two staging projections (the
+    postings subtree plans twice — scoring + doc_freq consumers — which
+    materialize=True collapses to one via localCheckpoint), and NO
+    Filter node re-evaluates the regex (the explode_outer /
+    InferFiltersFromGenerate pin). Regression pin for the r9
+    triple-tokenization fix."""
+    df = retrieval.bm25_topk(
+        corpus, queries, k=3, materialize=False, corpus_stats=(6, 8.0))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    corpus_regex = plan.count("regexp_extract_all(lower(text")
+    assert corpus_regex == 2, plan
+    filter_regex = [l for l in plan.splitlines()
+                    if "Filter" in l and "regexp_extract_all(lower(text" in l]
+    assert not filter_regex, filter_regex
