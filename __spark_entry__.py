@@ -248,9 +248,17 @@ def q_text_profile(spark, sf_dir):
     one scan, zero shuffles. Replaces the round-2/3 individual queries
     text_stats / lang_id / fingerprint / token_count / repetition (the
     driver's correctness gate records at most 50 queries; the operators are
-    unchanged and all their columns are hash-checked here)."""
+    unchanged and all their columns are hash-checked here). Round 10 adds
+    the per-document SimHash signature (``simhash32`` via
+    dedup.simhash_col — the map-only expression the retired ``simhash``
+    slot computed; that slot's n_words output stays hashed as this
+    profile's ``norm_words``, same normalized-word split) so the rotation
+    to semantic_pairs keeps the signature under a driver value hash."""
+    from anomalyzer_spark.functions import dedup as _dedup
     d = _docs(spark, sf_dir)
-    out = text.text_profile(d, "text", "doc_id")
+    out = text.text_profile(
+        d, "text", "doc_id",
+        extra={"simhash32": _dedup.simhash_col(F.col("text"))})
     return out.withColumn("norm_len", F.col("norm_len").cast("long")) \
         .withColumn("ws_tokens", F.col("ws_tokens").cast("long")) \
         .withColumn("lex_tokens", F.col("lex_tokens").cast("long"))
@@ -389,10 +397,46 @@ def q_cdc_dedup(spark, sf_dir):
     )
 
 
-def q_simhash(spark, sf_dir):
-    d = _docs(spark, sf_dir)
-    out = dedup.simhash(d, "text", "doc_id", bits=32)
-    return out.withColumn("n_words", F.col("n_words").cast("long"))
+#: semantic_pairs slot: SemDeDup threshold — low enough that the
+#: near-uniform fixture embeddings yield a non-trivial pair/group set at
+#: every gate scale, high enough that the within-cell candidate set is
+#: heavily filtered (idem the cross-engine parity test's setting).
+SEM_THRESHOLD = 0.25
+
+
+def q_semantic_pairs(spark, sf_dir):
+    """SemDeDup cluster-blocked embedding dedup (similarity.py
+    semantic_pairs + dedup.duplicate_groups): k-means cells as the
+    blocker, exact cosine within cells only, connected components over
+    the surviving pairs. One row per PAIR, carrying its component's
+    group_id/group_size — so cell assignment, pair membership, cosine
+    values, AND the CC labels all sit under the driver value hash.
+    Rotated in for ``simhash`` (round 10), whose surfaces stay attested:
+    the per-document signature is hashed as text_profile's ``simhash32``
+    (same dedup.simhash_col expression), its n_words as text_profile's
+    ``norm_words`` (same normalized split), the Hamming-banded pair
+    machinery is plan- and value-pinned in tests/test_dedup_pairs.py,
+    and the retired slot's oracle lives verbatim in
+    tests/test_functions.py::test_simhash_duckdb_parity. Quantizer model
+    = the ivf_topk slot's exact centroids (same vec_id-sorted sample,
+    same NumPy fit) so the oracle inlines one shared literal model."""
+    e = _embs(spark, sf_dir)
+    sample = e.where(F.col("vec_id") < IVF_SAMPLE_N) \
+        .select("vec_id", "embedding").collect()
+    cents = _ivf_centroids([(r["vec_id"], r["embedding"]) for r in sample])
+    pairs = similarity.semantic_pairs(
+        e, id_col="vec_id", vec_col="embedding",
+        threshold=SEM_THRESHOLD, n_clusters=IVF_CLUSTERS, centroids=cents)
+    # two consumers below (CC edges + the output join): pin the pair job
+    # to one run — duplicate_groups checkpoints only its own edge frame.
+    pairs = pairs.localCheckpoint(eager=True)
+    groups = dedup.duplicate_groups(
+        e.select("vec_id"), pairs, "vec_id").where(F.col("group_size") > 1)
+    return (
+        pairs.join(groups.withColumnRenamed("vec_id", "id_a"), "id_a")
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"),
+                "group_id", "group_size")
+    )
 
 
 def q_data_pipeline(spark, sf_dir):
@@ -1259,7 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh": q_minhash_lsh,
         "minhash_stream": q_minhash_stream,
         "dedup_groups": q_dedup_groups,
-        "simhash": q_simhash,
+        "semantic_pairs": q_semantic_pairs,
         "cdc_dedup": q_cdc_dedup,
         "data_pipeline": q_data_pipeline,
         "cosine_topk": q_cosine_topk,
@@ -2182,20 +2226,24 @@ SELECT l.id AS doc_id, l.group_id, s.group_size
 FROM lbl l JOIN sz s USING (group_id)
 WHERE s.group_size > 1"""
 
-    sql["simhash"] = f"""
-WITH docs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
-w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
-h AS (SELECT doc_id, len(words) AS n_words,
-             list_transform(words, x -> md5(x)) AS hs FROM w),
-bits AS (
-  SELECT doc_id, n_words,
+    # retired slot `simhash` (rotated out round 10 for semantic_pairs):
+    # the signature now rides the text_profile oracle as `simhash32`
+    # below (same engine-portable md5-nibble construction); the retired
+    # per-slot oracle — including its n_words column — lives verbatim in
+    # tests/test_functions.py::test_simhash_duckdb_parity.
+    simhash32_sql = f"""
+WITH sdocs AS (SELECT doc_id, {_NORM} AS norm FROM documents),
+sw AS (SELECT doc_id, string_split(norm, ' ') AS words FROM sdocs),
+sh0 AS (SELECT doc_id, list_transform(words, x -> md5(x)) AS hs FROM sw),
+sbits AS (
+  SELECT doc_id,
     list_transform(range(0, 32), j ->
       CASE WHEN list_sum(list_transform(hs, hx ->
              CASE WHEN substr(hx, j + 1, 1) IN
                   ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
            THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS terms
-  FROM h)
-SELECT doc_id, list_sum(terms)::BIGINT AS simhash, n_words FROM bits"""
+  FROM sh0)
+SELECT doc_id, list_sum(terms)::BIGINT AS simhash32 FROM sbits"""
 
     # lsh_topk oracle: the seeded hyperplanes are deterministic literals —
     # inline them so DuckDB reproduces signatures, buckets, candidates, and
@@ -2400,6 +2448,45 @@ r AS (SELECT query_id, neighbor_id, cos_sim,
       FROM s WHERE cos_sim IS NOT NULL)
 SELECT query_id, neighbor_id, round(cos_sim, 6) AS cos_sim, rnk
 FROM r WHERE rnk <= {TOPK}"""
+
+        # semantic_pairs oracle: the SAME literal centroid model as
+        # ivf_topk (shared sample + fit, by construction in the Spark
+        # slot too), single-cell assignment by best cosine, within-cell
+        # exact pairs at the threshold, then a WITH RECURSIVE transitive
+        # closure resolves components — implementation-independent check
+        # of the distributed label-propagation loop, the
+        # emb_dedup_groups precedent.
+        sql["semantic_pairs"] = f"""
+WITH RECURSIVE
+ce AS (SELECT [{cent_sql}]::DOUBLE[][] AS cents),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cellified AS (
+  SELECT vec_id, v,
+    list_sort(list_transform(range(1, {IVF_CLUSTERS + 1}), i ->
+      struct_pack(neg := -(list_dot_product(v, cents[i]) /
+                  (sqrt(list_dot_product(v, v)) *
+                   sqrt(list_dot_product(cents[i], cents[i])))),
+                  cid := i - 1)))[1].cid AS cell
+  FROM e, ce),
+p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        list_dot_product(a.v, b.v) /
+        (sqrt(list_dot_product(a.v, a.v)) *
+         sqrt(list_dot_product(b.v, b.v))) AS cos_sim
+      FROM cellified a JOIN cellified b USING (cell)
+      WHERE a.vec_id < b.vec_id),
+pf AS (SELECT id_a, id_b, round(cos_sim, 6) AS cos_sim
+       FROM p WHERE cos_sim >= {SEM_THRESHOLD}),
+edges AS (SELECT id_a AS a, id_b AS b FROM pf
+          UNION SELECT id_b, id_a FROM pf),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e2.b FROM reach r JOIN edges e2 ON r.b = e2.a),
+comp AS (SELECT a AS vec_id, least(a, min(b)) AS group_id
+         FROM reach GROUP BY a),
+sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+SELECT pf.id_a, pf.id_b, pf.cos_sim, c.group_id, s.group_size
+FROM pf JOIN comp c ON pf.id_a = c.vec_id JOIN sizes s USING (group_id)"""
 
     # content-defined chunking: boundary iff first 8 md5-hex chars of the
     # 16-char gram, as an int, ≡ 63 (mod 64); chunk spans prev-cut+1..cut.
@@ -2802,15 +2889,16 @@ fp AS ({sql['fingerprint']}),
 tok AS ({sql['token_count']}),
 rep AS (SELECT doc_id, n_words AS norm_words, n_grams AS norm_grams,
                dup_word_frac, dup_gram_frac, top_gram_share
-        FROM ({sql['repetition']}))
+        FROM ({sql['repetition']})),
+sh AS ({simhash32_sql})
 SELECT stats.*, langs.lang_pred, langs.score_de, langs.score_en,
        langs.score_es, langs.score_fr, langs.score_zh,
        fp.fingerprint, fp.norm_len, tok.ws_tokens, tok.lex_tokens,
        rep.norm_words, rep.norm_grams, rep.dup_word_frac,
-       rep.dup_gram_frac, rep.top_gram_share
+       rep.dup_gram_frac, rep.top_gram_share, sh.simhash32
 FROM stats
 JOIN langs USING (doc_id) JOIN fp USING (doc_id)
-JOIN tok USING (doc_id) JOIN rep USING (doc_id)"""
+JOIN tok USING (doc_id) JOIN rep USING (doc_id) JOIN sh USING (doc_id)"""
 
     sql["multimodal"] = f"""
 WITH meta AS ({sql['multimodal_meta']}),

@@ -685,18 +685,13 @@ def cdc_chunks(
     )
 
 
-def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32
-) -> DataFrame:
-    """SimHash signature over normalized words.
-
-    Bit j of a word's hash = top bit of the j-th nibble of md5(word) — i.e.
-    hex digit >= '8'. Signature bit j = sign of Σ_words (±1). This
-    hex-digit construction is deliberately engine-portable (any SQL engine
-    with md5+substr reproduces it). Returns (id, simhash bigint, n_words).
-    """
+def simhash_col(text: Column, *, bits: int = 32) -> Column:
+    """The SimHash signature of ``text`` as a pure column expression —
+    usable inside any map-only projection (e.g. the ``text_profile``
+    fused per-document profile attests it under a registry value hash).
+    See ``simhash`` for the bit construction spec."""
     assert bits <= 32
-    words = F.split(normalized(F.col(text_col)), " ")
+    words = F.split(normalized(text), " ")
     hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
     # ONE fold over the word hashes accumulating all 32 bit-sums at once
     # (md5 evaluated once per word; a per-bit aggregate would re-evaluate
@@ -715,7 +710,7 @@ def simhash(
     )
     # 2^j via a literal power table (shiftleft needs a non-Column bit count)
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-    sim = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             bit_sums,
             powers,
@@ -724,8 +719,24 @@ def simhash(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *, bits: int = 32
+) -> DataFrame:
+    """SimHash signature over normalized words.
+
+    Bit j of a word's hash = top bit of the j-th nibble of md5(word) — i.e.
+    hex digit >= '8'. Signature bit j = sign of Σ_words (±1). This
+    hex-digit construction is deliberately engine-portable (any SQL engine
+    with md5+substr reproduces it). Returns (id, simhash bigint, n_words).
+    """
+    assert bits <= 32
+    words = F.split(normalized(F.col(text_col)), " ")
     return df.select(
-        F.col(id_col), sim.alias("simhash"), F.size(words).alias("n_words")
+        F.col(id_col),
+        simhash_col(F.col(text_col), bits=bits).alias("simhash"),
+        F.size(words).alias("n_words"),
     )
 
 
@@ -748,21 +759,28 @@ def simhash_pairs(
     job-free plan inspection."""
     sigs = simhash(df, text_col, id_col, bits=bits)
     nblocks = max_hamming + 1
+    if bits % nblocks:
+        raise ValueError(
+            f"bits={bits} must split into max_hamming+1={nblocks} equal "
+            "blocks (the pigeonhole guarantee needs the blocks to tile "
+            "every bit)")
     width = bits // nblocks
+    # block table unrolled over a PYTHON range: nblocks is a plan-time
+    # constant, and shiftrightunsigned takes a literal bit count — a
+    # literal array of structs also stays inside codegen where a
+    # higher-order transform would not.
+    block_structs = F.array(*[
+        F.struct(
+            F.lit(bid).alias("block_id"),
+            F.shiftrightunsigned(F.col("simhash"), bid * width)
+            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            .alias("block_val"),
+        )
+        for bid in range(nblocks)])
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(nblocks - 1)),
-                lambda b: F.struct(
-                    b.alias("block_id"),
-                    F.shiftrightunsigned(F.col("simhash"), b * width)
-                    .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
-                    .alias("block_val"),
-                ),
-            )
-        ).alias("blk"),
+        F.explode(block_structs).alias("blk"),
     ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
 
     if materialize and not sigs.isStreaming:

@@ -196,7 +196,8 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
 
 def text_profile(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
+    extra: dict[str, Column] | None = None,
 ) -> DataFrame:
     """The full per-document text profile — stats, language-ID, fingerprint,
     token counts, and repetition signals — in ONE map-only projection.
@@ -208,6 +209,11 @@ def text_profile(
     per-operator outputs with two renames where they collide (repetition's
     word counts are over NORMALIZED text): ``norm_words`` = repetition
     n_words, ``norm_grams`` = repetition n_grams.
+
+    ``extra`` appends caller-supplied per-document column expressions to
+    the SAME fused projection (name → Column over the text column) — the
+    extension point for riding another map-only text operator on this
+    one scan (e.g. ``dedup.simhash_col``) instead of a second pass.
     """
     base = df.select(
         F.col(id_col),
@@ -215,6 +221,7 @@ def text_profile(
         *_lang_exprs(text_col),
         *_fp_exprs(text_col),
         *_token_exprs(text_col),
+        *[c.alias(n) for n, c in (extra or {}).items()],
         F.col(text_col),
     )
     carry = [c for c in base.columns if c != text_col]

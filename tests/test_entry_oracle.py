@@ -30,7 +30,14 @@ FAST_QUERIES = (
     # argument in q_dup_spans's docstring — its oracle lives verbatim in
     # tests/test_functions.py::test_lineitem_cube_duckdb_parity)
     "dup_spans",
-    "simhash",
+    # simhash retired round 10 (slot given to semantic_pairs; shadowing
+    # argument in q_semantic_pairs's docstring — its oracle lives
+    # verbatim in tests/test_functions.py::test_simhash_duckdb_parity).
+    # semantic_pairs itself is NOT fast-listed: like ivf_topk, its oracle
+    # inlines centroids fitted on the ORACLE sf's sample (default sf0.01),
+    # so running it at this file's sf0.001 compares across models —
+    # sf-matched parity is tests/test_semantic_dedup.py plus the driver
+    # gate via tools/check_correctness.py (which passes sf_dir).
     "cosine_topk",
     "pricing_summary",
     "orders_rollup",

@@ -1408,3 +1408,38 @@ SELECT coalesce(l_returnflag, 'ALL') AS rf,
 FROM lineitem
 GROUP BY CUBE(l_returnflag, l_linestatus)""").fetchall()))
     assert got == want and len(got) > 0
+
+
+def test_simhash_duckdb_parity(spark, sf_dir):
+    """The retired round-10 registry slot's oracle, VERBATIM (slot rotated
+    to semantic_pairs — see q_semantic_pairs's docstring for the shadowing
+    argument): (doc_id, simhash, n_words) hash-matches the DuckDB replay
+    on the fixture corpus. The same signature stays driver-hashed as
+    text_profile's simhash32 column."""
+    import duckdb
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.simhash(docs, "text", "doc_id", bits=32)
+    got = sorted(map(tuple, out.withColumn(
+        "n_words", F.col("n_words").cast("long")).collect()))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    norm = ("trim(regexp_replace(regexp_replace(lower(text),"
+            "'[^a-z0-9]+',' ','g'),'\\s+',' ','g'))")
+    want = sorted(map(tuple, con.execute(f"""
+WITH docs AS (SELECT doc_id, {norm} AS norm FROM documents),
+w AS (SELECT doc_id, string_split(norm, ' ') AS words FROM docs),
+h AS (SELECT doc_id, len(words) AS n_words,
+             list_transform(words, x -> md5(x)) AS hs FROM w),
+bits AS (
+  SELECT doc_id, n_words,
+    list_transform(range(0, 32), j ->
+      CASE WHEN list_sum(list_transform(hs, hx ->
+             CASE WHEN substr(hx, j + 1, 1) IN
+                  ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << j) ELSE 0::BIGINT END) AS terms
+  FROM h)
+SELECT doc_id, list_sum(terms)::BIGINT AS simhash, n_words FROM bits
+""").fetchall()))
+    assert got == want and len(got) > 0
