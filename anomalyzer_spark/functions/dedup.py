@@ -1083,12 +1083,8 @@ def duplicate_spans(
     if min_len < 2:
         raise ValueError("duplicate_spans: min_len must be >= 2")
 
-    occ = df.select(
-        F.col(id_col),
-        F.posexplode(_gram_hashes(_ws_exact_tokens(F.col(text_col)), min_len))
-        .alias("pos", "_gh"),
-    )
-    w = Window.partitionBy("_gh")
+    occ = gram_occurrences(df, text_col, id_col, min_len=min_len)
+    w = Window.partitionBy("gram_hash")
     occ = (
         occ.withColumn("_n", F.count(F.lit(1)).over(w))
         .withColumn("_min_id", F.min(id_col).over(w))
@@ -1110,6 +1106,14 @@ def duplicate_spans(
         else F.lit("remove")
     )
     marked = dup.select(F.col(id_col), F.col("pos"), kind.alias("kind"))
+    return _marked_to_spans(marked, id_col, min_len)
+
+
+def _marked_to_spans(marked: DataFrame, id_col: str, min_len: int) -> DataFrame:
+    """Merge marked duplicated gram positions (``id, pos, kind``) into
+    maximal spans — the shared tail of ``duplicate_spans`` and the
+    cross-batch store path (``duplicate_spans_from_gram_stats``)."""
+    from pyspark.sql.window import Window
 
     # adjacent/overlapping k-gram intervals [pos, pos+k-1] merge exactly
     # when consecutive duplicated positions are <= k apart
@@ -1131,6 +1135,77 @@ def duplicate_spans(
         .withColumn("n_tokens", F.col("span_end") - F.col("span_start") + 1)
         .drop("_run")
     )
+
+
+def gram_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+) -> DataFrame:
+    """Every word ``min_len``-gram occurrence of the corpus — the map-only
+    (``<id_col>``, ``pos``, ``gram_hash``) frame both the batch
+    ``duplicate_spans`` window pass and the streaming gram store
+    aggregate over. One scan, zero exchanges; O(words × min_len) byte
+    hashing per document (the documented suffix-array trade)."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(_gram_hashes(_ws_exact_tokens(F.col(text_col)), min_len))
+        .alias("pos", "gram_hash"),
+    )
+
+
+def duplicate_spans_from_gram_stats(
+    df: DataFrame,
+    gram_stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_len: int = 20,
+    scope: str = "cross_doc",
+    keep: str = "canonical",
+) -> DataFrame:
+    """``duplicate_spans`` driven by a PRECOMPUTED per-gram-hash stats
+    frame instead of the in-query window pass — the finalize step of the
+    cross-batch streaming gram store (``streaming.span_stream``).
+
+    ``gram_stats`` carries one row per gram hash: (``gram_hash``,
+    ``n_occ``, ``min_id``, ``max_id``, ``canon`` struct<i,p>) — every
+    field an associative+commutative aggregate of the occurrence rows,
+    which is what makes the streaming state's final value EQUAL the
+    batch window stats regardless of micro-batch arrival order (min of
+    struct == the batch global-min canonical, NOT first-arrival).
+    Output is identical to ``duplicate_spans`` on the same corpus
+    (pinned in tests/test_dedup_spans.py).
+
+    Plan: the stats side is filtered to DUPLICATED grams before the join
+    (the tiny fraction), so the re-derived occurrence frame shuffles once
+    on ``gram_hash`` against a frame that AQE will usually broadcast —
+    the same single corpus-keyed exchange the batch window pays.
+    """
+    if scope not in ("cross_doc", "all"):
+        raise ValueError(f"duplicate_spans: unknown scope {scope!r}")
+    if keep not in ("canonical", "none"):
+        raise ValueError(f"duplicate_spans: unknown keep {keep!r}")
+    if min_len < 2:
+        raise ValueError("duplicate_spans: min_len must be >= 2")
+    dup_stats = gram_stats.where(
+        (F.col("min_id") != F.col("max_id"))
+        if scope == "cross_doc"
+        else (F.col("n_occ") > 1)
+    ).select("gram_hash", "canon")
+    occ = gram_occurrences(df, text_col, id_col, min_len=min_len)
+    joined = occ.join(dup_stats, "gram_hash")
+    is_canon = (F.col("canon.i") == F.col(id_col)) & (
+        F.col("canon.p") == F.col("pos"))
+    kind = (
+        F.when(is_canon, F.lit("keep")).otherwise(F.lit("remove"))
+        if keep == "canonical"
+        else F.lit("remove")
+    )
+    marked = joined.select(F.col(id_col), F.col("pos"), kind.alias("kind"))
+    return _marked_to_spans(marked, id_col, min_len)
 
 
 def strip_duplicate_spans(
@@ -1171,6 +1246,22 @@ def strip_duplicate_spans(
     spans = duplicate_spans(
         df, text_col, id_col, min_len=min_len, scope=scope, keep=keep
     )
+    return strip_spans_frame(df, spans, text_col, id_col,
+                             carry_cols=carry_cols)
+
+
+def strip_spans_frame(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """The rewrite stage of ``strip_duplicate_spans`` over a PRECOMPUTED
+    spans frame (``duplicate_spans`` or its cross-batch store variant
+    ``duplicate_spans_from_gram_stats``) — same output contract and
+    byte-exactness guarantees as the one-call operator."""
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(
             F.when(

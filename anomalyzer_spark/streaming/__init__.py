@@ -10,6 +10,8 @@ from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_pairs_store, run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
 from .session_stream import run_session_stream_on_dir
+from .span_stream import (run_span_gram_stream_on_dir, span_gram_stream,
+                          strip_spans_with_store)
 
 __all__ = ["batch_union_equals_offline", "dedup_stream",
            "run_checks_stream_on_dir",
@@ -20,4 +22,6 @@ __all__ = ["batch_union_equals_offline", "dedup_stream",
            "run_curation_stream_with_dedup_on_dir",
            "run_dedup_stream_on_dir", "run_drift_stream_on_dir",
            "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
-           "run_session_stream_on_dir", "run_stream_on_dir"]
+           "run_session_stream_on_dir", "run_span_gram_stream_on_dir",
+           "run_stream_on_dir", "span_gram_stream",
+           "strip_spans_with_store"]

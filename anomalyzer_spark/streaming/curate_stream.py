@@ -15,10 +15,10 @@ Scope semantics are the honest part (see pipeline.py's streaming note):
   the top_fraction gate, and the temperature mixture are
   BATCH-SCOPED**: "unique", "duplicated span", "best X%", and the
   domain shares are computed within each micro-batch. Cross-batch
-  exact/near dedup state is ``dedup_stream`` / ``minhash_dedup_stream``
-  (run them downstream of this writer, or upstream of a final compact);
-  no cross-batch gram store exists for spans — strip corpus-wide
-  offline, after a compact;
+  exact/near/span dedup state is ``dedup_stream`` /
+  ``minhash_dedup_stream`` / ``span_stream`` — run them downstream of
+  this writer, or use :func:`run_curation_stream_with_dedup_on_dir`,
+  which composes all three;
 * decontamination against a STATIC eval frame is batch-safe as-is (the
   eval side never changes mid-stream).
 
@@ -118,18 +118,22 @@ def run_curation_stream_with_dedup_on_dir(
     whole input (pinned in tests/test_streaming.py on a 3-batch split).
 
     Supported cfg surface: ``normalize_form``, the profile gates
-    (``min_quality`` / ``min_tokens`` / ``langs``), and ``dedup`` =
-    "exact" or "minhash" with ``dedup_keep="first"``. Stages that either
-    rewrite text after offline curate's dedup tap (redact, window) or
-    are corpus-relative gates (top_fraction, temperature, packing,
-    keep='best') would silently break the ≡-offline contract under a
-    batch split, so they raise here — run them offline, or downstream of
-    this function's output.
+    (``min_quality`` / ``min_tokens`` / ``langs``), ``dedup`` = "exact"
+    or "minhash" with ``dedup_keep="first"``, and ``strip_spans``
+    (cross-batch gram store, round 10 — runs after document dedup, the
+    offline stage order). Stages that either rewrite text after offline
+    curate's span tap (redact, window) or are corpus-relative gates
+    (top_fraction, temperature, packing, keep='best') would silently
+    break the ≡-offline contract under a batch split, so they raise
+    here — run them offline, or downstream of this function's output.
 
     100 TB shape: per-batch work is map-only; cross-batch state is one
-    row per content hash (exact) plus the banded LSH store (near-dup) —
-    never a corpus self-join; the finalize step is one left-semi join of
-    the curated union against the canonical-id store.
+    row per content hash (exact), the banded LSH store (near-dup), and
+    one row per distinct gram hash (spans — the expensive one; see
+    span_stream's module docstring) — never a corpus self-join; the
+    finalize steps are one left-semi join against the canonical-id
+    store plus, for spans, one corpus-keyed join against the
+    duplicated-gram subset of the store.
     """
     if cfg.dedup not in ("exact", "minhash"):
         raise ValueError(
@@ -144,11 +148,6 @@ def run_curation_stream_with_dedup_on_dir(
         ("pack_capacity", cfg.pack_capacity is not None),
         ("decontam_mode", cfg.decontam_mode is not None),
         ("dedup_keep='best'", cfg.dedup_keep == "best"),
-        # duplicate-SPAN dedup is corpus-relative at gram granularity
-        # (the canonical occurrence is a global min) — no cross-batch
-        # gram store exists, so a batch split changes which spans are
-        # visible AND which copy is canonical
-        ("strip_spans", cfg.strip_spans is not None),
     ) if bad]
     if blocked:
         raise ValueError(
@@ -179,26 +178,52 @@ def run_curation_stream_with_dedup_on_dir(
     canon = state.select(F.col("canonical_id").alias(cfg.id_col))
     survivors = union.join(canon, cfg.id_col, "left_semi")
 
-    if cfg.dedup == "exact":
+    if cfg.dedup == "minhash":
+        # 3. cross-batch NEAR-dup dedup over the exact survivors:
+        #    accumulate the band-bucket/shingle store (whose pair state ≡
+        #    batch minhash_lsh_pairs over the same corpus), resolve
+        #    connected components, keep-first (min id per multi-doc group
+        #    + solos) — mirroring offline curate's keep-first branch
+        surv_dir = f"{output_dir}/_exact_survivors"
+        survivors.write.mode("overwrite").parquet(surv_dir)
+        survivors = spark.read.parquet(surv_dir)
+        run_minhash_stream_on_dir(
+            spark, surv_dir, f"{output_dir}/_minhash_store",
+            f"{checkpoint_dir}_minhash", cfg.text_col, cfg.id_col,
+            threshold=cfg.dedup_threshold,
+            max_files_per_trigger=max_files_per_trigger)
+        groups = minhash_groups_store(
+            spark, f"{output_dir}/_minhash_store", cfg.id_col)
+        keep = groups.groupBy("group_id").agg(
+            F.min(cfg.id_col).alias(cfg.id_col)).select(cfg.id_col)
+        solo = survivors.join(groups.select(cfg.id_col), cfg.id_col,
+                              "left_anti").select(cfg.id_col)
+        survivors = survivors.join(
+            keep.unionByName(solo), cfg.id_col, "left_semi")
+
+    if cfg.strip_spans is None:
         return survivors
 
-    # 3. cross-batch NEAR-dup dedup over the exact survivors: accumulate
-    #    the band-bucket/shingle store (whose pair state ≡ batch
-    #    minhash_lsh_pairs over the same corpus), resolve connected
-    #    components, keep-first (min id per multi-doc group + solos) —
-    #    mirroring offline curate's keep-first branch exactly
-    surv_dir = f"{output_dir}/_exact_survivors"
-    survivors.write.mode("overwrite").parquet(surv_dir)
-    survivors = spark.read.parquet(surv_dir)
-    run_minhash_stream_on_dir(
-        spark, surv_dir, f"{output_dir}/_minhash_store",
-        f"{checkpoint_dir}_minhash", cfg.text_col, cfg.id_col,
-        threshold=cfg.dedup_threshold,
+    # 4. cross-batch duplicate-SPAN dedup over the dedup survivors (the
+    #    offline stage order: spans run AFTER document dedup): drain the
+    #    survivor corpus through the stateful gram store, whose final
+    #    per-hash state — every field an associative+commutative
+    #    aggregate, canonical = global-min (id, pos), NOT first-arrival —
+    #    equals the batch duplicate_spans window stats for any
+    #    micro-batch split, then rewrite with the shared strip stage.
+    #    Offline curate drops the span counters; mirror that.
+    from .span_stream import run_span_gram_stream_on_dir, strip_spans_with_store
+
+    span_dir = f"{output_dir}/_span_input"
+    survivors.write.mode("overwrite").parquet(span_dir)
+    survivors = spark.read.parquet(span_dir)
+    store = run_span_gram_stream_on_dir(
+        spark, span_dir, cfg.text_col, cfg.id_col,
+        min_len=cfg.strip_spans, query_name="curate_span_gram_state",
         max_files_per_trigger=max_files_per_trigger)
-    groups = minhash_groups_store(
-        spark, f"{output_dir}/_minhash_store", cfg.id_col)
-    keep = groups.groupBy("group_id").agg(
-        F.min(cfg.id_col).alias(cfg.id_col)).select(cfg.id_col)
-    solo = survivors.join(groups.select(cfg.id_col), cfg.id_col,
-                          "left_anti").select(cfg.id_col)
-    return survivors.join(keep.unionByName(solo), cfg.id_col, "left_semi")
+    carry = [c for c in survivors.columns
+             if c not in (cfg.id_col, cfg.text_col)]
+    return strip_spans_with_store(
+        survivors, store, cfg.text_col, cfg.id_col,
+        min_len=cfg.strip_spans, carry_cols=carry,
+    ).drop("n_spans_removed", "n_tokens_dropped")

@@ -210,3 +210,36 @@ def test_plan_two_exchanges(spark, sf_dir):
         .executedPlan().toString()
     assert plan.count("Exchange") == 2
     assert plan.count("Scan parquet") == 1
+
+
+# --- cross-batch gram-store path (round 10) --------------------------------
+
+@pytest.mark.parametrize("scope,keep", [
+    ("cross_doc", "canonical"), ("all", "none")])
+def test_gram_stats_path_matches_window_path(corpus, scope, keep):
+    """duplicate_spans_from_gram_stats over batch-computed gram stats ==
+    duplicate_spans — the store-driven finalize step of the streaming
+    path is the SAME spans for the same corpus (the stats fields are the
+    window pass's aggregates, order-independent by construction)."""
+    from anomalyzer_spark.functions.dedup import duplicate_spans_from_gram_stats
+    from anomalyzer_spark.streaming.span_stream import span_gram_stream
+
+    df, _ = corpus
+    stats = span_gram_stream(df, "text", "doc_id", min_len=10)
+    got = _span_set(duplicate_spans_from_gram_stats(
+        df, stats, min_len=10, scope=scope, keep=keep))
+    want = _span_set(duplicate_spans(df, min_len=10, scope=scope, keep=keep))
+    assert got == want and len(got) > 0
+
+
+def test_strip_spans_with_store_matches_one_call(corpus):
+    from anomalyzer_spark.streaming.span_stream import (span_gram_stream,
+                                                        strip_spans_with_store)
+
+    df, _ = corpus
+    stats = span_gram_stream(df, "text", "doc_id", min_len=10)
+    got = sorted(map(tuple, strip_spans_with_store(
+        df, stats, min_len=10).collect()))
+    want = sorted(map(tuple, strip_duplicate_spans(
+        df, min_len=10).collect()))
+    assert got == want and len(got) > 0

@@ -945,10 +945,12 @@ def test_curation_stream_with_dedup_rejects_unsupported(spark, tmp_path):
         run_curation_stream_with_dedup_on_dir(
             spark, "x", "y", "z",
             CurationConfig(dedup="minhash", dedup_keep="best"))
-    # duplicate-span dedup is corpus-relative (global canonical): blocked
+    # strip_spans no longer raises (round 10: cross-batch gram store);
+    # the remaining corpus-relative gates still do
     with pytest.raises(ValueError, match="not batch-split-invariant"):
         run_curation_stream_with_dedup_on_dir(
-            spark, "x", "y", "z", CurationConfig(strip_spans=15))
+            spark, "x", "y", "z",
+            CurationConfig(strip_spans=15, top_fraction=0.5))
 
 
 # ---------------------------------------------------------------------------
@@ -1085,3 +1087,92 @@ def test_apply_mixture_plan_works_on_streams(spark, sf_dir, tmp_path):
                  sampling.apply_mixture_plan(d, plan, "lang").collect())
     assert got == exp and len(got) > 0
     assert max(e for _, e in got) >= 1      # real up-sampling occurred
+
+
+# ---------------------------------------------------------------------------
+# streaming exact-substring (duplicate-span) dedup — cross-batch gram store
+# ---------------------------------------------------------------------------
+
+_SPAN_PASSAGE = (
+    "the quick brown fox jumps over the lazy dog while seven wizards "
+    "brew strong black coffee at midnight under pale northern lights"
+)  # 21 words — longer than the min_len=10 grams below
+
+
+def _span_planted_corpus(spark, sf_dir):
+    """Fixture docs with a shared passage planted into docs 5, 12, and 700
+    (distinct base texts, so exact dedup never merges them). Doc 5 holds
+    the global-min canonical occurrence."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text") \
+        .where(F.col("doc_id") < 40)
+    rows = [(r["doc_id"], r["text"]) for r in d.collect()]
+    planted = [
+        (i, t + " " + _SPAN_PASSAGE) if i in (5, 12) else (i, t)
+        for i, t in rows
+    ]
+    planted.append((700, "unique preamble words here " + _SPAN_PASSAGE))
+    return spark.createDataFrame(planted, "doc_id long, text string")
+
+
+def test_span_gram_store_equals_batch_both_orders(spark, sf_dir, tmp_path):
+    """The drained gram store's final state drives a strip identical to
+    the offline one-call operator, for BOTH arrival orders of a 3-batch
+    split — the canonical occurrence is the global-min (id, pos), not
+    first-arrival, because every state field is an order-independent
+    aggregate."""
+    from anomalyzer_spark.functions.dedup import strip_duplicate_spans
+    from anomalyzer_spark.streaming import (run_span_gram_stream_on_dir,
+                                            strip_spans_with_store)
+
+    corpus = _span_planted_corpus(spark, sf_dir)
+    want = sorted(map(tuple, strip_duplicate_spans(
+        corpus, min_len=10).collect()))
+    splits = [corpus.where(F.col("doc_id") < 10),
+              corpus.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 40)),
+              corpus.where(F.col("doc_id") >= 40)]
+    for order, name in ((splits, "fwd"), (splits[::-1], "rev")):
+        sdir = str(tmp_path / f"in_{name}")
+        for part in order:
+            part.coalesce(1).write.mode("append").parquet(sdir)
+        store = run_span_gram_stream_on_dir(
+            spark, sdir, min_len=10,
+            query_name=f"span_store_{name}", max_files_per_trigger=1)
+        got = sorted(map(tuple, strip_spans_with_store(
+            spark.read.parquet(sdir), store, min_len=10).collect()))
+        assert got == want, f"arrival order {name} diverged from offline"
+    # the planted passage really was stripped somewhere (doc 700's copy
+    # loses to doc 5's global-min canonical)
+    by_id = {row[0]: row[1] for row in want}
+    assert _SPAN_PASSAGE not in by_id[700]
+    assert _SPAN_PASSAGE in by_id[5]
+
+
+def test_curation_stream_cross_batch_strip_spans(spark, sf_dir, tmp_path):
+    """Composed streaming curation + cross-batch exact dedup + cross-batch
+    SPAN dedup: the doc holding the global-min canonical occurrence
+    arrives LAST, so a first-arrival gram policy would keep the wrong
+    copy — the result must still equal offline curate() byte-for-byte."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    from anomalyzer_spark.streaming import (
+        run_curation_stream_with_dedup_on_dir)
+
+    corpus = _span_planted_corpus(spark, sf_dir)
+    sdir = str(tmp_path / "in")
+    # batch 1: the big-id copy; batch 2: bystanders; batch 3: docs 5 & 12
+    corpus.where(F.col("doc_id") >= 40).coalesce(1) \
+        .write.mode("append").parquet(sdir)
+    corpus.where((F.col("doc_id") >= 10) & (F.col("doc_id") < 40)) \
+        .coalesce(1).write.mode("append").parquet(sdir)
+    corpus.where(F.col("doc_id") < 10).coalesce(1) \
+        .write.mode("append").parquet(sdir)
+
+    cfg = CurationConfig(min_tokens=5, strip_spans=10)  # dedup="exact"
+    got = run_curation_stream_with_dedup_on_dir(
+        spark, sdir, str(tmp_path / "out"), str(tmp_path / "ckpt"), cfg,
+        schema=corpus.schema)
+    gset = sorted((r["doc_id"], r["text"]) for r in got.collect())
+    eset = sorted((r["doc_id"], r["text"]) for r in
+                  curate(corpus, cfg).output.collect())
+    assert gset == eset and len(gset) > 0
+    by_id = dict(gset)
+    assert _SPAN_PASSAGE in by_id[5] and _SPAN_PASSAGE not in by_id[700]
