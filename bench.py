@@ -181,6 +181,22 @@ def _jvm_gc_ms(spark) -> int:
                for i in range(beans.size()))
 
 
+#: one machine-readable source for per-query best-known floors (the
+#: 2x-rule contract surface): {query: {floor_sec, plan_hash, source}}.
+#: Seeded round 10 from the min across all historical BENCH_r*.json
+#: sf0.1 runs; updated below whenever an sf0.1 run beats a floor.
+FLOORS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tools", "floors.json")
+
+
+def _load_floors() -> dict:
+    try:
+        with open(FLOORS_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -200,6 +216,10 @@ def main() -> None:
 
     # warm the JVM + parquet footers with a trivial scan
     spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+
+    # floors are defined at the driver scale (sf0.1) only — other scales
+    # neither compare against nor update them
+    floors = _load_floors() if sf == "0.1" else {}
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -235,9 +255,17 @@ def main() -> None:
             "gc_ms": int(gc_ms),
             "steal_s": round(steal_s, 3),
         }
+        floor = floors.get(name, {}).get("floor_sec")
+        vs = ""
+        if floor:
+            detail[name]["floor_sec"] = floor
+            detail[name]["vs_floor"] = round(timings[name] / floor, 2)
+            vs = (f" floor={floor:.3f}s ({detail[name]['vs_floor']:.2f}x"
+                  + (" plan-changed" if floors[name].get("plan_hash")
+                     not in (None, fp) else "") + ")")
         print(f"# {name}: {timings[name]:.3f}s  plan={fp} "
               f"times={times} warm={warm_s:.2f}s cpu={cpu_s:.1f}s "
-              f"gc={gc_ms}ms steal={steal_s:.1f}s", file=sys.stderr)
+              f"gc={gc_ms}ms steal={steal_s:.1f}s{vs}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     # Driver contract: the FINAL stdout line is the compact headline JSON
@@ -254,6 +282,24 @@ def main() -> None:
         print(f"# detail -> {detail_path}", file=sys.stderr)
     except OSError as e:  # never let attribution break the headline
         print(f"# detail write failed: {e}", file=sys.stderr)
+    # record any new floors (sf0.1 only): floor = best time ever measured,
+    # stamped with the plan hash that achieved it
+    if sf == "0.1":
+        changed = False
+        for name, best in timings.items():
+            cur = floors.get(name, {}).get("floor_sec")
+            if cur is None or best < cur:
+                floors[name] = {"floor_sec": best,
+                                "plan_hash": detail[name]["plan_hash"],
+                                "source": "bench"}
+                changed = True
+                print(f"# new floor: {name} {best:.3f}s", file=sys.stderr)
+        if changed:
+            try:
+                with open(FLOORS_PATH, "w") as f:
+                    json.dump(floors, f, indent=1, sort_keys=True)
+            except OSError as e:
+                print(f"# floors write failed: {e}", file=sys.stderr)
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,

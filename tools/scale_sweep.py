@@ -83,7 +83,7 @@ def make_embs(spark, n_vecs: int, dim: int = 16):
         ).alias("embedding"))
 
 
-def dedup_cells(spark, doc_counts, repeat):
+def dedup_cells(spark, doc_counts, repeat, only=None):
     from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
                                             ngram_lm, packing, retrieval,
                                             sampling, similarity, text)
@@ -192,6 +192,19 @@ def dedup_cells(spark, doc_counts, repeat):
             # plan-then-apply mixture pass (uniform target over the
             # 60/30/10 skew → real up-sampling on the 'c' tail)
             ("bm25", lambda: retrieval.bm25_topk(d, qdf, k=10)),
+            # hot-term variant (round 10): 'wcommon' appears in EVERY
+            # document, so one query term's postings are corpus-sized —
+            # the docstring's hot-keys-absorbed-by-partial-agg claim under
+            # measurement. doc_freq partial-aggregates map-side and the
+            # per-query candidate fan-out hits WindowGroupLimit, so the
+            # cell must scale ~linearly with n, not super-linearly.
+            ("bm25_hot", lambda: retrieval.bm25_topk(
+                d.select("doc_id", F.concat(
+                    F.col("text"), F.lit(" wcommon")).alias("text")),
+                spark.createDataFrame(
+                    [(0, f"wcommon {_w(0, 1)}"), (1, f"wcommon {_w(3, 1)}")],
+                    "query_id long, query string"),
+                k=10)),
             # cross-doc exact-substring dedup: the planted every-10th-doc
             # copies give ~n/5 docs real duplicated 40-word spans; the
             # timed cell is the FULL strip (span mining + text rebuild)
@@ -200,6 +213,8 @@ def dedup_cells(spark, doc_counts, repeat):
             ("mixture_apply", lambda: sampling.apply_mixture_plan(
                 dm, sampling.mixture_plan(dm, "dom", alpha=0.0), "dom")),
         ):
+            if only and name not in only:
+                continue
             best = float("inf")
             for _ in range(repeat):
                 t0 = time.perf_counter()
@@ -221,6 +236,8 @@ def main() -> None:
     ap.add_argument("--docs", default="5000,50000",
                     help="doc counts for the dedup/text suite ('' to skip)")
     ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--cells", default="",
+                    help="comma-separated doc-cell names to run (default all)")
     args = ap.parse_args()
     key_counts = [int(k) for k in args.keys.split(",") if k]
 
@@ -228,7 +245,8 @@ def main() -> None:
     cells = {}
     if args.docs:
         cells.update(dedup_cells(
-            spark, [int(x) for x in args.docs.split(",") if x], args.repeat))
+            spark, [int(x) for x in args.docs.split(",") if x], args.repeat,
+            only=set(args.cells.split(",")) - {""} or None))
     for n_keys in key_counts:
         df = make_frame(spark, n_keys, args.points)
         df.cache().count()  # isolate detect cost from input synthesis
