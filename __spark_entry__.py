@@ -636,9 +636,24 @@ def q_curation_pipeline(spark, sf_dir):
     out = packing.pack_chunks(samp, CURATION_CAP,
                               n_shards=CURATION_SHARDS, seed=42,
                               carry_cols=["lang", "n_pii"])
-    return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
-                      "n_toks", "start_tok", "chunk_tok_start",
-                      "chunk_tok_end")
+    # round-10 attestation rider (the ngram_lm-inside-data_pipeline
+    # precedent): the FFD whole-document packer was the last packing
+    # surface with only pytest parity — its per-document bin assignment
+    # over the SAME sampled corpus/shards rides this slot's value hash
+    # as (ffd_bin, ffd_oversize), with the oracle replaying FFD via a
+    # DuckDB recursive CTE carrying the per-shard bin-fill list.
+    # Production callers use the operators separately; the extra pass +
+    # doc_id join exist for oracle coverage, not as pipeline shape.
+    bins = packing.pack_bins_ffd(samp, CURATION_CAP,
+                                 n_shards=CURATION_SHARDS, seed=42)
+    return out.join(
+        bins.select(
+            "doc_id", F.col("bin_id").alias("ffd_bin"),
+            F.col("oversize").alias("ffd_oversize")),
+        "doc_id",
+    ).select("shard", "chunk_id", "doc_id", "lang", "n_pii",
+             "n_toks", "start_tok", "chunk_tok_start",
+             "chunk_tok_end", "ffd_bin", "ffd_oversize")
 
 
 # (q_lsh_topk retired round 9 for q_quality_checks: the hyperplane-LSH
@@ -2683,8 +2698,16 @@ FROM pts JOIN iv ON pt >= s AND pt < e"""
     _cnt_exprs = ", ".join(
         f"len(regexp_extract_all(text, '{_pii[_k].replace(chr(39), chr(39) * 2)}'))::BIGINT"
         f" AS n_{_k}" for _k in ("email", "url", "ipv4", "phone"))
+    # curation_pipeline's FFD rider: first-fit-decreasing is inherently
+    # sequential, so the oracle replays the per-shard kernel with a
+    # recursive CTE whose state is the bin-fill LIST — one recursion
+    # step per (shard, rank), first-fit = first list position whose fill
+    # accepts the doc (list_position returns 0-not-NULL on miss in
+    # DuckDB, hence the coalesce guard).
+    _ffd_fit = ("coalesce(list_position(list_transform(f.fills, "
+                f"x -> x + o.n_toks <= {CURATION_CAP}), true), 0)")
     sql["curation_pipeline"] = f"""
-WITH enr AS (
+WITH RECURSIVE enr AS (
   SELECT doc_id, lang,
     concat_ws(' ', text,
       'user' || doc_id::VARCHAR || '@mail' || (doc_id % 5)::VARCHAR || '.com',
@@ -2726,13 +2749,33 @@ seg AS (
     unnest(generate_series((start_tok // {CURATION_CAP})::BIGINT,
                            ((start_tok + n_toks - 1) // {CURATION_CAP})::BIGINT))
       AS chunk_id
-  FROM spans)
-SELECT shard::INT AS shard, chunk_id, doc_id, lang, n_pii, n_toks, start_tok,
+  FROM spans),
+orddocs AS (
+  SELECT shard, doc_id, n_toks,
+    row_number() OVER (PARTITION BY shard ORDER BY n_toks DESC, doc_id) AS rn
+  FROM toks WHERE n_toks > 0),
+ffd(shard, rn, doc_id, bin_id, fills) AS (
+  SELECT shard, rn, doc_id, 0::BIGINT, [n_toks]
+  FROM orddocs WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id,
+    CASE WHEN o.n_toks <= {CURATION_CAP} AND {_ffd_fit} > 0
+      THEN ({_ffd_fit} - 1)::BIGINT
+      ELSE len(f.fills)::BIGINT END,
+    CASE WHEN o.n_toks <= {CURATION_CAP} AND {_ffd_fit} > 0
+      THEN list_transform(f.fills, (x, i) ->
+           CASE WHEN i = {_ffd_fit} THEN x + o.n_toks ELSE x END)
+      ELSE list_append(f.fills, o.n_toks) END
+  FROM ffd f JOIN orddocs o ON o.shard = f.shard AND o.rn = f.rn + 1),
+fassign AS (SELECT doc_id, bin_id AS ffd_bin FROM ffd)
+SELECT shard::INT AS shard, chunk_id, seg.doc_id, lang, n_pii, n_toks,
+  start_tok,
   greatest(chunk_id * {CURATION_CAP}, start_tok) - start_tok
     AS chunk_tok_start,
   least((chunk_id + 1) * {CURATION_CAP}, start_tok + n_toks) - start_tok
-    AS chunk_tok_end
-FROM seg"""
+    AS chunk_tok_end,
+  ffd_bin, n_toks > {CURATION_CAP} AS ffd_oversize
+FROM seg JOIN fassign ON seg.doc_id = fassign.doc_id"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
