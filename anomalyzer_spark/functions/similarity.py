@@ -542,6 +542,37 @@ def pq_encode(
         F.col(id_col), F.expr(_codes_sql(codebooks)).alias("codes"))
 
 
+def _exact_rerank(
+    cand: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    query_id_col: str,
+    k: int,
+) -> DataFrame:
+    """Refine stage shared by the PQ searchers: exact cosine over the
+    (query_id, neighbor_id) CANDIDATE set only, per-query top-k. The
+    candidate frame is bounded (queries × refine rows), so it broadcasts
+    into the corpus scan — the corpus side stays map-only and only
+    candidate vectors are ever scored."""
+    cvec = corpus.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(vec_col).alias("_cv"))
+    qvec = queries.select(F.col(query_id_col).alias("query_id"),
+                          F.col(vec_col).alias("_qv"))
+    scored = (
+        cvec.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= k)
+
+
 def pq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -551,6 +582,7 @@ def pq_topk(
     vec_col: str = "embedding",
     query_id_col: str | None = None,
     k: int = 10,
+    refine: int | None = None,
 ) -> DataFrame:
     """Approximate top-k by asymmetric PQ distance (ADC): the corpus is
     scanned as CODES only; each query precomputes one lookup table (its
@@ -559,7 +591,18 @@ def pq_topk(
 
     Returns (query_id, neighbor_id, pq_dist, rnk), rnk by distance asc,
     neighbor id asc on ties. Plan: broadcast(queries+LUT) × corpus codes —
-    the corpus side never shuffles and never touches float vectors."""
+    the corpus side never shuffles and never touches float vectors.
+
+    ``refine``: the production recall lever. ADC ranks near-tie
+    neighbors by quantization noise (measured on clustered fixtures:
+    recall@10 ≈ 0.35 even at k=256 codebooks — the codes FIND the right
+    cluster but cannot ORDER within it), so real deployments re-rank:
+    take the top-``refine`` ADC candidates per query, score exactly,
+    return the exact top-``k`` — output becomes (query_id, neighbor_id,
+    cos_sim, rnk) like ``cosine_topk``, and with ``refine`` >= corpus
+    size it EQUALS ``cosine_topk`` (pinned in tests). Cost: the exact
+    pass touches queries × refine vectors, not the corpus; the
+    candidate ids broadcast into a second map-only corpus scan."""
     query_id_col = query_id_col or id_col
     m, d = len(codebooks), len(codebooks[0][0])
     qstaged = checked_width(queries, vec_col, m * d, "PQ codebooks").select(
@@ -580,8 +623,15 @@ def pq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= k)
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rnk") <= k)
+    if refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k})")
+    cand = ranked.where(F.col("rnk") <= refine) \
+        .select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, id_col=id_col,
+                         vec_col=vec_col, query_id_col=query_id_col, k=k)
 
 
 def ivfpq_topk(
@@ -595,6 +645,7 @@ def ivfpq_topk(
     query_id_col: str | None = None,
     k: int = 10,
     n_probe: int = 4,
+    refine: int | None = None,
 ) -> DataFrame:
     """IVF-PQ composed index — the production ANN shape for huge corpora.
 
@@ -611,7 +662,9 @@ def ivfpq_topk(
 
     Returns (query_id, neighbor_id, pq_dist, rnk) like ``pq_topk`` with
     candidates restricted to probed cells (rnk may stop short of k when
-    probed cells are sparse — the IVF approximation).
+    probed cells are sparse — the IVF approximation). ``refine``: exact
+    cosine re-rank of the top-``refine`` ADC candidates per query — see
+    ``pq_topk``; output becomes (query_id, neighbor_id, cos_sim, rnk).
     """
     query_id_col = query_id_col or id_col
     m, d = len(codebooks), len(codebooks[0][0])
@@ -653,8 +706,15 @@ def ivfpq_topk(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= k)
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rnk") <= k)
+    if refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k})")
+    cand = ranked.where(F.col("rnk") <= refine) \
+        .select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, id_col=id_col,
+                         vec_col=vec_col, query_id_col=query_id_col, k=k)
 
 
 def cosine_pairs(
