@@ -608,7 +608,7 @@ def _curation_text() -> F.Column:
     )
 
 
-def q_curation_pipeline(spark, sf_dir):
+def _curation_pipeline_core(spark, sf_dir):
     """Composed curation pass — the three round-6 curation operators under
     one oracle: ``redact_pii`` (map-only chained regexp_replace + per-kind
     match counts) -> ``temperature_sample`` (alpha=0.5 language
@@ -636,14 +636,24 @@ def q_curation_pipeline(spark, sf_dir):
     out = packing.pack_chunks(samp, CURATION_CAP,
                               n_shards=CURATION_SHARDS, seed=42,
                               carry_cols=["lang", "n_pii"])
-    # round-10 attestation rider (the ngram_lm-inside-data_pipeline
-    # precedent): the FFD whole-document packer was the last packing
-    # surface with only pytest parity — its per-document bin assignment
-    # over the SAME sampled corpus/shards rides this slot's value hash
-    # as (ffd_bin, ffd_oversize), with the oracle replaying FFD via a
-    # DuckDB recursive CTE carrying the per-shard bin-fill list.
-    # Production callers use the operators separately; the extra pass +
-    # doc_id join exist for oracle coverage, not as pipeline shape.
+    return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
+                      "n_toks", "start_tok", "chunk_tok_start",
+                      "chunk_tok_end"), samp
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """See _curation_pipeline_core (the one-scan/no-join pipeline shape,
+    plan-pinned in tests/test_plans.py) — this slot wraps it with the
+    round-10 FFD attestation rider (the ngram_lm-inside-data_pipeline
+    precedent): the FFD whole-document packer was the last packing
+    surface with only pytest parity, so its per-document bin assignment
+    over the SAME sampled corpus/shards rides this slot's value hash as
+    (ffd_bin, ffd_oversize), with the oracle replaying FFD via a DuckDB
+    recursive CTE carrying the per-shard bin-fill list. Production
+    callers use the operators separately; the extra pass + doc_id join
+    exist for oracle coverage, not as pipeline shape."""
+    from anomalyzer_spark.functions import packing
+    out, samp = _curation_pipeline_core(spark, sf_dir)
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
                                  n_shards=CURATION_SHARDS, seed=42)
     return out.join(

@@ -65,11 +65,26 @@ def search_ivfpq_index(
     query_id_col: str = "vec_id",
     k: int = 10,
     n_probe: int = 4,
+    refine: int | None = None,
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
 ) -> DataFrame:
     """Search a persisted index: probed cells become a partition-pruning
     ``cell IN (...)`` literal filter on the index scan (the driver-side
     collect ships only the query batch's cell ids — bounded by
-    n_queries × n_probe, never data)."""
+    n_queries × n_probe, never data).
+
+    ``refine``: exact cosine re-rank of the top-``refine`` ADC
+    candidates per query (see ``similarity.pq_topk`` — the production
+    recall lever; output becomes (query_id, neighbor_id, cos_sim,
+    rnk)). The index holds CODES only, so refine needs the float
+    vectors: pass ``corpus`` (the indexed frame, ``id_col``/``vec_col``
+    columns) — the FAISS refine-alongside-flat-storage shape; the
+    candidate ids broadcast into that scan, which stays map-only."""
+    if refine is not None and corpus is None:
+        raise ValueError(
+            "refine needs `corpus` (the index stores PQ codes, not "
+            "vectors — exact re-rank reads them from the indexed frame)")
     m = len(codebooks)
     d = len(codebooks[0][0])
     # the staged query frame (cell assignment + ADC lookup tables) is used
@@ -110,8 +125,16 @@ def search_ivfpq_index(
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).where(
-        F.col("rnk") <= k)
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rnk") <= k)
+    if refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k})")
+    from .similarity import _exact_rerank
+    cand = ranked.where(F.col("rnk") <= refine) \
+        .select("query_id", "neighbor_id")
+    return _exact_rerank(cand, corpus, queries, id_col=id_col,
+                         vec_col=vec_col, query_id_col=query_id_col, k=k)
 
 
 def serve_ivfpq_stream(

@@ -9,6 +9,9 @@ from .drift_stream import run_drift_stream_on_dir
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_pairs_store, run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
+from .semantic_stream import (run_semantic_stream_on_dir,
+                              semantic_dedup_stream, semantic_groups_store,
+                              semantic_pairs_store)
 from .session_stream import run_session_stream_on_dir
 from .span_stream import (run_span_gram_stream_on_dir, span_gram_stream,
                           strip_spans_with_store)
@@ -22,6 +25,8 @@ __all__ = ["batch_union_equals_offline", "dedup_stream",
            "run_curation_stream_with_dedup_on_dir",
            "run_dedup_stream_on_dir", "run_drift_stream_on_dir",
            "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
-           "run_session_stream_on_dir", "run_span_gram_stream_on_dir",
-           "run_stream_on_dir", "span_gram_stream",
+           "run_semantic_stream_on_dir", "run_session_stream_on_dir",
+           "run_span_gram_stream_on_dir", "run_stream_on_dir",
+           "semantic_dedup_stream", "semantic_groups_store",
+           "semantic_pairs_store", "span_gram_stream",
            "strip_spans_with_store"]

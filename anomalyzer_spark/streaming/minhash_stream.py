@@ -164,10 +164,16 @@ def _read_component(
     return out
 
 
-def _sweep_live(store_dir: str, min_live: int, folded: dict[str, int]) -> None:
+def _sweep_live(
+    store_dir: str,
+    min_live: int,
+    folded: dict[str, int],
+    components: tuple[str, ...] = ("buckets", "shingles", "pairs"),
+) -> None:
     """Drop live ``batch_id`` dirs already folded into a complete
-    generation or older than the retention horizon."""
-    for name in ("buckets", "shingles", "pairs"):
+    generation or older than the retention horizon. ``components``
+    defaults to this module's store; semantic_stream passes its own."""
+    for name in components:
         live_dir = f"{store_dir}/{name}"
         cut = max(min_live - 1, folded.get(name, -1))
         for b in _live_batch_ids(live_dir):

@@ -1488,3 +1488,34 @@ def test_ivfpq_refine_recovers_recall_on_clustered_data(spark):
            for r in similarity.ann_recall(approx, exact, k=5).collect()}
     assert len(rec) == 3
     assert float(np.mean(list(rec.values()))) >= 0.9
+
+
+def test_search_index_refine_equals_exact(spark, tmp_path):
+    """Persisted-index refine: with refine >= corpus size the re-ranked
+    search equals cosine_topk restricted to probed cells' recall — here
+    n_probe = n_clusters, so it equals cosine_topk EXACTLY. Also pins
+    the corpus-required contract."""
+    from anomalyzer_spark.functions.ann_index import (build_ivfpq_index,
+                                                      search_ivfpq_index)
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((50, 16)).round(3)
+    e = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    cents = similarity.train_ivf_centroids(vecs, 4)
+    books = similarity.train_pq_codebooks(vecs, m=4, k=8)
+    idx = str(tmp_path / "idx")
+    build_ivfpq_index(e, idx, cents, books)
+    q = e.where(F.col("vec_id") < 3)
+    got = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 9), r["rnk"])
+        for r in search_ivfpq_index(
+            spark, idx, q, cents, books, k=5, n_probe=4,
+            refine=50, corpus=e).collect())
+    want = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["cos_sim"], 9), r["rnk"])
+        for r in similarity.cosine_topk(e, q, k=5).collect())
+    assert got == want and len(got) == 15
+    with pytest.raises(ValueError, match="corpus"):
+        search_ivfpq_index(spark, idx, q, cents, books, k=5, refine=20)

@@ -318,13 +318,21 @@ def test_curation_pipeline_single_scan_no_joins(spark, sf_dir):
     """The round-7 carry_cols contract: redact -> temperature-mix -> pack
     reads the corpus ONCE and re-attaches nothing — provenance rides the
     shard exchange. A refactor that reintroduces the corpus×corpus
-    join-back (8 exchanges, 4 scans in the round-6 draft) fails here."""
+    join-back (8 exchanges, 4 scans in the round-6 draft) fails here.
+    Pinned on the CORE pipeline; the registry slot wraps it with the
+    round-10 FFD attestation rider (one extra pass + doc_id join that
+    exist for oracle coverage — bounded below, not zero)."""
     import __spark_entry__ as entry_mod
 
-    df = entry_mod.q_curation_pipeline(spark, sf_dir)
+    df, _samp = entry_mod._curation_pipeline_core(spark, sf_dir)
     plan = assert_plan(df, max_exchanges=2)
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
+    # the full slot = core + FFD rider: exactly one extra corpus read
+    # (the FFD staging) and the single attestation join — never the
+    # round-6 draft's 4-scan join-back shape
+    full = explain_str(entry_mod.q_curation_pipeline(spark, sf_dir))
+    assert full.count("documents.parquet") == 2
 
 
 def test_range_join_registry_plan_equi_not_theta(spark, sf_dir):
