@@ -271,6 +271,70 @@ def select_top_fraction(
         sc.isNotNull() & ((sc > thr) | ((sc == thr) & accept)))
 
 
+def cap_stratum_tokens(
+    df: DataFrame,
+    budget: int,
+    strata_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Hard per-stratum TOKEN budget — the crawl-curation rule
+    ``stratified_sample_n`` (a row-count cap) cannot express: "no
+    source/domain contributes more than ``budget`` tokens". Within each
+    stratum, rows are taken in the deterministic id-hash order (the
+    family's stable uniform shuffle) while the running ``token_col`` sum
+    stays within ``budget``; the row that would cross it — and everything
+    after — is dropped. STRICT cap: a stratum whose every candidate row
+    exceeds the budget alone contributes nothing (callers wanting
+    at-least-one-row semantics should pre-filter oversized rows or union
+    a ``stratified_sample_n(1)`` floor). NULL token counts never pass.
+
+    Plan: one exchange on the stratum key, one window cumsum, a map-side
+    filter — same shape as ``stratified_sample_n``, and like the rest of
+    the deterministic-sampling family it is retry- and
+    partitioning-independent with nested selections as ``budget`` grows.
+    DuckDB-replayable (parity in tests/test_functions.py).
+    """
+    if budget < 0:
+        raise ValueError("budget must be >= 0")
+    w = (Window.partitionBy(strata_col)
+         .orderBy(_hash48(F.col(id_col), seed).asc(), F.col(id_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = F.sum(F.col(token_col)).over(w)
+    return (
+        df.where(F.col(token_col).isNotNull())
+        .withColumn("_run", run)
+        .where(F.col("_run") <= budget)
+        .drop("_run")
+    )
+
+
+def cap_stratum_share(
+    df: DataFrame,
+    max_share: float,
+    strata_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+    *,
+    seed: int = 42,
+) -> DataFrame:
+    """Relative form of ``cap_stratum_tokens``: "no stratum may exceed
+    ``max_share`` of the corpus' total tokens" — the budget is
+    ``floor(max_share · total)`` with total measured over the INPUT
+    (pre-cap) corpus, so the rule is declarative (a share of what
+    arrived, not a fixed-point of what survives). One extra bounded
+    aggregate (a single total) plus ``cap_stratum_tokens``'s exchange.
+    """
+    if not 0.0 < max_share <= 1.0:
+        raise ValueError("max_share must be in (0, 1]")
+    total = df.agg(F.sum(F.col(token_col))).first()[0] or 0
+    return cap_stratum_tokens(
+        df, int(max_share * total), strata_col, token_col, id_col,
+        seed=seed)
+
+
 def mixture_plan(
     df: DataFrame,
     domain_col: str,

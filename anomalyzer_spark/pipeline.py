@@ -75,6 +75,16 @@ class CurationConfig:
     #: duplicated word runs >= this many words, one canonical copy kept
     #: corpus-wide (dedup.strip_duplicate_spans). None skips.
     strip_spans: int | None = None
+    #: hard per-source token budget AFTER document dedup (duplicates must
+    #: not consume budget): no ``source_col`` stratum contributes more
+    #: than this many lexical tokens (sampling.cap_stratum_tokens over
+    #: word_token_count). None skips. Mutually exclusive with
+    #: source_cap_share.
+    source_cap_tokens: int | None = None
+    #: relative form: no stratum may exceed this share of the deduped
+    #: corpus' total lexical tokens (sampling.cap_stratum_share)
+    source_cap_share: float | None = None
+    source_col: str = "source"
     #: "exact" (word n-grams) / "fuzzy" (MinHash) / None; needs eval_df
     decontam_mode: str | None = None
     decontam_ngram: int = 8
@@ -106,6 +116,15 @@ class CurationConfig:
                              f"got {self.decontam_mode!r}")
         if self.strip_spans is not None and self.strip_spans < 2:
             raise ValueError("strip_spans must be >= 2 words")
+        if (self.source_cap_tokens is not None
+                and self.source_cap_share is not None):
+            raise ValueError("source_cap_tokens and source_cap_share are "
+                             "mutually exclusive — pick one form")
+        if self.source_cap_tokens is not None and self.source_cap_tokens < 0:
+            raise ValueError("source_cap_tokens must be >= 0")
+        if (self.source_cap_share is not None
+                and not 0 < self.source_cap_share <= 1):
+            raise ValueError("source_cap_share must be in (0, 1]")
         if self.min_quality is not None and not 0 <= self.min_quality <= 1:
             raise ValueError("min_quality must be in [0, 1]")
         if self.top_fraction is not None and not 0 < self.top_fraction <= 1:
@@ -198,6 +217,26 @@ def curate(
                     .select(icol)
                 cur = cur.join(keep.unionByName(solo), icol, "left_semi")
         res.stages["deduped"] = cur
+
+    if cfg.source_cap_tokens is not None or cfg.source_cap_share is not None:
+        # per-source token governance AFTER document dedup (duplicate
+        # copies must not consume a source's budget) and BEFORE the text
+        # rewrites (the budget measures what dedup let through). The
+        # weight is the lexical token count — the unit the rest of the
+        # stack (min_tokens, packing) already budgets in.
+        from .functions.text import word_token_count
+        weighted = cur.withColumn(
+            "_cap_toks", word_token_count(F.col(tcol)).cast("long"))
+        if cfg.source_cap_tokens is not None:
+            capped = _sampling.cap_stratum_tokens(
+                weighted, cfg.source_cap_tokens, cfg.source_col,
+                "_cap_toks", icol, seed=cfg.seed)
+        else:
+            capped = _sampling.cap_stratum_share(
+                weighted, cfg.source_cap_share, cfg.source_col,
+                "_cap_toks", icol, seed=cfg.seed)
+        cur = capped.drop("_cap_toks")
+        res.stages["source_capped"] = cur
 
     if cfg.strip_spans is not None:
         # substring granularity AFTER document dedup (whole-document

@@ -50,7 +50,9 @@ def batch_union_equals_offline(cfg: CurationConfig) -> bool:
             and cfg.strip_spans is None
             and cfg.temperature_alpha is None
             and cfg.top_fraction is None
-            and cfg.pack_capacity is None)
+            and cfg.pack_capacity is None
+            and cfg.source_cap_tokens is None
+            and cfg.source_cap_share is None)
 
 
 def run_curation_stream_on_dir(
@@ -146,6 +148,10 @@ def run_curation_stream_with_dedup_on_dir(
         ("top_fraction", cfg.top_fraction is not None),
         ("temperature_alpha", cfg.temperature_alpha is not None),
         ("pack_capacity", cfg.pack_capacity is not None),
+        # the per-source budget is a greedy prefix in global hash order —
+        # a batch split changes which rows the budget admits
+        ("source_cap_tokens", cfg.source_cap_tokens is not None),
+        ("source_cap_share", cfg.source_cap_share is not None),
         ("decontam_mode", cfg.decontam_mode is not None),
         ("dedup_keep='best'", cfg.dedup_keep == "best"),
     ) if bad]

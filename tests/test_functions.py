@@ -1519,3 +1519,65 @@ def test_search_index_refine_equals_exact(spark, tmp_path):
     assert got == want and len(got) == 15
     with pytest.raises(ValueError, match="corpus"):
         search_ivfpq_index(spark, idx, q, cents, books, k=5, refine=20)
+
+
+def test_cap_stratum_tokens_duckdb_parity_and_semantics(spark, sf_dir):
+    """Per-source token budget: greedy hash-order prefix within budget,
+    replayed in DuckDB SQL; nested as budget grows; strict-cap edge."""
+    import duckdb
+
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    got = sorted(
+        r["doc_id"] for r in sampling.cap_stratum_tokens(
+            docs, 2000, "source", "n_chars").collect())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/documents.parquet')")
+    want = sorted(r[0] for r in con.execute("""
+WITH h AS (
+  SELECT doc_id, source, n_chars,
+    ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::BIGINT AS hk
+  FROM documents WHERE n_chars IS NOT NULL),
+r AS (
+  SELECT doc_id,
+    sum(n_chars) OVER (PARTITION BY source ORDER BY hk, doc_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+  FROM h)
+SELECT doc_id FROM r WHERE run <= 2000""").fetchall())
+    assert got == want and 0 < len(got) < docs.count()
+    # nested selection: a larger budget keeps a superset
+    bigger = {r["doc_id"] for r in sampling.cap_stratum_tokens(
+        docs, 5000, "source", "n_chars").collect()}
+    assert set(got) <= bigger
+    # per-stratum totals actually respect the budget
+    kept = sampling.cap_stratum_tokens(docs, 2000, "source", "n_chars")
+    over = kept.groupBy("source").agg(F.sum("n_chars").alias("t")) \
+        .where(F.col("t") > 2000).count()
+    assert over == 0
+    # strict cap: budget below every row's weight keeps nothing
+    assert sampling.cap_stratum_tokens(
+        docs, 1, "source", "n_chars").count() == 0
+    with pytest.raises(ValueError, match="budget"):
+        sampling.cap_stratum_tokens(docs, -1, "source", "n_chars")
+
+
+def test_cap_stratum_share(spark, sf_dir):
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    total = docs.agg(F.sum("n_chars")).first()[0]
+    out = sampling.cap_stratum_share(docs, 0.05, "source", "n_chars")
+    shares = out.groupBy("source").agg(F.sum("n_chars").alias("t"))
+    assert shares.where(F.col("t") > 0.05 * total).count() == 0
+    assert out.count() > 0
+    # equivalent to the absolute form at the derived budget
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in sampling.cap_stratum_tokens(
+        docs, int(0.05 * total), "source", "n_chars").collect())
+    assert a == b
+    with pytest.raises(ValueError, match="max_share"):
+        sampling.cap_stratum_share(docs, 0.0, "source", "n_chars")

@@ -197,3 +197,36 @@ def test_strip_spans_stage_composition(spark, docs):
 def test_strip_spans_validation():
     with pytest.raises(ValueError, match="strip_spans"):
         CurationConfig(strip_spans=1)
+
+
+def test_curate_source_cap_stage(spark, sf_dir):
+    """source_cap_tokens composes after dedup: per-source lexical-token
+    totals respect the budget, the stage is recorded, and the share form
+    + validation behave."""
+    from anomalyzer_spark.functions.text import word_token_count
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text", "source")
+    cfg = CurationConfig(dedup="exact", source_cap_tokens=800)
+    res = curate(docs, cfg)
+    assert "source_capped" in res.stages
+    out = res.output
+    totals = out.withColumn(
+        "t", word_token_count(F.col("text")).cast("long")) \
+        .groupBy("source").agg(F.sum("t").alias("tot"))
+    assert totals.where(F.col("tot") > 800).count() == 0
+    assert 0 < out.count() < docs.count()
+    # cap runs on the DEDUPED corpus: planting a duplicate of a kept doc
+    # must not change the survivor set (the copy dies before the budget)
+    first = out.orderBy("doc_id").first()
+    dup = docs.unionByName(spark.createDataFrame(
+        [(999_999, first["text"], first["source"])],
+        "doc_id long, text string, source string"))
+    again = curate(dup, cfg).output
+    assert sorted(r["doc_id"] for r in again.collect()) == \
+        sorted(r["doc_id"] for r in out.collect())
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CurationConfig(source_cap_tokens=10, source_cap_share=0.5)
+    with pytest.raises(ValueError, match="source_cap_share"):
+        CurationConfig(source_cap_share=1.5)
