@@ -279,6 +279,7 @@ def cap_stratum_tokens(
     id_col: str = "doc_id",
     *,
     seed: int = 42,
+    n_segments: int = 32,
 ) -> DataFrame:
     """Hard per-stratum TOKEN budget — the crawl-curation rule
     ``stratified_sample_n`` (a row-count cap) cannot express: "no
@@ -291,23 +292,50 @@ def cap_stratum_tokens(
     at-least-one-row semantics should pre-filter oversized rows or union
     a ``stratified_sample_n(1)`` floor). NULL token counts never pass.
 
-    Plan: one exchange on the stratum key, one window cumsum, a map-side
-    filter — same shape as ``stratified_sample_n``, and like the rest of
-    the deterministic-sampling family it is retry- and
-    partitioning-independent with nested selections as ``budget`` grows.
-    DuckDB-replayable (parity in tests/test_functions.py).
+    Plan — the skew-safe two-level cumsum (the ``pack_chunks`` shard
+    precedent): a naive ``Window.partitionBy(stratum)`` serializes a HEAD
+    domain (10% of a crawl = 10% of the corpus in one window partition),
+    so each stratum is split into ``n_segments`` contiguous hash RANGES
+    (global hash order == (segment, hash) lexicographic). Segment token
+    totals are one map-side-combined aggregate (strata × segments rows);
+    their per-stratum exclusive prefix sums broadcast back as offsets;
+    the row-level cumsum then windows by (stratum, segment) — partitions
+    bounded by stratum/segments — and a row passes iff offset + local
+    running sum <= budget. Bit-identical to the single-window
+    formulation (the DuckDB parity test replays THAT form), retry- and
+    partitioning-independent, nested as ``budget`` grows.
     """
     if budget < 0:
         raise ValueError("budget must be >= 0")
-    w = (Window.partitionBy(strata_col)
-         .orderBy(_hash48(F.col(id_col), seed).asc(), F.col(id_col).asc())
-         .rowsBetween(Window.unboundedPreceding, 0))
-    run = F.sum(F.col(token_col)).over(w)
-    return (
+    if n_segments < 1:
+        raise ValueError("n_segments must be >= 1")
+    hk = _hash48(F.col(id_col), seed)
+    # exact integer division (float div could round across a range
+    # boundary and break the contiguous-segment order invariant); an
+    # n_segments that doesn't divide 2^48 just gets one extra short
+    # trailing segment — harmless
+    d = F.lit(_BUCKETS // n_segments)
+    seg = ((hk - F.pmod(hk, d)) / d).cast("int").alias("_seg")
+    rows = (
         df.where(F.col(token_col).isNotNull())
-        .withColumn("_run", run)
+        .withColumn("_hk", hk)
+        .withColumn("_seg", seg)
+    )
+    seg_tot = rows.groupBy(strata_col, "_seg").agg(
+        F.sum(F.col(token_col)).alias("_segsum"))
+    woff = (Window.partitionBy(strata_col).orderBy("_seg")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    offsets = seg_tot.select(
+        strata_col, "_seg",
+        (F.sum("_segsum").over(woff) - F.col("_segsum")).alias("_off"))
+    wrun = (Window.partitionBy(strata_col, "_seg")
+            .orderBy(F.col("_hk").asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        rows.join(F.broadcast(offsets), [strata_col, "_seg"])
+        .withColumn("_run", F.col("_off") + F.sum(F.col(token_col)).over(wrun))
         .where(F.col("_run") <= budget)
-        .drop("_run")
+        .drop("_hk", "_seg", "_off", "_run")
     )
 
 

@@ -1581,3 +1581,21 @@ def test_cap_stratum_share(spark, sf_dir):
     assert a == b
     with pytest.raises(ValueError, match="max_share"):
         sampling.cap_stratum_share(docs, 0.0, "source", "n_chars")
+
+
+def test_cap_stratum_tokens_segment_invariance(spark, sf_dir):
+    """The skew-safe segmented cumsum is an implementation detail: any
+    n_segments (including the degenerate single-window 1) and any input
+    partitioning select the same rows."""
+    from anomalyzer_spark.functions import sampling
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "source", "n_chars")
+    base = sorted(r["doc_id"] for r in sampling.cap_stratum_tokens(
+        docs, 3000, "source", "n_chars").collect())
+    for n_seg in (1, 7, 64):
+        alt = sorted(r["doc_id"] for r in sampling.cap_stratum_tokens(
+            docs.repartition(11), 3000, "source", "n_chars",
+            n_segments=n_seg).collect())
+        assert alt == base, n_seg
+    assert len(base) > 0
