@@ -212,6 +212,12 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
                 d, min_len=10)),
             ("mixture_apply", lambda: sampling.apply_mixture_plan(
                 dm, sampling.mixture_plan(dm, "dom", alpha=0.0), "dom")),
+            # round-10: per-source token budget over the skewed 60/30/10
+            # domain split — the 'a' stratum is a head domain, which is
+            # exactly the case the segmented two-level cumsum exists for
+            ("source_cap", lambda: sampling.cap_stratum_tokens(
+                dm.withColumn("len", F.length("text").cast("long")),
+                n * 8, "dom", "len")),
         ):
             if only and name not in only:
                 continue
