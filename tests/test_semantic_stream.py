@@ -105,3 +105,58 @@ def test_multi_assign_and_empty_store(spark, fixture, tmp_path):
             max_files_per_trigger=1).collect())
     assert got == want
     assert len(got) >= len(_want_pairs(e, cents))
+
+
+def test_semantic_stream_retention_and_compaction(spark, fixture, tmp_path):
+    """The shared store protocol bounds semantic state too: no live dirs
+    older than the horizon, one complete compacted generation, and the
+    pair state over the surviving corpus equals batch semantic_pairs on
+    exactly those vectors."""
+    import glob
+
+    from anomalyzer_spark.streaming import (run_semantic_stream_on_dir,
+                                            semantic_pairs_store)
+    from anomalyzer_spark.streaming.minhash_stream import (_latest_gen,
+                                                           _live_batch_ids)
+
+    e, cents = fixture
+    sdir = str(tmp_path / "in")
+    e.repartition(6).write.mode("overwrite").parquet(sdir)
+    store = str(tmp_path / "store")
+    K, H, C = 6, 3, 2
+    run_semantic_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"), cents,
+        threshold=THRESHOLD, max_files_per_trigger=1,
+        retention_batches=H, compact_every=C)
+    min_live = K - H
+
+    for name in ("vectors", "sem_pairs"):
+        live = _live_batch_ids(f"{store}/{name}")
+        assert all(b >= min_live for b in live), (name, live)
+        assert len(live) < C, (name, live)
+        gens = glob.glob(f"{store}/compacted/{name}/gen=*")
+        assert len(gens) == 1, gens
+        gen_path, folded = _latest_gen(f"{store}/compacted/{name}")
+        assert gen_path is not None and folded == K - 1
+
+    surv = spark.read.parquet(f"{store}/compacted/vectors/gen={K-1}")
+    surv_ids = {r["vec_id"] for r in surv.select("vec_id").collect()}
+    all_ids = {r["vec_id"] for r in e.select("vec_id").collect()}
+    assert 0 < len(surv_ids) < len(all_ids)
+
+    # exact batch contract over the in-horizon vectors (pairs restricted
+    # to surviving endpoints — discovery-batch eviction mirrors minhash)
+    got = {(r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+           for r in semantic_pairs_store(spark, store).collect()
+           if r["id_a"] in surv_ids and r["id_b"] in surv_ids}
+    exp = {(r["id_a"], r["id_b"]): round(r["cos_sim"], 9)
+           for r in S.semantic_pairs(
+               e.where(F.col("vec_id").isin(list(surv_ids))),
+               threshold=THRESHOLD, centroids=cents,
+               max_cell_rows=None).collect()}
+    assert len(exp) > 0
+    # every batch-found pair among survivors whose members co-survived a
+    # batch window is in the store; the store has no EXTRA survivor pairs
+    assert set(got) <= set(exp)
+    for k_, v in got.items():
+        assert v == exp[k_], k_
