@@ -35,6 +35,7 @@ import re as _re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalized(text: Column) -> Column:
@@ -412,6 +413,7 @@ def duplicate_groups(
     id_col: str = "doc_id",
     *,
     max_iterations: int = 20,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """Resolve near-duplicate PAIRS into connected-component GROUPS.
 
@@ -435,14 +437,54 @@ def duplicate_groups(
     Raises a ``RuntimeWarning`` if the loop exhausts ``max_iterations``
     without converging (partially-merged components would silently keep
     extra copies under a keep-first policy).
+
+    ``driver_threshold``: the small-graph shortcut. The distributed loop
+    costs a fixed ~6 jobs/round (joins + lineage checkpoints +
+    convergence probes) — measured at ~3 s for a 10k-edge fixture where
+    the answer is microseconds of union-find — so when the pair count
+    is within the threshold the edge list is collected (BOUNDED by the
+    parameter: the probe is a ``limit(threshold+1)`` count, never a full
+    count of a huge edge set) and resolved with driver-side union-find.
+    Same min-label result bit-for-bit (equality pinned across both
+    paths); pass ``0`` to force the distributed loop. The default 100k
+    edges ≈ a few MB — the ``select_top_fraction`` bounded-collect
+    precedent.
     """
-    edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-    )
-    labels = _propagate_labels(edges, max_iterations)
+    labels = None
+    if driver_threshold > 0:
+        n_pairs = pairs.limit(driver_threshold + 1).count()
+        if n_pairs <= driver_threshold:
+            rows = pairs.select("id_a", "id_b").collect()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:     # path compression
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in rows:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+            nodes = {x for ab in rows for x in ab}
+            id_type = pairs.schema["id_a"].dataType
+            labels = df.sparkSession.createDataFrame(
+                [(n, find(n)) for n in sorted(nodes)],
+                T.StructType([T.StructField("id", id_type),
+                              T.StructField("label", id_type)]))
+    if labels is None:
+        edges = (
+            pairs.select(F.col("id_a").alias("src"),
+                         F.col("id_b").alias("dst"))
+            .unionByName(
+                pairs.select(F.col("id_b").alias("src"),
+                             F.col("id_a").alias("dst")))
+            .distinct()
+        )
+        labels = _propagate_labels(edges, max_iterations)
     # singletons (no incident edge) never change label — skip the loop
     # entirely and union them in at the end.
     singletons = (

@@ -295,7 +295,8 @@ def test_duplicate_groups_deep_chain_pointer_jumping(spark):
         [(i, i + 1) for i in range(63)], "id_a long, id_b long")
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)  # warn would raise
-        out = dedup.duplicate_groups(corpus, pairs, max_iterations=10)
+        out = dedup.duplicate_groups(corpus, pairs, max_iterations=10,
+                                     driver_threshold=0)  # force the loop
         assert {r["group_id"] for r in out.collect()} == {0}
 
 
@@ -306,8 +307,26 @@ def test_duplicate_groups_nonconvergence_warns(spark):
         [(i, i + 1) for i in range(39)], "id_a long, id_b long")
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dedup.duplicate_groups(corpus, pairs, max_iterations=2).collect()
+        dedup.duplicate_groups(corpus, pairs, max_iterations=2,
+                               driver_threshold=0).collect()
         assert any("did not converge" in str(x.message) for x in w)
+
+
+def test_duplicate_groups_driver_path_equals_loop(spark):
+    """The small-graph union-find shortcut and the distributed
+    label-propagation loop resolve IDENTICAL (id, group_id, group_size)
+    rows — chains, merged stars, singletons."""
+    rng = np.random.default_rng(31)
+    corpus = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    edges = [(int(a), int(b)) for a, b in rng.integers(0, 150, (80, 2))
+             if a != b]
+    edges += [(i, i + 1) for i in range(160, 175)]          # a chain
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = sorted(map(tuple, dedup.duplicate_groups(
+        corpus, pairs).collect()))
+    loop = sorted(map(tuple, dedup.duplicate_groups(
+        corpus, pairs, driver_threshold=0).collect()))
+    assert fast == loop and len(fast) == 200
 
 
 def test_minhash_finds_near_dups(spark, docs):
