@@ -452,9 +452,13 @@ def duplicate_groups(
     """
     labels = None
     if driver_threshold > 0:
-        n_pairs = pairs.limit(driver_threshold + 1).count()
-        if n_pairs <= driver_threshold:
-            rows = pairs.select("id_a", "id_b").collect()
+        # ONE bounded job probes the size AND fetches the edges: a
+        # limit-collect of threshold+1 rows (a separate count probe would
+        # execute the — possibly expensive — pair plan twice)
+        rows = [(r[0], r[1]) for r in
+                pairs.select("id_a", "id_b")
+                .limit(driver_threshold + 1).collect()]
+        if len(rows) <= driver_threshold:
             parent: dict = {}
 
             def find(x):

@@ -274,8 +274,12 @@ def main() -> None:
     # round-6 line outgrow the driver's stdout-tail capture and the headline
     # went unparsed — so detail now lands in BENCH_DETAIL.json next to this
     # script, keeping every attribution field without touching the contract.
+    # a positional-subset run must not clobber the committed full-headline
+    # attribution record — divert it to a scratch file
+    detail_name = ("BENCH_DETAIL.json" if not args.queries
+                   else "BENCH_DETAIL_partial.json")
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL.json")
+                               detail_name)
     try:
         with open(detail_path, "w") as f:
             json.dump({"sf": sf, "detail": detail}, f, indent=1, sort_keys=True)
