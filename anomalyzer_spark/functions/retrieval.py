@@ -20,7 +20,24 @@ from pyspark.sql.window import Window
 
 from anomalyzer_spark.functions.text import word_token_count, word_tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_corpus_stats", "bm25_topk"]
+
+
+def bm25_corpus_stats(
+    docs: DataFrame, *, text_col: str = "text"
+) -> tuple[int, float]:
+    """The (n_docs, avgdl) corpus constants ``bm25_topk`` needs — ONE
+    map-side-combined aggregate over the corpus, returned as plain
+    numbers to persist as corpus-version metadata and pass back via
+    ``corpus_stats=`` (skipping the per-query-batch stats scan).
+    ``avgdl`` counts ``word_token_count`` tokens — the same lexical spec
+    the scorer uses. Empty corpus -> (0, 0.0) (which ``bm25_topk``
+    rejects, correctly: BM25 over nothing is meaningless)."""
+    row = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(word_token_count(F.col(text_col))).alias("avgdl"),
+    ).first()
+    return int(row["n"]), float(row["avgdl"] or 0.0)
 
 
 def bm25_topk(
@@ -120,8 +137,7 @@ def bm25_topk(
     # scale N/avgdl are corpus METADATA — recomputed once per corpus
     # version, not per query batch — so callers pass corpus_stats to
     # skip this scan entirely (the drift_psi persisted-profile
-    # precedent); corpus_stats_sql/word_token_count give the exact
-    # recomputation recipe.
+    # precedent); bm25_corpus_stats is the recomputation recipe.
     if corpus_stats is not None:
         n_docs, avgdl = corpus_stats
         if n_docs < 1 or avgdl <= 0:

@@ -196,3 +196,16 @@ def test_bm25_single_tokenization_plan(spark, corpus, queries):
     filter_regex = [l for l in plan.splitlines()
                     if "Filter" in l and "regexp_extract_all(lower(text" in l]
     assert not filter_regex, filter_regex
+
+
+def test_bm25_corpus_stats_helper(spark, corpus, queries):
+    """The persisted-metadata recipe: bm25 with bm25_corpus_stats ==
+    self-computed bm25 exactly."""
+    stats = retrieval.bm25_corpus_stats(corpus)
+    assert stats[0] == 6 and stats[1] > 0
+    a = sorted(map(tuple, retrieval.bm25_topk(
+        corpus, queries, k=4, corpus_stats=stats).collect()))
+    b = sorted(map(tuple, retrieval.bm25_topk(corpus, queries, k=4).collect()))
+    assert a == b and len(a) > 0
+    empty = corpus.where("doc_id < 0")
+    assert retrieval.bm25_corpus_stats(empty) == (0, 0.0)
