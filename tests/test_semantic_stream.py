@@ -160,3 +160,39 @@ def test_semantic_stream_retention_and_compaction(spark, fixture, tmp_path):
     assert set(got) <= set(exp)
     for k_, v in got.items():
         assert v == exp[k_], k_
+
+
+def test_semantic_stream_replay_idempotent(spark, fixture, tmp_path):
+    """At-least-once replay: a batch whose store writes landed but whose
+    checkpoint commit did not is re-executed with the same batch id; the
+    batch_id-dir overwrites plus the self-pair/orientation filters must
+    leave the pair state exactly unchanged (the minhash replay
+    contract)."""
+    import glob
+    import os
+
+    from anomalyzer_spark.streaming import (run_semantic_stream_on_dir,
+                                            semantic_pairs_store)
+
+    e, cents = fixture
+    sdir = str(tmp_path / "in")
+    e.repartition(2).write.mode("overwrite").parquet(sdir)
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    before = run_semantic_stream_on_dir(
+        spark, sdir, store, ckpt, cents, threshold=THRESHOLD,
+        max_files_per_trigger=1).collect()
+    assert len(before) > 0
+
+    commits = sorted(glob.glob(f"{ckpt}/commits/[0-9]*"))
+    assert len(commits) >= 2, "need multiple batches for a replay test"
+    os.remove(commits[-1])
+    crc = os.path.join(os.path.dirname(commits[-1]),
+                       f".{os.path.basename(commits[-1])}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    after = run_semantic_stream_on_dir(
+        spark, sdir, store, ckpt, cents, threshold=THRESHOLD,
+        max_files_per_trigger=1).collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    assert semantic_pairs_store(spark, store).count() == len(before)
