@@ -1061,11 +1061,18 @@ def q_detect_multi_mc(spark, sf_dir):
 
 
 def q_detect_rolling(spark, sf_dir):
-    """Per-point anomaly probs over the full history (one window pass)."""
+    """Per-point anomaly probs over the full history (one window pass).
+
+    chunk_rows=2048: the events table has 5 keys — an unchunked per-key
+    window caps at 5-way parallelism (and AQE byte-coalescing ran it on 2
+    tasks, idle wall ~1.8s); the prelude-replay chunk path (rolling.py
+    module docstring) spreads each key across ~10 chunks with
+    bit-identical output (tests/test_rolling_chunked.py) — idle wall
+    ~0.92s, under the old 5-task floor."""
     from anomalyzer_spark.operators.rolling import detect_rolling
     ev = load_table(spark, sf_dir, "events")
     out = detect_rolling(ev, ["event_type"], "ts", "value", DET_CONF,
-                         tiebreak_cols=["event_id"])
+                         tiebreak_cols=["event_id"], chunk_rows=2048)
     return _round6(out.select("event_type", "event_id", "n_points", "prob"),
                    "prob")
 

@@ -257,12 +257,20 @@ def main() -> None:
         }
         floor = floors.get(name, {}).get("floor_sec")
         vs = ""
-        if floor:
+        if floor and floors[name].get("plan_hash") not in (None, fp):
+            # the floor was set by a DIFFERENT physical plan — a ratio
+            # against it attributes nothing (round-10 verdict: the
+            # text_profile rider printed a misleading 2.7x for a round
+            # against a dead plan). Record the staleness; the floor block
+            # below re-baselines this entry, archiving the old floor.
+            detail[name]["stale_floor_sec"] = floor
+            detail[name]["stale_floor_plan"] = floors[name].get("plan_hash")
+            vs = f" floor=stale-plan (was {floor:.3f}s @" \
+                 f"{floors[name].get('plan_hash')})"
+        elif floor:
             detail[name]["floor_sec"] = floor
             detail[name]["vs_floor"] = round(timings[name] / floor, 2)
-            vs = (f" floor={floor:.3f}s ({detail[name]['vs_floor']:.2f}x"
-                  + (" plan-changed" if floors[name].get("plan_hash")
-                     not in (None, fp) else "") + ")")
+            vs = f" floor={floor:.3f}s ({detail[name]['vs_floor']:.2f}x)"
         print(f"# {name}: {timings[name]:.3f}s  plan={fp} "
               f"times={times} warm={warm_s:.2f}s cpu={cpu_s:.1f}s "
               f"gc={gc_ms}ms steal={steal_s:.1f}s{vs}", file=sys.stderr)
@@ -291,10 +299,27 @@ def main() -> None:
     if sf == "0.1":
         changed = False
         for name, best in timings.items():
-            cur = floors.get(name, {}).get("floor_sec")
-            if cur is None or best < cur:
-                floors[name] = {"floor_sec": best,
-                                "plan_hash": detail[name]["plan_hash"],
+            cur = floors.get(name, {})
+            fp = detail[name]["plan_hash"]
+            if cur.get("floor_sec") is not None and \
+                    cur.get("plan_hash") not in (None, fp):
+                # plan changed since the floor was set: re-baseline to this
+                # run (even if slower — the old plan no longer exists to
+                # compare against) and archive the dead floor for audit
+                floors[name] = {
+                    "floor_sec": best, "plan_hash": fp,
+                    "source": "re-baseline",
+                    "archived": (cur.pop("archived", [])
+                                 + [{k: cur[k] for k in
+                                     ("floor_sec", "plan_hash", "source")
+                                     if k in cur}])[-5:],
+                }
+                changed = True
+                print(f"# re-baselined floor (plan change): {name} "
+                      f"{best:.3f}s (was {cur.get('floor_sec'):.3f}s @"
+                      f"{cur.get('plan_hash')})", file=sys.stderr)
+            elif cur.get("floor_sec") is None or best < cur["floor_sec"]:
+                floors[name] = {**cur, "floor_sec": best, "plan_hash": fp,
                                 "source": "bench"}
                 changed = True
                 print(f"# new floor: {name} {best:.3f}s", file=sys.stderr)

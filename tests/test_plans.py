@@ -61,6 +61,16 @@ def test_rolling_single_window_pass(spark, sf_dir):
     assert_plan(df, max_exchanges=1)
 
 
+def test_rolling_chunked_two_exchanges(spark, sf_dir):
+    # hot-key chunk path: key exchange (row_number) + explicit (key, chunk)
+    # repartition for the frame window — exactly two, still no joins
+    from anomalyzer_spark.operators.rolling import detect_rolling
+    ev = load_table(spark, sf_dir, "events")
+    df = detect_rolling(ev, ["event_type"], "ts", "value", DET,
+                        tiebreak_cols=["event_id"], chunk_rows=64)
+    assert_plan(df, max_exchanges=2)
+
+
 def test_text_ops_no_shuffle(spark, sf_dir):
     from anomalyzer_spark.functions import text
     d = load_table(spark, sf_dir, "documents")  # no repartition
