@@ -109,7 +109,26 @@ def plan_fingerprint(df) -> str:
     and JVM object addresses are masked; file listings/paths are kept (same
     testdata → same strings).
     """
-    s = df._jdf.queryExecution().executedPlan().toString()
+    # lift the render-time truncation caps while stringifying: FileScan
+    # metadata (DataFilters etc.) is cut at spark.sql.maxMetadataStringLength
+    # CHARS, so where the "..." lands depends on expr-id DIGIT WIDTH — i.e.
+    # on session history — and the same plan hashed differently in
+    # different sessions (observed: range_join/decontam "re-baselining"
+    # with zero code change). Render untruncated, then normalize.
+    sess = df.sparkSession
+    caps = {"spark.sql.maxMetadataStringLength": "100000",
+            "spark.sql.debug.maxToStringFields": "10000"}
+    old = {k: sess.conf.get(k, None) for k in caps}
+    for k, v in caps.items():
+        sess.conf.set(k, v)
+    try:
+        s = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                sess.conf.unset(k)
+            else:
+                sess.conf.set(k, v)
     s = re.sub(r"#\d+", "#x", s)
     # HOF lambda variables carry a session-global counter (x_10, y_11, …)
     s = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", s)
