@@ -1220,12 +1220,26 @@ def q_multimodal(spark, sf_dir):
     multimodal_meta + multimodal_features queries (50-query driver gate;
     both operators' columns hash-checked here). Rounding happens JVM-side
     (F.round == DuckDB round, half-away) — not in the Python kernel, whose
-    banker's round() flips exact .xxxxxx5 means."""
+    banker's round() flips exact .xxxxxx5 means.
+
+    Round-11 rider ``dhash9x8``: the perceptual image signature — a
+    deterministic synthetic PGM payload (multimodal.pgm_payload_col,
+    md5-derived pixel bytes so DuckDB can rebuild them) pushed through the
+    REAL library-free decoder (decode_image_raw, one mapInPandas Arrow
+    pass) and the 64-bit dHash column expression (dhash64_col). Puts the
+    whole image-dedup signature path — decode, center-sample resize
+    identity, gradient bits, signed bit-63 — under the driver value hash;
+    the pair join over these signatures is tests/test_image_dedup.py."""
     from anomalyzer_spark.functions import multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
     prof = multimodal.payload_profile(with_payload, "content", "doc_id")
-    return _round6(prof, "byte_mean", "byte_std", "byte_entropy")
+    img = d.select("doc_id",
+                   multimodal.pgm_payload_col(F.col("text")).alias("content"))
+    dh = multimodal.dhash_image(img).select(
+        "doc_id", F.col("dhash64").alias("dhash9x8"))
+    return _round6(prof.join(dh, "doc_id"),
+                   "byte_mean", "byte_std", "byte_entropy")
 
 
 def q_sessions_stream(spark, sf_dir):
@@ -2960,12 +2974,40 @@ FROM stats
 JOIN langs USING (doc_id) JOIN fp USING (doc_id)
 JOIN tok USING (doc_id) JOIN rep USING (doc_id) JOIN sh USING (doc_id)"""
 
+    # dhash9x8 rider: rebuild the synthetic PGM pixel bytes (md5 stream,
+    # pgm_payload_col spec), then the 64 dHash gradient bits. Pixel
+    # comparison on raw bytes == comparison on byte/255.0 grayscale
+    # (division by a positive constant is monotone), and bit 63 rides in
+    # as the signed minimum instead of 1<<63 so the BIGINT sum cannot
+    # overflow — same two's-complement pattern Spark's bitwiseOR builds.
+    sql["multimodal_dhash"] = """
+WITH hx AS (
+  SELECT doc_id,
+         md5(text) || md5(text || '1') || md5(text || '2') ||
+         md5(text || '3') || md5(text || '4') AS h
+  FROM documents),
+px AS (
+  SELECT doc_id,
+    list_transform(range(0, 72),
+                   i -> ('0x' || substr(h, (2*i + 1)::INT, 2))::BIGINT) AS p
+  FROM hx)
+SELECT doc_id,
+  (list_sum(list_transform(range(0, 63), k ->
+     CASE WHEN p[((k // 8) * 9 + (k % 8) + 2)::INT]
+             > p[((k // 8) * 9 + (k % 8) + 1)::INT]
+          THEN (1::BIGINT << k::INT) ELSE 0 END))
+   + CASE WHEN p[72] > p[71]
+          THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)::BIGINT
+  AS dhash9x8
+FROM px"""
     sql["multimodal"] = f"""
 WITH meta AS ({sql['multimodal_meta']}),
-feat AS ({sql['multimodal_features']})
+feat AS ({sql['multimodal_features']}),
+dh AS ({sql['multimodal_dhash']})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
-       feat.byte_mean, feat.byte_std, feat.byte_entropy
-FROM meta JOIN feat USING (doc_id)"""
+       feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8
+FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)"""
+    del sql["multimodal_dhash"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
                     "repetition", "multimodal_meta", "multimodal_features"):

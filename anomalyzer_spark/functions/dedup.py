@@ -804,6 +804,30 @@ def simhash_pairs(
     running the simhash fold per self-join side; pass False for
     job-free plan inspection."""
     sigs = simhash(df, text_col, id_col, bits=bits)
+    return hamming_pairs(sigs, "simhash", id_col, bits=bits,
+                         max_hamming=max_hamming, materialize=materialize)
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    *,
+    bits: int = 64,
+    max_hamming: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Pairs of rows whose ``bits``-wide bigint signatures are within
+    ``max_hamming`` — the banded self-join shared by text SimHash
+    (``simhash_pairs``) and perceptual image dHash
+    (``multimodal.dhash_pairs``), or any other Hamming-space signature.
+
+    Banding (pigeonhole): two signatures within Hamming d must agree
+    EXACTLY on at least one of d+1 equal bit-blocks → explode each row to
+    its d+1 (block_id, block_val) keys, equi-join per key, verify with
+    bit_count(xor), dedup pairs found in multiple blocks. Never all-pairs:
+    the join is a hash equi-join on block values (no-cartesian
+    plan-pinned in tests). Returns (id_a, id_b, hamming)."""
     nblocks = max_hamming + 1
     if bits % nblocks:
         raise ValueError(
@@ -815,27 +839,28 @@ def simhash_pairs(
     # constant, and shiftrightunsigned takes a literal bit count — a
     # literal array of structs also stays inside codegen where a
     # higher-order transform would not.
+    mask = (1 << width) - 1 if width < 64 else -1
     block_structs = F.array(*[
         F.struct(
             F.lit(bid).alias("block_id"),
-            F.shiftrightunsigned(F.col("simhash"), bid * width)
-            .bitwiseAND(F.lit((1 << width) - 1).cast("long"))
+            F.shiftrightunsigned(F.col(sig_col), bid * width)
+            .bitwiseAND(F.lit(mask).cast("long"))
             .alias("block_val"),
         )
         for bid in range(nblocks)])
     blocks = sigs.select(
         F.col(id_col),
-        F.col("simhash"),
+        F.col(sig_col),
         F.explode(block_structs).alias("blk"),
-    ).select(id_col, "simhash", "blk.block_id", "blk.block_val")
+    ).select(id_col, sig_col, "blk.block_id", "blk.block_val")
 
     if materialize and not sigs.isStreaming:
         # no ReusedExchange across the block self-join — materialize the
-        # (id, simhash, block) rows once so the simhash fold (the CPU of
-        # this operator) runs once, not per join side
+        # (id, sig, block) rows once so the signature computation (the CPU
+        # of this operator) runs once, not per join side
         blocks = blocks.localCheckpoint(eager=True)
     x, y = blocks.alias("x"), blocks.alias("y")
-    ham = F.bit_count(F.col("x.simhash").bitwiseXOR(F.col("y.simhash")))
+    ham = F.bit_count(F.col(f"x.{sig_col}").bitwiseXOR(F.col(f"y.{sig_col}")))
     return (
         x.join(y, ["block_id", "block_val"])
         .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))

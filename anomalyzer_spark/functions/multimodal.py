@@ -19,7 +19,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType, BinaryType, DoubleType, LongType, StringType, StructField,
@@ -550,3 +550,82 @@ def frame_sample(df: DataFrame, content_col: str = "content",
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame"])
 
     return df.select(F.col(id_col), F.col(content_col)).mapInPandas(fn, schema)
+
+
+def pgm_payload_col(text: Column, *, width: int = 9, height: int = 8) -> Column:
+    """A deterministic synthetic PGM (P5) image payload derived from a text
+    column — the documented stand-in for real media bytes in environments
+    without image fixtures (same role as ``attach_payload``). Pixel bytes
+    are an md5-derived stream of the text (engine-portable: DuckDB
+    reproduces them as ``md5(text) || md5(text||'1') || ...``), so every
+    downstream value — decoded rasters, dHash signatures — is
+    value-hash checkable by a SQL oracle."""
+    n = width * height
+    n_md5 = (n + 15) // 16
+    hx = F.concat(*[
+        F.md5(F.encode(text if i == 0 else F.concat(text, F.lit(str(i))),
+                       "UTF-8"))
+        for i in range(n_md5)])
+    header = f"P5\n{width} {height}\n255\n".encode()
+    return F.concat(F.lit(header), F.unhex(F.substring(hx, 1, 2 * n)))
+
+
+def dhash64_col(pixels: Column, *, width: int = 9, height: int = 8) -> Column:
+    """64-bit dHash (difference hash) of a row-major grayscale raster as a
+    PURE column expression — bit ``r*(width-1)+c`` is 1 iff the pixel to
+    the right is strictly brighter: ``px[r*width+c+1] > px[r*width+c]``.
+    The canonical perceptual-dedup signature (9x8 raster -> 8x8 = 64
+    comparison bits); robust to rescaling/brightness because only LOCAL
+    gradients survive. Unrolled over plan-time constants and folded with
+    bitwiseOR (no arithmetic overflow on bit 63), so it stays inside
+    whole-stage codegen — the decode kernel is the only Python in the
+    pipeline."""
+    if (width - 1) * height != 64:
+        raise ValueError("dhash64 needs (width-1)*height == 64, e.g. 9x8")
+    import functools
+    terms = []
+    for r in range(height):
+        for c in range(width - 1):
+            k = r * (width - 1) + c
+            left = F.element_at(pixels, r * width + c + 1)
+            right = F.element_at(pixels, r * width + c + 2)
+            terms.append(
+                F.when(right > left,
+                       F.shiftleft(F.lit(1).cast("long"), k))
+                .otherwise(F.lit(0).cast("long")))
+    return functools.reduce(lambda a, b: a.bitwiseOR(b), terms)
+
+
+def dhash_image(df: DataFrame, content_col: str = "content",
+                id_col: str = "doc_id") -> DataFrame:
+    """Perceptual image signature: REAL library-free decode
+    (``decode_image_raw``, PGM/PPM/BMP) to a 9x8 grayscale raster, then
+    the 64-bit dHash as a JVM-side expression over the decoded pixels.
+    Per-row error capture carries through: a corrupt payload yields
+    (id, NULL dhash64, err) instead of killing the job. Map-only — one
+    Arrow pass, zero shuffles."""
+    dec = decode_image_raw(df, content_col, id_col, size=(9, 8))
+    return dec.select(
+        F.col("doc_id").alias(id_col) if id_col != "doc_id"
+        else F.col(id_col),
+        F.col("width"), F.col("height"),
+        F.when(F.col("pixels").isNotNull(),
+               dhash64_col(F.col("pixels"))).alias("dhash64"),
+        F.col("err"))
+
+
+def dhash_pairs(df: DataFrame, content_col: str = "content",
+                id_col: str = "doc_id", *, max_hamming: int = 3,
+                materialize: bool = True) -> DataFrame:
+    """Near-duplicate IMAGE pairs by dHash Hamming distance — the image
+    cell of the dedup matrix. Signatures from ``dhash_image`` (undecodable
+    payloads drop out as NULL), pairs from the same banded self-join that
+    powers text SimHash (``dedup.hamming_pairs``: d+1 equal bit-blocks,
+    equi-join per block, bit_count(xor) verify — never all-pairs).
+    Returns (id_a, id_b, hamming)."""
+    from . import dedup as _dedup
+    sigs = dhash_image(df, content_col, id_col) \
+        .where(F.col("dhash64").isNotNull())
+    return _dedup.hamming_pairs(sigs, "dhash64", id_col, bits=64,
+                                max_hamming=max_hamming,
+                                materialize=materialize)
