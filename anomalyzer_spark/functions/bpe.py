@@ -159,3 +159,29 @@ def bpe_vocab(merges: list[tuple[str, str]]) -> list[str]:
     """The merge table's produced units, in creation order (base chars are
     data-dependent and implicit; this is the LEARNED part of the vocab)."""
     return [a + b for a, b in merges]
+
+
+def bpe_ids(
+    enc: DataFrame,
+    vocab: list[str],
+    tokens_col: str = "tokens",
+    *,
+    out_col: str = "token_ids",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Map ``bpe_encode`` string tokens to integer ids: id = position in
+    ``vocab`` (0-based), unknown tokens → ``oov_id``. The vocab rides the
+    plan as a literal map (bounded — a tokenizer vocab is 10k-100k
+    entries, model-config-sized, not data-sized), so the lookup is a pure
+    map-only expression with no join. Compose with
+    ``packing.pack_token_ids`` for training-ready fixed-length sequences."""
+    if len(set(vocab)) != len(vocab):
+        raise ValueError("vocab entries must be unique")
+    m = F.map_from_arrays(
+        F.array(*[F.lit(t) for t in vocab]),
+        F.array(*[F.lit(i) for i in range(len(vocab))]))
+    return enc.withColumn(
+        out_col,
+        F.transform(F.col(tokens_col),
+                    lambda t: F.coalesce(F.element_at(m, t),
+                                         F.lit(oov_id))))

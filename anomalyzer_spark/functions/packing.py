@@ -244,3 +244,68 @@ def packing_stats(packed_bins: DataFrame, capacity: int) -> DataFrame:
         ).alias("utilization"),
         F.sum("_over").alias("n_oversize"),
     )
+
+
+def pack_token_ids(
+    df: DataFrame,
+    capacity: int,
+    *,
+    ids_col: str = "token_ids",
+    id_col: str = "doc_id",
+    n_shards: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """TOKEN-EXACT concat-and-chunk packing: assemble the fixed-length id
+    sequences themselves, not just the span bookkeeping. Input rows carry a
+    tokenizer-id array (e.g. ``bpe.bpe_ids`` over ``bpe_encode`` output);
+    output is one row per (shard, chunk) ready for a training loader:
+
+      shard, chunk_id, input_ids array (exactly ``capacity`` ids except
+      each shard's final chunk), n_docs, and doc_spans — one
+      (doc_id, start, end) struct per document piece, [start, end) offsets
+      INTO input_ids, ordered by position — the attention-mask /
+      provenance sidecar.
+
+    Composition of ``pack_chunks`` (same shard hash, same order hash, same
+    span arithmetic — the chunk boundaries are bit-identical to the
+    bookkeeping operator's) with an array-slice + one grouped assembly.
+    Plan shape: the pack_chunks shard-window exchange, then ONE exchange
+    on (shard, chunk_id) for the assembly aggregation; the id arrays ride
+    both exchanges (they must — the payload IS the output; at 100 TB the
+    bytes-per-chunk is capacity × 4-8 B, so chunk rows are ~fixed-size and
+    the aggregation state is bounded by capacity, not document length).
+    Deterministic: same ids + seed ⇒ same chunks on any partitioning.
+    """
+    spans = pack_chunks(
+        df.select(F.col(id_col), F.col(ids_col),
+                  F.size(F.col(ids_col)).cast("long").alias("_n_ids")),
+        capacity, length_col="_n_ids", id_col=id_col,
+        n_shards=n_shards, seed=seed, carry_cols=[ids_col])
+    piece = F.slice(
+        F.col(ids_col),
+        F.col("chunk_tok_start").cast("int") + 1,
+        (F.col("chunk_tok_end") - F.col("chunk_tok_start")).cast("int"))
+    pos = F.greatest(F.col("chunk_id") * capacity, F.col("start_tok")) \
+        - F.col("chunk_id") * capacity
+    parts = spans.select(
+        "shard", "chunk_id",
+        F.struct(
+            pos.cast("long").alias("pos"),
+            F.col(id_col).alias(id_col),
+            piece.alias("piece"),
+        ).alias("_part"))
+    assembled = parts.groupBy("shard", "chunk_id").agg(
+        F.sort_array(F.collect_list("_part")).alias("_parts"))
+    return assembled.select(
+        "shard", "chunk_id",
+        F.flatten(F.transform(F.col("_parts"), lambda p: p["piece"]))
+        .alias("input_ids"),
+        F.size("_parts").alias("n_docs"),
+        F.transform(
+            F.col("_parts"),
+            lambda p: F.struct(
+                p[id_col].alias(id_col),
+                p["pos"].alias("start"),
+                (p["pos"] + F.size(p["piece"])).alias("end")),
+        ).alias("doc_spans"),
+    )
