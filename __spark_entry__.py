@@ -1099,6 +1099,10 @@ def q_quality_checks(spark, sf_dir):
         C.mean_between("o_totalprice", 100.0, 500000.0),
         C.row_count(min_rows=1),
         C.satisfies("o_totalprice > 0", "price_positive"),
+        # round-11 rider: the heavy-hitters / frequency-skew gate (share
+        # of the 2 most frequent priorities), putting the top_share kind's
+        # grouped-count + ranked-cut path under the driver value hash
+        C.top_share("o_orderpriority", 0.9, k=2),
     ])
     return _round6(rep, "value")
 
@@ -1784,7 +1788,16 @@ UNION ALL SELECT '5:mean_between', 'o_totalprice', 'mean', round(m5, 6),
 UNION ALL SELECT '6:row_count', NULL, 'rows', round(m6, 6),
        NULL::DOUBLE, m6 >= 1 FROM m
 UNION ALL SELECT '7:satisfies', 'price_positive', 'satisfied_ratio',
-       round(m7, 6), 1.0::DOUBLE, m7 >= 1.0 FROM m"""
+       round(m7, 6), 1.0::DOUBLE, m7 >= 1.0 FROM m
+UNION ALL SELECT '8:top_share', 'o_orderpriority', 'top2_share',
+       round(m8, 6), NULL::DOUBLE, m8 <= 0.9 FROM (
+  WITH cnts AS (SELECT o_orderpriority AS v, count(*)::BIGINT AS c
+                FROM orders WHERE o_orderpriority IS NOT NULL
+                GROUP BY o_orderpriority),
+  rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, v ASC) AS rn
+         FROM cnts)
+  SELECT sum(CASE WHEN rn <= 2 THEN c END)::DOUBLE / sum(c) AS m8
+  FROM rk)"""
 
     # drift oracle: per-column CTE block (bounds from OLD, 10 equi-width
     # bins + NULL bucket -1, edge clamp, Laplace alpha=0.5 over B=11,

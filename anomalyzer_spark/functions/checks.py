@@ -37,8 +37,8 @@ from pyspark.sql import DataFrame, functions as F
 __all__ = [
     "completeness", "uniqueness", "in_range", "in_set", "matches",
     "mean_between", "min_between", "max_between", "stddev_between",
-    "quantile_between", "row_count", "satisfies", "verify_checks",
-    "verify_checks_by",
+    "quantile_between", "row_count", "satisfies", "top_share",
+    "verify_checks", "verify_checks_by",
 ]
 
 
@@ -137,6 +137,31 @@ def row_count(min_rows: int = 0, max_rows=None) -> dict:
             "hi": None if max_rows is None else int(max_rows)}
 
 
+def top_share(column: str, max_share: float, k: int = 1) -> dict:
+    """Heavy-hitters / frequency-skew gate: the combined share of the
+    ``k`` most frequent NON-NULL values must be ≤ ``max_share`` — the
+    "one domain is 40% of today's batch" check that completeness and
+    range conformance cannot see. Tie-break for the top-k cut is
+    (count desc, value asc), so the metric is deterministic.
+
+    Scale note — the one check kind that is NOT a plain aggregate: exact
+    heavy hitters need a per-value count, so this adds ONE grouped
+    aggregation over the checked column (map-side partial agg absorbs the
+    hot keys — the very skew being measured — so the shuffle carries at
+    most |distinct| rows) plus a ranking window over that distinct-value
+    frame. Intended for bounded-cardinality categorical columns (source,
+    domain, language, label); on a corpus-cardinality column the
+    distinct-value frame is the corpus, and the gate you actually want
+    there is exact-dup detection (``dedup.exact_dedup``). All other
+    declared checks still fuse into the single base pass."""
+    if not 0.0 <= max_share <= 1.0:
+        raise ValueError("max_share must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    return {"kind": "top_share", "column": column, "k": int(k),
+            "lo": None, "hi": float(max_share)}
+
+
 def satisfies(predicate_sql: str, name: str, min_ratio: float = 1.0) -> dict:
     """Fraction of rows where ``predicate_sql`` (a boolean SQL expression
     over the frame's columns) is TRUE must be ≥ ``min_ratio`` — the escape
@@ -204,7 +229,28 @@ def _metric_expr(c: dict):
 #: checks gated by [lo, hi] bounds on the metric itself (threshold NULL
 #: in the report) rather than a min-ratio threshold
 _BOUNDED = ("mean_between", "min_between", "max_between",
-            "stddev_between", "quantile_between", "row_count")
+            "stddev_between", "quantile_between", "row_count",
+            "top_share")
+
+
+def _top_share_frame(df: DataFrame, keys: list[str], c: dict, i: int):
+    """1-row (or per-group) frame carrying ``m{i}`` = combined share of
+    the k most frequent non-null values. Grouped count + ranking window
+    over the DISTINCT-VALUE frame (see top_share docstring for why this
+    cannot ride the single base aggregate)."""
+    from pyspark.sql.window import Window
+    col = F.col(c["column"])
+    cnts = (df.where(col.isNotNull())
+            .groupBy(*keys, c["column"])
+            .agg(F.count(F.lit(1)).alias("_c")))
+    order = [F.col("_c").desc(), col.asc()]
+    w = (Window.partitionBy(*keys).orderBy(*order) if keys
+         else Window.orderBy(*order))
+    ranked = cnts.select(*keys, "_c",
+                         F.row_number().over(w).alias("_rn"))
+    share = _ratio(F.sum(F.when(F.col("_rn") <= c["k"], F.col("_c"))),
+                   F.sum("_c")).alias(f"m{i}")
+    return ranked.groupBy(*keys).agg(share) if keys else ranked.agg(share)
 
 
 def _passed(c: dict, value):
@@ -248,9 +294,17 @@ def _compile(checks: list[dict]):
         raise ValueError("verify_checks needs at least one check")
     aggs, labels = [], []
     for i, c in enumerate(checks):
+        if c["kind"] == "top_share":
+            # not a plain aggregate — joined in from _top_share_frame
+            labels.append(f"top{c['k']}_share")
+            continue
         expr, metric = _metric_expr(c)
         aggs.append(expr.alias(f"m{i}"))
         labels.append(metric)
+    if not aggs:
+        # every declared check is a top_share: the base pass still needs
+        # one aggregate to produce the 1-row (or per-group) spine
+        aggs.append(F.count(F.lit(1)).alias("_base_n"))
     return aggs, labels
 
 
@@ -259,9 +313,15 @@ def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     (check, column, metric, value, threshold, passed), one row per check,
     in the declared order (``check`` is ``"<i>:<kind>"`` so the report
     orders and keys deterministically even when one column carries two
-    checks of the same kind)."""
+    checks of the same kind). Exception: each ``top_share`` check adds
+    one grouped aggregation over its column (its docstring explains why);
+    all other kinds still fuse into the single pass."""
     aggs, labels = _compile(checks)
-    metrics = df.agg(*aggs)  # 1 row; the only pass over the data
+    metrics = df.agg(*aggs)  # 1 row; the only pass for non-top_share kinds
+    for i, c in enumerate(checks):
+        if c["kind"] == "top_share":
+            # 1-row x 1-row cross join, broadcast by construction
+            metrics = metrics.crossJoin(_top_share_frame(df, [], c, i))
     return _report(metrics, checks, labels, [])
 
 
@@ -272,10 +332,18 @@ def verify_checks_by(df: DataFrame, keys: list[str],
     complete?" or per-domain conformance. Report = (*keys, check,
     column, metric, value, threshold, passed), one row per group ×
     check. Still one pass: a single groupBy aggregate (map-side partial
-    agg; output rows = groups × checks, data scanned once)."""
+    agg; output rows = groups × checks, data scanned once) — plus one
+    grouped aggregation per ``top_share`` check (see its docstring).
+    A group whose top_share column is entirely NULL reports share 0.0
+    (no values, no skew) rather than failing vacuously."""
     if not keys:
         raise ValueError("verify_checks_by needs at least one key "
                          "(use verify_checks for the global gate)")
     aggs, labels = _compile(checks)
     metrics = df.groupBy(*keys).agg(*aggs)
+    for i, c in enumerate(checks):
+        if c["kind"] == "top_share":
+            aux = _top_share_frame(df, list(keys), c, i)
+            metrics = metrics.join(aux, list(keys), "left").withColumn(
+                f"m{i}", F.coalesce(F.col(f"m{i}"), F.lit(0.0)))
     return _report(metrics, checks, labels, list(keys))

@@ -231,3 +231,79 @@ def test_stddev_collapse_and_quantile_semantics(spark):
 
     with pytest.raises(ValueError):
         C.quantile_between("x", 1.5, 0, 1)
+
+
+def test_top_share_duckdb_parity(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    checks = [C.top_share("o_orderstatus", 0.9),
+              C.top_share("o_orderpriority", 0.9, k=2),
+              C.completeness("o_custkey")]
+    got = {r["check"]: r for r in C.verify_checks(df, checks).collect()}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/orders.parquet')")
+
+    def duck_share(col, k):
+        return con.execute(f"""
+WITH cnts AS (SELECT {col} AS v, count(*)::BIGINT AS c FROM orders
+              WHERE {col} IS NOT NULL GROUP BY {col}),
+rk AS (SELECT c, row_number() OVER (ORDER BY c DESC, v ASC) AS rn
+       FROM cnts)
+SELECT sum(CASE WHEN rn <= {k} THEN c END)::DOUBLE / sum(c) FROM rk
+""").fetchone()[0]
+
+    r0 = got["0:top_share"]
+    assert r0["metric"] == "top1_share" and r0["threshold"] is None
+    assert r0["value"] == pytest.approx(duck_share("o_orderstatus", 1))
+    assert r0["passed"] == (r0["value"] <= 0.9)
+    r1 = got["1:top_share"]
+    assert r1["metric"] == "top2_share"
+    assert r1["value"] == pytest.approx(duck_share("o_orderpriority", 2))
+    # the plain checks still ride along unchanged
+    assert got["2:completeness"]["metric"] == "non_null_ratio"
+
+
+def test_top_share_grouped_and_all_null_group(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "x"), ("a", "y"),
+         ("b", "p"), ("b", "q"),
+         ("c", None), ("c", None)],
+        "grp string, v string")
+    rep = {(r["grp"], r["check"]): r for r in C.verify_checks_by(
+        df, ["grp"], [C.top_share("v", 0.6)]).collect()}
+    assert rep[("a", "0:top_share")]["value"] == pytest.approx(0.75)
+    assert rep[("a", "0:top_share")]["passed"] is False
+    assert rep[("b", "0:top_share")]["value"] == pytest.approx(0.5)
+    assert rep[("b", "0:top_share")]["passed"] is True
+    # all-NULL group: no values, no skew -> 0.0 and passes
+    assert rep[("c", "0:top_share")]["value"] == 0.0
+    assert rep[("c", "0:top_share")]["passed"] is True
+
+
+def test_top_share_tiebreak_and_k_exceeds_distinct(spark):
+    # counts tie (x: 2, y: 2): value asc wins the cut -> top1 is 'x'
+    df = spark.createDataFrame(
+        [("x",), ("x",), ("y",), ("y",), ("z",)], "v string")
+    rep = C.verify_checks(df, [C.top_share("v", 1.0),
+                               C.top_share("v", 1.0, k=10)]).collect()
+    assert rep[0]["value"] == pytest.approx(2 / 5)
+    # k beyond the distinct count covers everything
+    assert rep[1]["value"] == pytest.approx(1.0)
+
+
+def test_top_share_only_checks_and_empty_frame(spark):
+    df = spark.createDataFrame([], "v string")
+    rep = C.verify_checks(df, [C.top_share("v", 0.5)]).collect()
+    assert rep[0]["value"] == 0.0 and rep[0]["passed"] is True
+
+
+def test_non_top_share_checks_keep_single_pass_plan(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = C.verify_checks(df, [C.completeness("o_custkey"),
+                               C.mean_between("o_totalprice", 0, 1e9),
+                               C.top_share("o_orderstatus", 0.9)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    # base pass + the per-value count pass: exactly two scans, and the
+    # top-share frame joins in broadcast (1-row side), no sort-merge join
+    assert plan.count("Scan parquet") == 2
+    assert "SortMergeJoin" not in plan

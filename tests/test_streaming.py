@@ -1038,10 +1038,13 @@ def test_checks_stream_per_batch_equals_offline(spark, sf_dir, tmp_path):
 
     spec = [C.completeness("o_custkey"),
             C.mean_between("o_totalprice", 1e5, 4e5),
-            C.row_count(min_rows=300)]
+            C.row_count(min_rows=300),
+            # the heavy-hitters kind composes through the stream runner
+            # like any other check (its extra grouped pass runs per batch)
+            C.top_share("o_orderstatus", 0.9)]
     mon = run_checks_stream_on_dir(
         spark, sdir, spec, query_name="checks_mon_test").collect()
-    assert len(mon) == 9  # 3 batches x 3 checks
+    assert len(mon) == 12  # 3 batches x 4 checks
     # row_count identifies each batch; its value keys the batch -> the
     # offline report of that exact split must match row-for-row
     by_batch = {}
