@@ -347,6 +347,7 @@ def cap_stratum_share(
     id_col: str = "doc_id",
     *,
     seed: int = 42,
+    total_tokens: int | None = None,
 ) -> DataFrame:
     """Relative form of ``cap_stratum_tokens``: "no stratum may exceed
     ``max_share`` of the corpus' total tokens" — the budget is
@@ -354,10 +355,16 @@ def cap_stratum_share(
     (pre-cap) corpus, so the rule is declarative (a share of what
     arrived, not a fixed-point of what survives). One extra bounded
     aggregate (a single total) plus ``cap_stratum_tokens``'s exchange.
+
+    At 100 TB that extra aggregate is a full corpus scan for ONE number —
+    pass ``total_tokens`` from persisted corpus metadata to skip it (the
+    ``bm25_corpus_stats`` precedent: a table's token total is a write-time
+    statistic, not something to recount per query).
     """
     if not 0.0 < max_share <= 1.0:
         raise ValueError("max_share must be in (0, 1]")
-    total = df.agg(F.sum(F.col(token_col))).first()[0] or 0
+    total = (total_tokens if total_tokens is not None
+             else df.agg(F.sum(F.col(token_col))).first()[0]) or 0
     return cap_stratum_tokens(
         df, int(max_share * total), strata_col, token_col, id_col,
         seed=seed)

@@ -1598,6 +1598,12 @@ def test_cap_stratum_share(spark, sf_dir):
     b = sorted(r["doc_id"] for r in sampling.cap_stratum_tokens(
         docs, int(0.05 * total), "source", "n_chars").collect())
     assert a == b
+    # persisted-total shortcut (skips the corpus-total aggregate) is
+    # identical when fed the true total
+    c = sorted(r["doc_id"] for r in sampling.cap_stratum_share(
+        docs, 0.05, "source", "n_chars", total_tokens=int(total))
+        .collect())
+    assert a == c
     with pytest.raises(ValueError, match="max_share"):
         sampling.cap_stratum_share(docs, 0.0, "source", "n_chars")
 

@@ -85,8 +85,21 @@ def make_embs(spark, n_vecs: int, dim: int = 16):
 
 def dedup_cells(spark, doc_counts, repeat, only=None):
     from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
-                                            ngram_lm, packing, retrieval,
-                                            sampling, similarity, text)
+                                            langid, multimodal, ngram_lm,
+                                            packing, retrieval, sampling,
+                                            similarity, text)
+
+    # 2-class language model for the langid_score cell: the model is
+    # corpus-independent (fixed feature spec), so the fit happens ONCE per
+    # sweep on bounded synthetic pools — the timed cell is pure scoring
+    lang_model = langid.train_lang_model(
+        {"wordy": spark.createDataFrame(
+            [(f"alpha beta gamma delta w{i} epsilon zeta",) for i in
+             range(32)], "text string"),
+         "numeric": spark.createDataFrame(
+            [(f"{i * 7} {i * 13} {i * 31} 42 { i * 3}",) for i in
+             range(32)], "text string")},
+        sample_rows=64, iters=100)
 
     out = {}
     for n in doc_counts:
@@ -218,6 +231,24 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             ("source_cap", lambda: sampling.cap_stratum_tokens(
                 dm.withColumn("len", F.length("text").cast("long")),
                 n * 8, "dom", "len")),
+            # round-11 cells: perceptual image dedup over synthetic PGM
+            # payloads (every-10th-doc text copies -> identical payloads
+            # -> real hamming-0 pairs; the timed cell is decode + dHash +
+            # banded self-join), token-exact packing over word-hash id
+            # arrays, and the trained-language-ID scoring pass (the fit
+            # is outside — corpus-independent; this times the per-doc
+            # script regexps + bucket fold + staged softmax)
+            ("dhash_pairs", lambda: multimodal.dhash_pairs(
+                d.select("doc_id", multimodal.pgm_payload_col(
+                    F.col("text")).alias("content")))),
+            ("pack_token_ids", lambda: packing.pack_token_ids(
+                d.select("doc_id", F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w: F.crc32(w).cast("long") % 32768)
+                    .alias("token_ids")),
+                2048, n_shards=64)),
+            ("langid_score", lambda: langid.score_lang(
+                d, lang_model, "text", "doc_id")),
         ):
             if only and name not in only:
                 continue
