@@ -210,19 +210,6 @@ def _check_spec(model: dict) -> None:
             f"this version's {[n for n, _j, _r in SCRIPTS]}")
 
 
-def _z_exprs(model: dict) -> list[Column]:
-    names = _feature_names(model["n_buckets"])
-    zs = []
-    for ci in range(len(model["langs"])):
-        z = F.lit(float(model["bias"][ci]))
-        for j, name in enumerate(names):
-            w = float(model["weights"][ci][j])
-            m, s = float(model["mean"][j]), float(model["std"][j])
-            z = z + F.lit(w) * ((F.col(name) - F.lit(m)) / F.lit(s))
-        zs.append(z)
-    return zs
-
-
 def score_lang(
     df: DataFrame,
     model: dict,
@@ -244,19 +231,90 @@ def score_lang(
     (the staging exists exactly to prevent that; see the comment below)."""
     _check_spec(model)
     langs = model["langs"]
-    feats = _featurize(df.select(F.col(id_col), F.col(text_col)),
-                       text_col, [id_col],
-                       n_buckets=model["n_buckets"],
-                       max_chars=model["max_chars"])
-    # STAGED selects, one per softmax layer: inlining probs over the raw z
-    # expressions duplicates every ~40-term z ~12x through zmax/tot — a
-    # >10k-node tree Catalyst spends tens of seconds optimizing (measured
-    # 20-56s per query). Each stage binds the previous stage's aliases as
-    # plain attributes; the aliased trees are non-trivial, so
-    # CollapseProject leaves the stages alone.
-    zdf = feats.select(
+    nb, mc = model["n_buckets"], model["max_chars"]
+    n_s = len(SCRIPTS)
+    # Algebraic reformulation of the trained linear form, built for
+    # whole-stage codegen (the literal _featurize shape — a bucket-array
+    # HOF plus n_buckets interpreted filter scans — measured 242 docs/s
+    # FLAT at every scale, ~4.3 ms/doc of interpreted per-element
+    # evaluation):
+    #
+    #   z_c = const_c + Σ_scripts (w/s)·s_i
+    #         + (Σ_grams w'_c[bucket(g)]) / max(n_grams, 1)
+    #   const_c = bias_c − Σ_j (w_cj/s_j)·m_j ,  w'_cd = w_c,(S+d)/s_(S+d)
+    #
+    # so scoring explodes the gram INDEX (a generator — codegen), hashes
+    # each gram natively (md5/conv/pmod — codegen), looks the bucket up
+    # in a literal per-class weight array, and partial-aggregates one row
+    # per document map-side: ONE exchange carrying n_docs rows, no HOF
+    # anywhere, no join (script fractions ride the explode and come back
+    # through first()). Training still collects the literal features —
+    # bounded sample, identical math.
+    W, B = model["weights"], model["bias"]
+    M, S_ = model["mean"], model["std"]
+    const = [
+        float(B[ci]) - sum(float(W[ci][j]) / float(S_[j]) * float(M[j])
+                           for j in range(n_s + nb))
+        for ci in range(len(langs))]
+    warr = [F.array(*[F.lit(float(W[ci][n_s + d]) / float(S_[n_s + d]))
+                      for d in range(nb)])
+            for ci in range(len(langs))]
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-zß-ɏ0-9]+", " "))
+    t = F.substring(norm, 1, mc)
+    # `_t` (and the script regexps) must be STAGED BELOW the generator:
+    # projecting them in the same select as the explode re-evaluates the
+    # whole regexp tree once per OUTPUT row — measured 21.3s vs 0.35s at
+    # 5k docs for an identical result (the generate-side cousin of the
+    # text.py staged-projection lesson)
+    staged = df.select(F.col(id_col), *_script_cols(text_col, mc),
+                       t.alias("_t"))
+    n = F.length(F.col("_t"))
+    base = staged.select(
         F.col(id_col),
-        *[z.alias(f"_z{ci}") for ci, z in enumerate(_z_exprs(model))])
+        *[F.col(f"s{i}") for i in range(n_s)],
+        F.col("_t"),
+        # explode_outer keeps gram-less documents (bias + scripts only)
+        F.explode_outer(
+            F.when(n >= 2, F.sequence(F.lit(1), n - 1))).alias("_k"))
+    bucket = F.pmod(
+        F.conv(F.substring(
+            F.md5(F.col("_t").substr(F.col("_k"), F.lit(2))
+                  .cast("binary")), 1, 8), 16, 10).cast("long"),
+        F.lit(nb)).cast("int")
+    # explicit null guard: element_at(literal_array, NULL index) came back
+    # as the LAST array element here, not NULL (observed on the
+    # explode_outer placeholder row — a gram-less document scored the
+    # whole bucket-31 weight), so the placeholder must be gated by hand
+    exploded = base.select(
+        F.col(id_col),
+        *[F.col(f"s{i}") for i in range(n_s)],
+        F.col("_k"),
+        *[F.when(F.col("_k").isNotNull(),
+                 F.element_at(w, bucket + 1)).alias(f"_gw{ci}")
+          for ci, w in enumerate(warr)])
+    agg = exploded.groupBy(id_col).agg(
+        *[F.first(f"s{i}").alias(f"s{i}") for i in range(n_s)],
+        F.count("_k").alias("_ng"),
+        *[F.sum(f"_gw{ci}").alias(f"_gs{ci}")
+          for ci in range(len(langs))])
+    denom = F.greatest(F.col("_ng"), F.lit(1)).cast("double")
+    zdf = agg.select(
+        F.col(id_col),
+        *[(F.lit(const[ci])
+           + sum((F.lit(float(W[ci][i]) / float(S_[i])) * F.col(f"s{i}")
+                  for i in range(1, n_s)),
+                 F.lit(float(W[ci][0]) / float(S_[0])) * F.col("s0"))
+           + F.coalesce(F.col(f"_gs{ci}"), F.lit(0.0)) / denom)
+          .alias(f"_z{ci}")
+          for ci in range(len(langs))])
+    # STAGED selects from here down, one per softmax layer: inlining probs
+    # over the raw z expressions duplicates every z ~12x through zmax/tot
+    # — a >10k-node tree Catalyst spends tens of seconds optimizing
+    # (measured 20-56s per query). Each stage binds the previous stage's
+    # aliases as plain attributes; the aliased trees are non-trivial, so
+    # CollapseProject leaves the stages alone.
     z_attrs = [F.col(f"_z{ci}") for ci in range(len(langs))]
     zmax = F.greatest(*z_attrs) if len(langs) > 1 else z_attrs[0]
     edf = zdf.select(

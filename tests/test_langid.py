@@ -160,9 +160,15 @@ def test_duckdb_scoring_parity(spark, model):
             <= 1e-6
 
 
-def test_scoring_is_map_only(spark, model):
+def test_scoring_plan_one_exchange_no_join(spark, model):
+    # codegen reformulation: explode gram indices, partial-agg per doc —
+    # exactly one exchange (the per-doc aggregation), never a join
     df = spark.createDataFrame([(1, "hello world")],
                                "doc_id long, text string")
     plan = langid.score_lang(df, model) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan and "Join" not in plan
+    assert plan.count("Exchange") <= 1 and "Join" not in plan
+    # the per-GRAM path must be HOF-free (codegen); the only interpreted
+    # lambda allowed is the per-DOC argmax fold over the C-element array
+    pre_agg = plan.split("HashAggregate", 1)[-1]  # below the agg = gram side
+    assert "lambdafunction" not in pre_agg.lower()
