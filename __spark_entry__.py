@@ -46,6 +46,16 @@ DET_CONF = AnomalyzerConf(
 )
 #: reference defaults (anomalyze.go:33-48): magnitude + ks, Monte-Carlo
 DEFAULT_CONF = AnomalyzerConf(active_size=2, n_seasons=4)
+#: literal pools + deterministically-refit softmax model for the
+#: multimodal slot's language rider (langid.py): the fit is
+#: bit-deterministic (bounded hash-ordered sample, zero-init, no RNG),
+#: so the embedded literal equals a fresh train_lang_model() on these
+#: pools — pinned by tests/test_entry_lang_model.py. Embedding the
+#: literal keeps oracle_sql() session-free (the ivf_topk centroid
+#: precedent for data-dependent oracle constants).
+_LANG_POOLS = {'en': ['the quick brown fox jumps over the lazy dog by the river', 'she said they would meet again after the long winter months', 'children were playing in the park while their parents watched', 'he wrote a letter to his friend about the long journey home', 'reading books in the evening is a habit that many people share', 'the committee decided to postpone the meeting until next week'], 'de': ['der schnelle braune fuchs springt über den faulen hund am fluss', 'sie sagte dass sie sich nach dem langen winter wiedersehen würden', 'die kinder spielten im park während ihre eltern zuschauten', 'er schrieb seinem freund einen brief über die lange heimreise', 'abends bücher zu lesen ist eine gewohnheit vieler menschen', 'der ausschuss beschloss die sitzung auf nächste woche zu verschieben'], 'es': ['el rápido zorro marrón salta sobre el perro perezoso junto al río', 'ella dijo que se volverían a encontrar después del largo invierno', 'los niños jugaban en el parque mientras sus padres miraban', 'escribió una carta a su amigo sobre el largo viaje a casa', 'leer libros por la noche es una costumbre de mucha gente', 'el comité decidió aplazar la reunión hasta la próxima semana'], 'fr': ['le rapide renard brun saute par dessus le chien paresseux au bord', "elle a dit qu'ils se reverraient après les longs mois d'hiver", 'les enfants jouaient dans le parc pendant que leurs parents regardaient', 'il a écrit une lettre à son ami sur le long voyage de retour', 'lire des livres le soir est une habitude que beaucoup partagent', 'le comité a décidé de reporter la réunion à la semaine prochaine'], 'zh': ['敏捷的棕色狐狸跳过了河边那只懒惰的狗', '她说漫长的冬天过后他们会再次见面', '孩子们在公园里玩耍而他们的父母在旁边看着', '他给朋友写了一封关于长途旅行的信', '晚上读书是很多人共有的习惯', '委员会决定把会议推迟到下周']}
+_LANG_MODEL = {'langs': ['de', 'en', 'es', 'fr', 'zh'], 'scripts': ['latin', 'latin_ext', 'cjk', 'kana', 'hangul', 'cyrillic', 'arabic', 'greek'], 'n_buckets': 32, 'max_chars': 128, 'mean': [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125], 'std': [1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125, 0.03125], 'weights': [[0.1863132654772916, 0.015006896973628904, -0.07852908214236658, 0.0, 0.0, 0.0, 0.0, 0.0, -0.6342246662945854, -0.33297643047595404, -0.5835727024711286, 0.3629912909778084, 0.9702607814389604, 1.1075856405949471, 0.6764916364388437, -0.34783212333257585, 0.19812462064028644, 0.7957347142117611, 0.5291617253871426, 0.43017654534935684, -0.1934193576120981, 0.8666107264196511, -0.2623095663296565, -0.2685434999574744, -0.7337970458408684, -0.052956135148455534, -0.4840348399457322, 0.10304845683798985, -0.3496289469001637, 0.005637188863039911, 0.5750607251195272, 0.4119790547675497, 0.881825756793194, -0.4078807018933798, 0.6029345920137537, 0.07082830718273583, -0.6691711682198103, -0.7066414565360203, -0.12886460852441622, 0.08033211500150209], [0.1806129229062547, -0.022024031466497684, -0.07853229905909642, 0.0, 0.0, 0.0, 0.0, 0.0, 0.4246064056322599, 0.7139680528235196, 0.21924842935961703, 0.48028693663761995, -0.49352726410223247, 0.15265250562437999, 0.327553789253577, -0.2324396126195964, -0.6208175857646402, 0.7649817688144657, 0.589663158165091, -0.5628738406890123, -0.3448984528306733, -0.6449009464525719, -0.2463346883217652, 0.9005267306305268, 0.23123007432777754, -0.31999874244025256, -0.3140127664338255, -0.26586442933223375, 0.5617695331813123, -0.23025947087714949, -0.08740576846412226, 0.14929604519518289, -0.712212931525576, 0.8089472728941499, -0.15560350256103755, -0.06661412953158158, -0.13942944869137225, -0.10151387594437038, 0.24514127565466284, 1.481869048278959], [0.24977469914789174, 0.006547660615805378, -0.07853975086544714, 0.0, 0.0, 0.0, 0.0, 0.0, 0.4578803587813461, -0.42131569670536506, 0.17822461063145734, -0.45345446655098565, 0.17517540652298702, -0.1880310771140545, -0.6486714140717461, 1.0104287677283974, 0.017815131195298803, -0.49546346419520415, -0.3013892506542864, -0.21551424479304918, 0.8445174024775916, 0.31786697011362935, -0.007019315991053611, -0.5423717998384502, -0.657384183021466, 0.8532018567598226, 1.7361471799961408, 0.6149760850700317, -0.04564692094484678, -0.10081923940391355, 0.5054415807631121, -0.7890313228391289, 0.039796822936644945, -0.7397065362819297, -0.005086103447723121, 0.22296222405621016, 0.19646895732313757, 0.966983358645547, 0.2304889521581203, -0.24419860161196416], [-0.26871308577882264, 0.007846228255066692, -0.07849862571652591, 0.0, 0.0, 0.0, 0.0, 0.0, -0.007681832638359734, 0.14359544134860375, 0.7349028248653877, -0.029732640550702287, 0.10881756784149316, -0.7779515099883821, -0.15351224714598827, -0.31088924015927644, 0.5984072528379714, -0.5184491466049529, -0.7256366272423438, 0.5030339474127042, -0.0680581495885841, -0.22564527839115023, 0.555969180182984, 0.23035405736079537, 1.6279495857052972, -0.1256468556333562, -0.4199342620605692, -0.2446034853473826, 0.19589649774676554, 0.3814535293765766, -0.8885293516884277, 0.6318138816523013, 0.13918515640760687, 0.9570662531550853, 0.04662827387653765, 0.23031898116562446, 0.8813838942494883, 0.3707274479092101, -0.3188767578915188, -1.0104003652346074], [-0.3479878017526158, -0.0073767543780033015, 0.3140997577834356, 0.0, 0.0, 0.0, 0.0, 0.0, -0.24058026548066033, -0.10327136699080386, -0.5488031623853336, -0.3600911205137401, -0.7607264917012053, -0.29425555911688983, -0.2018617644746851, -0.11926779161694792, -0.19352941890891584, -0.5468038722260676, -0.09179900565560209, -0.15482240727999866, -0.23814144244623633, -0.3139314716895573, -0.04030560954050764, -0.3199654881953965, -0.4679984311707401, -0.3546001235377574, -0.5181653115560131, -0.20755662722840454, -0.36239016308306715, -0.056012007958552476, -0.10456718573008866, -0.40405765877590405, -0.3485948046118698, -0.6184262878739241, -0.4888732598815297, -0.4574953828729879, -0.26925223466144316, -0.5295554740743659, -0.027888861396847025, -0.3076021964338883]], 'bias': [0.11477558603404646, 0.13430208545365732, 0.22410310220448346, -0.3598689716435678, -0.1133118020486212]}
+
 #: all seven tests
 FULL_CONF = AnomalyzerConf(
     active_size=2, n_seasons=4,
@@ -1233,8 +1243,15 @@ def q_multimodal(spark, sf_dir):
     pass) and the 64-bit dHash column expression (dhash64_col). Puts the
     whole image-dedup signature path — decode, center-sample resize
     identity, gradient bits, signed bit-63 — under the driver value hash;
-    the pair join over these signatures is tests/test_image_dedup.py."""
-    from anomalyzer_spark.functions import multimodal
+    the pair join over these signatures is tests/test_image_dedup.py.
+
+    Round-11 second rider ``lang_pred_model`` + ``prob_<lang>``: the
+    trained language-ID scoring path (functions/langid.py) with the
+    embedded literal model ``_LANG_MODEL`` (bit-equal to refitting on
+    ``_LANG_POOLS`` — pinned), so the script fractions, gram bucket hash,
+    per-class weight fold, and softmax/argmax are all value-hashed against
+    ``langid.lang_scoring_sql``'s DuckDB twin."""
+    from anomalyzer_spark.functions import langid, multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
     prof = multimodal.payload_profile(with_payload, "content", "doc_id")
@@ -1242,7 +1259,8 @@ def q_multimodal(spark, sf_dir):
                    multimodal.pgm_payload_col(F.col("text")).alias("content"))
     dh = multimodal.dhash_image(img).select(
         "doc_id", F.col("dhash64").alias("dhash9x8"))
-    return _round6(prof.join(dh, "doc_id"),
+    lang = langid.score_lang(d, _LANG_MODEL, "text", "doc_id")
+    return _round6(prof.join(dh, "doc_id").join(lang, "doc_id"),
                    "byte_mean", "byte_std", "byte_entropy")
 
 
@@ -3013,13 +3031,22 @@ SELECT doc_id,
           THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)::BIGINT
   AS dhash9x8
 FROM px"""
+    # the language rider's oracle is langid's own SQL twin, built from the
+    # same embedded literal model the Spark side scores with
+    from anomalyzer_spark.functions import langid as _langid
+    lang_cols = ", ".join(
+        ["lng.lang_pred_model"]
+        + [f"lng.prob_{lg}" for lg in _LANG_MODEL["langs"]])
     sql["multimodal"] = f"""
 WITH meta AS ({sql['multimodal_meta']}),
 feat AS ({sql['multimodal_features']}),
-dh AS ({sql['multimodal_dhash']})
+dh AS ({sql['multimodal_dhash']}),
+lng AS ({_langid.lang_scoring_sql(_LANG_MODEL)})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
-       feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8
-FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)"""
+       feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8,
+       {lang_cols}
+FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
+     JOIN lng ON lng.doc_id = meta.doc_id"""
     del sql["multimodal_dhash"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",

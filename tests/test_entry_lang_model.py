@@ -1,0 +1,30 @@
+"""The entry's embedded language model must equal a fresh deterministic
+refit on its literal pools — the guarantee that lets the multimodal
+slot's language rider embed the model as a constant (and lets
+oracle_sql() stay session-free) without the literal drifting from the
+trainer's behavior.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+import __spark_entry__ as entry
+from anomalyzer_spark.functions import langid
+
+
+def test_embedded_model_equals_refit(spark):
+    labeled = {
+        lg: spark.createDataFrame([(s,) for s in pool], "text string")
+        for lg, pool in entry._LANG_POOLS.items()
+    }
+    refit = langid.train_lang_model(labeled, sample_rows=64, iters=100)
+    assert refit == entry._LANG_MODEL
+
+
+def test_embedded_model_spec_is_current():
+    # refuses to score if langid's feature spec moved without refitting
+    langid._check_spec(entry._LANG_MODEL)
+    assert entry._LANG_MODEL["langs"] == sorted(entry._LANG_POOLS)
+    with pytest.raises(ValueError):
+        langid._check_spec({**entry._LANG_MODEL, "scripts": ["latin"]})
