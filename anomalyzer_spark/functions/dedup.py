@@ -808,26 +808,18 @@ def simhash_pairs(
                          max_hamming=max_hamming, materialize=materialize)
 
 
-def hamming_pairs(
+def hamming_blocks(
     sigs: DataFrame,
     sig_col: str,
     id_col: str = "doc_id",
     *,
     bits: int = 64,
     max_hamming: int = 3,
-    materialize: bool = True,
 ) -> DataFrame:
-    """Pairs of rows whose ``bits``-wide bigint signatures are within
-    ``max_hamming`` — the banded self-join shared by text SimHash
-    (``simhash_pairs``) and perceptual image dHash
-    (``multimodal.dhash_pairs``), or any other Hamming-space signature.
-
-    Banding (pigeonhole): two signatures within Hamming d must agree
-    EXACTLY on at least one of d+1 equal bit-blocks → explode each row to
-    its d+1 (block_id, block_val) keys, equi-join per key, verify with
-    bit_count(xor), dedup pairs found in multiple blocks. Never all-pairs:
-    the join is a hash equi-join on block values (no-cartesian
-    plan-pinned in tests). Returns (id_a, id_b, hamming)."""
+    """(id, sig, block_id, block_val) — each signature exploded to its
+    ``max_hamming + 1`` equal bit-blocks (the pigeonhole banding keys
+    ``hamming_pairs`` self-joins on, and the store rows the streaming
+    image-dedup store persists)."""
     nblocks = max_hamming + 1
     if bits % nblocks:
         raise ValueError(
@@ -848,11 +840,35 @@ def hamming_pairs(
             .alias("block_val"),
         )
         for bid in range(nblocks)])
-    blocks = sigs.select(
+    return sigs.select(
         F.col(id_col),
         F.col(sig_col),
         F.explode(block_structs).alias("blk"),
     ).select(id_col, sig_col, "blk.block_id", "blk.block_val")
+
+
+def hamming_pairs(
+    sigs: DataFrame,
+    sig_col: str,
+    id_col: str = "doc_id",
+    *,
+    bits: int = 64,
+    max_hamming: int = 3,
+    materialize: bool = True,
+) -> DataFrame:
+    """Pairs of rows whose ``bits``-wide bigint signatures are within
+    ``max_hamming`` — the banded self-join shared by text SimHash
+    (``simhash_pairs``) and perceptual image dHash
+    (``multimodal.dhash_pairs``), or any other Hamming-space signature.
+
+    Banding (pigeonhole): two signatures within Hamming d must agree
+    EXACTLY on at least one of d+1 equal bit-blocks → explode each row to
+    its d+1 (block_id, block_val) keys, equi-join per key, verify with
+    bit_count(xor), dedup pairs found in multiple blocks. Never all-pairs:
+    the join is a hash equi-join on block values (no-cartesian
+    plan-pinned in tests). Returns (id_a, id_b, hamming)."""
+    blocks = hamming_blocks(sigs, sig_col, id_col,
+                            bits=bits, max_hamming=max_hamming)
 
     if materialize and not sigs.isStreaming:
         # no ReusedExchange across the block self-join — materialize the

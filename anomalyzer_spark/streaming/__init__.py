@@ -5,6 +5,8 @@ from .dedup_stream import (dedup_stream, dedup_stream_bounded,
                            run_dedup_stream_on_dir)
 from .checks_stream import run_checks_stream_on_dir
 from .detect_stream import detect_stream, run_stream_on_dir
+from .dhash_stream import (dhash_dedup_stream, dhash_pairs_store,
+                           run_dhash_stream_on_dir)
 from .drift_stream import run_drift_stream_on_dir
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_pairs_store, run_minhash_stream_on_dir)
@@ -19,6 +21,8 @@ from .span_stream import (run_span_gram_stream_on_dir, span_gram_stream,
 __all__ = ["batch_union_equals_offline", "dedup_stream",
            "run_checks_stream_on_dir",
            "dedup_stream_bounded", "detect_stream",
+           "dhash_dedup_stream", "dhash_pairs_store",
+           "run_dhash_stream_on_dir",
            "minhash_dedup_stream", "minhash_groups_store",
            "minhash_pairs_store", "resample_stream",
            "run_curation_stream_on_dir",
