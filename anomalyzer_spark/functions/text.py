@@ -828,3 +828,60 @@ def corpus_card(
             "avg_quality", "p50_chars", "p90_chars",
         )
     )
+
+
+def fingerprint_matches(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 8,
+    window: int = 4,
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Fragment-level near-duplicate pairs: documents sharing at least
+    ``min_shared`` winnowing fingerprints — the plagiarism / partial-reuse
+    granularity between exact-substring spans (``dedup.duplicate_spans``,
+    byte-exact only) and whole-document MinHash (blind to a copied
+    paragraph inside an otherwise-unrelated page). Winnowing's guarantee
+    carries over: any shared substring of length >= window+k-1 chars
+    yields at least one shared fingerprint.
+
+    Returns (id_a, id_b, shared_fps, overlap) with ``overlap`` =
+    shared / min(|fps_a|, |fps_b|) rounded to 6 — the containment-style
+    score (a fragment lifted wholesale into a much larger page still
+    scores high).
+
+    Scale: fingerprint explode → equi-join on the fingerprint value →
+    grouped count. Never all-pairs; ``max_df`` drops fingerprints present
+    in more than ``max_df`` documents BEFORE the self-join (site
+    boilerplate = hot join keys = quadratic pair fan-out; same guard as
+    ``dedup.ngram_jaccard_pairs``' hot-shingle cap, applied by a grouped
+    count + semi-join, no broadcast assumption on the count frame)."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
+    ex = fps.select(
+        F.col(id_col),
+        F.size("fingerprints").alias("_nfp"),
+        F.explode("fingerprints").alias("_fp"))
+    if max_df is not None:
+        keep = (ex.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_df).select("_fp"))
+        ex = ex.join(keep, "_fp", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, "_fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.round(
+                F.count(F.lit(1))
+                / F.least(F.first("a._nfp"), F.first("b._nfp")), 6)
+            .alias("overlap"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
