@@ -629,3 +629,120 @@ def dhash_pairs(df: DataFrame, content_col: str = "content",
     return _dedup.hamming_pairs(sigs, "dhash64", id_col, bits=64,
                                 max_hamming=max_hamming,
                                 materialize=materialize)
+
+
+_AUDIO_FP_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("sample_rate", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("subfps", ArrayType(LongType())),
+    StructField("err", StringType()),
+])
+
+
+def audio_fingerprint(df: DataFrame, content_col: str = "content",
+                      id_col: str = "doc_id", *,
+                      frame: int = 2048, hop: int = 1024,
+                      n_bands: int = 25, fmin: float = 300.0,
+                      fmax: float = 3000.0) -> DataFrame:
+    """Perceptual AUDIO fingerprint (Haitsma/Kalker PHILIPS-style, the
+    published robust-hash construction): per overlapping Hann-windowed
+    frame, log-spaced band energies in [fmin, fmax]; subfingerprint bit
+    (n, m) = sign of the time-derivative of the band-energy difference,
+    ``(E(n,m)-E(n,m+1)) - (E(n-1,m)-E(n-1,m+1)) > 0`` — ``n_bands - 1``
+    bits per frame boundary. Library-free: NumPy rfft inside one
+    ``mapInPandas`` Arrow pass (the decode is the repo's own RIFF/WAVE PCM
+    reader), per-row error capture like every decoder here.
+
+    Robustness by construction (pinned in tests): bits are invariant to
+    uniform volume scaling (energies scale by c², differences keep sign)
+    and to time shifts of whole hops (frames realign). Returns
+    (id, sample_rate, n_frames, subfps array — one per frame boundary,
+    err)."""
+    if not (0 < hop <= frame):
+        raise ValueError("need 0 < hop <= frame")
+    if n_bands < 2:
+        raise ValueError("n_bands must be >= 2")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        win = np.hanning(frame)
+        weights = (1 << np.arange(n_bands - 1)).astype(np.int64)
+        for pdf in batches:
+            rows = []
+            for did, raw in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    x, rate = _wav_decode(bytes(raw) if raw else b"")
+                    mono = x.mean(axis=1)
+                    if len(mono) < frame + hop:
+                        raise ValueError(
+                            f"clip too short for two frames "
+                            f"({len(mono)} samples)")
+                    n_fr = 1 + (len(mono) - frame) // hop
+                    idx = (np.arange(frame)[None, :]
+                           + hop * np.arange(n_fr)[:, None])
+                    spec = np.abs(np.fft.rfft(mono[idx] * win, axis=1)) ** 2
+                    freqs = np.fft.rfftfreq(frame, 1.0 / rate)
+                    edges = fmin * (fmax / fmin) ** (
+                        np.arange(n_bands + 1) / n_bands)
+                    band = np.searchsorted(edges, freqs, side="right")
+                    e = np.zeros((n_fr, n_bands))
+                    for m in range(n_bands):
+                        sel = band == m + 1
+                        if sel.any():
+                            e[:, m] = spec[:, sel].sum(axis=1)
+                    d = e[:, :-1] - e[:, 1:]
+                    bits = (d[1:] - d[:-1]) > 0
+                    sub = (bits * weights).sum(axis=1)
+                    rows.append((int(did), int(rate), len(sub),
+                                 sub.tolist(), None))
+                except (ValueError, IndexError) as exc:
+                    rows.append((int(did), None, None, None, str(exc)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in _AUDIO_FP_SCHEMA])
+
+    return df.select(F.col(id_col), F.col(content_col)).mapInPandas(
+        fn, _AUDIO_FP_SCHEMA)
+
+
+def audio_matches(df: DataFrame, content_col: str = "content",
+                  id_col: str = "doc_id", *,
+                  min_shared: int = 5, max_df: int | None = None,
+                  **fp_kwargs) -> DataFrame:
+    """Near-duplicate AUDIO pairs: clips sharing at least ``min_shared``
+    distinct subfingerprints — the audio cell of the dedup matrix
+    (text: simhash/minhash; images: dhash; fragments:
+    text.fingerprint_matches — identical join shape). Explode distinct
+    subfingerprints → equi-join on the value → grouped count; never
+    all-pairs. ``max_df`` drops subfingerprints present in more than
+    ``max_df`` clips before the self-join (silence/constant-tone frames
+    are the audio analogue of boilerplate banners). Returns
+    (id_a, id_b, shared_fps, overlap) with overlap =
+    shared / min(|fps_a|, |fps_b|) rounded to 6."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    fps = audio_fingerprint(df, content_col, id_col, **fp_kwargs) \
+        .where(F.col("subfps").isNotNull()) \
+        .select(F.col(id_col), F.array_distinct("subfps").alias("_fps"))
+    ex = fps.select(
+        F.col(id_col),
+        F.size("_fps").alias("_nfp"),
+        F.explode("_fps").alias("_fp"))
+    if max_df is not None:
+        keep = (ex.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_df).select("_fp"))
+        ex = ex.join(keep, "_fp", "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, "_fp")
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.round(
+                F.count(F.lit(1))
+                / F.least(F.first("a._nfp"), F.first("b._nfp")), 6)
+            .alias("overlap"))
+        .where(F.col("shared_fps") >= min_shared)
+    )
