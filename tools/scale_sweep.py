@@ -249,6 +249,11 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
                 2048, n_shards=64)),
             ("langid_score", lambda: langid.score_lang(
                 d, lang_model, "text", "doc_id")),
+            # fragment-level matching: planted every-10th-doc copies give
+            # real shared-fingerprint pairs; max_df caps the hot
+            # fingerprints that shared vocab words produce at scale
+            ("fingerprint_matches", lambda: text.fingerprint_matches(
+                d, min_shared=2, max_df=max(n // 10, 4))),
         ):
             if only and name not in only:
                 continue
