@@ -746,3 +746,74 @@ def audio_matches(df: DataFrame, content_col: str = "content",
             .alias("overlap"))
         .where(F.col("shared_fps") >= min_shared)
     )
+
+
+#: frame-id packing for video_matches: fid = clip_id * 2^20 + frame_idx
+_FRAME_ID_BITS = 20
+
+
+def video_matches(df: DataFrame, content_col: str = "content",
+                  id_col: str = "doc_id", *,
+                  n_frames: int = 8, max_hamming: int = 3,
+                  min_shared: int = 2) -> DataFrame:
+    """Near-duplicate VIDEO pairs — the video cell of the dedup matrix,
+    as a composition of the existing legs: ``frame_sample`` demuxes each
+    clip (REAL RIFF/AVI walk; other containers fall back to the
+    documented byte-window stub), every sampled frame gets the 9×8
+    ``dhash64`` through the library-free image decoder (frames that are
+    not decodable rasters — i.e. real codec payloads in this
+    container-less environment — drop out as NULL, per-row, never
+    failing the job), frame signatures within ``max_hamming`` pair up
+    through the shared pigeonhole banding, and clip pairs sharing at
+    least ``min_shared`` matched frames survive.
+
+    Returns (id_a, id_b, shared_frames, overlap) with overlap = distinct
+    matched frames of the smaller side / its sampled-frame count.
+    Scale: every stage is a reused primitive (Arrow demux+decode passes,
+    banded equi-join, grouped count) — no all-pairs at frame or clip
+    level. Frame ids pack as clip_id * 2^20 + frame_idx, so clips must
+    use ids below 2^43 and frame indexes below 2^20."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    from . import dedup as _dedup
+    m = 1 << _FRAME_ID_BITS
+    frames = frame_sample(df.select(F.col(id_col), F.col(content_col)),
+                          content_col, id_col, n_frames=n_frames)
+    fid_df = frames.select(
+        (F.col("doc_id") * m + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("content"))
+    sigs = dhash_image(fid_df, "content", "doc_id") \
+        .where(F.col("dhash64").isNotNull()).select("doc_id", "dhash64")
+    # per-clip decodable-frame counts (the overlap denominator)
+    nfr = sigs.select((F.col("doc_id") / m).cast("long").alias("_clip")) \
+        .groupBy("_clip").agg(F.count(F.lit(1)).alias("_nf"))
+    fp = _dedup.hamming_pairs(sigs, "dhash64", "doc_id", bits=64,
+                              max_hamming=max_hamming)
+    clip_a = (F.col("id_a") / m).cast("long")
+    clip_b = (F.col("id_b") / m).cast("long")
+    cross = fp.select(
+        F.least(clip_a, clip_b).alias("ca"),
+        F.greatest(clip_a, clip_b).alias("cb"),
+        F.when(clip_a <= clip_b, F.col("id_a")).otherwise(F.col("id_b"))
+        .alias("fa"),
+        F.when(clip_a <= clip_b, F.col("id_b")).otherwise(F.col("id_a"))
+        .alias("fb"),
+    ).where(F.col("ca") != F.col("cb"))
+    agg = cross.groupBy("ca", "cb").agg(
+        F.count_distinct(F.struct("fa", "fb")).alias("shared_frames"),
+        F.count_distinct("fa").alias("_da"),
+        F.count_distinct("fb").alias("_db"))
+    na, nb = nfr.alias("na"), nfr.alias("nb")
+    return (
+        agg.join(na, agg["ca"] == F.col("na._clip"))
+        .join(nb, agg["cb"] == F.col("nb._clip"))
+        .select(
+            F.col("ca").alias("id_a"), F.col("cb").alias("id_b"),
+            F.col("shared_frames"),
+            F.round(
+                F.when(F.col("na._nf") <= F.col("nb._nf"),
+                       F.col("_da") / F.col("na._nf"))
+                .otherwise(F.col("_db") / F.col("nb._nf")), 6)
+            .alias("overlap"))
+        .where(F.col("shared_frames") >= min_shared)
+    )
