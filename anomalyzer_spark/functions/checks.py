@@ -343,7 +343,20 @@ def verify_checks_by(df: DataFrame, keys: list[str],
     metrics = df.groupBy(*keys).agg(*aggs)
     for i, c in enumerate(checks):
         if c["kind"] == "top_share":
+            # null-SAFE join keys: groupBy treats NULL as a real group on
+            # both sides, but a name-list equi-join (NULL == NULL -> NULL)
+            # would never match the NULL-key group — its share silently
+            # coalesced to 0.0 while every other check kind reported it
             aux = _top_share_frame(df, list(keys), c, i)
-            metrics = metrics.join(aux, list(keys), "left").withColumn(
-                f"m{i}", F.coalesce(F.col(f"m{i}"), F.lit(0.0)))
+            renamed = aux.select(
+                *[F.col(k).alias(f"_aux_{k}") for k in keys],
+                F.col(f"m{i}"))
+            cond = None
+            for k in keys:
+                eq = metrics[k].eqNullSafe(renamed[f"_aux_{k}"])
+                cond = eq if cond is None else (cond & eq)
+            metrics = (metrics.join(renamed, cond, "left")
+                       .drop(*[f"_aux_{k}" for k in keys])
+                       .withColumn(f"m{i}",
+                                   F.coalesce(F.col(f"m{i}"), F.lit(0.0))))
     return _report(metrics, checks, labels, list(keys))

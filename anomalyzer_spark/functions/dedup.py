@@ -1411,3 +1411,54 @@ def strip_spans_frame(
             *[F.col(c) for c in (carry_cols or [])],
         )
     )
+
+
+def shared_value_pairs(
+    ex: DataFrame,
+    id_col: str = "doc_id",
+    val_col: str = "_fp",
+    n_col: str = "_nfp",
+    *,
+    min_shared: int = 1,
+    max_df: int | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Pairs of rows sharing at least ``min_shared`` distinct values — the
+    join shape behind fragment matching (``text.fingerprint_matches``),
+    audio subfingerprints (``multimodal.audio_matches``), and any other
+    exploded-set containment join. ``ex`` is the exploded frame
+    (id, n_values, value); returns (id_a, id_b, shared_fps, overlap) with
+    overlap = shared / min(n_a, n_b) rounded to 6.
+
+    ``materialize`` localCheckpoints the exploded frame ONCE: it feeds the
+    ``max_df`` count and BOTH self-join sides, and Catalyst gives the
+    self-join no ReusedExchange — without it an expensive upstream (the
+    winnowing window, an FFT fingerprint kernel, a frame decode) re-runs
+    per consumer (the ``hamming_pairs``/``minhash_lsh_pairs`` lesson).
+    ``max_df`` drops values present in more than ``max_df`` rows BEFORE
+    the self-join (boilerplate / silence = hot join keys = quadratic
+    fan-out), via a grouped count + semi-join — no broadcast assumption
+    on the count frame."""
+    if min_shared < 1:
+        raise ValueError("min_shared must be >= 1")
+    if materialize and not ex.isStreaming:
+        ex = ex.localCheckpoint(eager=True)
+    if max_df is not None:
+        keep = (ex.groupBy(val_col).agg(F.count(F.lit(1)).alias("_df"))
+                .where(F.col("_df") <= max_df).select(val_col))
+        ex = ex.join(keep, val_col, "left_semi")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
+        a.join(b, val_col)
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("shared_fps"),
+            F.round(
+                F.count(F.lit(1))
+                / F.least(F.first(f"a.{n_col}"), F.first(f"b.{n_col}")), 6)
+            .alias("overlap"))
+        .where(F.col("shared_fps") >= min_shared)
+    )

@@ -340,9 +340,17 @@ def score_lang(
 
 def lang_scoring_sql(model: dict, table: str = "documents",
                      text_col: str = "text", id_col: str = "doc_id") -> str:
-    """ANSI/DuckDB SQL reproducing ``score_lang`` exactly — the oracle for
-    the scoring path (same md5 bucket hash, same standardized softmax,
-    same sorted-first tie-break)."""
+    """ANSI/DuckDB SQL reproducing ``score_lang`` — the oracle for the
+    scoring path (same md5 bucket hash, same softmax, same sorted-first
+    tie-break). Equality contract: probabilities agree to the rounded 6
+    decimals; the two sides associate the z-sum differently (Spark scores
+    via the partial-aggregated gram-sum reformulation, whose order is
+    additionally partition-dependent), so agreement is to float tolerance
+    ~1e-12 relative, not bitwise — a document whose probability lands
+    EXACTLY on a rounding boundary, or whose top-two z tie within ulps,
+    could in principle differ. The same caveat applies to every
+    float-aggregating oracle in the repo; _round6 absorbs it in
+    practice."""
     _check_spec(model)
     nb, mc = model["n_buckets"], model["max_chars"]
     langs = model["langs"]

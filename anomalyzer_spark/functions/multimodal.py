@@ -711,15 +711,15 @@ def audio_matches(df: DataFrame, content_col: str = "content",
     """Near-duplicate AUDIO pairs: clips sharing at least ``min_shared``
     distinct subfingerprints — the audio cell of the dedup matrix
     (text: simhash/minhash; images: dhash; fragments:
-    text.fingerprint_matches — identical join shape). Explode distinct
-    subfingerprints → equi-join on the value → grouped count; never
-    all-pairs. ``max_df`` drops subfingerprints present in more than
-    ``max_df`` clips before the self-join (silence/constant-tone frames
+    text.fingerprint_matches — the same ``dedup.shared_value_pairs``
+    containment join, which localCheckpoints the exploded frame once so
+    the FFT fingerprint kernel runs ONE Arrow pass, not once per
+    self-join side). ``max_df`` drops subfingerprints present in more
+    than ``max_df`` clips before the join (silence/constant-tone frames
     are the audio analogue of boilerplate banners). Returns
     (id_a, id_b, shared_fps, overlap) with overlap =
     shared / min(|fps_a|, |fps_b|) rounded to 6."""
-    if min_shared < 1:
-        raise ValueError("min_shared must be >= 1")
+    from . import dedup as _dedup
     fps = audio_fingerprint(df, content_col, id_col, **fp_kwargs) \
         .where(F.col("subfps").isNotNull()) \
         .select(F.col(id_col), F.array_distinct("subfps").alias("_fps"))
@@ -727,29 +727,12 @@ def audio_matches(df: DataFrame, content_col: str = "content",
         F.col(id_col),
         F.size("_fps").alias("_nfp"),
         F.explode("_fps").alias("_fp"))
-    if max_df is not None:
-        keep = (ex.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
-                .where(F.col("_df") <= max_df).select("_fp"))
-        ex = ex.join(keep, "_fp", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(b, "_fp")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("shared_fps"),
-            F.round(
-                F.count(F.lit(1))
-                / F.least(F.first("a._nfp"), F.first("b._nfp")), 6)
-            .alias("overlap"))
-        .where(F.col("shared_fps") >= min_shared)
-    )
+    return _dedup.shared_value_pairs(ex, id_col, min_shared=min_shared,
+                                     max_df=max_df)
 
 
-#: frame-id packing for video_matches: fid = clip_id * 2^20 + frame_idx
-_FRAME_ID_BITS = 20
+#: frame-id packing for video_matches: fid = clip_id * 2^31 + frame_idx
+_FRAME_ID_BITS = 31
 
 
 def video_matches(df: DataFrame, content_col: str = "content",
@@ -771,26 +754,39 @@ def video_matches(df: DataFrame, content_col: str = "content",
     matched frames of the smaller side / its sampled-frame count.
     Scale: every stage is a reused primitive (Arrow demux+decode passes,
     banded equi-join, grouped count) — no all-pairs at frame or clip
-    level. Frame ids pack as clip_id * 2^20 + frame_idx, so clips must
-    use ids below 2^43 and frame indexes below 2^20."""
+    level. Frame ids pack as clip_id * 2^31 + frame_idx: clip ids must be
+    non-negative and below 2^32, and frames with a true in-video index
+    ≥ 2^31 (never reachable — frame_sample emits at most the clip's real
+    frame count of indexes) are dropped defensively rather than
+    mis-attributed."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
     from . import dedup as _dedup
     m = 1 << _FRAME_ID_BITS
     frames = frame_sample(df.select(F.col(id_col), F.col(content_col)),
                           content_col, id_col, n_frames=n_frames)
-    fid_df = frames.select(
+    fid_df = frames.where(F.col("frame_idx") < m).select(
         (F.col("doc_id") * m + F.col("frame_idx")).alias("doc_id"),
         F.col("frame").alias("content"))
     sigs = dhash_image(fid_df, "content", "doc_id") \
         .where(F.col("dhash64").isNotNull()).select("doc_id", "dhash64")
-    # per-clip decodable-frame counts (the overlap denominator)
-    nfr = sigs.select((F.col("doc_id") / m).cast("long").alias("_clip")) \
+    if not sigs.isStreaming:
+        # sigs feeds the per-clip counts AND the pair join: without this
+        # the demux + decode Arrow kernels (the cost of the operator)
+        # would run once per consumer
+        sigs = sigs.localCheckpoint(eager=True)
+    # per-clip decodable-frame counts (the overlap denominator);
+    # shiftrightunsigned = exact integer unpack (double division would
+    # round across the boundary for fids past 2^53)
+    nfr = sigs.select(
+        F.shiftrightunsigned(F.col("doc_id"), _FRAME_ID_BITS)
+        .alias("_clip")) \
         .groupBy("_clip").agg(F.count(F.lit(1)).alias("_nf"))
     fp = _dedup.hamming_pairs(sigs, "dhash64", "doc_id", bits=64,
-                              max_hamming=max_hamming)
-    clip_a = (F.col("id_a") / m).cast("long")
-    clip_b = (F.col("id_b") / m).cast("long")
+                              max_hamming=max_hamming,
+                              materialize=False)  # sigs already pinned
+    clip_a = F.shiftrightunsigned(F.col("id_a"), _FRAME_ID_BITS)
+    clip_b = F.shiftrightunsigned(F.col("id_b"), _FRAME_ID_BITS)
     cross = fp.select(
         F.least(clip_a, clip_b).alias("ca"),
         F.greatest(clip_a, clip_b).alias("cb"),

@@ -275,6 +275,9 @@ def pack_token_ids(
     bytes-per-chunk is capacity × 4-8 B, so chunk rows are ~fixed-size and
     the aggregation state is bounded by capacity, not document length).
     Deterministic: same ids + seed ⇒ same chunks on any partitioning.
+    Rows with NULL or empty id arrays are DROPPED (pack_chunks' n_toks>0
+    filter, applied before the shard window — they cannot shift later
+    documents' offsets; pinned in tests/test_token_packing.py).
     """
     spans = pack_chunks(
         df.select(F.col(id_col), F.col(ids_col),

@@ -853,35 +853,16 @@ def fingerprint_matches(
     score (a fragment lifted wholesale into a much larger page still
     scores high).
 
-    Scale: fingerprint explode → equi-join on the fingerprint value →
-    grouped count. Never all-pairs; ``max_df`` drops fingerprints present
-    in more than ``max_df`` documents BEFORE the self-join (site
-    boilerplate = hot join keys = quadratic pair fan-out; same guard as
-    ``dedup.ngram_jaccard_pairs``' hot-shingle cap, applied by a grouped
-    count + semi-join, no broadcast assumption on the count frame)."""
-    if min_shared < 1:
-        raise ValueError("min_shared must be >= 1")
+    Scale: fingerprint explode → ``dedup.shared_value_pairs`` (the shared
+    containment join: one localCheckpoint of the exploded frame — the
+    winnowing window would otherwise re-run per self-join side — then
+    equi-join on the fingerprint value + grouped count, never all-pairs;
+    ``max_df`` drops boilerplate fingerprints before the join)."""
+    from . import dedup as _dedup
     fps = winnow_fingerprints(df, text_col, id_col, k=k, window=window)
     ex = fps.select(
         F.col(id_col),
         F.size("fingerprints").alias("_nfp"),
         F.explode("fingerprints").alias("_fp"))
-    if max_df is not None:
-        keep = (ex.groupBy("_fp").agg(F.count(F.lit(1)).alias("_df"))
-                .where(F.col("_df") <= max_df).select("_fp"))
-        ex = ex.join(keep, "_fp", "left_semi")
-    a, b = ex.alias("a"), ex.alias("b")
-    return (
-        a.join(b, "_fp")
-        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"))
-        .agg(
-            F.count(F.lit(1)).alias("shared_fps"),
-            F.round(
-                F.count(F.lit(1))
-                / F.least(F.first("a._nfp"), F.first("b._nfp")), 6)
-            .alias("overlap"))
-        .where(F.col("shared_fps") >= min_shared)
-    )
+    return _dedup.shared_value_pairs(ex, id_col, min_shared=min_shared,
+                                     max_df=max_df)

@@ -124,7 +124,11 @@ def dhash_dedup_stream(
             from .minhash_stream import _latest_gen
             folded = {nm: _latest_gen(f"{store_dir}/compacted/{nm}")[1]
                       for nm in ("blocks", "pairs")}
-            _sweep_live(store_dir, min_live, folded)
+            # THIS store's component names — _sweep_live's default is the
+            # minhash store's ('buckets','shingles','pairs'), under which
+            # the 'blocks' dirs would never be evicted
+            _sweep_live(store_dir, min_live, folded,
+                        components=("blocks", "pairs"))
         if compact_every is not None and \
                 (batch_id + 1) % compact_every == 0:
             pair_schema = StructType([

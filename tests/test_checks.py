@@ -307,3 +307,17 @@ def test_non_top_share_checks_keep_single_pass_plan(spark, sf_dir):
     # top-share frame joins in broadcast (1-row side), no sort-merge join
     assert plan.count("Scan parquet") == 2
     assert "SortMergeJoin" not in plan
+
+
+def test_top_share_grouped_null_key_group(spark):
+    # a NULL group KEY is a real group: its skew must be measured, not
+    # silently coalesced to 0.0 through a null-unsafe join
+    df = spark.createDataFrame(
+        [(None, "x"), (None, "x"), (None, "x"), (None, "y"),
+         ("a", "p"), ("a", "q")],
+        "grp string, v string")
+    rep = {(r["grp"], r["check"]): r for r in C.verify_checks_by(
+        df, ["grp"], [C.top_share("v", 0.6)]).collect()}
+    assert rep[(None, "0:top_share")]["value"] == pytest.approx(0.75)
+    assert rep[(None, "0:top_share")]["passed"] is False
+    assert rep[("a", "0:top_share")]["value"] == pytest.approx(0.5)

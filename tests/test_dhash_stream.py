@@ -85,3 +85,22 @@ def test_stream_single_batch_and_compaction(spark, tmp_path):
         spark, sdir, str(tmp_path / "store_c"), str(tmp_path / "ckpt_c2"),
         max_files_per_trigger=1, compact_every=2)
     assert sorted(tuple(r) for r in got2.collect()) == want
+
+
+def test_retention_evicts_block_dirs(spark, tmp_path):
+    import glob
+    rng = np.random.default_rng(13)
+    rows = _corpus(rng, n=12)
+    sdir = str(tmp_path / "in_r")
+    _write_batches(spark, rows, sdir,
+                   [set(i for i, _ in rows[:5]),
+                    set(i for i, _ in rows[5:10]),
+                    set(i for i, _ in rows[10:])])
+    store = str(tmp_path / "store_r")
+    run_dhash_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt_r"),
+        max_files_per_trigger=1, retention_batches=1)
+    # horizon 1: only the newest batch's block/pair dirs may survive
+    for comp in ("blocks", "pairs"):
+        live = sorted(glob.glob(f"{store}/{comp}/batch_id=*"))
+        assert len(live) == 1, (comp, live)

@@ -143,3 +143,20 @@ def test_bpe_composition_round_trips_documents(spark, sf_dir):
             continue
         pieces = [p for _, p in sorted(got[did].items())]
         assert [t for p in pieces for t in p] == toks, f"doc {did}"
+
+
+def test_null_and_empty_id_arrays_are_dropped_not_corrupting(spark):
+    # pack_chunks' n_toks > 0 filter runs BEFORE the shard window, so a
+    # NULL array (size = -1) or empty array neither shifts later
+    # documents' offsets nor nulls out assembled chunks
+    df = spark.createDataFrame(
+        [(1, [7, 8, 9]), (2, None), (3, []), (4, [1, 2, 3, 4, 5])],
+        "doc_id long, token_ids array<bigint>")
+    packed = packing.pack_token_ids(df, 4, n_shards=1).collect()
+    got = {}
+    for r in sorted(packed, key=lambda r: r["chunk_id"]):
+        assert r["input_ids"] is not None
+        for s in r["doc_spans"]:
+            got.setdefault(s["doc_id"], []).extend(
+                r["input_ids"][s["start"]:s["end"]])
+    assert got == {1: [7, 8, 9], 4: [1, 2, 3, 4, 5]}
