@@ -1040,3 +1040,51 @@ def ann_recall(
                     / F.col("n_exact"), 6).alias("recall"),
         )
     )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for embedding STORAGE:
+    ``code_j = round(x_j / scale)`` with ``scale = max|x| / 127`` — the
+    standard absmax scheme. Returns (id, scale double, codes
+    array<tinyint>): 1 byte per dimension instead of 8 (or 4), the 4-8x
+    table-size cut that decides whether a 100 TB embedding corpus fits
+    the warm tier. Map-only column expressions (one max fold + one
+    transform per row); round-trips through parquet; the all-zero vector
+    gets scale 0 and all-zero codes.
+
+    Quantization error is bounded: |x_j - scale·code_j| <= scale/2, so
+    cosine between dequantized vectors stays within ~1/127 of the exact
+    value for unit-norm embeddings (pinned with measured bounds in
+    tests/test_quantize.py). Exact-ranking consumers re-rank a candidate
+    set with the full vectors (the ann `refine=` lever); bulk scoring
+    uses the codes directly.
+    """
+    v = F.col(vec_col)
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    # scale staged as a real column: the codes transform references it per
+    # element, and an inlined copy would re-run the absmax fold per
+    # dimension (the staged-projection rule)
+    staged = df.select(
+        F.col(id_col), v.alias("_v"),
+        (absmax / F.lit(127.0)).cast("double").alias("scale"))
+    return staged.select(
+        F.col(id_col),
+        F.col("scale"),
+        F.transform(
+            F.col("_v"),
+            lambda x: F.when(F.col("scale") != 0.0,
+                             F.round(x / F.col("scale")))
+            .otherwise(F.lit(0)).cast("tinyint")).alias(codes_col),
+    )
+
+
+def dequantize_col(scale: Column, codes: Column) -> Column:
+    """array<double> reconstruction of a quantized embedding — compose
+    into any scoring expression (``cosine(dequantize_col(...), q)``)."""
+    return F.transform(codes, lambda c: c.cast("double") * scale)
