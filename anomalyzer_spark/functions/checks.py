@@ -148,12 +148,13 @@ def top_share(column: str, max_share: float, k: int = 1) -> dict:
     heavy hitters need a per-value count, so this adds ONE grouped
     aggregation over the checked column (map-side partial agg absorbs the
     hot keys — the very skew being measured — so the shuffle carries at
-    most |distinct| rows) plus a ranking window over that distinct-value
-    frame. Intended for bounded-cardinality categorical columns (source,
-    domain, language, label); on a corpus-cardinality column the
-    distinct-value frame is the corpus, and the gate you actually want
-    there is exact-dup detection (``dedup.exact_dedup``). All other
-    declared checks still fuse into the single base pass."""
+    most |distinct| rows) plus a top-k cut over that distinct-value frame
+    (ungrouped: TakeOrderedAndProject — per-partition top-k, safe even on
+    a corpus-cardinality column; grouped: a ranking window PARTITIONED by
+    the group keys). On a corpus-cardinality column the metric itself is
+    near-degenerate (every share ≈ 1/n) and the gate you actually want is
+    exact-dup detection (``dedup.exact_dedup``). All other declared
+    checks still fuse into the single base pass."""
     if not 0.0 <= max_share <= 1.0:
         raise ValueError("max_share must be in [0, 1]")
     if k < 1:
@@ -234,23 +235,35 @@ _BOUNDED = ("mean_between", "min_between", "max_between",
 
 
 def _top_share_frame(df: DataFrame, keys: list[str], c: dict, i: int):
-    """1-row (or per-group) frame carrying ``m{i}`` = combined share of
-    the k most frequent non-null values. Grouped count + ranking window
-    over the DISTINCT-VALUE frame (see top_share docstring for why this
-    cannot ride the single base aggregate)."""
-    from pyspark.sql.window import Window
+    """1-row (or per-group) frame carrying ``_top{i}`` = summed count of
+    the k most frequent non-null values. Grouped count over the
+    DISTINCT-VALUE frame (see top_share docstring for why this cannot
+    ride the single base aggregate), then the top-k cut; the share's
+    denominator (per-group non-null count) rides the BASE pass as a
+    hidden ``_den{i}`` aggregate, so top_share costs exactly one extra
+    scan, not two.
+
+    Ungrouped cut = ``orderBy(count desc, value).limit(k)`` — Spark plans
+    TakeOrderedAndProject (per-partition top-k + driver merge of k rows),
+    so even a corpus-cardinality column never funnels its distinct-value
+    frame through one task the way an unpartitioned ranking window
+    (``Window.orderBy`` with no partition keys) would. The grouped cut
+    keeps a ranking window PARTITIONED by the group keys: parallelism is
+    the group count, which is the caller's grain."""
     col = F.col(c["column"])
     cnts = (df.where(col.isNotNull())
             .groupBy(*keys, c["column"])
             .agg(F.count(F.lit(1)).alias("_c")))
     order = [F.col("_c").desc(), col.asc()]
-    w = (Window.partitionBy(*keys).orderBy(*order) if keys
-         else Window.orderBy(*order))
-    ranked = cnts.select(*keys, "_c",
-                         F.row_number().over(w).alias("_rn"))
-    share = _ratio(F.sum(F.when(F.col("_rn") <= c["k"], F.col("_c"))),
-                   F.sum("_c")).alias(f"m{i}")
-    return ranked.groupBy(*keys).agg(share) if keys else ranked.agg(share)
+    if keys:
+        from pyspark.sql.window import Window
+        w = Window.partitionBy(*keys).orderBy(*order)
+        ranked = cnts.select(*keys, "_c",
+                             F.row_number().over(w).alias("_rn"))
+        return (ranked.where(F.col("_rn") <= c["k"])
+                .groupBy(*keys).agg(F.sum("_c").alias(f"_top{i}")))
+    return (cnts.orderBy(*order).limit(c["k"])
+            .agg(F.sum("_c").alias(f"_top{i}")))
 
 
 def _passed(c: dict, value):
@@ -295,16 +308,14 @@ def _compile(checks: list[dict]):
     aggs, labels = [], []
     for i, c in enumerate(checks):
         if c["kind"] == "top_share":
-            # not a plain aggregate — joined in from _top_share_frame
+            # the top-k numerator joins in from _top_share_frame; the
+            # denominator (non-null count) fuses into this base pass
+            aggs.append(F.count(F.col(c["column"])).alias(f"_den{i}"))
             labels.append(f"top{c['k']}_share")
             continue
         expr, metric = _metric_expr(c)
         aggs.append(expr.alias(f"m{i}"))
         labels.append(metric)
-    if not aggs:
-        # every declared check is a top_share: the base pass still needs
-        # one aggregate to produce the 1-row (or per-group) spine
-        aggs.append(F.count(F.lit(1)).alias("_base_n"))
     return aggs, labels
 
 
@@ -320,8 +331,11 @@ def verify_checks(df: DataFrame, checks: list[dict]) -> DataFrame:
     metrics = df.agg(*aggs)  # 1 row; the only pass for non-top_share kinds
     for i, c in enumerate(checks):
         if c["kind"] == "top_share":
-            # 1-row x 1-row cross join, broadcast by construction
-            metrics = metrics.crossJoin(_top_share_frame(df, [], c, i))
+            # 1-row x 1-row cross join, broadcast by construction;
+            # empty/all-NULL column -> _den{i}=0 -> _ratio reports 0.0
+            metrics = (metrics.crossJoin(_top_share_frame(df, [], c, i))
+                       .withColumn(f"m{i}", _ratio(F.col(f"_top{i}"),
+                                                   F.col(f"_den{i}"))))
     return _report(metrics, checks, labels, [])
 
 
@@ -350,13 +364,15 @@ def verify_checks_by(df: DataFrame, keys: list[str],
             aux = _top_share_frame(df, list(keys), c, i)
             renamed = aux.select(
                 *[F.col(k).alias(f"_aux_{k}") for k in keys],
-                F.col(f"m{i}"))
+                F.col(f"_top{i}"))
             cond = None
             for k in keys:
                 eq = metrics[k].eqNullSafe(renamed[f"_aux_{k}"])
                 cond = eq if cond is None else (cond & eq)
+            # all-NULL group: no aux row (left-join NULL numerator) AND
+            # _den{i}=0 -> _ratio reports 0.0 (no values, no skew)
             metrics = (metrics.join(renamed, cond, "left")
                        .drop(*[f"_aux_{k}" for k in keys])
-                       .withColumn(f"m{i}",
-                                   F.coalesce(F.col(f"m{i}"), F.lit(0.0))))
+                       .withColumn(f"m{i}", _ratio(F.col(f"_top{i}"),
+                                                   F.col(f"_den{i}"))))
     return _report(metrics, checks, labels, list(keys))

@@ -1438,7 +1438,17 @@ def shared_value_pairs(
     ``max_df`` drops values present in more than ``max_df`` rows BEFORE
     the self-join (boilerplate / silence = hot join keys = quadratic
     fan-out), via a grouped count + semi-join — no broadcast assumption
-    on the count frame."""
+    on the count frame.
+
+    Denominator asymmetry under ``max_df``: ``n_col`` is computed by the
+    CALLER before the hot-value filter, so overlap = shared / min(n_a,
+    n_b) counts shared values in the filtered universe against
+    pre-filter set sizes — deliberately. A row that is 90% boilerplate
+    should read as LOW-overlap with everything, not as a near-dup of
+    every other boilerplate-heavy row, which is what re-normalising to
+    post-filter sizes would produce. Calibrate ``min_shared`` /
+    overlap thresholds knowing max_df can only shrink both the shared
+    count and the reported overlap, never inflate them."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
     if materialize and not ex.isStreaming:

@@ -755,18 +755,27 @@ def video_matches(df: DataFrame, content_col: str = "content",
     Scale: every stage is a reused primitive (Arrow demux+decode passes,
     banded equi-join, grouped count) — no all-pairs at frame or clip
     level. Frame ids pack as clip_id * 2^31 + frame_idx: clip ids must be
-    non-negative and below 2^32, and frames with a true in-video index
-    ≥ 2^31 (never reachable — frame_sample emits at most the clip's real
-    frame count of indexes) are dropped defensively rather than
-    mis-attributed."""
+    non-negative and below 2^32 — out-of-range ids RAISE at execution
+    (mis-attribution from silent overflow is a correctness bug, not a
+    row to drop) — and frames with a true in-video index ≥ 2^31 (never
+    reachable — frame_sample emits at most the clip's real frame count of
+    indexes) are dropped defensively rather than mis-attributed."""
     if min_shared < 1:
         raise ValueError("min_shared must be >= 1")
     from . import dedup as _dedup
     m = 1 << _FRAME_ID_BITS
     frames = frame_sample(df.select(F.col(id_col), F.col(content_col)),
                           content_col, id_col, n_frames=n_frames)
+    # enforce the packing contract, don't silently overflow: a negative or
+    # >= 2^32 clip id would alias into another clip's fid range and
+    # mis-attribute its frames
+    clip_ok = (F.col("doc_id") >= 0) & (F.col("doc_id") < (1 << 32))
     fid_df = frames.where(F.col("frame_idx") < m).select(
-        (F.col("doc_id") * m + F.col("frame_idx")).alias("doc_id"),
+        F.when(clip_ok, F.col("doc_id") * m + F.col("frame_idx"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("video_matches: clip id out of packable range "
+                  "[0, 2^32): "), F.col("doc_id").cast("string"))))
+        .alias("doc_id"),
         F.col("frame").alias("content"))
     sigs = dhash_image(fid_df, "content", "doc_id") \
         .where(F.col("dhash64").isNotNull()).select("doc_id", "dhash64")

@@ -51,6 +51,10 @@ __all__ = ["dhash_dedup_stream", "dhash_pairs_store",
 
 
 def _block_schema(id_col: str) -> StructType:
+    # Writers below cast block_id/hamming (int32 expressions) to long so
+    # the on-disk parquet matches these pinned schemas exactly: Spark 4.x
+    # widens int32→long on read, Spark 3.x readers of the same store throw
+    # SchemaColumnConvertNotSupported.
     return StructType([
         StructField(id_col, LongType()),
         StructField("dhash64", LongType()),
@@ -92,6 +96,7 @@ def dhash_dedup_stream(
             .select(id_col, "dhash64"))
         bk = hamming_blocks(sigs, "dhash64", id_col,
                             bits=64, max_hamming=max_hamming) \
+            .withColumn("block_id", F.col("block_id").cast("long")) \
             .withColumn("pfx", F.pmod(F.col("block_val"), F.lit(64)))
         # 1. extend the store first (replay-idempotent overwrite; lets
         #    same-batch pairs resolve through the store read)
@@ -113,7 +118,7 @@ def dhash_dedup_stream(
             .select(
                 F.least(f"s.{id_col}", f"n.{id_col}").alias("id_a"),
                 F.greatest(f"s.{id_col}", f"n.{id_col}").alias("id_b"),
-                ham.alias("hamming"))
+                ham.cast("long").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .distinct())
         pairs.write.mode("overwrite").parquet(

@@ -309,6 +309,22 @@ def test_non_top_share_checks_keep_single_pass_plan(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_top_share_high_cardinality_no_single_partition_window(spark, sf_dir):
+    # corpus-cardinality column (o_orderkey is unique): the ungrouped cut
+    # must plan TakeOrderedAndProject, never an unpartitioned ranking
+    # window that funnels the whole distinct-value frame through one task
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rep = C.verify_checks(df, [C.top_share("o_orderkey", 0.5, k=3)])
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+    row = rep.collect()[0]
+    n = df.count()
+    # every value unique -> top-3 share is exactly 3/n
+    assert row["value"] == pytest.approx(3 / n)
+    assert row["passed"] is True
+
+
 def test_top_share_grouped_null_key_group(spark):
     # a NULL group KEY is a real group: its skew must be measured, not
     # silently coalesced to 0.0 through a null-unsafe join
