@@ -1250,7 +1250,27 @@ def q_multimodal(spark, sf_dir):
     embedded literal model ``_LANG_MODEL`` (bit-equal to refitting on
     ``_LANG_POOLS`` — pinned), so the script fractions, gram bucket hash,
     per-class weight fold, and softmax/argmax are all value-hashed against
-    ``langid.lang_scoring_sql``'s DuckDB twin."""
+    ``langid.lang_scoring_sql``'s DuckDB twin.
+
+    Round-12 riders close the attestation gap on the last two dedup
+    modalities (multimodal.py audio/video were pytest-only):
+
+    - ``audio_subfp0/1``: the REAL RIFF/WAVE decode + Haitsma-Kalker
+      subfingerprint path (``audio_fingerprint`` — Hann window, rfft,
+      log-band energies, double-difference sign bits) over a
+      deterministic synthetic WAV (``wav_payload_col``, md5-derived
+      int16 PCM), at oracle-tractable sizing (128 samples, frame=64,
+      hop=32, n_bands=5 → two 4-bit subfingerprints). The DuckDB twin
+      recomputes the DFT per bin from the same samples — the whole FFT
+      fingerprint path lands under the driver value hash.
+    - ``vframe_dh0/1/2``: the REAL RIFF/AVI container demux
+      (``frame_sample`` → ``_avi_video_frames``) + per-frame decode +
+      dHash over a deterministic 3-frame synthetic AVI
+      (``avi_payload_col``); only a correct ``movi`` walk recovers the
+      per-frame pixel streams the oracle rebuilds. Frame ids pack as
+      doc_id*4+frame_idx (the ``video_matches`` packing, unpacked after
+      signing); the pair-join composition over these signatures stays
+      pinned in tests/test_video_dedup.py / test_audio_dedup.py."""
     from anomalyzer_spark.functions import langid, multimodal
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
@@ -1260,7 +1280,27 @@ def q_multimodal(spark, sf_dir):
     dh = multimodal.dhash_image(img).select(
         "doc_id", F.col("dhash64").alias("dhash9x8"))
     lang = langid.score_lang(d, _LANG_MODEL, "text", "doc_id")
-    return _round6(prof.join(dh, "doc_id").join(lang, "doc_id"),
+    wav = d.select("doc_id",
+                   multimodal.wav_payload_col(F.col("text")).alias("content"))
+    afp = multimodal.audio_fingerprint(
+        wav, frame=64, hop=32, n_bands=5).select(
+        "doc_id",
+        F.element_at("subfps", 1).alias("audio_subfp0"),
+        F.element_at("subfps", 2).alias("audio_subfp1"))
+    avi = d.select("doc_id",
+                   multimodal.avi_payload_col(F.col("text")).alias("content"))
+    fid = multimodal.frame_sample(avi, n_frames=3).select(
+        (F.col("doc_id") * 4 + F.col("frame_idx")).alias("doc_id"),
+        F.col("frame").alias("content"))
+    vsig = multimodal.dhash_image(fid).select(
+        F.shiftrightunsigned("doc_id", 2).alias("doc_id"),
+        F.col("doc_id").bitwiseAND(F.lit(3)).alias("_fidx"),
+        "dhash64")
+    vdh = vsig.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("_fidx") == fi, F.col("dhash64")))
+        .alias(f"vframe_dh{fi}") for fi in range(3)])
+    return _round6(prof.join(dh, "doc_id").join(lang, "doc_id")
+                   .join(afp, "doc_id").join(vdh, "doc_id"),
                    "byte_mean", "byte_std", "byte_entropy")
 
 
@@ -3031,6 +3071,82 @@ SELECT doc_id,
           THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)::BIGINT
   AS dhash9x8
 FROM px"""
+    # audio_subfp rider: rebuild the synthetic WAV's int16 LE samples from
+    # the md5 stream (wav_payload_col spec), then the Haitsma-Kalker
+    # subfingerprints by RECOMPUTING THE DFT per (frame, bin) as the
+    # literal trig sum NumPy's rfft evaluates (|X|² is sign-free, so the
+    # e^{-iθ} convention cancels). Hann = 0.5 - 0.5·cos(2πt/63); band of
+    # bin k = count of log-spaced edges <= 125k Hz (searchsorted-right);
+    # bits compare the double-difference of band energies — float noise
+    # between the trig sum and the FFT butterfly is ~1e-12 relative,
+    # orders below any realized sign margin on md5-random samples.
+    _wav_md5s = " || ".join(f"md5(text || 'a{j}')" for j in range(16))
+    sql["multimodal_audio"] = f"""
+WITH ahx AS (
+  SELECT doc_id, {_wav_md5s} AS h FROM documents),
+smp AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(range(0, 128), i ->
+        ('0x' || substr(h, (4*i + 3)::INT, 2))::BIGINT * 256
+        + ('0x' || substr(h, (4*i + 1)::INT, 2))::BIGINT),
+      v -> (CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) / 32768.0)
+    AS x
+  FROM ahx),
+bins AS (
+  SELECT doc_id, f, k,
+         sum(x[(f*32 + t + 1)::INT] * (0.5 - 0.5*cos(2*pi()*t/63.0))
+             * cos(2*pi()*k*t/64.0)) AS re,
+         sum(x[(f*32 + t + 1)::INT] * (0.5 - 0.5*cos(2*pi()*t/63.0))
+             * sin(2*pi()*k*t/64.0)) AS im
+  FROM smp, range(0,3) r1(f), range(0,33) r2(k), range(0,64) r3(t)
+  GROUP BY doc_id, f, k),
+bandk AS (
+  SELECT k, (SELECT count(*) FROM range(0,6) r(m)
+             WHERE 300.0*pow(10.0, m/5.0) <= 125.0*k) AS band
+  FROM range(0,33) r(k)),
+eb AS (
+  SELECT doc_id, f, band AS m, sum(re*re + im*im) AS e
+  FROM bins JOIN bandk USING (k) WHERE band BETWEEN 1 AND 5
+  GROUP BY doc_id, f, band),
+dd AS (
+  SELECT a.doc_id, a.f, a.m, a.e - b.e AS d
+  FROM eb a JOIN eb b ON a.doc_id = b.doc_id AND a.f = b.f
+                      AND b.m = a.m + 1),
+sub AS (
+  SELECT d2.doc_id, (d2.f - 1) AS fb,
+         sum(CASE WHEN d2.d - d1.d > 0
+                  THEN (1::BIGINT << (d2.m - 1)::INT) ELSE 0 END)::BIGINT
+         AS s
+  FROM dd d2 JOIN dd d1 ON d1.doc_id = d2.doc_id AND d1.m = d2.m
+                        AND d1.f = d2.f - 1
+  GROUP BY d2.doc_id, d2.f)
+SELECT doc_id,
+  max(CASE WHEN fb = 0 THEN s END)::BIGINT AS audio_subfp0,
+  max(CASE WHEN fb = 1 THEN s END)::BIGINT AS audio_subfp1
+FROM sub GROUP BY doc_id"""
+
+    # vframe_dh rider: per-frame pixel streams from the avi_payload_col
+    # md5 spec (the oracle never parses the container — ONLY a correct
+    # movi walk on the Spark side recovers the same bytes), then the same
+    # dHash bit fold as dhash9x8, per frame.
+    def _vframe_dh_sql(fi: int) -> str:
+        md5s = " || ".join(f"md5(text || 'v{fi}_{j}')" for j in range(5))
+        return f"""
+SELECT doc_id,
+  (list_sum(list_transform(range(0, 63), k ->
+     CASE WHEN p[((k // 8) * 9 + (k % 8) + 2)::INT]
+             > p[((k // 8) * 9 + (k % 8) + 1)::INT]
+          THEN (1::BIGINT << k::INT) ELSE 0 END))
+   + CASE WHEN p[72] > p[71]
+          THEN (-9223372036854775807 - 1)::BIGINT ELSE 0 END)::BIGINT
+  AS vframe_dh{fi}
+FROM (
+  SELECT doc_id,
+    list_transform(range(0, 72),
+                   i -> ('0x' || substr(h, (2*i + 1)::INT, 2))::BIGINT) AS p
+  FROM (SELECT doc_id, {md5s} AS h FROM documents))"""
+
     # the language rider's oracle is langid's own SQL twin, built from the
     # same embedded literal model the Spark side scores with
     from anomalyzer_spark.functions import langid as _langid
@@ -3041,13 +3157,24 @@ FROM px"""
 WITH meta AS ({sql['multimodal_meta']}),
 feat AS ({sql['multimodal_features']}),
 dh AS ({sql['multimodal_dhash']}),
-lng AS ({_langid.lang_scoring_sql(_LANG_MODEL)})
+lng AS ({_langid.lang_scoring_sql(_LANG_MODEL)}),
+afp AS ({sql['multimodal_audio']}),
+vd0 AS ({_vframe_dh_sql(0)}),
+vd1 AS ({_vframe_dh_sql(1)}),
+vd2 AS ({_vframe_dh_sql(2)})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8,
-       {lang_cols}
+       {lang_cols},
+       afp.audio_subfp0, afp.audio_subfp1,
+       vd0.vframe_dh0, vd1.vframe_dh1, vd2.vframe_dh2
 FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
-     JOIN lng ON lng.doc_id = meta.doc_id"""
+     JOIN lng ON lng.doc_id = meta.doc_id
+     JOIN afp ON afp.doc_id = meta.doc_id
+     JOIN vd0 ON vd0.doc_id = meta.doc_id
+     JOIN vd1 ON vd1.doc_id = meta.doc_id
+     JOIN vd2 ON vd2.doc_id = meta.doc_id"""
     del sql["multimodal_dhash"]
+    del sql["multimodal_audio"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
                     "repetition", "multimodal_meta", "multimodal_features"):

@@ -23,7 +23,44 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import _codes_sql, _lut_sql, checked_width, nearest_cells
+from .similarity import (_codes_sql, _lut_sql, absmax_scale, checked_width,
+                         cosine, dequantize_col, nearest_cells,
+                         quantize_code_expr)
+
+
+def _encode_rows(
+    df: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    quantized_refine: bool,
+) -> DataFrame:
+    """(neighbor_id, cell, codes[, scale, qvec]) — the one map-only encode
+    pass shared by batch build, stream ingest, and diff maintenance (one
+    definition, so every writer of an index produces the same schema).
+    ``quantized_refine`` adds the int8 storage tier: absmax scale + tinyint
+    codes of the FULL vector (``similarity.quantize_embeddings`` scheme),
+    so refine re-ranks can read dequantized vectors from the pruned index
+    itself instead of semi-joining the float corpus."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    df = checked_width(df, vec_col, m * d, "IVF-PQ models")
+    staged_cols = [
+        F.col(id_col).alias("neighbor_id"),
+        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
+        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
+          for s in range(m)],
+    ]
+    out_cols = ["neighbor_id", "cell",
+                F.expr(_codes_sql(codebooks)).alias("codes")]
+    if quantized_refine:
+        staged_cols += [F.col(vec_col).alias("_v"),
+                        absmax_scale(F.col(vec_col)).alias("scale")]
+        out_cols += [F.col("scale"),
+                     quantize_code_expr(F.col("_v"), F.col("scale"))
+                     .alias("qvec")]
+    return df.select(*staged_cols).select(*out_cols)
 
 
 def build_ivfpq_index(
@@ -34,24 +71,24 @@ def build_ivfpq_index(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized_refine: bool = False,
 ) -> None:
     """Write the cell-partitioned code index: one map-only pass, stored as
     parquet ``partitionBy("cell")`` — (id, codes array<int>) per row, the
-    float vectors are NOT stored (PQ is the compression)."""
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    corpus = checked_width(corpus, vec_col, m * d, "IVF-PQ models")
-    staged = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
-        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
-          for s in range(m)],
-    )
-    (
-        staged.select("neighbor_id", "cell",
-                      F.expr(_codes_sql(codebooks)).alias("codes"))
+    float vectors are NOT stored (PQ is the compression).
+
+    ``quantized_refine=True`` additionally stores (scale double, qvec
+    array<tinyint>) per row — int8 absmax quantization of the full vector
+    (1 byte/dim vs 8 for the float corpus, the 4-8x storage-tier cut) —
+    enabling ``search_ivfpq_index(refine_source="quantized")``: the exact
+    re-rank dequantizes candidates FROM THE PRUNED INDEX, so serving
+    needs no float-corpus access at all. Recall cost of the int8 tier is
+    measured in tools/ann_recall_sweep.py (cosine is scale-invariant and
+    per-dim error is <= scale/2, so the delta vs float refine is ~0 at
+    unit-norm embedding magnitudes)."""
+    _encode_rows(corpus, centroids, codebooks, id_col, vec_col,
+                 quantized_refine) \
         .write.mode("overwrite").partitionBy("cell").parquet(path)
-    )
 
 
 def search_ivfpq_index(
@@ -68,6 +105,7 @@ def search_ivfpq_index(
     refine: int | None = None,
     corpus: DataFrame | None = None,
     id_col: str = "vec_id",
+    refine_source: str = "corpus",
 ) -> DataFrame:
     """Search a persisted index: probed cells become a partition-pruning
     ``cell IN (...)`` literal filter on the index scan (the driver-side
@@ -77,14 +115,33 @@ def search_ivfpq_index(
     ``refine``: exact cosine re-rank of the top-``refine`` ADC
     candidates per query (see ``similarity.pq_topk`` — the production
     recall lever; output becomes (query_id, neighbor_id, cos_sim,
-    rnk)). The index holds CODES only, so refine needs the float
-    vectors: pass ``corpus`` (the indexed frame, ``id_col``/``vec_col``
-    columns) — the FAISS refine-alongside-flat-storage shape; the
-    candidate ids broadcast into that scan, which stays map-only."""
-    if refine is not None and corpus is None:
+    rnk)). Where the candidate vectors come from is ``refine_source``:
+
+    - ``"corpus"`` (default): the index holds PQ codes only, so refine
+      reads float vectors from ``corpus`` (the indexed frame,
+      ``id_col``/``vec_col`` columns) — the FAISS
+      refine-alongside-flat-storage shape; the candidate ids broadcast
+      into that scan, which stays map-only.
+    - ``"quantized"``: the index was built with
+      ``quantized_refine=True`` and carries int8-quantized vectors —
+      candidates join back into the ALREADY-PRUNED index scan and
+      dequantize there, so no corpus access happens at search time (the
+      serving-tier shape: index files are the only storage the search
+      touches, and only probed cells of them)."""
+    if refine_source not in ("corpus", "quantized"):
+        raise ValueError(
+            f"refine_source must be 'corpus' or 'quantized', "
+            f"got {refine_source!r}")
+    if refine is None and refine_source != "corpus":
+        raise ValueError(
+            "refine_source='quantized' without refine= is a no-op — "
+            "pass refine=N to re-rank, or drop refine_source")
+    if refine is not None and refine_source == "corpus" and corpus is None:
         raise ValueError(
             "refine needs `corpus` (the index stores PQ codes, not "
-            "vectors — exact re-rank reads them from the indexed frame)")
+            "vectors — exact re-rank reads them from the indexed frame), "
+            "or refine_source='quantized' on an index built with "
+            "quantized_refine=True")
     m = len(codebooks)
     d = len(codebooks[0][0])
     # the staged query frame (cell assignment + ADC lookup tables) is used
@@ -130,11 +187,36 @@ def search_ivfpq_index(
         return ranked.where(F.col("rnk") <= k)
     if refine < k:
         raise ValueError(f"refine ({refine}) must be >= k ({k})")
-    from .similarity import _exact_rerank
     cand = ranked.where(F.col("rnk") <= refine) \
         .select("query_id", "neighbor_id")
-    return _exact_rerank(cand, corpus, queries, id_col=id_col,
-                         vec_col=vec_col, query_id_col=query_id_col, k=k)
+    if refine_source == "corpus":
+        from .similarity import _exact_rerank
+        return _exact_rerank(cand, corpus, queries, id_col=id_col,
+                             vec_col=vec_col, query_id_col=query_id_col,
+                             k=k)
+    if "qvec" not in index.columns or "scale" not in index.columns:
+        raise ValueError(
+            f"refine_source='quantized' but the index at {path!r} has no "
+            "scale/qvec columns — rebuild it with "
+            "build_ivfpq_index(quantized_refine=True)")
+    # join the bounded candidate set into the pruned index FIRST, then
+    # dequantize: dequantizing in a projection under the join would
+    # evaluate it for every row of the probed cells, not just candidates
+    qv = queries.select(F.col(query_id_col).alias("query_id"),
+                        F.col(vec_col).alias("_qv"))
+    rescored = (
+        index.select("neighbor_id", "scale", "qvec")
+        .join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id",
+                cosine(F.col("_qv"),
+                       dequantize_col(F.col("scale"), F.col("qvec")))
+                .alias("cos_sim"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return rescored.withColumn("rnk", F.row_number().over(w2)).where(
+        F.col("rnk") <= k)
 
 
 def serve_ivfpq_stream(
@@ -204,11 +286,15 @@ def ingest_ivfpq_stream(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    quantized_refine: bool = False,
     trigger: dict | None = None,
 ):
     """Incremental CORPUS ingest: a stream of new vectors encoded with the
     FROZEN models (same cell-assignment + PQ-encode expressions as
-    ``build_ivfpq_index``) and appended to the cell-partitioned store.
+    ``build_ivfpq_index``; pass the same ``quantized_refine`` the index
+    was built with — mixing rows with and without the int8 tier would
+    fail quantized searches on the batches missing it) and appended to
+    the cell-partitioned store.
 
     Layout: each micro-batch overwrites its own ``batch_id=N/cell=C/...``
     subtree — the replay-idempotence pattern shared with
@@ -236,18 +322,9 @@ def ingest_ivfpq_stream(
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        m = len(codebooks)
-        d = len(codebooks[0][0])
-        staged = checked_width(
-            batch_df, vec_col, m * d, "IVF-PQ models").select(
-            F.col(id_col).alias("neighbor_id"),
-            nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
-            *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
-              for s in range(m)],
-        )
         (
-            staged.select("neighbor_id", "cell",
-                          F.expr(_codes_sql(codebooks)).alias("codes"))
+            _encode_rows(batch_df, centroids, codebooks, id_col, vec_col,
+                         quantized_refine)
             .write.mode("overwrite").partitionBy("cell")
             .parquet(f"{index_path}/batch_id={batch_id}")
         )
@@ -271,9 +348,11 @@ def compact_ingested_index(
     (cell, writer task) instead of per (cell, micro-batch). Write to a
     NEW path and swap readers over; compacting in place would race
     concurrent searches."""
+    src = spark.read.parquet(ingested_path)
+    keep = ["neighbor_id", "codes"] + \
+        [c for c in ("scale", "qvec") if c in src.columns] + ["cell"]
     (
-        spark.read.parquet(ingested_path)
-        .select("neighbor_id", "codes", "cell")
+        src.select(*keep)
         .repartition("cell")
         .write.mode("overwrite").partitionBy("cell").parquet(out_path)
     )
@@ -330,19 +409,13 @@ def apply_diff_to_index(
     incoming_ids = active.where(
         F.col("status").isin("added", "changed")).select(id_col)
 
-    m = len(codebooks)
-    d = len(codebooks[0][0])
-    inc = new_corpus.join(incoming_ids, id_col, "left_semi")
-    inc = checked_width(inc, vec_col, m * d, "IVF-PQ models")
-    new_rows = inc.select(
-        F.col(id_col).alias("neighbor_id"),
-        nearest_cells(vec_col, centroids, 1)[0].alias("cell"),
-        *[F.slice(F.col(vec_col), s * d + 1, d).alias(f"_s{s}")
-          for s in range(m)],
-    ).select("neighbor_id", "cell", F.expr(_codes_sql(codebooks))
-             .alias("codes"))
-
     idx = spark.read.parquet(path)
+    # re-encoded rows must match the live index schema, including the
+    # int8 refine tier when the index carries one
+    quantized = "qvec" in idx.columns
+    inc = new_corpus.join(incoming_ids, id_col, "left_semi")
+    new_rows = _encode_rows(inc, centroids, codebooks, id_col, vec_col,
+                            quantized)
     victim_cells = (
         idx.join(victims, "neighbor_id", "left_semi")
         .select("cell").distinct())
@@ -353,12 +426,14 @@ def apply_diff_to_index(
     if not affected:
         return 0
 
+    keep = ["neighbor_id", "cell", "codes"] + \
+        (["scale", "qvec"] if quantized else [])
     survivors = (
         idx.where(F.col("cell").isin(affected))
         .join(victims, "neighbor_id", "left_anti")
-        .select("neighbor_id", "cell", "codes"))
+        .select(*keep))
     rewrite = survivors.unionByName(
-        new_rows.where(F.col("cell").isin(affected)))
+        new_rows.where(F.col("cell").isin(affected)).select(*keep))
     # localCheckpoint BEFORE the overwrite: the plan reads the very
     # partitions the write replaces — materializing first avoids reading
     # half-overwritten inputs (classic self-overwrite hazard)

@@ -570,6 +570,60 @@ def pgm_payload_col(text: Column, *, width: int = 9, height: int = 8) -> Column:
     return F.concat(F.lit(header), F.unhex(F.substring(hx, 1, 2 * n)))
 
 
+def wav_payload_col(text: Column, *, n_samples: int = 128,
+                    rate: int = 8000) -> Column:
+    """A deterministic synthetic RIFF/WAVE payload (16-bit mono PCM)
+    derived from a text column — the audio analogue of
+    ``pgm_payload_col``. Sample bytes are an md5 stream of the text with
+    ``'a<j>'`` suffixes (engine-portable: DuckDB rebuilds sample ``i`` as
+    the little-endian int16 at hex chars ``4i+1..4i+4`` of
+    ``md5(text||'a0') || md5(text||'a1') || ...``), so the REAL WAV
+    decode + fingerprint path is value-hash checkable by a SQL oracle
+    that recomputes the DFT from the same samples."""
+    import struct as _struct
+    nbytes = n_samples * 2
+    n_md5 = (nbytes + 15) // 16
+    hdr = (b"RIFF" + (36 + nbytes).to_bytes(4, "little") + b"WAVE"
+           + b"fmt " + (16).to_bytes(4, "little")
+           + _struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+           + b"data" + nbytes.to_bytes(4, "little"))
+    hx = F.concat(*[
+        F.md5(F.encode(F.concat(text, F.lit(f"a{j}")), "UTF-8"))
+        for j in range(n_md5)])
+    return F.concat(F.lit(hdr), F.unhex(F.substring(hx, 1, 2 * nbytes)))
+
+
+def avi_payload_col(text: Column, *, n_frames: int = 3,
+                    width: int = 9, height: int = 8) -> Column:
+    """A deterministic synthetic RIFF/AVI payload whose ``movi`` LIST
+    carries ``n_frames`` uncompressed PGM frames — the video analogue of
+    ``pgm_payload_col``. Frame ``fi``'s pixel bytes are the md5 stream of
+    the text with ``'v<fi>_<j>'`` suffixes (DuckDB rebuilds them without
+    parsing the container), so the REAL demux (``_avi_video_frames``) +
+    per-frame decode + dHash path is value-hash checkable end-to-end:
+    only a correct container walk recovers the bytes the oracle expects."""
+    n = width * height
+    n_md5 = (n + 15) // 16
+    header = f"P5\n{width} {height}\n255\n".encode()
+    fsize = len(header) + n
+    pad = fsize & 1  # RIFF chunks are 2-byte aligned
+    chunk_sz = 8 + fsize + pad
+    movi_body = 4 + n_frames * chunk_sz
+    riff_sz = 4 + 8 + movi_body
+    parts = [F.lit(b"RIFF" + riff_sz.to_bytes(4, "little") + b"AVI "
+                   + b"LIST" + movi_body.to_bytes(4, "little") + b"movi")]
+    for fi in range(n_frames):
+        hx = F.concat(*[
+            F.md5(F.encode(F.concat(text, F.lit(f"v{fi}_{j}")), "UTF-8"))
+            for j in range(n_md5)])
+        frame = F.concat(
+            F.lit(b"00dc" + fsize.to_bytes(4, "little") + header),
+            F.unhex(F.substring(hx, 1, 2 * n)))
+        parts.append(
+            F.concat(frame, F.lit(b"\x00" * pad)) if pad else frame)
+    return F.concat(*parts)
+
+
 def dhash64_col(pixels: Column, *, width: int = 9, height: int = 8) -> Column:
     """64-bit dHash (difference hash) of a row-major grayscale raster as a
     PURE column expression — bit ``r*(width-1)+c`` is 1 iff the pixel to

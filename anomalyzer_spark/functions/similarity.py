@@ -1066,22 +1066,35 @@ def quantize_embeddings(
     uses the codes directly.
     """
     v = F.col(vec_col)
-    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
     # scale staged as a real column: the codes transform references it per
     # element, and an inlined copy would re-run the absmax fold per
     # dimension (the staged-projection rule)
     staged = df.select(
-        F.col(id_col), v.alias("_v"),
-        (absmax / F.lit(127.0)).cast("double").alias("scale"))
+        F.col(id_col), v.alias("_v"), absmax_scale(v).alias("scale"))
     return staged.select(
         F.col(id_col),
         F.col("scale"),
-        F.transform(
-            F.col("_v"),
-            lambda x: F.when(F.col("scale") != 0.0,
-                             F.round(x / F.col("scale")))
-            .otherwise(F.lit(0)).cast("tinyint")).alias(codes_col),
+        quantize_code_expr(F.col("_v"), F.col("scale")).alias(codes_col),
     )
+
+
+def absmax_scale(vec: Column) -> Column:
+    """absmax/127 quantization scale of an array column (the
+    ``quantize_embeddings`` scheme, exposed for callers that stage their
+    own projections — e.g. the quantized-refine ANN index build)."""
+    return (F.array_max(F.transform(vec, lambda x: F.abs(x)))
+            / F.lit(127.0)).cast("double")
+
+
+def quantize_code_expr(vec: Column, scale: Column) -> Column:
+    """int8 codes for ``vec`` given its ``absmax_scale``. ``scale`` MUST
+    be a staged column attribute, not the scale expression inline — an
+    inlined copy re-runs the absmax fold per element (the
+    staged-projection rule; see ``quantize_embeddings``)."""
+    return F.transform(
+        vec,
+        lambda x: F.when(scale != 0.0, F.round(x / scale))
+        .otherwise(F.lit(0)).cast("tinyint"))
 
 
 def dequantize_col(scale: Column, codes: Column) -> Column:

@@ -18,12 +18,14 @@ from __future__ import annotations
 import argparse
 import json
 import sys
+import tempfile
 
 sys.path.insert(0, ".")
 
 import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
+from anomalyzer_spark.functions import ann_index  # noqa: E402
 from anomalyzer_spark.functions import similarity as S  # noqa: E402
 from anomalyzer_spark.session import get_spark  # noqa: E402
 
@@ -105,6 +107,27 @@ def main() -> None:
         m, worst = macro(S.ann_recall(build(), exact, k=args.k))
         out[name] = {"macro_recall": m, "worst": worst}
         print(f"# {name}: macro={m} worst={worst}", file=sys.stderr)
+
+    # persisted-index rows: the float-corpus refine vs the int8 stored
+    # tier (refine_source="quantized") over the SAME index — the recall
+    # cost of the 4-8x storage cut, measured head-to-head
+    with tempfile.TemporaryDirectory() as td:
+        idx = f"{td}/ivfpq_idx"
+        ann_index.build_ivfpq_index(e, idx, cents, books256,
+                                    quantized_refine=True)
+        for name, build in (
+            ("index_probe8_refine10k_float",
+             lambda: ann_index.search_ivfpq_index(
+                 spark, idx, q, cents, books256, k=args.k, n_probe=8,
+                 refine=10 * args.k, corpus=e)),
+            ("index_probe8_refine10k_int8",
+             lambda: ann_index.search_ivfpq_index(
+                 spark, idx, q, cents, books256, k=args.k, n_probe=8,
+                 refine=10 * args.k, refine_source="quantized")),
+        ):
+            m, worst = macro(S.ann_recall(build(), exact, k=args.k))
+            out[name] = {"macro_recall": m, "worst": worst}
+            print(f"# {name}: macro={m} worst={worst}", file=sys.stderr)
     print(json.dumps({"metric": "ann_recall_clustered",
                       "n": args.n, "dim": args.dim,
                       "clusters": args.clusters, "k": args.k,
