@@ -106,3 +106,29 @@ def test_no_cartesian_and_validation(spark):
         multimodal.audio_matches(df, min_shared=0)
     with pytest.raises(ValueError, match="hop"):
         multimodal.audio_fingerprint(df, frame=512, hop=1024).collect()
+
+
+def test_wav_payload_col_decodes_to_md5_spec_samples(spark):
+    """wav_payload_col (the oracle-reproducible synthetic clip) must
+    round-trip through the REAL RIFF/WAVE decode into exactly the
+    little-endian int16 samples the SQL oracle rebuilds, and fingerprint
+    deterministically at the rider sizing (128 samples, frame=64, hop=32,
+    n_bands=5 -> two subfingerprints)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(3, "abc")], "doc_id long, text string")
+    wav = df.select("doc_id",
+                    multimodal.wav_payload_col(F.col("text")).alias("content"))
+    raw = bytes(wav.collect()[0]["content"])
+    x, rate = multimodal._wav_decode(raw)
+    assert rate == 8000 and x.shape == (128, 1)
+    h = b"".join(hashlib.md5(f"abca{j}".encode()).digest() for j in range(16))
+    want = np.frombuffer(h[:256], "<i2").astype(np.float64) / 32768.0
+    assert np.array_equal(x[:, 0], want)
+    r1 = multimodal.audio_fingerprint(
+        wav, frame=64, hop=32, n_bands=5).collect()[0]
+    r2 = multimodal.audio_fingerprint(
+        wav, frame=64, hop=32, n_bands=5).collect()[0]
+    assert r1["err"] is None and len(r1["subfps"]) == 2
+    assert r1["subfps"] == r2["subfps"]

@@ -68,3 +68,37 @@ def test_exact_copy_full_overlap_and_validation(spark):
     assert rows[0]["shared_frames"] >= 6
     with pytest.raises(ValueError, match="min_shared"):
         multimodal.video_matches(df, min_shared=0)
+
+
+def test_out_of_range_clip_id_raises(spark):
+    # packing contract: clip ids outside [0, 2^32) would alias into other
+    # clips' fid ranges — they must RAISE, not silently mis-attribute
+    rng = np.random.default_rng(6)
+    a = _rand_frames(rng, 4)
+    df = spark.createDataFrame(
+        [(-1, bytearray(_avi(a))), (5, bytearray(_avi(a)))],
+        "doc_id long, content binary")
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import SparkRuntimeException
+    with pytest.raises((SparkRuntimeException, Py4JJavaError),
+                       match="out of packable range"):
+        multimodal.video_matches(df, n_frames=4, min_shared=1).collect()
+
+
+def test_avi_payload_col_demuxes_to_md5_spec_frames(spark):
+    """avi_payload_col (the oracle-reproducible synthetic video) must
+    round-trip through the REAL container walk into exactly the
+    md5-stream PGM frames the SQL oracle rebuilds."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(7, "some text")], "doc_id long, text string")
+    payload = bytes(df.select(
+        multimodal.avi_payload_col(F.col("text")).alias("c"))
+        .collect()[0]["c"])
+    frames = multimodal._avi_video_frames(payload)
+    assert len(frames) == 3
+    for fi, fr in enumerate(frames):
+        px = b"".join(hashlib.md5(f"some textv{fi}_{j}".encode()).digest()
+                      for j in range(5))[:72]
+        assert fr == b"P5\n9 8\n255\n" + px
