@@ -8,6 +8,9 @@ from .detect_stream import detect_stream, run_stream_on_dir
 from .dhash_stream import (dhash_dedup_stream, dhash_pairs_store,
                            run_dhash_stream_on_dir)
 from .drift_stream import run_drift_stream_on_dir
+from .media_stream import (audio_dedup_stream, audio_pairs_store,
+                           run_audio_stream_on_dir, run_video_stream_on_dir,
+                           video_dedup_stream, video_pairs_store)
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_pairs_store, run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
@@ -18,11 +21,14 @@ from .session_stream import run_session_stream_on_dir
 from .span_stream import (run_span_gram_stream_on_dir, span_gram_stream,
                           strip_spans_with_store)
 
-__all__ = ["batch_union_equals_offline", "dedup_stream",
+__all__ = ["audio_dedup_stream", "audio_pairs_store",
+           "batch_union_equals_offline", "dedup_stream",
            "run_checks_stream_on_dir",
            "dedup_stream_bounded", "detect_stream",
            "dhash_dedup_stream", "dhash_pairs_store",
-           "run_dhash_stream_on_dir",
+           "run_audio_stream_on_dir", "run_dhash_stream_on_dir",
+           "run_video_stream_on_dir",
+           "video_dedup_stream", "video_pairs_store",
            "minhash_dedup_stream", "minhash_groups_store",
            "minhash_pairs_store", "resample_stream",
            "run_curation_stream_on_dir",
