@@ -965,20 +965,6 @@ def q_orders_rollup(spark, sf_dir):
     )
 
 
-def q_lineitem_cube(spark, sf_dir):
-    """CUBE over (returnflag, linestatus) — full grouping-sets coverage."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return (
-        li.cube("l_returnflag", "l_linestatus")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-             F.count(F.lit(1)).alias("n"))
-        .select(
-            F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
-            F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
-            "sum_qty", "n")
-    )
-
-
 def q_running_totals(spark, sf_dir):
     """Window functions: running revenue + in-customer order rank."""
     from pyspark.sql.window import Window

@@ -283,13 +283,33 @@ _DECODE_RAW_SCHEMA = StructType([
 ])
 
 
+def _run_fallback_decoder(decoder, b: bytes) -> np.ndarray:
+    """Call a user-injected image decoder under the per-row error
+    contract: ANY exception it throws (PIL raises its own hierarchy)
+    becomes a ValueError this module's kernels already capture row-wise,
+    and the returned raster is validated into the internal (h, w[, 3])
+    uint8 shape so every downstream stage (luma, resize, dHash) behaves
+    exactly as it does for the library-free formats."""
+    try:
+        px = np.asarray(decoder(b))
+    except Exception as e:  # user code: capture, never kill the task
+        raise ValueError(f"fallback decoder: {e}") from e
+    if px.dtype != np.uint8 or px.ndim not in (2, 3) \
+            or (px.ndim == 3 and px.shape[-1] != 3) or px.size == 0:
+        raise ValueError(
+            "fallback decoder must return a non-empty uint8 array of "
+            f"shape (h, w) or (h, w, 3); got dtype={px.dtype} "
+            f"shape={px.shape}")
+    return px
+
+
 def decode_image_raw(df: DataFrame, content_col: str = "content",
                      id_col: str = "doc_id", *,
-                     size: tuple[int, int] = (64, 64)) -> DataFrame:
+                     size: tuple[int, int] = (64, 64),
+                     fallback_decoder=None) -> DataFrame:
     """REAL library-free image decode for the uncompressed formats —
     binary PGM (P5) / PPM (P6) and 24-bit uncompressed BMP — entirely in
-    NumPy inside one ``mapInPandas`` Arrow pass (compressed formats need
-    ``decode_image``'s PIL path, still environment-gated here).
+    NumPy inside one ``mapInPandas`` Arrow pass.
 
     Per-row error capture, not task failure: a corrupt or unsupported
     payload yields (id, NULL pixels, ``err`` message) — at crawl scale
@@ -297,7 +317,19 @@ def decode_image_raw(df: DataFrame, content_col: str = "content",
     Output pixels: ``size``-resampled (nearest-neighbor, integer index
     arithmetic) grayscale (exact ITU-R 601-2 rational luma) row-major in
     [0, 1]; ``width``/``height`` are the ORIGINAL decoded dimensions.
-    """
+
+    ``fallback_decoder``: the compressed-codec seam. Real crawl data is
+    JPEG/PNG, whose decode needs a library this environment doesn't
+    ship — instead of forking the operator, inject a callable
+    ``bytes -> uint8 ndarray (h, w) grayscale or (h, w, 3) RGB`` (e.g.
+    ``lambda b: np.asarray(Image.open(io.BytesIO(b)).convert("RGB"))``)
+    and every payload the library-free decoders don't recognize routes
+    through it. The callable runs INSIDE the Arrow kernel under the same
+    per-row error contract: whatever it raises lands in ``err`` for that
+    row only, and its output passes through the identical luma/resize
+    stages, so signatures stay comparable across decode paths. The
+    library-free formats keep decoding natively (the tested default) —
+    the seam only widens coverage, never changes it."""
     w_out, h_out = size
     if w_out < 1 or h_out < 1:
         raise ValueError("size must be positive")
@@ -312,11 +344,14 @@ def decode_image_raw(df: DataFrame, content_col: str = "content",
                         px = _pnm_decode(b)
                     elif b[:2] == b"BM":
                         px = _bmp_decode(b)
+                    elif fallback_decoder is not None:
+                        px = _run_fallback_decoder(fallback_decoder, b)
                     else:
                         raise ValueError(
                             "unsupported format for raw decode "
-                            "(PGM/PPM/BMP only; compressed formats need "
-                            "the PIL path)")
+                            "(PGM/PPM/BMP natively; pass "
+                            "fallback_decoder= to plug in a codec "
+                            "library for compressed formats)")
                     h0, w0 = px.shape[:2]
                     g = _resize_nearest(_to_gray_unit(px), size)
                     rows.append((int(did), w0, h0, g.ravel().tolist(),
@@ -378,6 +413,30 @@ def _wav_decode(raw: bytes) -> tuple[np.ndarray, int]:
     raise ValueError("no data chunk found")
 
 
+def _decode_audio_any(b: bytes, fallback_decoder) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE payloads through the library-free PCM reader; anything
+    else through the injected codec decoder (``bytes -> (samples, rate)``
+    with samples float in [-1, 1], shape (n,) or (n, channels)) under the
+    per-row error contract — the audio leg of the compressed-codec seam
+    (mp3/aac/opus need a library by nature)."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _wav_decode(b)
+    if fallback_decoder is None:
+        return _wav_decode(b)  # raises its documented format error
+    try:
+        x, rate = fallback_decoder(b)
+        x = np.asarray(x, dtype=np.float64)
+    except Exception as e:  # user code: capture, never kill the task
+        raise ValueError(f"fallback decoder: {e}") from e
+    if x.ndim == 1:
+        x = x[:, None]
+    if x.ndim != 2 or x.shape[0] == 0 or int(rate) <= 0:
+        raise ValueError(
+            "fallback decoder must return (samples (n,) or "
+            f"(n, channels), rate > 0); got shape={x.shape} rate={rate}")
+    return x, int(rate)
+
+
 _AUDIO_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("sample_rate", LongType()),
@@ -393,7 +452,8 @@ _AUDIO_SCHEMA = StructType([
 
 
 def decode_audio_features(df: DataFrame, content_col: str = "content",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id", *,
+                          fallback_decoder=None) -> DataFrame:
     """REAL library-free audio decode + featurize for RIFF/WAVE integer
     PCM, in one ``mapInPandas`` Arrow pass — the audio leg of the
     curation triage that decides which clips are worth a real
@@ -405,7 +465,9 @@ def decode_audio_features(df: DataFrame, content_col: str = "content",
     0.999 of full scale across ALL channels. Per-row error capture like
     ``decode_image_raw`` — corrupt crawl bytes are data, not task
     failures. Compressed codecs (mp3/aac/opus) are an external-library
-    decode by nature and stay behind the documented gate."""
+    decode by nature: inject one via ``fallback_decoder`` (``bytes ->
+    (samples, rate)``, see ``_decode_audio_any``) and non-WAV payloads
+    route through it under the same per-row error contract."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -413,7 +475,7 @@ def decode_audio_features(df: DataFrame, content_col: str = "content",
             for did, raw in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(raw) if raw is not None else b""
                 try:
-                    x, rate = _wav_decode(b)
+                    x, rate = _decode_audio_any(b, fallback_decoder)
                     frames, channels = x.shape
                     mono = x.mean(axis=1)
                     rms = float(np.sqrt(np.mean(mono * mono)))
@@ -451,8 +513,10 @@ def decode_image(df: DataFrame, content_col: str = "content",
     except ImportError as e:
         raise NotImplementedError(
             "image decode needs PIL; this environment does not provide it — "
-            "use decode_image_raw (PGM/PPM/BMP, library-free) or "
-            "byte_features instead"
+            "use decode_image_raw (PGM/PPM/BMP, library-free; its "
+            "fallback_decoder= seam accepts any codec callable, so a PIL "
+            "or turbojpeg decode plugs in without forking the operator) "
+            "or byte_features instead"
         ) from e
 
     schema = StructType([
@@ -509,7 +573,8 @@ def _avi_video_frames(raw: bytes) -> list[bytes]:
 
 
 def frame_sample(df: DataFrame, content_col: str = "content",
-                 id_col: str = "doc_id", *, n_frames: int = 4) -> DataFrame:
+                 id_col: str = "doc_id", *, n_frames: int = 4,
+                 fallback_demuxer=None) -> DataFrame:
     """Deterministic frame sampling: ``n_frames`` evenly spaced frames
     per payload, (id, frame_idx, frame binary) exploded one row each.
 
@@ -517,7 +582,12 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     the ``movi`` chunk walk — library-free; frame BYTES stay compressed,
     as a sampling pass should leave them) with even index spacing over
     the true frame sequence — ``frame_idx`` is the frame's index IN THE
-    VIDEO. Everything else falls back to the documented byte-window stub
+    VIDEO. ``fallback_demuxer`` is the container seam: a callable
+    ``bytes -> list[bytes]`` (e.g. an ffmpeg/PyAV wrapper) tried for
+    non-AVI payloads; its frames get the same even index spacing, and a
+    demuxer that raises or returns nothing falls through to the stub —
+    sampling is triage, a bad container should degrade, not kill the
+    pass. Everything else falls back to the documented byte-window stub
     (evenly spaced payload slices, a stand-in until a demuxer for that
     container exists); undemuxable AVIs (no movi frames) fall back too
     rather than failing the task."""
@@ -528,6 +598,12 @@ def frame_sample(df: DataFrame, content_col: str = "content",
     ])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def spaced(did, fr):
+            k = min(n_frames, len(fr))
+            for i in range(k):
+                idx = ((2 * i + 1) * len(fr)) // (2 * k)
+                out.append((int(did), idx, fr[idx]))
+
         for pdf in batches:
             out = []
             for did, raw in zip(pdf[id_col], pdf[content_col]):
@@ -536,14 +612,18 @@ def frame_sample(df: DataFrame, content_col: str = "content",
                     continue
                 if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
                     try:
-                        fr = _avi_video_frames(b)
-                        k = min(n_frames, len(fr))
-                        for i in range(k):
-                            idx = ((2 * i + 1) * len(fr)) // (2 * k)
-                            out.append((int(did), idx, fr[idx]))
+                        spaced(did, _avi_video_frames(b))
                         continue
                     except ValueError:
                         pass  # fall through to the byte-window stub
+                elif fallback_demuxer is not None:
+                    try:
+                        fr = [bytes(x) for x in fallback_demuxer(b)]
+                    except Exception:
+                        fr = []  # degrade to the stub, never fail
+                    if fr:
+                        spaced(did, fr)
+                        continue
                 w = max(len(b) // n_frames, 1)
                 for i in range(min(n_frames, len(b))):
                     out.append((int(did), i, b[i * w:(i + 1) * w]))
@@ -651,14 +731,17 @@ def dhash64_col(pixels: Column, *, width: int = 9, height: int = 8) -> Column:
 
 
 def dhash_image(df: DataFrame, content_col: str = "content",
-                id_col: str = "doc_id") -> DataFrame:
+                id_col: str = "doc_id", *,
+                fallback_decoder=None) -> DataFrame:
     """Perceptual image signature: REAL library-free decode
-    (``decode_image_raw``, PGM/PPM/BMP) to a 9x8 grayscale raster, then
-    the 64-bit dHash as a JVM-side expression over the decoded pixels.
-    Per-row error capture carries through: a corrupt payload yields
-    (id, NULL dhash64, err) instead of killing the job. Map-only — one
-    Arrow pass, zero shuffles."""
-    dec = decode_image_raw(df, content_col, id_col, size=(9, 8))
+    (``decode_image_raw``, PGM/PPM/BMP; ``fallback_decoder`` plugs in a
+    codec library for compressed formats — see its contract there) to a
+    9x8 grayscale raster, then the 64-bit dHash as a JVM-side expression
+    over the decoded pixels. Per-row error capture carries through: a
+    corrupt payload yields (id, NULL dhash64, err) instead of killing
+    the job. Map-only — one Arrow pass, zero shuffles."""
+    dec = decode_image_raw(df, content_col, id_col, size=(9, 8),
+                           fallback_decoder=fallback_decoder)
     return dec.select(
         F.col("doc_id").alias(id_col) if id_col != "doc_id"
         else F.col(id_col),
@@ -670,7 +753,8 @@ def dhash_image(df: DataFrame, content_col: str = "content",
 
 def dhash_pairs(df: DataFrame, content_col: str = "content",
                 id_col: str = "doc_id", *, max_hamming: int = 3,
-                materialize: bool = True) -> DataFrame:
+                materialize: bool = True,
+                fallback_decoder=None) -> DataFrame:
     """Near-duplicate IMAGE pairs by dHash Hamming distance — the image
     cell of the dedup matrix. Signatures from ``dhash_image`` (undecodable
     payloads drop out as NULL), pairs from the same banded self-join that
@@ -678,7 +762,8 @@ def dhash_pairs(df: DataFrame, content_col: str = "content",
     equi-join per block, bit_count(xor) verify — never all-pairs).
     Returns (id_a, id_b, hamming)."""
     from . import dedup as _dedup
-    sigs = dhash_image(df, content_col, id_col) \
+    sigs = dhash_image(df, content_col, id_col,
+                       fallback_decoder=fallback_decoder) \
         .where(F.col("dhash64").isNotNull())
     return _dedup.hamming_pairs(sigs, "dhash64", id_col, bits=64,
                                 max_hamming=max_hamming,
@@ -698,7 +783,8 @@ def audio_fingerprint(df: DataFrame, content_col: str = "content",
                       id_col: str = "doc_id", *,
                       frame: int = 2048, hop: int = 1024,
                       n_bands: int = 25, fmin: float = 300.0,
-                      fmax: float = 3000.0) -> DataFrame:
+                      fmax: float = 3000.0,
+                      fallback_decoder=None) -> DataFrame:
     """Perceptual AUDIO fingerprint (Haitsma/Kalker PHILIPS-style, the
     published robust-hash construction): per overlapping Hann-windowed
     frame, log-spaced band energies in [fmin, fmax]; subfingerprint bit
@@ -706,7 +792,9 @@ def audio_fingerprint(df: DataFrame, content_col: str = "content",
     ``(E(n,m)-E(n,m+1)) - (E(n-1,m)-E(n-1,m+1)) > 0`` — ``n_bands - 1``
     bits per frame boundary. Library-free: NumPy rfft inside one
     ``mapInPandas`` Arrow pass (the decode is the repo's own RIFF/WAVE PCM
-    reader), per-row error capture like every decoder here.
+    reader; ``fallback_decoder`` plugs a codec library in for compressed
+    payloads — see ``_decode_audio_any``), per-row error capture like
+    every decoder here.
 
     Robustness by construction (pinned in tests): bits are invariant to
     uniform volume scaling (energies scale by c², differences keep sign)
@@ -725,7 +813,8 @@ def audio_fingerprint(df: DataFrame, content_col: str = "content",
             rows = []
             for did, raw in zip(pdf[id_col], pdf[content_col]):
                 try:
-                    x, rate = _wav_decode(bytes(raw) if raw else b"")
+                    x, rate = _decode_audio_any(
+                        bytes(raw) if raw else b"", fallback_decoder)
                     mono = x.mean(axis=1)
                     if len(mono) < frame + hop:
                         raise ValueError(

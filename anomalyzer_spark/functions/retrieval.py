@@ -20,22 +20,43 @@ from pyspark.sql.window import Window
 
 from anomalyzer_spark.functions.text import word_token_count, word_tokens
 
-__all__ = ["bm25_corpus_stats", "bm25_topk"]
+__all__ = ["bm25_corpus_stats", "bm25_topk", "tokenize_docs"]
+
+
+def tokenize_docs(
+    docs: DataFrame, *, text_col: str = "text",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """``docs`` plus a ``tokens_col`` array<string> column under the
+    repo-wide lexical spec (``text.word_tokens``) — the persist-once
+    recipe for ``bm25_topk(tokens_col=...)``. BM25 scoring CPU is
+    tokenizer-dominated (the regex pass, measured in
+    tools/scale_sweep.py's bm25 cells); a corpus that outlives its query
+    batches writes this column once next to the text (the
+    ``bm25_corpus_stats`` precedent: corpus-version metadata, computed
+    per version, read per batch) and every subsequent scoring pass skips
+    the regex entirely."""
+    return docs.withColumn(tokens_col, word_tokens(F.col(text_col)))
 
 
 def bm25_corpus_stats(
-    docs: DataFrame, *, text_col: str = "text"
+    docs: DataFrame, *, text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> tuple[int, float]:
     """The (n_docs, avgdl) corpus constants ``bm25_topk`` needs — ONE
     map-side-combined aggregate over the corpus, returned as plain
     numbers to persist as corpus-version metadata and pass back via
     ``corpus_stats=`` (skipping the per-query-batch stats scan).
     ``avgdl`` counts ``word_token_count`` tokens — the same lexical spec
-    the scorer uses. Empty corpus -> (0, 0.0) (which ``bm25_topk``
-    rejects, correctly: BM25 over nothing is meaningless)."""
+    the scorer uses — or ``size(tokens_col)`` when the corpus is
+    pre-tokenized (identical by construction). Empty corpus -> (0, 0.0)
+    (which ``bm25_topk`` rejects, correctly: BM25 over nothing is
+    meaningless)."""
+    dl = (F.size(F.col(tokens_col)).cast("double") if tokens_col
+          else word_token_count(F.col(text_col)))
     row = docs.select(
         F.count(F.lit(1)).alias("n"),
-        F.avg(word_token_count(F.col(text_col))).alias("avgdl"),
+        F.avg(dl).alias("avgdl"),
     ).first()
     return int(row["n"]), float(row["avgdl"] or 0.0)
 
@@ -53,8 +74,18 @@ def bm25_topk(
     qid_col: str = "query_id",
     materialize: bool = True,
     corpus_stats: tuple[int, float] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by Okapi BM25.
+
+    ``tokens_col``: score a PRE-TOKENIZED corpus (an array<string>
+    column written once by ``tokenize_docs`` — same lexical spec) —
+    the production lever for tokenizer-dominated scoring CPU: the
+    corpus regex pass disappears from EVERY query batch, and with
+    ``corpus_stats=`` also set the corpus text column is never read at
+    all. Results are identical to the from-text path by construction
+    (parity-pinned in tests/test_retrieval.py). Queries always tokenize
+    from text — they are the small side.
 
     Scoring is the Lucene formulation: per shared term ``t``,
     ``idf_t · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))`` with
@@ -120,7 +151,9 @@ def bm25_topk(
     # rows an outer explode emits for empty docs are dropped by the
     # inner join on token — same output, one regex per document.
     staged = docs.select(
-        F.col(id_col), word_tokens(F.col(text_col)).alias("_toks"))
+        F.col(id_col),
+        (F.col(tokens_col) if tokens_col
+         else word_tokens(F.col(text_col))).alias("_toks"))
     postings = (
         staged.select(
             F.col(id_col),
@@ -147,9 +180,11 @@ def bm25_topk(
             F.lit(float(avgdl)).alias("_avgdl"),
             F.lit(1).alias("_j"))
     else:
+        dl = (F.size(F.col(tokens_col)).cast("double") if tokens_col
+              else word_token_count(F.col(text_col)))
         stats = docs.select(
             F.count(F.lit(1)).alias("_n"),
-            F.avg(word_token_count(F.col(text_col))).alias("_avgdl"),
+            F.avg(dl).alias("_avgdl"),
         ).withColumn("_j", F.lit(1))
     dfreq = postings.groupBy("token").agg(
         F.count(F.lit(1)).alias("doc_freq"))

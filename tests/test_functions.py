@@ -1409,13 +1409,24 @@ def test_lineitem_cube_duckdb_parity(spark, sf_dir):
     to dup_spans — see q_dup_spans's docstring for the shadowing
     argument: CUBE is orders_rollup's Expand with a larger lattice; the
     lineitem scan + decimal sums stay hashed under pricing_summary and
-    skew_median)."""
+    skew_median). The retired BUILDER lives here too (round-12 hygiene:
+    __spark_entry__.py carries only the live driver contract)."""
     import duckdb
 
-    import __spark_entry__ as entry_mod
+    def q_lineitem_cube(spark, sf_dir):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.cube("l_returnflag", "l_linestatus")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("double").alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "sum_qty", "n")
+        )
 
-    got = sorted(map(tuple, entry_mod.q_lineitem_cube(
-        spark, sf_dir).collect()))
+    got = sorted(map(tuple, q_lineitem_cube(spark, sf_dir).collect()))
     con = duckdb.connect()
     con.execute(f"CREATE VIEW lineitem AS SELECT * FROM "
                 f"read_parquet('{sf_dir}/lineitem.parquet')")

@@ -209,3 +209,30 @@ def test_bm25_corpus_stats_helper(spark, corpus, queries):
     assert a == b and len(a) > 0
     empty = corpus.where("doc_id < 0")
     assert retrieval.bm25_corpus_stats(empty) == (0, 0.0)
+
+
+def test_bm25_pretokenized_parity_and_no_corpus_regex(spark, corpus,
+                                                      queries):
+    """tokens_col= (the persist-once recipe) must reproduce the from-text
+    scores EXACTLY, bm25_corpus_stats must agree across both feeds, and
+    with tokens_col + corpus_stats the lazy plan must contain ZERO
+    corpus-text regex sites (the tokenizer CPU the recipe removes)."""
+    tok = retrieval.tokenize_docs(corpus)
+    want = sorted(map(tuple, retrieval.bm25_topk(
+        corpus, queries, k=4).collect()))
+    got = sorted(map(tuple, retrieval.bm25_topk(
+        tok, queries, k=4, tokens_col="tokens").collect()))
+    assert got == want and len(got) > 0
+    assert retrieval.bm25_corpus_stats(tok, tokens_col="tokens") == \
+        retrieval.bm25_corpus_stats(corpus)
+    stats = retrieval.bm25_corpus_stats(tok, tokens_col="tokens")
+    # the recipe persists the token column; localCheckpoint stands in for
+    # the parquet round-trip so the lazy plan shows what a query batch
+    # actually costs against stored tokens
+    stored = tok.localCheckpoint(eager=True)
+    df = retrieval.bm25_topk(stored, queries, k=3, materialize=False,
+                             corpus_stats=stats, tokens_col="tokens")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("regexp_extract_all(lower(text") == 0, plan
+    # query tokenization still happens (queries are the small side)
+    assert plan.count("regexp_extract_all(lower(query") > 0
