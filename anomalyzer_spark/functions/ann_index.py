@@ -232,10 +232,21 @@ def serve_ivfpq_stream(
     query_id_col: str = "vec_id",
     k: int = 10,
     n_probe: int = 4,
+    refine: int | None = None,
+    refine_source: str = "corpus",
+    corpus: DataFrame | None = None,
+    id_col: str = "vec_id",
     trigger: dict | None = None,
 ):
     """Online ANN serving: a STREAM of query vectors scored per micro-batch
     against the persisted index, written to a per-batch parquet sink.
+
+    ``refine``/``refine_source``/``corpus`` forward to
+    ``search_ivfpq_index`` per micro-batch — with an index built
+    ``quantized_refine=True`` and ``refine_source="quantized"``, the
+    serving loop re-ranks exactly without touching any float-corpus
+    storage (the int8 tier is in the index files the probe already
+    prunes).
 
     This is the ``foreachBatch`` sink shape (SURVEY §2.7): the search needs
     a per-batch driver action (collecting the batch's probe cells for the
@@ -263,7 +274,9 @@ def serve_ivfpq_stream(
             search_ivfpq_index(
                 spark, index_path, batch_df, centroids, codebooks,
                 vec_col=vec_col, query_id_col=query_id_col,
-                k=k, n_probe=n_probe)
+                k=k, n_probe=n_probe, refine=refine,
+                refine_source=refine_source, corpus=corpus,
+                id_col=id_col)
             .write.mode("overwrite")
             .parquet(f"{out_path}/batch_id={batch_id}")
         )

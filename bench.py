@@ -136,6 +136,44 @@ def plan_fingerprint(df) -> str:
     s = re.sub(r"\[id=#?x?\d*\]", "[id=x]", s)
     s = re.sub(r"@[0-9a-fA-F]{6,}", "@x", s)
     s = re.sub(r"\(\d+\)", "(x)", s)  # codegen stage ids "*(3) Project"
+    # RewriteDistinctAggregates assigns its `gid` group ids in an order
+    # that depends on expression-id allocation history: an aggregate with
+    # TWO count-distincts (decontam) renders `FILTER (WHERE (gid#x = 1))`
+    # vs `= 2` swapped — and the Expand projection rows permuted — across
+    # otherwise identical compilations (observed flip-flopping floors
+    # through round 12). Canonicalize: mask the gid literals, then sort
+    # Expand's projection-row list after masking integer literals inside
+    # the rows (the gid column rides there too).
+    s = re.sub(r"gid#x = \d+", "gid#x = n", s)
+
+    def _canon_expand(m):
+        def canon_row(r):
+            items = [re.sub(r"^\d+$", "n", it)
+                     for it in r.strip("[]").split(", ")]
+            return "[" + ", ".join(sorted(items)) + "]"
+
+        rows = sorted(canon_row(r)
+                      for r in re.findall(r"\[[^\]]*\]", m.group(1)))
+        attrs = sorted(m.group(2).split(", "))
+        return ("Expand [" + ", ".join(rows) + "], ["
+                + ", ".join(attrs) + "]")
+
+    # rows are sorted AFTER sorting within each row (the rewrite permutes
+    # the Expand's column layout itself, not just the row order), and the
+    # trailing output-attribute list is sorted with them
+    s = re.sub(r"Expand \[(\[[^\]]*\](?:, \[[^\]]*\])*)\], \[([^\[\]]*)\]",
+               _canon_expand, s)
+    # ... and the rewrite's grouping keys permute with the gids, dragging
+    # HashAggregate keys=/output= lists and Exchange hashpartitioning
+    # argument order along. Key ORDER never changes what a plan computes
+    # (same grouping, same co-partitioning), so sort those flat lists.
+    def _sort_items(m):
+        return m.group(1) + ", ".join(sorted(m.group(2).split(", "))) \
+            + m.group(3)
+
+    s = re.sub(r"(keys=\[)([^\[\]]*)(\])", _sort_items, s)
+    s = re.sub(r"(output=\[)([^\[\]]*)(\])", _sort_items, s)
+    s = re.sub(r"(hashpartitioning\()([^()]*)(\))", _sort_items, s)
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 

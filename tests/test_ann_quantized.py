@@ -192,3 +192,30 @@ def test_compact_preserves_quantized_columns(spark, grid_corpus, tmp_path):
     ann_index.build_ivfpq_index(df, direct, cents, books,
                                 quantized_refine=True)
     assert _qsnapshot(spark, out) == _qsnapshot(spark, direct)
+
+
+def test_streaming_serve_with_quantized_refine(spark, grid_corpus, tmp_path):
+    """serve_ivfpq_stream(refine_source='quantized') must emit exactly the
+    offline quantized-refine results per micro-batch, with no corpus."""
+    df, cents, books = grid_corpus
+    path = str(tmp_path / "qidx_serve")
+    ann_index.build_ivfpq_index(df, path, cents, books,
+                                quantized_refine=True)
+    q = df.where(F.col("vec_id") < 6)
+    qdir = str(tmp_path / "queries")
+    q.coalesce(1).write.parquet(qdir)
+    stream = spark.readStream.schema(q.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(qdir)
+    out = str(tmp_path / "served")
+    sq = ann_index.serve_ivfpq_stream(
+        spark, path, stream, cents, books, out,
+        str(tmp_path / "ckpt"), k=5, n_probe=4, refine=20,
+        refine_source="quantized")
+    sq.awaitTermination()
+    got = sorted(map(tuple, spark.read.parquet(out)
+                     .select("query_id", "neighbor_id", "cos_sim", "rnk")
+                     .collect()))
+    want = sorted(map(tuple, ann_index.search_ivfpq_index(
+        spark, path, q, cents, books, k=5, n_probe=4, refine=20,
+        refine_source="quantized").collect()))
+    assert got == want and len(got) == 6 * 5

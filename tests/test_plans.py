@@ -355,3 +355,38 @@ def test_range_join_registry_plan_equi_not_theta(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "HashJoin" in plan
+
+
+def test_plan_fingerprint_stable_across_session_history(spark, sf_dir):
+    """bench.plan_fingerprint must not depend on how many plans the
+    session compiled before it. The round-12 instance: an aggregate with
+    TWO count-distincts (decontam) goes through Catalyst's
+    RewriteDistinctAggregates, whose `gid` group ids — and with them the
+    Expand column layout and the grouping-key order — are assigned in
+    expression-id-allocation order, i.e. session history. The floor table
+    flip-flopped between two hashes of the SAME plan for several rounds.
+    Also pins that canonicalization does not conflate distinct plans."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    from anomalyzer_spark.functions import decontam
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    def fp():
+        return bench.plan_fingerprint(decontam.contamination(docs, ev, n=8))
+
+    h1 = fp()
+    # shift the session's expression-id counter by compiling + running an
+    # unrelated plan (the bench's own execution pattern)
+    docs.select(F.length("text").alias("len")).groupBy("len").count() \
+        .write.mode("overwrite").format("noop").save()
+    h2, h3 = fp(), fp()
+    assert h1 == h2 == h3
+    # distinct plans must stay distinct through the canonicalization
+    other = bench.plan_fingerprint(
+        docs.groupBy(F.length("text")).agg(F.count_distinct("doc_id")))
+    assert other != h1
