@@ -521,7 +521,7 @@ def test_decode_image_raw_real_formats(spark):
     assert got[1]["pixels"] == pytest.approx(
         [0.0, 64 / 255, 128 / 255, 1.0], abs=0)
     assert got[4]["pixels"] is None and "truncated" in got[4]["err"]
-    assert got[5]["pixels"] is None and "PIL" in got[5]["err"]
+    assert got[5]["pixels"] is None and "fallback_decoder" in got[5]["err"]
     # magic sniff tags the raw formats
     fmts = {r["doc_id"]: r["format"] for r in
             multimodal.payload_meta(df).collect()}
