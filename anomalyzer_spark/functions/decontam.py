@@ -35,19 +35,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import word_shingles
+from .dedup import normalized_words, word_shingles_from_words
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, n: int,
-           out_id: str) -> DataFrame:
-    """(out_id, n_grams, gram) — one row per DISTINCT word n-gram."""
+           out_id: str, words_col: str | None = None) -> DataFrame:
+    """(out_id, n_grams, gram) — one row per DISTINCT word n-gram.
+    ``words_col``: shingle a persisted ``dedup.normalized_words`` column
+    instead of re-normalizing the text (the corpus-side fast path).
+
+    The word array is STAGED as its own projection before the shingle
+    expression: word_shingles' zip_with chain references its input ~n+2
+    times, and HOF subtrees evaluate per reference — staging makes the
+    regex normalization run once per row (CollapseProject keeps the
+    stage because the alias is multiply-referenced and non-cheap) — and
+    explode_OUTER stops InferFiltersFromGenerate from pushing a
+    size(grams)>0 filter into the scan that re-runs the whole shingle
+    tree per row (the bm25 lesson; together measured ~2.5x warm at n=8
+    on sf0.1). The NULL gram an outer explode emits for a NULL-text row
+    is dropped by the callers' inner join on gram."""
+    w = (F.col(words_col) if words_col
+         else normalized_words(F.col(text_col)))
     return df.select(
-        F.col(id_col).alias(out_id),
-        word_shingles(F.col(text_col), n).alias("_g"),
+        F.col(id_col).alias(out_id), w.alias("_w"),
+    ).select(
+        F.col(out_id),
+        word_shingles_from_words(F.col("_w"), n).alias("_g"),
     ).select(
         F.col(out_id),
         F.size("_g").alias("n_grams"),
-        F.explode("_g").alias("gram"),
+        F.explode_outer("_g").alias("gram"),
     )
 
 
@@ -62,8 +79,19 @@ def contamination(
     n: int = 8,
     min_hits: int = 1,
     broadcast_eval: bool = True,
+    train_words_col: str | None = None,
 ) -> DataFrame:
     """Per-contaminated-training-document overlap report.
+
+    ``train_words_col``: name of a persisted ``dedup.normalized_words``
+    column on ``train_df`` — the corpus-side fast path when one corpus is
+    screened against many eval sets (or re-screened per release):
+    normalization is the regex-heavy part of shingling, so write the
+    word array once next to the text and every screening pass shingles
+    the stored arrays instead of re-running the regexes (identical
+    output by construction — parity-pinned; the ``retrieval.
+    tokenize_docs`` / ``bm25_corpus_stats`` persist-once precedent). The
+    eval side always shingles from text — it is the small side.
 
     Returns (``<id_col>``, ``n_grams``, ``n_hit_grams``, ``n_eval_docs``,
     ``contamination``) for training documents whose DISTINCT n-gram
@@ -93,7 +121,8 @@ def contamination(
                eval_id_col or id_col, n, "_eval_id")
         .select("_eval_id", "gram")
     )
-    tr = _grams(train_df, text_col, id_col, n, id_col)
+    tr = _grams(train_df, text_col, id_col, n, id_col,
+                words_col=train_words_col)
     hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "gram")
     out = hits.groupBy(id_col).agg(
         F.first("n_grams").alias("n_grams"),
@@ -117,17 +146,18 @@ def decontaminate(
     eval_id_col: str | None = None,
     n: int = 8,
     min_hits: int = 1,
+    train_words_col: str | None = None,
 ) -> DataFrame:
     """The training corpus minus contaminated documents, schema unchanged.
 
     Clean rows never shuffle: the contaminated-id frame is bounded by the
     eval set's reach, so the removal is a broadcast LEFT ANTI join on the
     id — every other column (and the input's partitioning) passes through
-    untouched."""
+    untouched. ``train_words_col``: see ``contamination``."""
     bad = contamination(
         train_df, eval_df, text_col=text_col, id_col=id_col,
         eval_text_col=eval_text_col, eval_id_col=eval_id_col,
-        n=n, min_hits=min_hits,
+        n=n, min_hits=min_hits, train_words_col=train_words_col,
     ).select(id_col)
     return train_df.join(F.broadcast(bad), id_col, "left_anti")
 
@@ -171,7 +201,7 @@ def fuzzy_contamination(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
-    from .dedup import minhash_band_buckets, word_shingles
+    from .dedup import minhash_band_buckets
 
     etext = eval_text_col or text_col
     eid = eval_id_col or id_col
@@ -189,11 +219,15 @@ def fuzzy_contamination(
     tsh = (
         train_df.join(cand.select(id_col).distinct(), id_col, "left_semi")
         .select(F.col(id_col),
-                word_shingles(F.col(text_col), k).alias("_sa"))
+                normalized_words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col),
+                word_shingles_from_words(F.col("_w"), k).alias("_sa"))
     )
     esh = eval_df.select(
         F.col(eid).alias("_eval_id"),
-        word_shingles(F.col(etext), k).alias("_sb"))
+        normalized_words(F.col(etext)).alias("_w"),
+    ).select("_eval_id",
+             word_shingles_from_words(F.col("_w"), k).alias("_sb"))
     jac = (F.size(F.array_intersect("_sa", "_sb"))
            / F.size(F.array_union("_sa", "_sb")))
     return (

@@ -75,18 +75,33 @@ def exact_dedup(
     )
 
 
+def normalized_words(text: Column) -> Column:
+    """array<string> of the normalized word sequence — the persist-once
+    column for every shingle consumer (``word_shingles_from_words`` /
+    ``decontam.contamination(train_words_col=)``): normalization is the
+    regex-heavy part of shingling, so a corpus scored against many eval
+    sets / shingle sizes writes this column once next to the text (the
+    ``retrieval.tokenize_docs`` recipe, on the dedup lexical spec)."""
+    return F.split(normalized(text), " ")
+
+
 def word_shingles(text: Column, k: int = 3) -> Column:
     """Distinct word k-gram shingles of the normalized text (array<string>).
 
     Documents with fewer than k words yield their full word sequence as a
-    single shingle (so short docs still participate).
+    single shingle (so short docs still participate)."""
+    return word_shingles_from_words(normalized_words(text), k)
+
+
+def word_shingles_from_words(words: Column, k: int = 3) -> Column:
+    """``word_shingles`` over an already-normalized word array (a
+    ``normalized_words`` column, usually persisted).
 
     Built as k-1 chained zip_withs over shifted slices of the word array
     (O(k) array allocations per doc) rather than one slice+join per
     position (O(n·k)) — higher-order functions run interpreted (outside
     whole-stage codegen), so per-element allocation dominates their cost.
     """
-    words = F.split(normalized(text), " ")
     n = F.size(words)
     acc = words
     for j in range(1, k):
@@ -101,14 +116,25 @@ def word_shingles(text: Column, k: int = 3) -> Column:
 def _shingle_exploded(
     df: DataFrame, text_col: str, id_col: str, k: int, max_shingle_freq: int | None
 ) -> DataFrame:
-    """(id, n_shingles, shingle) rows; optionally drops hot shingles."""
+    """(id, n_shingles, shingle) rows; optionally drops hot shingles.
+    Words staged before the shingle expr (one regex pass per row — HOF
+    subtrees evaluate per reference) and explode_OUTER + isNotNull
+    instead of explode: InferFiltersFromGenerate would add a
+    size(shingles)>0 filter pushed into the SCAN, re-running the whole
+    staged shingle tree once more per row (the bm25 lesson; measured
+    2.5x on the k=8 gram explode). The isNotNull on the POST-generate
+    attribute keeps NULL-text rows out of the shingle groupBy and
+    cannot be pushed below the generate."""
     sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), k).alias("_shingles")
+        F.col(id_col), normalized_words(F.col(text_col)).alias("_w")
+    ).select(
+        F.col(id_col),
+        word_shingles_from_words(F.col("_w"), k).alias("_shingles")
     ).select(
         F.col(id_col),
         F.size("_shingles").alias("n_shingles"),
-        F.explode("_shingles").alias("shingle"),
-    )
+        F.explode_outer("_shingles").alias("shingle"),
+    ).where(F.col("shingle").isNotNull())
     if max_shingle_freq is not None:
         # df(shingle) via a window count, NOT an agg + self-join: the self-
         # join would recompute the shingle explode for both sides (measured
@@ -212,8 +238,14 @@ def minhash_signatures(
     input, not be referenced from ``num_hashes`` separate expressions).
 
     Returns (id, sig array<bigint>), each element in [0, 2^32).
+
+    The word array is staged as its own projection (one regex pass per
+    row — the shingle chain references it ~k+2 times and HOF subtrees
+    evaluate per reference; see decontam._grams).
     """
-    shingles = word_shingles(F.col(text_col), k)
+    staged = df.select(F.col(id_col),
+                       normalized_words(F.col(text_col)).alias("_w"))
+    shingles = word_shingles_from_words(F.col("_w"), k)
     pairs = F.transform(
         F.transform(shingles, lambda s: F.md5(s.cast("binary"))),
         lambda h: F.struct(
@@ -229,7 +261,7 @@ def minhash_signatures(
             acc, fams, lambda m, i: F.least(m, (p["h1"] + i * p["h2"]) % _MOD32)
         ),
     )
-    return df.select(F.col(id_col), sig.alias("sig"))
+    return staged.select(F.col(id_col), sig.alias("sig"))
 
 
 def minhash_band_buckets(
@@ -397,7 +429,10 @@ def minhash_lsh_pairs(
     )
     sh = (
         df.join(cand_ids, id_col, "left_semi")
-        .select(F.col(id_col), word_shingles(F.col(text_col), k).alias("sh"))
+        .select(F.col(id_col),
+                normalized_words(F.col(text_col)).alias("_w"))
+        .select(F.col(id_col),
+                word_shingles_from_words(F.col("_w"), k).alias("sh"))
     )
     if materialize:
         # sh feeds verify's two join legs (id_a side, id_b side) — same
@@ -1235,10 +1270,16 @@ def gram_occurrences(
     (``<id_col>``, ``pos``, ``gram_hash``) frame both the batch
     ``duplicate_spans`` window pass and the streaming gram store
     aggregate over. One scan, zero exchanges; O(words × min_len) byte
-    hashing per document (the documented suffix-array trade)."""
+    hashing per document (the documented suffix-array trade). The token
+    array is STAGED as its own projection: ``_gram_hashes`` references
+    it ~min_len+2 times and HOF subtrees evaluate per reference, so
+    inlining ran the whitespace split ~22x per document (measured 1.9x
+    warm on the sf0.1 gram explode)."""
     return df.select(
+        F.col(id_col), _ws_exact_tokens(F.col(text_col)).alias("_t"),
+    ).select(
         F.col(id_col),
-        F.posexplode(_gram_hashes(_ws_exact_tokens(F.col(text_col)), min_len))
+        F.posexplode(_gram_hashes(F.col("_t"), min_len))
         .alias("pos", "gram_hash"),
     )
 
@@ -1364,11 +1405,6 @@ def strip_spans_frame(
         ).alias("_kp"),
     )
 
-    toks = _ws_exact_tokens(F.col(text_col))
-    indexed = F.transform(
-        toks, lambda t, i: F.struct(i.alias("i"), t.alias("t"))
-    )
-
     def _covered(col: str, i: Column) -> Column:
         return F.coalesce(
             F.exists(
@@ -1377,14 +1413,31 @@ def strip_spans_frame(
             F.lit(False),
         )
 
-    kept = F.filter(
+    # _toks and _kept are STAGED as real columns: the final projection
+    # references the kept array ~4 times and HOF subtrees evaluate per
+    # reference — inlined, the filter (an exists() over the span list
+    # PER TOKEN) re-ran per reference (the decontam._grams staging rule)
+    carry = list(carry_cols or [])
+    staged = (
+        df.join(per_doc, id_col, "left")
+        .select(F.col(id_col), F.col("_rm"), F.col("_kp"), *carry,
+                _ws_exact_tokens(F.col(text_col)).alias("_toks"))
+    )
+    indexed = F.transform(
+        F.col("_toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))
+    )
+    kept_expr = F.filter(
         indexed,
         lambda s: ~(_covered("_rm", s["i"]) & ~_covered("_kp", s["i"])),
     )
-    head = F.element_at(kept, 1)
+    staged = staged.select(
+        F.col(id_col), F.col("_rm"), *carry,
+        F.size("_toks").alias("_n_toks"), kept_expr.alias("_kept"))
+    head = F.element_at(F.col("_kept"), 1)
     head_txt = F.when(head["i"] == 0, head["t"]).otherwise(
         F.regexp_replace(head["t"], r"^\s+", "")
     )
+    kept = F.col("_kept")
     rebuilt = F.when(F.size(kept) == 0, F.lit("")).otherwise(
         F.concat(
             head_txt,
@@ -1397,19 +1450,17 @@ def strip_spans_frame(
             ),
         )
     )
-    return (
-        df.join(per_doc, id_col, "left")
-        .select(
-            F.col(id_col),
-            rebuilt.alias(text_col),
-            # size(NULL) is -1 under default (non-ANSI) semantics, so the
-            # no-spans left-join miss needs an explicit isNull guard
-            F.when(F.col("_rm").isNull(), F.lit(0))
-            .otherwise(F.size(F.col("_rm"))).cast("long")
-            .alias("n_spans_removed"),
-            (F.size(toks) - F.size(kept)).cast("long").alias("n_tokens_dropped"),
-            *[F.col(c) for c in (carry_cols or [])],
-        )
+    return staged.select(
+        F.col(id_col),
+        rebuilt.alias(text_col),
+        # size(NULL) is -1 under default (non-ANSI) semantics, so the
+        # no-spans left-join miss needs an explicit isNull guard
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size(F.col("_rm"))).cast("long")
+        .alias("n_spans_removed"),
+        (F.col("_n_toks") - F.size(kept)).cast("long")
+        .alias("n_tokens_dropped"),
+        *[F.col(c) for c in carry],
     )
 
 

@@ -115,7 +115,15 @@ def audio_dedup_stream(
     pairs with ``audio_pairs_store``. Clip ids must be unique across the
     stream (the minhash_stream contract). ``fp_kwargs`` forward to
     ``audio_fingerprint`` (frame/hop/n_bands/fmin/fmax) — they are part
-    of the store's identity, so use one setting per store."""
+    of the store's identity, so use one setting per store.
+
+    Batch ``audio_matches``'s ``max_df`` (hot-subfingerprint cap) is
+    deliberately NOT offered here: document frequency is corpus-relative
+    and GROWS with history, so a streaming cap would either diverge from
+    the batch operator (pairs admitted while df was still low) or need
+    retroactive pair retraction. Stream ≡ batch holds at the batch
+    default (max_df=None); cap pathological subfingerprints upstream
+    (e.g. drop silence by rms) if a corpus needs it."""
     fps_dir = f"{store_dir}/fps"
     pairs_dir = f"{store_dir}/pairs"
     fp_schema = _fp_schema(id_col)

@@ -225,3 +225,45 @@ def test_fuzzy_plan_broadcasts_eval_side(spark, sf_dir):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan
     with pytest.raises(ValueError):
         decontam.fuzzy_contamination(docs, ev, threshold=0.0)
+
+
+def test_pretokenized_corpus_parity_and_no_train_regex(spark, sf_dir):
+    """train_words_col= (the persist-once normalized-words recipe) must
+    reproduce the from-text report EXACTLY, and the lazy plan must carry
+    ZERO train-side normalization regexes — only the eval side (the
+    small side) still normalizes from text."""
+    from anomalyzer_spark.functions import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    want = sorted(map(tuple, decontam.contamination(
+        docs, ev, n=8).collect()))
+    # localCheckpoint stands in for the parquet round-trip of the stored
+    # words column (building it lazily would keep the regex in-plan)
+    tok = docs.select(
+        "doc_id", "text",
+        dedup.normalized_words(F.col("text")).alias("words"),
+    ).localCheckpoint(eager=True)
+    got_df = decontam.contamination(tok, ev, n=8, train_words_col="words")
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
+    # exactly the eval side's normalization remains: the from-text plan
+    # normalizes in BOTH subtrees (train + eval), the pretokenized plan
+    # only in eval — so its regex-site count must halve
+    def regex_sites(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return plan.count("regexp_replace(lower(text")
+
+    # one normalization site per from-text subtree (the staging +
+    # explode_outer fixes keep it out of inferred scan filters too);
+    # inspect FRESH un-executed frames — a finalized AQE plan re-renders
+    # broadcast-stage subtrees and double-counts
+    both = regex_sites(decontam.contamination(docs, ev, n=8))
+    only_eval = regex_sites(
+        decontam.contamination(tok, ev, n=8, train_words_col="words"))
+    assert (both, only_eval) == (2, 1)
+    # decontaminate composes the same fast path
+    clean = decontam.decontaminate(tok, ev, n=8,
+                                   train_words_col="words")
+    bad_ids = {r[0] for r in got}
+    assert clean.where(F.col("doc_id").isin(list(bad_ids))).count() == 0
