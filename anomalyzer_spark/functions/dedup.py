@@ -719,8 +719,13 @@ def cdc_chunks(
     text, n = F.col(text_col), F.length(F.col(text_col))
     positions = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)) \
         .otherwise(F.array().cast("array<int>"))
+    # explode_OUTER: a plain explode's inferred size(positions)>0 scan
+    # filter would BUILD the whole position sequence once more per row
+    # just to measure it (the bm25/_grams lesson); the NULL row an outer
+    # explode emits for a short doc fails the md5 cut condition below
     grams = df.select(
-        F.col(id_col), text.alias("_t"), F.explode(positions).alias("p"),
+        F.col(id_col), text.alias("_t"),
+        F.explode_outer(positions).alias("p"),
     ).where(
         F.conv(F.substring(F.md5(F.col("_t").substr(F.col("p"), F.lit(w))
                                  .cast("binary")), 1, 8), 16, 10)

@@ -420,9 +420,15 @@ def vocab(
     skew is absorbed by the map-side partial aggregation (each input
     split contributes at most one row per distinct token).
     """
+    # explode_outer + isNotNull: a plain explode gets an inferred
+    # size(tokens)>0 filter pushed into the scan that re-runs the
+    # tokenizer regex per row (the bm25/_grams lesson); the isNotNull on
+    # the post-generate attribute keeps NULL-text rows out of the groups
     tok = (
-        df.select(F.col(id_col), F.explode(word_tokens(F.col(text_col)))
+        df.select(F.col(id_col),
+                  F.explode_outer(word_tokens(F.col(text_col)))
                   .alias("token"))
+        .where(F.col("token").isNotNull())
     )
     out = tok.groupBy("token").agg(
         F.count(F.lit(1)).alias("term_freq"),
@@ -536,9 +542,11 @@ def tfidf_terms(
         raise ValueError("k must be >= 1")
     if min_doc_freq < 1:
         raise ValueError("min_doc_freq must be >= 1")
+    # explode_outer + isNotNull: see vocab (inferred generate-filter)
     tok = df.select(
         F.col(id_col),
-        F.explode(word_tokens(F.col(text_col))).alias("token"))
+        F.explode_outer(word_tokens(F.col(text_col))).alias("token")) \
+        .where(F.col("token").isNotNull())
     tf = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"))
     # dfreq derives FROM tf — its rows are exactly the distinct
@@ -722,9 +730,11 @@ def hash_embeddings(
     """
     if dim < 1:
         raise ValueError("dim must be >= 1")
+    # explode_outer + isNotNull: see vocab (inferred generate-filter)
     tok = df.select(
         F.col(id_col),
-        F.explode(word_tokens(F.col(text_col))).alias("_t"))
+        F.explode_outer(word_tokens(F.col(text_col))).alias("_t")) \
+        .where(F.col("_t").isNotNull())
     bucket = (
         F.conv(F.substring(F.md5(F.col("_t").cast("binary")), 1, 8), 16, 10)
         .cast("long") % dim)
