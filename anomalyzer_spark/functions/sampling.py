@@ -529,3 +529,56 @@ def apply_mixture_plan(
         .drop("_mx_domain", "epochs")
         .withColumnRenamed("_epoch", "epoch")
     )
+
+
+def split_train_eval(
+    df: DataFrame,
+    eval_fraction: float,
+    id_col: str = "doc_id",
+    *,
+    groups: DataFrame | None = None,
+    group_col: str = "group_id",
+    seed: int = 42,
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic, LEAKAGE-SAFE train/eval split: every row gains a
+    ``split_col`` of ``'eval'`` (hash fraction ≈ ``eval_fraction``) or
+    ``'train'``.
+
+    The leakage problem this exists for: a random row-level split puts
+    near-duplicate documents on BOTH sides, and the eval half then
+    scores memorization, not generalization. Pass ``groups`` — any
+    (``id_col``, ``group_col``) frame, i.e. the output of
+    ``dedup.duplicate_groups`` / ``similarity.embedding_dedup_groups`` /
+    ``semantic_dedup_groups`` — and the split hash is taken over the
+    row's GROUP id (its own id for ungrouped rows), so an entire
+    near-dup family lands on ONE side, always (group-atomicity pinned in
+    tests/test_split.py).
+
+    Properties (all inherited from the ``hash_sample`` construction):
+    deterministic (same seed → same split, any partitioning/cluster);
+    NESTING — widening ``eval_fraction`` only grows the eval side, so a
+    5% smoke eval is a subset of the 10% one; engine-portable (the
+    md5-derived ``_hash48``, DuckDB/NumPy-replayable).
+
+    Plan shape: one broadcast-free left equi-join on id against the
+    bounded groups frame (grouped docs only), then a map-only CASE —
+    clean rows never shuffle. At 100 TB this composes as: mine pairs
+    (LSH / SemDeDup), resolve groups once, persist them as corpus
+    metadata, and every split/rebalance derives from the same frame."""
+    if not 0.0 <= eval_fraction <= 1.0:
+        raise ValueError("eval_fraction must be in [0, 1]")
+    key = F.coalesce(F.col("_split_key"), F.col(id_col).cast("string"))
+    if groups is not None:
+        g = groups.select(
+            F.col(id_col),
+            F.col(group_col).cast("string").alias("_split_key"))
+        joined = df.join(g, id_col, "left")
+    else:
+        joined = df.withColumn("_split_key",
+                               F.lit(None).cast("string"))
+    return joined.withColumn(
+        split_col,
+        F.when(_hash48(key, seed) < int(eval_fraction * _BUCKETS),
+               F.lit("eval")).otherwise(F.lit("train")),
+    ).drop("_split_key")
