@@ -80,6 +80,8 @@ def contamination(
     min_hits: int = 1,
     broadcast_eval: bool = True,
     train_words_col: str | None = None,
+    eval_bloom=None,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """Per-contaminated-training-document overlap report.
 
@@ -111,6 +113,17 @@ def contamination(
     corpus release, not a benchmark) pass ``False``: the gram match runs
     as an ordinary shuffled equi-join on the gram key instead — one
     extra corpus exchange, no broadcast memory bound.
+
+    ``bloom_fpp`` / ``eval_bloom`` — the scale path for that large
+    right side: prefilter the corpus gram stream through a Bloom filter
+    of the eval grams (``functions.bloom``) BEFORE the match join, so
+    the corpus-side join/shuffle volume is proportional to the
+    contamination rate rather than the corpus size. Results are EXACT
+    either way: the join after the prefilter settles every false
+    positive. Pass ``bloom_fpp`` (e.g. 0.01) to size-and-build from the
+    eval grams here, or ``eval_bloom`` (a ``bloom.GramBloom``, usually
+    ``bloom.load_bloom`` of a persisted per-release filter built over
+    the SAME normalization and gram size) to reuse one across screens.
     """
     if n < 1:
         raise ValueError("n must be >= 1")
@@ -123,6 +136,13 @@ def contamination(
     )
     tr = _grams(train_df, text_col, id_col, n, id_col,
                 words_col=train_words_col)
+    if eval_bloom is None and bloom_fpp is not None:
+        from . import bloom as _bloom
+        eval_bloom = _bloom.build_bloom(
+            ev.select("gram"), "gram", fpp=bloom_fpp)
+    if eval_bloom is not None:
+        from . import bloom as _bloom
+        tr = _bloom.filter_maybe_contains(tr, eval_bloom, "gram")
     hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "gram")
     out = hits.groupBy(id_col).agg(
         F.first("n_grams").alias("n_grams"),
@@ -147,17 +167,21 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     train_words_col: str | None = None,
+    eval_bloom=None,
+    bloom_fpp: float | None = None,
 ) -> DataFrame:
     """The training corpus minus contaminated documents, schema unchanged.
 
     Clean rows never shuffle: the contaminated-id frame is bounded by the
     eval set's reach, so the removal is a broadcast LEFT ANTI join on the
     id — every other column (and the input's partitioning) passes through
-    untouched. ``train_words_col``: see ``contamination``."""
+    untouched. ``train_words_col`` / ``eval_bloom`` / ``bloom_fpp``: see
+    ``contamination``."""
     bad = contamination(
         train_df, eval_df, text_col=text_col, id_col=id_col,
         eval_text_col=eval_text_col, eval_id_col=eval_id_col,
         n=n, min_hits=min_hits, train_words_col=train_words_col,
+        eval_bloom=eval_bloom, bloom_fpp=bloom_fpp,
     ).select(id_col)
     return train_df.join(F.broadcast(bad), id_col, "left_anti")
 
