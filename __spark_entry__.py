@@ -1178,7 +1178,18 @@ def q_snapshot_diff(spark, sf_dir):
     reduces to (id, md5) map-side off a pruned two-column scan, then ONE
     full-outer equi-join on the id. Unchanged rows dropped (the default),
     so the hashed contract covers the status classification AND the raw-
-    byte md5 content identities on both sides."""
+    byte md5 content identities on both sides.
+
+    RIDER — changelog.apply_changes under the same value hash: the new
+    snapshot is REBUILT from the old one plus a multi-version CDC
+    changelog (a DECOY version at seq 1 superseded by the real text at
+    seq 2, deletes at seq 3 — so the max_by latest-wins fold is what the
+    hash attests, not just the union), and each diff row carries
+    ``rebuilt_hash`` = md5 of the rebuilt row's text (NULL for removed
+    ids). By construction rebuilt == new, so rebuilt_hash must equal
+    new_hash on added/changed rows — and the DuckDB oracle recomputes
+    the whole MERGE independently (row_number latest-wins)."""
+    from anomalyzer_spark.functions import changelog as chlog
     from anomalyzer_spark.functions import dedup
     docs = _docs(spark, sf_dir)
     old = docs.select("doc_id", "text")
@@ -1192,7 +1203,28 @@ def q_snapshot_diff(spark, sf_dir):
         .unionAll(docs.where(F.col("doc_id") < 10)
                   .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
                           "text")))
-    return dedup.snapshot_diff(old, new, "text", "doc_id")
+    diff = dedup.snapshot_diff(old, new, "text", "doc_id")
+    upsert_src = (
+        docs.where((F.col("doc_id") % 7 != 0) & (F.col("doc_id") % 5 == 0))
+        .select("doc_id",
+                F.concat(F.col("text"), F.lit(" v2")).alias("text"))
+        .unionAll(docs.where(F.col("doc_id") < 10)
+                  .select((F.col("doc_id") + 1_000_000).alias("doc_id"),
+                          "text")))
+    changes = (
+        upsert_src.select("doc_id", F.lit("DECOY").alias("text"),
+                          F.lit(1).alias("seq"), F.lit("upsert").alias("op"))
+        .unionAll(upsert_src.select(
+            "doc_id", "text",
+            F.lit(2).alias("seq"), F.lit("upsert").alias("op")))
+        .unionAll(docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.lit("").alias("text"),
+            F.lit(3).alias("seq"), F.lit("delete").alias("op"))))
+    rebuilt = chlog.apply_changes(old, changes, ["doc_id"], "seq",
+                                  op_col="op")
+    rb = rebuilt.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("rebuilt_hash"))
+    return diff.join(rb, "doc_id", "left")
 
 
 def q_resample_stream(spark, sf_dir):
@@ -1928,9 +1960,29 @@ cls AS (
               WHEN NOT in_new THEN 'removed'
               WHEN old_hash IS NOT DISTINCT FROM new_hash THEN 'unchanged'
               ELSE 'changed' END AS status
-  FROM j)
-SELECT doc_id, status, old_hash, new_hash
-FROM cls WHERE status <> 'unchanged'"""
+  FROM j),
+upsert_src AS (
+  SELECT doc_id, text || ' v2' AS text FROM documents
+  WHERE doc_id % 7 <> 0 AND doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 10),
+changes AS (
+  SELECT doc_id, 'DECOY' AS text, 1 AS seq, 'upsert' AS op FROM upsert_src
+  UNION ALL SELECT doc_id, text, 2 AS seq, 'upsert' AS op FROM upsert_src
+  UNION ALL SELECT doc_id, '' AS text, 3 AS seq, 'delete' AS op
+            FROM documents WHERE doc_id % 7 = 0),
+latest AS (
+  SELECT doc_id, text, op FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
+    FROM changes) WHERE rn = 1),
+rebuilt AS (
+  SELECT doc_id, text FROM documents
+  WHERE doc_id NOT IN (SELECT doc_id FROM latest)
+  UNION ALL SELECT doc_id, text FROM latest WHERE op <> 'delete')
+SELECT cls.doc_id, status, old_hash, new_hash, r.rebuilt_hash
+FROM cls LEFT JOIN (SELECT doc_id, md5(text) AS rebuilt_hash
+                    FROM rebuilt) r ON cls.doc_id = r.doc_id
+WHERE status <> 'unchanged'"""
 
     # streaming watermarked resample: emitted = batch buckets whose window
     # END has passed the final watermark (max event time - 1h). Spark
