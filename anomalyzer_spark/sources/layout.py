@@ -442,3 +442,87 @@ def refresh_shards(
 
     merged.coalesce(1).write.mode("overwrite").parquet(f"{path}/manifest")
     return len(affected)
+
+
+def compact_shards(
+    spark,
+    path: str,
+    *,
+    shard_col: str = "shard",
+    target_mb: int = 256,
+    order_by: list[str] | None = None,
+    compression_ratio: float = 4.0,
+) -> int:
+    """Small-file compaction of an ``export_training_shards`` directory:
+    rewrite ONLY the shard partitions whose file count exceeds what
+    ``target_mb`` sizing needs, leaving every other partition's files
+    byte-untouched. Repeated ``refresh_shards`` passes and streaming
+    appends accrete small files; at 100 TB that is listing pressure,
+    read amplification, and scheduler overhead — and the fix must not
+    become a full rewrite of a mostly-healthy table.
+
+    A partition is compacted when ``n_files > max(1,
+    ceil(total_bytes / target_mb))`` — i.e. the data demonstrably fits
+    in fewer files at the target size. Content is preserved exactly
+    (the stored manifest keeps verifying: its checksum fold is
+    order-independent), but intra-shard FILE ORDER is not unless
+    ``order_by`` re-establishes it — exports that must preserve a
+    training order should persist their shuffle key
+    (``assign_shards(key_col=...)``) and pass it here.
+
+    Plan shape: one driver-side directory listing (bounded by the shard
+    count — partition dirs, not data files, drive the loop), one pruned
+    scan of the affected partitions (partition pruning keeps healthy
+    shards unread), one repartition-by-shard exchange over affected
+    rows only, one dynamic partition overwrite. The affected frame is
+    eagerly checkpointed before the overwrite (self-overwrite hazard:
+    the write replaces the files the plan reads — the
+    ``refresh_shards`` precedent).
+
+    Returns the number of compacted partitions (0 = nothing to do).
+    """
+    if target_mb < 1:
+        raise ValueError("target_mb must be >= 1")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    data_path = jvm.org.apache.hadoop.fs.Path(f"{path}/data")
+    fs = data_path.getFileSystem(hconf)
+    target_bytes = target_mb * (1 << 20)
+    affected = []
+    for st in fs.listStatus(data_path):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith(f"{shard_col}=")):
+            continue
+        files = [f for f in fs.listStatus(st.getPath())
+                 if f.isFile() and not f.getPath().getName()
+                 .startswith((".", "_"))]
+        n = len(files)
+        total = sum(f.getLen() for f in files)
+        needed = max(1, -(-total // target_bytes))  # ceil
+        if n > needed:
+            affected.append(int(name.split("=", 1)[1]))
+    if not affected:
+        return 0
+    affected.sort()
+
+    rewrite = (
+        spark.read.parquet(f"{path}/data")
+        .where(F.col(shard_col).isin(affected))
+        .repartition(len(affected), F.col(shard_col)))
+    if order_by:
+        rewrite = rewrite.sortWithinPartitions(
+            F.col(shard_col), *[F.col(c) for c in order_by])
+    rewrite = rewrite.localCheckpoint(eager=True)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        write_sized_parquet(rewrite, f"{path}/data", target_mb=target_mb,
+                            partition_by=[shard_col], mode="overwrite",
+                            compression_ratio=compression_ratio)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return len(affected)

@@ -380,3 +380,92 @@ def test_refresh_shards_contract(spark, sf_dir, tmp_path):
     assert refresh_shards(docs, noop, out, 3) == 0
     assert {r["status"] for r in verify_shards(spark, out).collect()} \
         == {"ok"}
+
+
+def _files_per_shard(tmpdir: str) -> dict[int, list[str]]:
+    import os
+    out = {}
+    data = os.path.join(tmpdir, "data")
+    for d in os.listdir(data):
+        if d.startswith("shard="):
+            s = int(d.split("=", 1)[1])
+            out[s] = sorted(
+                f for f in os.listdir(os.path.join(data, d))
+                if f.endswith(".parquet"))
+    return out
+
+
+def test_compact_shards_merges_small_files_only_where_needed(
+        spark, sf_dir, tmp_path):
+    """Force a small-files explosion (1 row/file via a degenerate
+    compression ratio), compact, and pin: file counts collapse to the
+    target sizing, the stored manifest STILL verifies (content exactly
+    preserved), and rows are identical."""
+    from anomalyzer_spark.sources.layout import compact_shards
+    packed = _packed(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    # export with a sane manifest, then blow up the data layout:
+    # rewrite the data dir at ~1 row per file
+    export_training_shards(packed, out, token_col="n_toks")
+    from anomalyzer_spark.sources.layout import write_sized_parquet
+    write_sized_parquet(spark.read.parquet(f"{out}/data"), f"{out}/data2",
+                        target_mb=1, partition_by=["shard"],
+                        compression_ratio=1e-7)
+    import shutil
+    shutil.rmtree(f"{out}/data")
+    shutil.move(f"{out}/data2", f"{out}/data")
+    before = _files_per_shard(out)
+    assert all(len(v) > 1 for v in before.values())  # explosion is real
+    rows_before = sorted(map(tuple,
+                             spark.read.parquet(f"{out}/data").collect()))
+
+    n = compact_shards(spark, out, target_mb=256)
+    assert n == len(before)  # every shard was oversplit -> all compacted
+    after = _files_per_shard(out)
+    assert set(after) == set(before)
+    assert all(len(v) == 1 for v in after.values())  # tiny data: one file
+    assert sorted(map(tuple,
+                      spark.read.parquet(f"{out}/data").collect())) \
+        == rows_before
+    ver = verify_shards(spark, out, token_col="n_toks")
+    assert {r["status"] for r in ver.collect()} == {"ok"}
+    # second pass: nothing left to do, nothing touched
+    assert compact_shards(spark, out, target_mb=256) == 0
+
+
+def test_compact_shards_leaves_healthy_partitions_untouched(
+        spark, sf_dir, tmp_path):
+    """Oversplit ONE shard; compaction rewrites exactly that partition —
+    every other partition keeps byte-identical file lists (names AND
+    mtimes), the healthy-shard files are never even read."""
+    import os
+    import shutil
+    from anomalyzer_spark.sources.layout import (compact_shards,
+                                                 write_sized_parquet)
+    packed = _packed(spark, sf_dir)
+    out = str(tmp_path / "exp")
+    export_training_shards(packed, out, token_col="n_toks")
+    victim = 3
+    vdir = f"{out}/data/shard={victim}"
+    vdf = spark.read.parquet(vdir).withColumn("shard", F.lit(victim))
+    write_sized_parquet(vdf.drop("shard"), f"{out}/vtmp", target_mb=1,
+                        compression_ratio=1e-7)
+    shutil.rmtree(vdir)
+    os.makedirs(vdir)
+    for f in os.listdir(f"{out}/vtmp"):
+        if f.endswith(".parquet"):
+            shutil.move(f"{out}/vtmp/{f}", f"{vdir}/{f}")
+    before = _files_per_shard(out)
+    assert len(before[victim]) > 1
+    stamp = {s: [(f, os.path.getmtime(f"{out}/data/shard={s}/{f}"))
+                 for f in fl] for s, fl in before.items() if s != victim}
+
+    assert compact_shards(spark, out, target_mb=256) == 1
+    after = _files_per_shard(out)
+    assert len(after[victim]) == 1
+    got_stamp = {s: [(f, os.path.getmtime(f"{out}/data/shard={s}/{f}"))
+                     for f in fl]
+                 for s, fl in after.items() if s != victim}
+    assert got_stamp == stamp  # healthy partitions byte-untouched
+    ver = verify_shards(spark, out, token_col="n_toks")
+    assert {r["status"] for r in ver.collect()} == {"ok"}
