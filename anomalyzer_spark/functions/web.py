@@ -1,0 +1,155 @@
+"""Crawl URL hygiene — canonicalization, host/domain extraction, and
+per-domain corpus statistics, all as pure column expressions.
+
+Web-crawl curation is keyed by URLs: exact-duplicate pages hide behind
+trivially different URLs (tracking params, fragments, default ports,
+trailing slashes), and domain-level policies (caps, quality priors,
+blocklists) need a stable registrable-domain key. At 100 TB these must
+be MAP-ONLY column expressions — a per-URL Python round trip would put
+a slow path on every row of every crawl scan. Everything here compiles
+to ``parse_url`` + string/array builtins inside whole-stage codegen;
+zero UDFs, zero shuffles (``domain_stats``'s single aggregate aside).
+
+Normalization spec (deterministic, documented here because the value
+IS the contract — dedup keys must not drift between releases):
+
+* scheme and host lowercased; trailing dots stripped from the host;
+  optional ``www.`` stripping (default on — crawl frontiers treat
+  www/apex as one site);
+* userinfo and fragment dropped; explicit default ports (``:80`` http,
+  ``:443`` https) dropped, other ports kept;
+* trailing slashes stripped from the path (root ``/`` becomes empty);
+* query parameters split on ``&``, tracking params dropped
+  (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``, ``mc_eid``,
+  ``igshid``, ``ref``, ``ref_src``), the rest SORTED byte-wise and
+  rejoined — parameter order never splits a dedup group;
+* no host (malformed / relative input) → NULL, so bad rows fall out of
+  joins instead of forming a garbage group.
+
+``registrable_domain`` is the standard last-N-labels heuristic with a
+small generic-second-level list (``example.co.uk`` → ``example.co.uk``,
+``a.b.example.com`` → ``example.com``) — NOT the full Public Suffix
+List, which is a data file, not an algorithm; pass
+``second_level_suffixes`` to extend it where precision matters.
+
+Value parity against an independent pure-Python reference normalizer
+plus plan pins in tests/test_web.py. No reference analogue (the
+reference is a univariate stats library).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["url_parts", "normalize_url", "host_of",
+           "registrable_domain", "domain_stats"]
+
+#: query parameters that identify a CLICK, not a PAGE
+_TRACKING_RE = "^(utm_.*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)$"
+
+#: generic second-level labels under 2-letter ccTLDs (co.uk, com.au, ...)
+_GENERIC_SLD = ("com", "net", "org", "co", "ac", "gov", "edu", "mil", "sch")
+
+
+def _col(c: str | Column) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def host_of(url: str | Column, *, strip_www: bool = True) -> Column:
+    """Lowercased host of the URL (no port, no userinfo), trailing dots
+    stripped, ``www.`` stripped by default. NULL when the URL has no
+    parseable host."""
+    h = F.regexp_replace(F.lower(F.try_parse_url(_col(url), F.lit("HOST"))),
+                         r"\.+$", "")
+    if strip_www:
+        h = F.regexp_replace(h, r"^www\.", "")
+    return F.when(h == "", F.lit(None).cast("string")).otherwise(h)
+
+
+def url_parts(url: str | Column, *, strip_www: bool = True) -> Column:
+    """Struct of (scheme, host, port, path, query) — the raw parsed
+    pieces (lowercased scheme/host, no normalization beyond that).
+    ``port`` is a string, empty when implicit."""
+    u = _col(url)
+    auth = F.try_parse_url(u, F.lit("AUTHORITY"))
+    return F.struct(
+        F.lower(F.try_parse_url(u, F.lit("PROTOCOL"))).alias("scheme"),
+        host_of(u, strip_www=strip_www).alias("host"),
+        F.regexp_extract(auth, r":(\d+)$", 1).alias("port"),
+        F.coalesce(F.try_parse_url(u, F.lit("PATH")), F.lit("")).alias("path"),
+        F.coalesce(F.try_parse_url(u, F.lit("QUERY")), F.lit("")).alias("query"),
+    )
+
+
+def normalize_url(url: str | Column, *, strip_www: bool = True) -> Column:
+    """The canonical URL under the module spec (see module docstring) —
+    the crawl dedup key. NULL for inputs with no parseable host."""
+    p = url_parts(_col(url), strip_www=strip_www)
+    scheme, host = p["scheme"], p["host"]
+    port = F.when(
+        ((p["scheme"] == "http") & (p["port"] == "80"))
+        | ((p["scheme"] == "https") & (p["port"] == "443")),
+        F.lit("")).otherwise(p["port"])
+    path = F.regexp_replace(p["path"], "/+$", "")
+    params = F.array_sort(F.filter(
+        F.split(p["query"], "&"),
+        lambda x: (x != "") & ~F.lower(
+            F.substring_index(x, "=", 1)).rlike(_TRACKING_RE)))
+    qs = F.array_join(params, "&")
+    out = F.concat(
+        scheme, F.lit("://"), host,
+        F.when(port == "", F.lit("")).otherwise(F.concat(F.lit(":"), port)),
+        path,
+        F.when(qs == "", F.lit("")).otherwise(F.concat(F.lit("?"), qs)))
+    return F.when(host.isNull() | (F.coalesce(scheme, F.lit("")) == ""),
+                  F.lit(None).cast("string")).otherwise(out)
+
+
+def registrable_domain(
+    url_or_host: str | Column,
+    *,
+    is_host: bool = False,
+    second_level_suffixes: tuple[str, ...] = _GENERIC_SLD,
+) -> Column:
+    """The site-level grouping key: the host's last two labels, or last
+    THREE when the second-to-last is a generic label under a 2-letter
+    ccTLD (``bbc.co.uk``, ``example.com.au``). A heuristic, not the
+    Public Suffix List — see module docstring. Pass ``is_host=True``
+    when the column already holds hosts (skips the URL parse)."""
+    h = _col(url_or_host) if is_host else host_of(_col(url_or_host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2),
+                        F.element_at(labels, -1))
+    last3 = F.concat_ws(".", F.element_at(labels, -3), F.element_at(
+        labels, -2), F.element_at(labels, -1))
+    use3 = ((n >= 3)
+            & F.element_at(labels, -2).isin(*second_level_suffixes)
+            & (F.length(F.element_at(labels, -1)) == 2))
+    return F.when(h.isNull(), F.lit(None).cast("string")) \
+        .when(n <= 2, h).when(use3, last3).otherwise(last2)
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    *,
+    token_col: str | None = None,
+    domain_col: str = "domain",
+) -> DataFrame:
+    """Per-registrable-domain corpus statistics: ``(domain, n_pages,
+    n_hosts`` [, ``n_tokens``]) — the frame domain policies consume
+    (``sampling.cap_stratum_share`` / ``cap_stratum_tokens`` take its
+    ``domain`` as the stratum; blocklists anti-join it). One hash
+    aggregate; NULL-host rows are reported under domain NULL rather than
+    silently dropped — a surge of unparseable URLs is a crawl bug worth
+    seeing."""
+    aggs = [
+        F.count(F.lit(1)).alias("n_pages"),
+        F.count_distinct(host_of(F.col(url_col))).alias("n_hosts"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
+    return (df.groupBy(registrable_domain(F.col(url_col))
+                       .alias(domain_col)).agg(*aggs))
