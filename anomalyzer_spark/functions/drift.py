@@ -41,7 +41,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 __all__ = ["histogram_profile", "psi_report", "psi_drift",
-           "category_profile", "psi_cat_drift"]
+           "category_profile", "psi_cat_drift",
+           "merge_profiles", "merge_category_profiles"]
 
 #: NULL values get their own bucket id — nullness drift is drift.
 NULL_BUCKET = -1
@@ -104,6 +105,52 @@ def histogram_profile(
             .groupBy("column", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"),
                  F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+
+
+def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
+    """Fold per-shard ``histogram_profile`` frames into one profile —
+    the incremental-profiling primitive: profile each daily/shard write
+    as it lands (piggy-backing the scan already paid), MERGE the tiny
+    frames, and never rescan the corpus for a weekly/monthly profile.
+    Exactness is free because equi-width histogram counts are
+    associative-commutative sums.
+
+    All inputs must share binning — same (lo, hi) per column, i.e. they
+    were profiled with the same explicit ``bounds`` (the only sane way
+    to produce mergeable shards; derived bounds differ per shard and
+    are REJECTED here rather than silently merged into nonsense).
+    Operates purely on the profile frames: one union + one tiny
+    aggregate, kilobytes at any corpus scale."""
+    if not profiles:
+        raise ValueError("merge_profiles needs at least one profile")
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    bad = [r["column"] for r in
+           u.select("column", "lo", "hi").distinct()
+           .groupBy("column").agg(F.count(F.lit(1)).alias("nb"))
+           .where(F.col("nb") > 1).collect()]
+    if bad:
+        raise ValueError(
+            f"inconsistent bounds across shards for columns {sorted(bad)}; "
+            "profile shards with the same explicit bounds= to make them "
+            "mergeable")
+    return (u.groupBy("column", "bucket")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+
+
+def merge_category_profiles(profiles: list[DataFrame]) -> DataFrame:
+    """Fold per-shard ``category_profile`` frames (same contract as
+    ``merge_profiles``; shards must share the vocabulary — enforced by
+    construction when the same ``categories`` dict profiled each)."""
+    if not profiles:
+        raise ValueError(
+            "merge_category_profiles needs at least one profile")
+    u = profiles[0]
+    for p in profiles[1:]:
+        u = u.unionByName(p)
+    return u.groupBy("column", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def psi_report(

@@ -211,3 +211,52 @@ def test_psi_report_single_profile_subtree(spark, sf_dir):
         .split("Initial Plan")[0]
     assert plan.count("FileScan parquet") == 2  # old profile + new profile
     assert plan.count("SortMergeJoin") == 1     # one full-outer, no totals join
+
+
+def test_merge_profiles_equals_whole_corpus_profile(spark, sf_dir):
+    """Shard-wise profiles (shared explicit bounds) merged == the
+    profile of the whole frame: exact, including NULL buckets — and a
+    psi_report over merged shards matches one over the full profile."""
+    from anomalyzer_spark.functions.drift import (merge_profiles,
+                                                  psi_report)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    bounds = {c: (
+        li.agg(F.min(c)).collect()[0][0],
+        li.agg(F.max(c)).collect()[0][0]) for c in cols}
+    shards = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = merge_profiles([
+        histogram_profile(s, cols, bounds=bounds) for s in shards])
+    whole = histogram_profile(li, cols, bounds=bounds)
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
+    rep_m = psi_report(merged, whole)
+    assert all(r["psi"] == 0.0 for r in rep_m.collect())
+
+
+def test_merge_profiles_rejects_inconsistent_bounds(spark):
+    from anomalyzer_spark.functions.drift import merge_profiles
+    a = spark.createDataFrame([("x", 0, 5, 0.0, 1.0)],
+                              "column string, bucket int, cnt long, "
+                              "lo double, hi double")
+    b = spark.createDataFrame([("x", 0, 5, 0.0, 2.0)],
+                              "column string, bucket int, cnt long, "
+                              "lo double, hi double")
+    with pytest.raises(ValueError, match="inconsistent bounds"):
+        merge_profiles([a, b])
+    with pytest.raises(ValueError, match="at least one"):
+        merge_profiles([])
+
+
+def test_merge_category_profiles(spark):
+    from anomalyzer_spark.functions.drift import (category_profile,
+                                                  merge_category_profiles)
+    cats = {"s": ["a", "b"]}
+    d1 = spark.createDataFrame([("a",), ("b",), ("zz",)], "s string")
+    d2 = spark.createDataFrame([("a",), (None,)], "s string")
+    whole = category_profile(d1.unionByName(d2), ["s"], categories=cats)
+    merged = merge_category_profiles([
+        category_profile(d1, ["s"], categories=cats),
+        category_profile(d2, ["s"], categories=cats)])
+    assert sorted(map(tuple, merged.collect())) \
+        == sorted(map(tuple, whole.collect()))
