@@ -1200,8 +1200,10 @@ def q_snapshot_diff(spark, sf_dir):
     covers the part with semantic teeth. And the documents frame is
     read RAW (no _docs spread-repartition): the rider references the
     corpus from six subtrees, and six spread shuffles — not the rider
-    logic — were 3x the query (2.1s vs 0.61s measured; raw parquet
-    already splits into 64 tasks at sf0.1)."""
+    logic — were 3x the query (2.1s vs 0.61s measured). The spread
+    exists for slots with HEAVY per-row kernels; here the per-row work
+    is one md5 over a 5k-row table, far cheaper than the exchanges
+    that would "parallelize" it."""
     from anomalyzer_spark.functions import changelog as chlog
     from anomalyzer_spark.functions import dedup
     from anomalyzer_spark.sources import load_table
