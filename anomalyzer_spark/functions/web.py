@@ -43,7 +43,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["url_parts", "normalize_url", "host_of",
-           "registrable_domain", "domain_stats"]
+           "registrable_domain", "domain_stats",
+           "extract_text", "markup_stats"]
 
 #: query parameters that identify a CLICK, not a PAGE
 _TRACKING_RE = "^(utm_.*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)$"
@@ -129,6 +130,81 @@ def registrable_domain(
             & (F.length(F.element_at(labels, -1)) == 2))
     return F.when(h.isNull(), F.lit(None).cast("string")) \
         .when(n <= 2, h).when(use3, last3).otherwise(last2)
+
+
+#: named entities decoded by extract_text; ``&amp;`` deliberately LAST
+#: so already-decoded sequences are not re-decoded (&amp;lt; -> &lt;,
+#: never <). Other entities pass through verbatim (documented choice:
+#: arbitrary-codepoint decode is a data table, not an expression).
+_ENTITIES = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+             ("&amp;", "&"))
+
+#: tags whose boundaries imply a line break in the visible text
+_BLOCK_TAGS = ("p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section"
+               "|article|header|footer|pre|form|hr")
+
+
+def extract_text(html: str | Column) -> Column:
+    """Visible text of an HTML payload — the crawl step between fetch
+    and every text operator in this engine, as a pure regexp_replace
+    chain (whole-stage codegen; no parser library, no Python).
+
+    The spec, in order (the value is the contract — extraction must
+    not drift between releases; an independent reference implements
+    the same spec in tests/test_web.py):
+
+    1. ``<script>``/``<style>`` elements removed WITH their contents
+       (case-insensitive, dot-matches-newline, non-greedy);
+    2. HTML comments removed;
+    3. block-level tag boundaries become newlines (``p div br li`` …);
+    4. every remaining tag becomes a space;
+    5. the basic named entities decode (``&amp;`` last — see
+       ``_ENTITIES``); unknown entities pass through verbatim;
+    6. horizontal whitespace collapses to single spaces, blank-ish
+       lines collapse, and the result is trimmed.
+
+    NOT a sanitizer and NOT a browser: malformed nesting degrades
+    gracefully (an unclosed ``<script`` swallows to end of input, the
+    conservative reading for boilerplate removal). NULL in, NULL out.
+    """
+    h = _col(html)
+    h = F.regexp_replace(h, r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "")
+    h = F.regexp_replace(h, r"(?is)<(script|style)\b[^>]*>.*", "")
+    h = F.regexp_replace(h, r"(?s)<!--.*?-->", "")
+    h = F.regexp_replace(h, rf"(?i)</?({_BLOCK_TAGS})\b[^>]*>", "\n")
+    h = F.regexp_replace(h, r"(?s)<[^>]*>", " ")
+    for ent, rep in _ENTITIES:
+        h = F.regexp_replace(h, ent, rep)
+    h = F.regexp_replace(h, r"[ \t\x0b\f\r]+", " ")
+    h = F.regexp_replace(h, r" ?\n ?", "\n")
+    h = F.regexp_replace(h, r"\n{2,}", "\n")
+    # explicit ASCII class, not \s (Java \s is ASCII, Python \s is
+    # Unicode — the reference must mirror exactly) and not F.trim
+    # (space-only: would leave boundary newlines)
+    return F.regexp_replace(h, r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "")
+
+
+def markup_stats(html: str | Column) -> Column:
+    """Struct of markup-shape signals for format sniffing and crawl
+    quality gates: ``n_tags``, ``tag_density`` (tags per 100 chars),
+    ``visible_ratio`` (extracted length / raw length), ``is_html``
+    (structural evidence: a doctype/html/body/div/p tag exists AND
+    tags are non-trivially dense). Pure column math — compose into
+    ``checks.satisfies`` bounds or a ``where`` before extraction."""
+    h = _col(html)
+    n_tags = F.size(F.regexp_extract_all(h, F.lit(r"(?s)<[^>]*>"), 0))
+    length = F.greatest(F.length(h), F.lit(1))
+    density = F.round(n_tags * F.lit(100.0) / length, 4)
+    structural = h.rlike(
+        r"(?is)<!doctype\s+html|<html[\s>]|<body[\s>]|<div[\s>]|<p[\s>]")
+    return F.struct(
+        n_tags.alias("n_tags"),
+        density.alias("tag_density"),
+        F.round(F.length(extract_text(h)) / length, 4)
+        .alias("visible_ratio"),
+        (structural & (density > 0.2)).alias("is_html"),
+    )
 
 
 def domain_stats(

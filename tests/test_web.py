@@ -143,3 +143,81 @@ def test_normalize_plan_is_map_only(spark):
                     web.registrable_domain("url").alias("d"))
     assert_plan(out, max_exchanges=0,
                 forbids=("BatchEvalPython", "ArrowEvalPython", "Exchange"))
+
+
+# ---------------------------------------------------------------- HTML
+
+_BLOCK = ("p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section"
+          "|article|header|footer|pre|form|hr")
+_ENTS = (("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+         ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"))
+
+
+def ref_extract(html):
+    """Independent reference for web.extract_text's documented spec."""
+    if html is None:
+        return None
+    h = re.sub(r"(?is)<(script|style)\b[^>]*>.*?</\1\s*>", "", html)
+    h = re.sub(r"(?is)<(script|style)\b[^>]*>.*", "", h)
+    h = re.sub(r"(?s)<!--.*?-->", "", h)
+    h = re.sub(rf"(?i)</?({_BLOCK})\b[^>]*>", "\n", h)
+    h = re.sub(r"(?s)<[^>]*>", " ", h)
+    for ent, rep in _ENTS:
+        h = h.replace(ent, rep)
+    h = re.sub(r"[ \t\x0b\f\r]+", " ", h)
+    h = re.sub(r" ?\n ?", "\n", h)
+    h = re.sub(r"\n{2,}", "\n", h)
+    return re.sub(r"^[ \t\n\x0b\f\r]+|[ \t\n\x0b\f\r]+$", "", h)
+
+
+HTML_BATTERY = [
+    "<html><head><title>T</title><style>p{color:red}</style>"
+    "<script>var x = '<p>not text</p>';</script></head>"
+    "<body><h1>Head</h1><p>One &amp; two &lt;three&gt;.</p>"
+    "<div>Four<br>five</div><!-- hidden --></body></html>",
+    "Plain text, no markup at all.",
+    "<p>unclosed <script>alert(1); trailing garbage",
+    "<ul><li>a</li><li>b</li></ul>",
+    "A&nbsp;B &quot;C&quot; &#39;D&#39; &unknown; &amp;lt;",
+    "<DIV CLASS='x'>upper <B>bold</B></DIV>",
+    "<p>multi\n\n\nline   spacing\t\ttabs</p>",
+    "",
+    None,
+]
+
+
+def test_extract_text_matches_reference(spark):
+    df = spark.createDataFrame([(h,) for h in HTML_BATTERY], "html string")
+    got = [r["t"] for r in df.select(
+        web.extract_text("html").alias("t")).collect()]
+    want = [ref_extract(h) for h in HTML_BATTERY]
+    assert got == want
+    # and spot semantics: script/style/comment content never leaks
+    assert "not text" not in got[0] and "color:red" not in got[0]
+    assert "hidden" not in got[0]
+    assert got[0] == "T\nHead\nOne & two <three>.\nFour\nfive"
+    assert got[1] == "Plain text, no markup at all."
+    assert "alert" not in got[2]  # unclosed script swallows to end
+    assert got[3] == "a\nb"
+    assert got[4] == 'A B "C" \'D\' &unknown; &lt;'
+
+
+def test_markup_stats(spark):
+    rows = [(HTML_BATTERY[0],), ("Plain prose with no tags at all.",)]
+    df = spark.createDataFrame(rows, "html string")
+    out = [r["m"] for r in df.select(
+        web.markup_stats("html").alias("m")).collect()]
+    html, prose = out
+    assert html["is_html"] and html["n_tags"] > 10
+    assert not prose["is_html"] and prose["n_tags"] == 0
+    assert prose["visible_ratio"] == 1.0
+    assert 0 < html["visible_ratio"] < 0.5
+
+
+def test_extract_text_plan_is_map_only(spark):
+    df = spark.range(0, 10).select(
+        F.concat(F.lit("<p>x"), F.col("id"), F.lit("</p>")).alias("html"))
+    out = df.select(web.extract_text("html").alias("t"),
+                    web.markup_stats("html").alias("m"))
+    assert_plan(out, max_exchanges=0,
+                forbids=("BatchEvalPython", "ArrowEvalPython", "Exchange"))
