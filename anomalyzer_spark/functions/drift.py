@@ -42,7 +42,8 @@ from pyspark.sql.window import Window
 
 __all__ = ["histogram_profile", "psi_report", "psi_drift",
            "category_profile", "psi_cat_drift",
-           "merge_profiles", "merge_category_profiles"]
+           "merge_profiles", "merge_category_profiles",
+           "profile_quantiles"]
 
 #: NULL values get their own bucket id — nullness drift is drift.
 NULL_BUCKET = -1
@@ -138,6 +139,67 @@ def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
     return (u.groupBy("column", "bucket")
             .agg(F.sum("cnt").alias("cnt"),
                  F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+
+
+def profile_quantiles(
+    profile: DataFrame,
+    quantiles: list[float],
+    *,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Approximate quantiles FROM a ``histogram_profile`` frame —
+    (column, q, value), linearly interpolated inside the containing
+    bucket. Error is bounded by one bucket width; precision is a
+    build-time choice (``n_bins``), not a query-time rescan.
+
+    This closes the monitoring loop ``merge_profiles`` opens: per-shard
+    profiles merge exactly, so p50/p95/p99 of a month of data come from
+    folding thirty kilobyte-sized frames — no corpus pass, and unlike
+    ``approx_percentile`` re-runs, the answer is deterministic and
+    identical to profiling the concatenated data (same buckets).
+
+    NULL-bucket rows are excluded (quantiles are over observed values;
+    nullness is ``psi_report``'s axis). Values below/above the profile
+    bounds clamp into the edge buckets by construction, so edge-bucket
+    interpolation can under/over-state tails that escaped the bounds —
+    the usual histogram-sketch caveat, bounded by the data that drifted
+    outside [lo, hi]. Operates purely on the tiny profile: one window
+    over ≤ n_bins+1 rows per column."""
+    if not quantiles:
+        raise ValueError("profile_quantiles needs at least one quantile")
+    bad = [q for q in quantiles if not 0.0 <= q <= 1.0]
+    if bad:
+        raise ValueError(f"quantiles must be in [0, 1]: {bad}")
+    p = profile.where(F.col("bucket") != NULL_BUCKET)
+    w = (Window.partitionBy("column").orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("column")
+    cum = (p.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("total", F.sum("cnt").over(wt))
+           .withColumn("width",
+                       (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))))
+    outs = []
+    for q in quantiles:
+        target = F.col("total") * F.lit(float(q))
+        # first bucket whose cumulative count reaches the target
+        hit = (cum.where(F.col("cum") >= target)
+               .withColumn("_rn", F.row_number().over(
+                   Window.partitionBy("column").orderBy("bucket")))
+               .where(F.col("_rn") == 1))
+        frac = (target - (F.col("cum") - F.col("cnt"))) / \
+            F.greatest(F.col("cnt"), F.lit(1))
+        val = (
+            F.when(F.col("hi") <= F.col("lo"), F.col("lo"))
+            .otherwise(F.col("lo") + (F.col("bucket") + frac)
+                       * F.col("width")))
+        outs.append(hit.select(
+            "column", F.lit(float(q)).alias("q"),
+            F.round(F.least(F.greatest(val, F.col("lo")), F.col("hi")), 6)
+            .alias("value")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def merge_category_profiles(profiles: list[DataFrame]) -> DataFrame:

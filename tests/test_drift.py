@@ -260,3 +260,49 @@ def test_merge_category_profiles(spark):
         category_profile(d2, ["s"], categories=cats)])
     assert sorted(map(tuple, merged.collect())) \
         == sorted(map(tuple, whole.collect()))
+
+
+def test_profile_quantiles_within_bucket_width(spark, sf_dir):
+    """Quantiles interpolated from a profile land within one bucket
+    width of the exact percentile, and merged-shard profiles give the
+    IDENTICAL answer (same buckets by construction)."""
+    from anomalyzer_spark.functions.drift import (merge_profiles,
+                                                  profile_quantiles)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    col = "l_extendedprice"
+    lo, hi = [(r[0], r[1]) for r in li.agg(
+        F.min(col), F.max(col)).collect()][0]
+    n_bins = 20
+    width = (hi - lo) / n_bins
+    prof = histogram_profile(li, [col], n_bins=n_bins,
+                             bounds={col: (lo, hi)})
+    qs = [0.1, 0.5, 0.95]
+    got = {r["q"]: r["value"] for r in profile_quantiles(
+        prof, qs, n_bins=n_bins).collect()}
+    exact = li.approxQuantile(col, qs, 0.0)
+    for q, ex in zip(qs, exact):
+        assert abs(got[q] - ex) <= width, (q, got[q], ex, width)
+    # merged shards -> identical quantile values
+    shards = [li.where(F.col("l_orderkey") % 3 == i) for i in range(3)]
+    merged = merge_profiles([histogram_profile(
+        s, [col], n_bins=n_bins, bounds={col: (lo, hi)}) for s in shards])
+    got_m = {r["q"]: r["value"] for r in profile_quantiles(
+        merged, qs, n_bins=n_bins).collect()}
+    assert got_m == got
+
+
+def test_profile_quantiles_validation_and_edges(spark):
+    from anomalyzer_spark.functions.drift import profile_quantiles
+    prof = spark.createDataFrame(
+        [("x", 0, 10, 0.0, 10.0), ("x", -1, 5, 0.0, 10.0)],
+        "column string, bucket int, cnt long, lo double, hi double")
+    import pytest as _pt
+    with _pt.raises(ValueError, match="at least one"):
+        profile_quantiles(prof, [])
+    with _pt.raises(ValueError, match="quantiles must be"):
+        profile_quantiles(prof, [1.5])
+    # NULL bucket excluded: all mass in bucket 0 of 10 -> q=1 is the
+    # top of that bucket (clamped interpolation), never beyond hi
+    got = {r["q"]: r["value"] for r in
+           profile_quantiles(prof, [0.5, 1.0]).collect()}
+    assert 0.0 <= got[0.5] <= 1.0 and got[1.0] <= 10.0
