@@ -51,7 +51,7 @@ from pyspark.sql.utils import AnalysisException
 from ..functions.changelog import _is_delete, latest_changes
 
 __all__ = ["changelog_upsert_stream", "read_snapshot", "init_snapshot",
-           "run_changelog_stream_on_dir"]
+           "vacuum_tombstones", "run_changelog_stream_on_dir"]
 
 
 def _bucket(keys: Sequence[str], n_buckets: int):
@@ -173,6 +173,64 @@ def init_snapshot(
      .repartition(n_buckets, F.col("_bucket"))
      .write.mode("overwrite").partitionBy("_bucket")
      .parquet(f"{store_dir}/snapshot"))
+
+
+def vacuum_tombstones(
+    spark: SparkSession,
+    store_dir: str,
+    sequence_col: str,
+    max_seq,
+) -> int:
+    """Reclaim tombstones whose sequence is ``<= max_seq`` — the
+    bounded batch job the module docstring defers to. ``max_seq`` is
+    the caller's out-of-orderness watermark: a tombstone may be
+    dropped only once no event at or below its sequence can still
+    arrive (otherwise a late pre-delete upsert would resurrect the
+    row). ``sequence_col`` is the same column name the stream was
+    given. Run it between stream restarts or from a maintenance
+    schedule — NOT concurrently with the running stream (both sides
+    dynamically overwrite bucket partitions).
+
+    Rewrites ONLY the buckets that hold qualifying tombstones (one
+    bounded aggregate finds them; partition pruning keeps the others
+    unread; dynamic overwrite touches only rewritten partitions — the
+    ``compact_shards`` discipline); returns how many buckets were
+    rewritten. A bucket whose every row was a dead tombstone is
+    DELETED outright — dynamic overwrite never touches a partition
+    the surviving frame has no rows for, so leaving it would keep the
+    tombstones (the ``refresh_shards`` emptied-partition lesson)."""
+    snap_dir = f"{store_dir}/snapshot"
+    df = spark.read.parquet(snap_dir)
+    dead = F.col("_deleted") & (F.col(sequence_col) <= F.lit(max_seq))
+    affected = sorted(r["_bucket"] for r in
+                      df.where(dead).select("_bucket").distinct().collect())
+    if not affected:
+        return 0
+    keep = (df.where(F.col("_bucket").isin(affected))
+            .where(~dead)
+            .repartition(len(affected), F.col("_bucket"))
+            .localCheckpoint(eager=True))  # self-overwrite hazard
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", None)
+    try:
+        spark.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic")
+        (keep.write.mode("overwrite").partitionBy("_bucket")
+         .parquet(snap_dir))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        else:
+            spark.conf.set(
+                "spark.sql.sources.partitionOverwriteMode", prev)
+    still = {r["_bucket"] for r in
+             keep.select("_bucket").distinct().collect()}
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    for b in affected:
+        if b not in still:
+            p = jvm.org.apache.hadoop.fs.Path(f"{snap_dir}/_bucket={b}")
+            p.getFileSystem(hconf).delete(p, True)
+    return len(affected)
 
 
 def run_changelog_stream_on_dir(

@@ -168,3 +168,56 @@ def test_init_snapshot_seeds_base(spark, tmp_path):
     got = {r["k"]: r["v"] for r in snap.collect()}
     assert got[3] == "upd" and 4 not in got and got[0] == "base-0"
     assert len(got) == 9
+
+
+def test_vacuum_tombstones(spark, tmp_path):
+    """Vacuum drops tombstones at/below the watermark (affected buckets
+    only — others keep byte-identical files), keeps newer tombstones,
+    and deletes a bucket emptied entirely; the current view never
+    changes."""
+    from anomalyzer_spark.streaming.changelog_stream import (
+        vacuum_tombstones)
+    rows = ([(k, f"v-{k}", 1, "upsert") for k in range(32)]
+            + [(k, "x", 2, "delete") for k in range(0, 32, 4)]   # old ts
+            + [(1, "x", 9, "delete")])                            # new ts
+    sdir = str(tmp_path / "in")
+    _write_batches(spark, sdir, [rows])
+    store = str(tmp_path / "store")
+    snap = run_changelog_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"),
+        ["k"], "seq", op_col="op", n_buckets=8)
+    want_current = sorted(map(tuple, snap.select("k", "v").collect()))
+
+    before = read_snapshot(spark, store, include_deleted=True)
+    n_ts_before = before.where("_deleted").count()
+    assert n_ts_before == 9  # 8 old (k%4) + 1 newer (k=1)
+    snap_dir = f"{store}/snapshot"
+    stamp = {}
+    for d in os.listdir(snap_dir):
+        if d.startswith("_bucket="):
+            stamp[d] = sorted(
+                (f, os.path.getmtime(f"{snap_dir}/{d}/{f}"))
+                for f in os.listdir(f"{snap_dir}/{d}")
+                if f.endswith(".parquet"))
+
+    n = vacuum_tombstones(spark, store, "seq", max_seq=2)
+    assert n >= 1
+    after = read_snapshot(spark, store, include_deleted=True)
+    ts_after = [(r["k"], r["seq"]) for r in
+                after.where("_deleted").collect()]
+    assert ts_after == [(1, 9)]  # only the above-watermark tombstone
+    got_current = sorted(map(tuple, read_snapshot(spark, store)
+                             .select("k", "v").collect()))
+    assert got_current == want_current
+    # untouched buckets keep byte-identical files
+    touched_dirs = set()
+    for d, files in stamp.items():
+        path = f"{snap_dir}/{d}"
+        now = (sorted((f, os.path.getmtime(f"{path}/{f}"))
+                      for f in os.listdir(path) if f.endswith(".parquet"))
+               if os.path.isdir(path) else None)
+        if now != files:
+            touched_dirs.add(d)
+    assert len(touched_dirs) == n
+    # idempotent: nothing left at/below the watermark
+    assert vacuum_tombstones(spark, store, "seq", max_seq=2) == 0
