@@ -20,7 +20,8 @@ from pyspark.sql.window import Window
 
 from anomalyzer_spark.functions.text import word_token_count, word_tokens
 
-__all__ = ["bm25_corpus_stats", "bm25_topk", "tokenize_docs"]
+__all__ = ["bm25_corpus_stats", "bm25_topk", "hybrid_topk", "rrf_fuse",
+           "tokenize_docs"]
 
 
 def tokenize_docs(
@@ -212,4 +213,124 @@ def bm25_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= k)
         .select(qid_col, id_col, "score", "rnk")
+    )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, float]] | list[DataFrame],
+    *,
+    k: int = 10,
+    k_rrf: int = 60,
+    qid_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Reciprocal-rank fusion of N per-query ranked lists — the standard
+    hybrid-retrieval combiner (Cormack et al. 2009): a document's fused
+    score is ``sum over lists of  weight / (k_rrf + rank)``, with a list
+    that didn't retrieve the document contributing 0. Rank-based fusion
+    needs no score calibration, which is the point — BM25 scores and
+    cosine similarities live on incomparable scales.
+
+    ``ranked``: DataFrames each carrying (``qid_col``, ``id_col``,
+    ``rank_col`` with ranks 1..k_list), optionally as (df, weight)
+    pairs (plain list ⇒ all weights 1.0). Column names must already
+    agree — callers rename (see ``hybrid_topk`` for the bm25 ⊕ cosine
+    composition). Returns (``qid_col``, ``id_col``, ``rrf_score``
+    rounded to 6, ``rnk`` 1..k per query), ordered by fused score desc,
+    document id asc on ties.
+
+    Plan shape (the 100 TB read): fusion consumes retrieval OUTPUTS —
+    at most ``n_queries × k_list`` rows per input, already capped by the
+    upstream top-k operators — never corpora. The union → (query, doc)
+    sum → per-query top-k window all move bounded frames; the corpus
+    never re-enters. Weights ride as literals, so the whole fuse is one
+    partial-aggregated exchange plus the map-side-limited ranking
+    window (WindowGroupLimit)."""
+    if k < 1 or k_rrf < 0:
+        raise ValueError("need k >= 1 and k_rrf >= 0")
+    if not ranked:
+        raise ValueError("need at least one ranked list")
+    pairs = [r if isinstance(r, tuple) else (r, 1.0) for r in ranked]
+    legs = []
+    for df, weight in pairs:
+        legs.append(df.select(
+            F.col(qid_col), F.col(id_col),
+            (F.lit(float(weight))
+             / (F.lit(int(k_rrf)) + F.col(rank_col))).alias("_contrib")))
+    allc = legs[0]
+    for leg in legs[1:]:
+        allc = allc.unionByName(leg)
+    fused = allc.groupBy(qid_col, id_col).agg(
+        F.round(F.sum("_contrib"), 6).alias("rrf_score"))
+    w = (Window.partitionBy(qid_col)
+         .orderBy(F.col("rrf_score").desc(), F.col(id_col).asc()))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(qid_col, id_col, "rrf_score", "rnk")
+    )
+
+
+def hybrid_topk(
+    docs: DataFrame,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    *,
+    k: int = 10,
+    k_rrf: int = 60,
+    fetch_k: int | None = None,
+    lexical_weight: float = 1.0,
+    vector_weight: float = 1.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    qid_col: str = "query_id",
+    query_col: str = "query",
+    query_vec_col: str = "query_vec",
+    vec_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    corpus_stats: tuple[int, float] | None = None,
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Hybrid lexical + vector retrieval: BM25 top-``fetch_k`` and exact
+    cosine top-``fetch_k`` per query, fused by weighted RRF to a final
+    top-``k``. ``queries`` carries BOTH representations per row:
+    (``qid_col``, ``query_col`` text, ``query_vec_col`` array<float>).
+    ``embeddings`` keys ``vec_id_col`` to ``docs``'s ``id_col`` (the
+    fixture convention). ``fetch_k`` defaults to ``4 * k`` — the usual
+    over-fetch so a document ranked just outside one list's top-k can
+    still win on the other list.
+
+    Both legs keep their own scale paths: ``corpus_stats=``/
+    ``tokens_col=`` flow to BM25 (persisted-metadata recipe), and the
+    cosine leg is the exact baseline — swap in ``ivf_topk``/
+    ``search_ivfpq_index`` output and fuse with ``rrf_fuse`` directly
+    when the corpus is indexed (any frame with the same three columns
+    fuses; this wrapper is the zero-setup composition). Fusion cost is
+    bounded by ``n_queries × fetch_k`` rows per leg regardless of
+    corpus size."""
+    from anomalyzer_spark.functions.similarity import cosine_topk
+
+    fetch_k = int(fetch_k) if fetch_k is not None else 4 * k
+    if fetch_k < k:
+        raise ValueError("fetch_k must be >= k")
+    lex = bm25_topk(
+        docs, queries, k=fetch_k, text_col=text_col, id_col=id_col,
+        query_col=query_col, qid_col=qid_col,
+        corpus_stats=corpus_stats, tokens_col=tokens_col,
+    ).select(F.col(qid_col), F.col(id_col), F.col("rnk"))
+    # cosine_topk reads the query vectors through the CORPUS vec_col name
+    # and broadcasts the query side; rename so both legs emit
+    # (qid, doc, rnk) for the fuse.
+    qvec = queries.select(F.col(qid_col),
+                          F.col(query_vec_col).alias(vec_col))
+    vec = cosine_topk(
+        embeddings, qvec,
+        id_col=vec_id_col, vec_col=vec_col, query_id_col=qid_col,
+        k=fetch_k,
+    ).select(F.col("query_id").alias(qid_col),
+             F.col("neighbor_id").alias(id_col), F.col("rnk"))
+    return rrf_fuse(
+        [(lex, lexical_weight), (vec, vector_weight)],
+        k=k, k_rrf=k_rrf, qid_col=qid_col, id_col=id_col,
     )
