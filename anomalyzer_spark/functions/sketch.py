@@ -1,0 +1,301 @@
+"""Mergeable HyperLogLog distinct-count profiles — the cardinality leg
+of incremental corpus monitoring.
+
+``drift.histogram_profile``/``merge_profiles`` fold value DISTRIBUTIONS
+across shard profiles without rescans; distinct counts (unique urls,
+domains, content hashes, users) don't fold that way — per-shard distinct
+counts are not additive, and Spark's ``approx_count_distinct`` keeps its
+HLL state opaque inside one aggregation, so it cannot be persisted per
+shard and merged weeks later. This module keeps the sketch as a plain
+DataFrame of registers, so it parquets, diffs, and merges like any other
+profile:
+
+* **hll_profile**: (column, p, reg, rho) — one row per OCCUPIED
+  register per profiled column. Built by ONE map-side-combined
+  ``max`` aggregate over the scan (partial state per task is at most
+  ``m = 2**p`` rows per column — bounded, spill-free). The hash is
+  md5-derived (first 15 hex digits = 60 bits: ``p`` register bits,
+  ``w = 60 - p`` rank bits) so DuckDB replays every register exactly
+  (``('0x' || substr(md5(..), 1, 15))::BIGINT`` — the ``_hash48``
+  convention); the rank (leading-zero count) is EXACT INTEGER bit math
+  (smear + ``bit_count``), no float ``log2`` edge cases in either
+  engine.
+* **merge_hll**: union + ``max`` per register — HLL's register-wise max
+  is associative/commutative/idempotent, so shard profiles merge into
+  exactly the whole-corpus profile (pinned to equality in tests), and
+  re-merging a shard is a no-op (at-least-once-safe).
+* **hll_estimate**: the standard Flajolet–Fusy–Gandouet–Meunier
+  estimator with linear-counting small-range correction. The harmonic
+  fold is computed as an EXACT integer sum (each register contributes
+  ``2**(w + 1 - rho)`` scaled units, summed in decimal(38,0)) so the
+  estimate is bit-stable across partitionings and engines; floats
+  appear only in the final alpha·m²/S division. Relative error is the
+  usual ~1.04/sqrt(m) (p=12 ⇒ ~1.6%).
+
+At 100 TB: profile each shard as it lands (the cost is the scan you
+already pay, plus a ≤ m-row aggregate), persist the kilobyte register
+frames, and answer "distinct documents this month" by merging frames —
+the corpus is never rescanned. NULLs are skipped (count of distinct
+non-null values, matching ``count(DISTINCT col)`` semantics); values
+hash by their string form (the repo-wide portable-hash convention), so
+cross-type equality follows string equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hll_estimate", "hll_profile", "merge_hll", "merge_mg",
+           "mg_profile"]
+
+#: hash width in bits (15 md5 hex digits — fits BIGINT in both engines)
+_HASH_BITS = 60
+
+
+def _alpha(m: int) -> float:
+    """Standard HLL bias constant (p >= 4)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _h60(value: Column) -> Column:
+    """60-bit md5-derived hash of the value's string form (portable:
+    DuckDB replays it digit-for-digit)."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("hll"), value.cast("string"))
+                  .cast("binary")), 1, 15),
+        16, 10,
+    ).cast("long")
+
+
+def _rho(rem: Column, w: int) -> Column:
+    """1 + number of leading zeros of ``rem`` within ``w`` bits, via
+    bit smear + bit_count — exact integer math (floor(log2()) on a
+    double can misround at exact powers of two; this cannot)."""
+    s = rem
+    for shift in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, shift))
+    return F.lit(w + 1) - F.bit_count(s)
+
+
+def hll_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    p: int = 12,
+) -> DataFrame:
+    """Sparse HLL register frame for each column: (column, p, reg,
+    rho) with one row per occupied register, ``rho`` the max rank seen.
+    ``p`` register-index bits (m = 2**p registers, 4 <= p <= 16);
+    absent registers mean rho 0. One union of per-column projections
+    feeding ONE ``max`` aggregate — map-side combined, partial state
+    bounded by m rows per column per task."""
+    if not cols:
+        raise ValueError("hll_profile needs at least one column")
+    if not 4 <= p <= 16:
+        raise ValueError("need 4 <= p <= 16")
+    w = _HASH_BITS - p
+    legs = []
+    for c in cols:
+        h = _h60(F.col(c))
+        legs.append(
+            df.where(F.col(c).isNotNull()).select(
+                F.lit(c).alias("column"),
+                F.shiftright(h, w).alias("reg"),
+                _rho(h.bitwiseAND(F.lit((1 << w) - 1)), w).alias("_rho")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    return (u.groupBy("column", "reg")
+            .agg(F.max("_rho").alias("rho"))
+            .select("column", F.lit(p).alias("p"), "reg", "rho"))
+
+
+def merge_hll(profiles: list[DataFrame]) -> DataFrame:
+    """Fold per-shard ``hll_profile`` frames into one — register-wise
+    max, so merge(shards) == profile(whole corpus) EXACTLY (pinned),
+    re-merging a shard is a no-op, and merge order never matters.
+    Mixed ``p`` for the same column is REJECTED (register indices from
+    different p are incomparable; profile shards with one p). Operates
+    on the kilobyte frames only — no corpus access."""
+    if not profiles:
+        raise ValueError("merge_hll needs at least one profile")
+    u = profiles[0]
+    for prof in profiles[1:]:
+        u = u.unionByName(prof)
+    bad = [r["column"] for r in
+           u.select("column", "p").distinct()
+           .groupBy("column").agg(F.count(F.lit(1)).alias("np"))
+           .where(F.col("np") > 1).collect()]
+    if bad:
+        raise ValueError(
+            f"inconsistent p across shards for columns {sorted(bad)}; "
+            "re-profile with one p to make sketches mergeable")
+    return (u.groupBy("column", "p", "reg")
+            .agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(profile: DataFrame) -> DataFrame:
+    """(column, p, n_est double) from a register frame. Raw estimate
+    ``alpha(m) · m² / Σ 2^-rho`` (empty registers contribute 2⁰ each);
+    linear counting ``m · ln(m / V)`` when the raw estimate is below
+    2.5 m and some register is empty (V = count of empty registers).
+    The harmonic sum is folded as exact scaled integers in
+    decimal(38,0) — ``2^(w+1-rho)`` per occupied register — so the
+    result is independent of partitioning and row order; no
+    large-range correction (at 60 hash bits, collision bias is
+    negligible below ~10^16 distinct)."""
+    # one tiny aggregate per column over the (<= m)-row register frame
+    agg = (profile.groupBy("column", "p").agg(
+        F.count(F.lit(1)).alias("_occ"),
+        # shiftleft by a COLUMN exponent (the PySpark wrapper only takes
+        # int literals; the SQL builtin takes expressions)
+        F.sum(F.expr(
+            f"cast(shiftleft(cast(1 as bigint), "
+            f"{_HASH_BITS + 1} - p - rho) as decimal(38,0))"))
+        .alias("_ssum")))
+    m = F.pow(F.lit(2.0), F.col("p"))
+    v = m - F.col("_occ")
+    scale = F.pow(F.lit(2.0), F.lit(float(_HASH_BITS + 1)) - F.col("p"))
+    inv_sum = (F.col("_ssum").cast("double") + v * scale) / scale
+    alpha = (
+        F.when(F.col("p") == 4, F.lit(_alpha(16)))
+        .when(F.col("p") == 5, F.lit(_alpha(32)))
+        .when(F.col("p") == 6, F.lit(_alpha(64)))
+        .otherwise(F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / m)))
+    raw = alpha * m * m / inv_sum
+    est = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)) \
+        .otherwise(raw)
+    return agg.select("column", "p", est.alias("n_est"))
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries mergeable heavy hitters
+# ---------------------------------------------------------------------------
+
+def _mg_compress(counts: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
+    """MG compression of an exact (column, key, cnt) frame: subtract each
+    column's (k+1)-th largest count and keep the strictly-positive
+    remainder (≤ k survivors per column; ties at the threshold drop).
+    The ranking window is partitioned by ``column`` with the rnk filter
+    adjacent, so WindowGroupLimit caps every map partition's contribution
+    at k+1 rows per column BEFORE the exchange — the counts frame itself
+    never funnels through one task. Returns (survivors (column, key,
+    cnt), thresholds (column, _thr) — one row per input column)."""
+    from pyspark.sql.window import Window
+
+    w = (Window.partitionBy("column")
+         .orderBy(F.col("cnt").desc(), F.col("key").asc()))
+    thr = (counts.withColumn("_rnk", F.row_number().over(w))
+           .where(F.col("_rnk") <= k + 1)
+           .groupBy("column")
+           .agg(F.coalesce(
+               F.max(F.when(F.col("_rnk") == k + 1, F.col("cnt"))),
+               F.lit(0).cast("long")).alias("_thr")))
+    survivors = (counts.join(F.broadcast(thr), "column")
+                 .select("column", "key",
+                         (F.col("cnt") - F.col("_thr")).alias("cnt"))
+                 .where(F.col("cnt") > 0))
+    return survivors, thr
+
+
+def mg_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 64,
+) -> DataFrame:
+    """Mergeable Misra–Gries heavy-hitter summary per column: (column,
+    key string, cnt, off, n) with ≤ ``k`` survivor rows per column plus
+    ONE metadata sentinel row (key NULL, cnt 0) that keeps (off, n)
+    available even when no value survives compression. The guarantee
+    (pinned in tests): for every value x with true count f(x),
+    ``cnt(x) ≤ f(x) ≤ cnt(x) + off`` (cnt = 0 when absent), and every x
+    with ``f(x) > off`` IS present; ``off ≤ n / (k+1)``. ``n`` is the
+    column's non-null row count.
+
+    This is the UNBOUNDED-cardinality complement to
+    ``drift.category_profile`` (exact, mergeable, but O(distinct) rows)
+    and ``checks.top_share`` (exact one-pass gate, no persistence):
+    top domains/urls/tokens per shard as a ≤ k-row frame that folds
+    across shards without rescans (``merge_mg`` — merged guarantees
+    compose per Agarwal et al., *Mergeable Summaries*, PODS'12). Values
+    summarize by their string form (the repo-wide portable convention);
+    NULLs are skipped. Cost: the per-(column, value) count aggregate —
+    map-side combined, hot values are hot KEYS, not hot partitions —
+    plus the map-side-limited ranking described in ``_mg_compress``."""
+    if not cols:
+        raise ValueError("mg_profile needs at least one column")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    legs = []
+    for c in cols:
+        legs.append(df.where(F.col(c).isNotNull()).select(
+            F.lit(c).alias("column"),
+            F.col(c).cast("string").alias("key")))
+    u = legs[0]
+    for leg in legs[1:]:
+        u = u.unionByName(leg)
+    counts = u.groupBy("column", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    n = counts.groupBy("column").agg(F.sum("cnt").alias("n"))
+    survivors, thr = _mg_compress(counts, k)
+    # metadata per column (covers every profiled column, including ones
+    # whose values all died in compression); NULL-key sentinel keeps it
+    # in the frame
+    meta = (n.join(thr, "column")
+            .select("column", F.col("_thr").cast("long").alias("off"), "n"))
+    out = survivors.join(F.broadcast(meta), "column") \
+        .select("column", "key", "cnt", "off", "n")
+    sentinel = meta.select(
+        "column", F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("cnt"), "off", "n")
+    return out.unionByName(sentinel)
+
+
+def merge_mg(profiles: list[DataFrame], *, k: int = 64) -> DataFrame:
+    """Fold per-shard ``mg_profile`` frames into one ≤ k-row-per-column
+    summary of the UNION of the shards — counter-wise sum, then one MG
+    compression; the error offsets add (plus the new compression's
+    threshold), so the merged ``off`` keeps the containment guarantee
+    ``cnt ≤ f ≤ cnt + off`` over the union. Merge order never matters
+    (pinned). Operates on the ≤ k-row frames only — no corpus access;
+    per-frame metadata (off, n per column) is read via bounded collects
+    (#columns rows each, the ``merge_hll`` validation precedent)."""
+    if not profiles:
+        raise ValueError("merge_mg needs at least one profile")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    spark = profiles[0].sparkSession
+    meta: dict[str, tuple[int, int]] = {}
+    for prof in profiles:
+        for r in prof.select("column", "off", "n").distinct().collect():
+            off, n = meta.get(r["column"], (0, 0))
+            meta[r["column"]] = (off + r["off"], n + r["n"])
+    u = profiles[0].select("column", "key", "cnt")
+    for prof in profiles[1:]:
+        u = u.unionByName(prof.select("column", "key", "cnt"))
+    summed = (u.where(F.col("key").isNotNull())  # drop metadata sentinels
+              .groupBy("column", "key").agg(F.sum("cnt").alias("cnt")))
+    meta_df = F.broadcast(spark.createDataFrame(
+        [(c, off, n) for c, (off, n) in sorted(meta.items())],
+        "column string, _off long, n long"))
+    survivors, thr = _mg_compress(summed, k)
+    new_meta = (meta_df.join(
+        F.broadcast(thr), "column", "left")
+        .select("column",
+                (F.col("_off")
+                 + F.coalesce(F.col("_thr"), F.lit(0))).alias("off"),
+                "n"))
+    out = survivors.join(F.broadcast(new_meta), "column") \
+        .select("column", "key", "cnt", "off", "n")
+    sentinel = new_meta.select(
+        "column", F.lit(None).cast("string").alias("key"),
+        F.lit(0).cast("long").alias("cnt"), "off", "n")
+    return out.unionByName(sentinel)
