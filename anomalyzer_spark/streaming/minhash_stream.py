@@ -250,6 +250,167 @@ def _materialize_groups(
             shutil.rmtree(p, ignore_errors=True)
 
 
+def _ingest_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    *,
+    store_dir: str,
+    text_col: str,
+    id_col: str,
+    k: int,
+    num_hashes: int,
+    bands: int,
+    threshold: float,
+    retention_batches: int | None,
+    compact_every: int | None,
+    materialize_groups: bool,
+) -> None:
+    """One store ingest step — the shared body of the streaming handle
+    and the batch ``minhash_increment`` (identical semantics by
+    construction: same writes, same store read, same verification)."""
+    if batch_df.isEmpty():
+        return
+    buckets_dir, shingles_dir, pairs_dir = _store_paths(store_dir)
+    min_live = (batch_id - retention_batches + 1
+                if retention_batches is not None else None)
+    new = batch_df.select(F.col(id_col), F.col(text_col))
+    # 1. extend the store first (replay-idempotent batch_id overwrite;
+    #    also lets same-batch pairs resolve through the store read)
+    bk = (
+        minhash_band_buckets(new, text_col, id_col, k=k,
+                             num_hashes=num_hashes, bands=bands)
+        .withColumn("pfx", F.substring("bucket", 1, 2))
+    )
+    bucket_schema = bk.schema
+    (bk.write.mode("overwrite").partitionBy("pfx")
+     .parquet(f"{buckets_dir}/batch_id={batch_id}"))
+    sh_new = new.select(F.col(id_col),
+                        word_shingles(F.col(text_col), k).alias("sh"))
+    shingle_schema = sh_new.schema
+    (sh_new.write.mode("overwrite")
+     .parquet(f"{shingles_dir}/batch_id={batch_id}"))
+    # 2. candidates: (small) new buckets broadcast against the store —
+    #    the store side is scanned, never shuffled
+    store_b = _read_component(
+        spark, store_dir, "buckets", bucket_schema, min_live)
+    new_b = spark.read.schema(bucket_schema).parquet(
+        f"{buckets_dir}/batch_id={batch_id}")
+    cand = (
+        store_b.alias("s")
+        .join(F.broadcast(new_b.alias("n")), ["pfx", "bucket"])
+        .where(F.col(f"s.{id_col}") != F.col(f"n.{id_col}"))
+        .select(
+            F.least(f"s.{id_col}", f"n.{id_col}").alias("id_a"),
+            F.greatest(f"s.{id_col}", f"n.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    # 3. exact verification from the shingle store (candidate-scoped)
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .unionByName(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = (
+        _read_component(
+            spark, store_dir, "shingles", shingle_schema, min_live)
+        .join(F.broadcast(cand_ids), id_col, "left_semi")
+        .select(id_col, "sh")
+    )
+    (
+        verify_jaccard_pairs(sh, cand, threshold, id_col)
+        .write.mode("overwrite")
+        .parquet(f"{pairs_dir}/batch_id={batch_id}")
+    )
+    # 4. bound state: evict out-of-horizon dirs; periodically fold the
+    #    survivors into one compacted generation
+    if min_live is not None:
+        folded = {n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
+                  for n in ("buckets", "shingles", "pairs")}
+        _sweep_live(store_dir, min_live, folded)
+    if compact_every is not None and \
+            (batch_id + 1) % compact_every == 0:
+        pair_schema = StructType([
+            StructField("id_a", bucket_schema[id_col].dataType),
+            StructField("id_b", bucket_schema[id_col].dataType),
+            StructField("jaccard", DoubleType()),
+        ])
+        _compact_component(spark, store_dir, "buckets", bucket_schema,
+                           min_live, batch_id, ("pfx",))
+        _compact_component(spark, store_dir, "shingles",
+                           shingle_schema, min_live, batch_id)
+        _compact_component(spark, store_dir, "pairs", pair_schema,
+                           min_live, batch_id)
+        if materialize_groups:
+            _materialize_groups(spark, store_dir, id_col, batch_id)
+
+
+def minhash_increment(
+    spark: SparkSession,
+    docs: DataFrame,
+    store_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    batch_id: int | None = None,
+    k: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.5,
+    retention_batches: int | None = None,
+    compact_every: int | None = None,
+    materialize_groups: bool = False,
+    id_type: str = "long",
+) -> DataFrame:
+    """Batch-mode incremental near-dup dedup: ingest ONE increment of
+    documents into the persisted MinHash store and return the NEW pairs
+    it introduced (new-vs-corpus and new-vs-new, exact-verified:
+    ``id_a < id_b``, ``jaccard`` ≥ threshold) — the scheduled-batch-job
+    twin of ``minhash_dedup_stream``, for pipelines that land a daily/
+    hourly crawl increment as a plain DataFrame and should dedup it
+    against everything already ingested WITHOUT rescanning the corpus.
+    Identical store layout, candidate generation, verification and
+    retention/compaction — the two entry points share ``_ingest_batch``
+    verbatim, so a store may even be served by the stream and fed by
+    batch jobs (or vice versa) and accumulated pairs keep equaling the
+    batch ``minhash_lsh_pairs`` over all ingested documents (pinned).
+
+    ``batch_id``: defaults to one past the highest ingested id
+    (live dirs and compacted fold points both count). Re-running with
+    an EXPLICIT ``batch_id`` is an idempotent replay (same overwrite
+    contract as the stream). Cost per increment: shingling of the
+    increment + one broadcast probe of the bucket store (partition-
+    pruned on the bucket prefix) + candidate-scoped verification —
+    O(increment + matches), never O(corpus).
+
+    MinHash parameters must match across every ingest into one store
+    (same spec as the stream; differing k/num_hashes/bands would make
+    buckets incomparable). Returns the new pairs frame (typed via
+    ``id_type`` when empty)."""
+    if materialize_groups and compact_every is None:
+        raise ValueError(
+            "materialize_groups=True requires compact_every (groups are "
+            "materialized at compaction ticks)")
+    if batch_id is None:
+        last = -1
+        for name in ("buckets", "shingles", "pairs"):
+            ids = _live_batch_ids(f"{store_dir}/{name}")
+            if ids:
+                last = max(last, ids[-1])
+            last = max(last, _latest_gen(f"{store_dir}/compacted/{name}")[1])
+        batch_id = last + 1
+    _ingest_batch(
+        spark, docs, batch_id, store_dir=store_dir, text_col=text_col,
+        id_col=id_col, k=k, num_hashes=num_hashes, bands=bands,
+        threshold=threshold, retention_batches=retention_batches,
+        compact_every=compact_every, materialize_groups=materialize_groups)
+    pairs_path = f"{_store_paths(store_dir)[2]}/batch_id={batch_id}"
+    if not os.path.isdir(pairs_path):  # empty increment wrote nothing
+        return spark.createDataFrame([], _pair_ddl(id_type))
+    return spark.read.schema(_pair_ddl(id_type)).parquet(pairs_path)
+
+
 def minhash_dedup_stream(
     spark: SparkSession,
     doc_stream: DataFrame,
@@ -300,83 +461,14 @@ def minhash_dedup_stream(
             "prefer_materialized readers would fall back to the full "
             "connected-components recomputation this option exists to "
             "avoid")
-    buckets_dir, shingles_dir, pairs_dir = _store_paths(store_dir)
-
     def handle(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        min_live = (batch_id - retention_batches + 1
-                    if retention_batches is not None else None)
-        new = batch_df.select(F.col(id_col), F.col(text_col))
-        # 1. extend the store first (replay-idempotent batch_id overwrite;
-        #    also lets same-batch pairs resolve through the store read)
-        bk = (
-            minhash_band_buckets(new, text_col, id_col, k=k,
-                                 num_hashes=num_hashes, bands=bands)
-            .withColumn("pfx", F.substring("bucket", 1, 2))
-        )
-        bucket_schema = bk.schema
-        (bk.write.mode("overwrite").partitionBy("pfx")
-         .parquet(f"{buckets_dir}/batch_id={batch_id}"))
-        sh_new = new.select(F.col(id_col),
-                            word_shingles(F.col(text_col), k).alias("sh"))
-        shingle_schema = sh_new.schema
-        (sh_new.write.mode("overwrite")
-         .parquet(f"{shingles_dir}/batch_id={batch_id}"))
-        # 2. candidates: (small) new buckets broadcast against the store —
-        #    the store side is scanned, never shuffled
-        store_b = _read_component(
-            spark, store_dir, "buckets", bucket_schema, min_live)
-        new_b = spark.read.schema(bucket_schema).parquet(
-            f"{buckets_dir}/batch_id={batch_id}")
-        cand = (
-            store_b.alias("s")
-            .join(F.broadcast(new_b.alias("n")), ["pfx", "bucket"])
-            .where(F.col(f"s.{id_col}") != F.col(f"n.{id_col}"))
-            .select(
-                F.least(f"s.{id_col}", f"n.{id_col}").alias("id_a"),
-                F.greatest(f"s.{id_col}", f"n.{id_col}").alias("id_b"),
-            )
-            .distinct()
-        )
-        # 3. exact verification from the shingle store (candidate-scoped)
-        cand_ids = (
-            cand.select(F.col("id_a").alias(id_col))
-            .unionByName(cand.select(F.col("id_b").alias(id_col)))
-            .distinct()
-        )
-        sh = (
-            _read_component(
-                spark, store_dir, "shingles", shingle_schema, min_live)
-            .join(F.broadcast(cand_ids), id_col, "left_semi")
-            .select(id_col, "sh")
-        )
-        (
-            verify_jaccard_pairs(sh, cand, threshold, id_col)
-            .write.mode("overwrite")
-            .parquet(f"{pairs_dir}/batch_id={batch_id}")
-        )
-        # 4. bound state: evict out-of-horizon dirs; periodically fold the
-        #    survivors into one compacted generation
-        if min_live is not None:
-            folded = {n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
-                      for n in ("buckets", "shingles", "pairs")}
-            _sweep_live(store_dir, min_live, folded)
-        if compact_every is not None and \
-                (batch_id + 1) % compact_every == 0:
-            pair_schema = StructType([
-                StructField("id_a", bucket_schema[id_col].dataType),
-                StructField("id_b", bucket_schema[id_col].dataType),
-                StructField("jaccard", DoubleType()),
-            ])
-            _compact_component(spark, store_dir, "buckets", bucket_schema,
-                               min_live, batch_id, ("pfx",))
-            _compact_component(spark, store_dir, "shingles",
-                               shingle_schema, min_live, batch_id)
-            _compact_component(spark, store_dir, "pairs", pair_schema,
-                               min_live, batch_id)
-            if materialize_groups:
-                _materialize_groups(spark, store_dir, id_col, batch_id)
+        _ingest_batch(
+            spark, batch_df, batch_id, store_dir=store_dir,
+            text_col=text_col, id_col=id_col, k=k, num_hashes=num_hashes,
+            bands=bands, threshold=threshold,
+            retention_batches=retention_batches,
+            compact_every=compact_every,
+            materialize_groups=materialize_groups)
 
     return (
         doc_stream.writeStream.foreachBatch(handle)
