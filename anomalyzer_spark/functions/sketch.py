@@ -265,27 +265,33 @@ def merge_mg(profiles: list[DataFrame], *, k: int = 64) -> DataFrame:
     compression; the error offsets add (plus the new compression's
     threshold), so the merged ``off`` keeps the containment guarantee
     ``cnt ≤ f ≤ cnt + off`` over the union. Merge order never matters
-    (pinned). Operates on the ≤ k-row frames only — no corpus access;
-    per-frame metadata (off, n per column) is read via bounded collects
-    (#columns rows each, the ``merge_hll`` validation precedent)."""
+    (pinned). Operates on the ≤ k-row frames only — no corpus access
+    and no driver round-trips: each input's per-column (off, n) rides
+    its NULL-key sentinel row (exactly one per column by construction,
+    in fresh and merged profiles alike), so shard metadata folds as a
+    plain sum over sentinel rows."""
     if not profiles:
         raise ValueError("merge_mg needs at least one profile")
     if k < 1:
         raise ValueError("k must be >= 1")
-    spark = profiles[0].sparkSession
-    meta: dict[str, tuple[int, int]] = {}
-    for prof in profiles:
-        for r in prof.select("column", "off", "n").distinct().collect():
-            off, n = meta.get(r["column"], (0, 0))
-            meta[r["column"]] = (off + r["off"], n + r["n"])
-    u = profiles[0].select("column", "key", "cnt")
+    u = profiles[0].select("column", "key", "cnt", "off", "n")
     for prof in profiles[1:]:
-        u = u.unionByName(prof.select("column", "key", "cnt"))
+        u = u.unionByName(prof.select("column", "key", "cnt", "off", "n"))
+    return _merge_mg_union(u, k)
+
+
+def _merge_mg_union(u: DataFrame, k: int) -> DataFrame:
+    """Merge a UNION of MG profile frames: survivor rows carry
+    denormalized (off, n) copies, but only the NULL-key sentinels
+    (exactly one per input per column) are authoritative — their sum is
+    the merged offset/row count. Shared by ``merge_mg`` and the
+    streaming sketch store reader, which hands the union over as one
+    batch_id-partitioned scan instead of a frame per micro-batch."""
     summed = (u.where(F.col("key").isNotNull())  # drop metadata sentinels
               .groupBy("column", "key").agg(F.sum("cnt").alias("cnt")))
-    meta_df = F.broadcast(spark.createDataFrame(
-        [(c, off, n) for c, (off, n) in sorted(meta.items())],
-        "column string, _off long, n long"))
+    meta_df = (u.where(F.col("key").isNull())
+               .groupBy("column")
+               .agg(F.sum("off").alias("_off"), F.sum("n").alias("n")))
     survivors, thr = _mg_compress(summed, k)
     new_meta = (meta_df.join(
         F.broadcast(thr), "column", "left")

@@ -12,8 +12,11 @@ from .media_stream import (audio_dedup_stream, audio_pairs_store,
                            run_audio_stream_on_dir, run_video_stream_on_dir,
                            video_dedup_stream, video_pairs_store)
 from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
-                             minhash_pairs_store, run_minhash_stream_on_dir)
+                             minhash_increment, minhash_pairs_store,
+                             run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
+from .sketch_stream import (hll_sketch_store, mg_sketch_store,
+                            run_sketch_stream_on_dir, sketch_ingest)
 from .semantic_stream import (run_semantic_stream_on_dir,
                               semantic_dedup_stream, semantic_groups_store,
                               semantic_pairs_store)
@@ -30,12 +33,15 @@ __all__ = ["audio_dedup_stream", "audio_pairs_store",
            "run_video_stream_on_dir",
            "video_dedup_stream", "video_pairs_store",
            "minhash_dedup_stream", "minhash_groups_store",
+           "minhash_increment",
            "minhash_pairs_store", "resample_stream",
            "run_curation_stream_on_dir",
            "run_curation_stream_with_dedup_on_dir",
            "run_dedup_stream_on_dir", "run_drift_stream_on_dir",
            "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
            "run_semantic_stream_on_dir", "run_session_stream_on_dir",
+           "hll_sketch_store", "mg_sketch_store",
+           "run_sketch_stream_on_dir", "sketch_ingest",
            "run_span_gram_stream_on_dir", "run_stream_on_dir",
            "semantic_dedup_stream", "semantic_groups_store",
            "semantic_pairs_store", "span_gram_stream",

@@ -1,0 +1,207 @@
+"""Streaming sketch maintenance — per-micro-batch HLL / Misra–Gries
+profiles folded into a persisted store, so "distinct urls so far" and
+"top domains so far" are a kilobyte parquet read at any point in a
+stream's life, never a corpus rescan.
+
+Same ``foreachBatch``-plus-store shape as ``minhash_stream`` (and the
+same live/compacted directory protocol, imported from there): each
+micro-batch writes its own ``hll_profile`` / ``mg_profile`` under
+``batch_id=N`` (overwrite ⇒ at-least-once replay is a no-op), and the
+store's current value is the MERGE of the newest complete compacted
+generation plus the live batch directories. Compaction
+(``compact_every=C``) folds the current state into one merged profile
+generation — for HLL the fold is register-wise max (fully associative
+AND idempotent, so stream-final state equals the one-shot batch profile
+of everything ingested, exactly — pinned); for MG the fold is the
+mergeable-summaries merge (guarantees compose; fold GROUPING may change
+which near-threshold keys survive, so the pins are the containment /
+completeness guarantees plus exact equality in the uncompacted case).
+
+Batch jobs share the store through ``sketch_ingest`` (the
+``minhash_increment`` pattern): a scheduled daily profiling job and a
+streaming monitor can feed the same store interchangeably.
+
+At 100 TB: per-batch cost is the batch scan plus bounded aggregates
+(≤ m rows per column for HLL, ≤ k+1 per column for MG); store size is
+O(one generation + C live batches) of kilobyte frames; readers never
+touch document data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.sketch import (
+    _merge_mg_union, hll_profile, merge_hll, mg_profile,
+)
+from .minhash_stream import _latest_gen, _live_batch_ids, _sweep_live
+
+__all__ = ["hll_sketch_store", "mg_sketch_store",
+           "run_sketch_stream_on_dir", "sketch_ingest"]
+
+_HLL_DDL = "column string, p int, reg bigint, rho int"
+_MG_DDL = "column string, key string, cnt bigint, off bigint, n bigint"
+_COMPONENTS = ("hll", "mg")
+
+
+def _next_batch_id(store_dir: str) -> int:
+    last = -1
+    for name in _COMPONENTS:
+        ids = _live_batch_ids(f"{store_dir}/{name}")
+        if ids:
+            last = max(last, ids[-1])
+        last = max(last, _latest_gen(f"{store_dir}/compacted/{name}")[1])
+    return last + 1
+
+
+def sketch_ingest(
+    spark: SparkSession,
+    df: DataFrame,
+    store_dir: str,
+    cols: list[str],
+    *,
+    batch_id: int | None = None,
+    p: int = 12,
+    mg_k: int = 64,
+    compact_every: int | None = None,
+) -> None:
+    """Profile one increment (a day's shard, one micro-batch) and land
+    it in the sketch store under its ``batch_id`` directory — shared by
+    the stream handle and scheduled batch jobs. Explicit ``batch_id``
+    re-ingest is an idempotent replay (overwrite). ``cols``/``p``/
+    ``mg_k`` must be consistent across every ingest into one store
+    (``merge_hll`` rejects mixed p; mixed mg_k would silently loosen
+    the MG guarantee)."""
+    if batch_id is None:
+        batch_id = _next_batch_id(store_dir)
+    (hll_profile(df, cols, p=p)
+     .write.mode("overwrite")
+     .parquet(f"{store_dir}/hll/batch_id={batch_id}"))
+    (mg_profile(df, cols, k=mg_k)
+     .write.mode("overwrite")
+     .parquet(f"{store_dir}/mg/batch_id={batch_id}"))
+    if compact_every is not None and (batch_id + 1) % compact_every == 0:
+        # fold current state into one merged-profile generation (same
+        # crash-safe gen/_folded.json protocol as the minhash store)
+        _compact_fold(spark, store_dir, "hll", batch_id,
+                      lambda u: merge_hll([u.drop("batch_id")]))
+        _compact_fold(spark, store_dir, "mg", batch_id,
+                      lambda u: _merge_mg_union(u.drop("batch_id"), mg_k))
+        _sweep_live(store_dir, 0, {
+            n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
+            for n in _COMPONENTS}, components=_COMPONENTS)
+
+
+def _compact_fold(spark, store_dir, name, upto, fold) -> None:
+    """Write compacted/<name>/gen=<upto> = fold(current state). Unlike
+    minhash's row-preserving compaction, the generation holds the MERGED
+    profile (bounded rows), which is itself a valid profile frame; the
+    complete-generation manifest protocol is identical."""
+    import json
+
+    comp_dir = f"{store_dir}/compacted/{name}"
+    gen_path = f"{comp_dir}/gen={upto}"
+    if (os.path.isfile(f"{gen_path}/_SUCCESS")
+            and os.path.isfile(f"{gen_path}/_folded.json")):
+        return
+    cur = _read_sketch(spark, store_dir, name)
+    if cur is None:
+        return
+    fold(cur).coalesce(1).write.mode("overwrite").parquet(gen_path)
+    with open(f"{gen_path}/_folded.json", "w") as f:
+        json.dump({"max_folded": upto}, f)
+    import glob
+    import shutil
+    for b in _live_batch_ids(f"{store_dir}/{name}"):
+        if b <= upto:
+            shutil.rmtree(f"{store_dir}/{name}/batch_id={b}",
+                          ignore_errors=True)
+    for pth in glob.glob(f"{comp_dir}/gen=*"):
+        if os.path.isdir(pth) and pth != gen_path:
+            shutil.rmtree(pth, ignore_errors=True)
+
+
+def _read_sketch(
+    spark: SparkSession, store_dir: str, name: str,
+) -> DataFrame | None:
+    """Union of the newest complete generation and newer live batch
+    dirs, with ``batch_id`` attached and the data schema pinned (the
+    partition-inference lesson from the minhash store)."""
+    ddl = _HLL_DDL if name == "hll" else _MG_DDL
+    full = ddl + ", batch_id bigint"
+    live_dir = f"{store_dir}/{name}"
+    gen_path, folded = _latest_gen(f"{store_dir}/compacted/{name}")
+    parts: list[DataFrame] = []
+    if gen_path is not None:
+        # a generation holds one folded profile with no batch_id column
+        parts.append(spark.read.schema(ddl).parquet(gen_path)
+                     .withColumn("batch_id", F.lit(folded)))
+    if [b for b in _live_batch_ids(live_dir) if b > folded]:
+        parts.append(spark.read.schema(full).parquet(live_dir)
+                     .where(F.col("batch_id") > folded))
+    if not parts:
+        return None
+    out = parts[0]
+    for prt in parts[1:]:
+        out = out.unionByName(prt)
+    return out
+
+
+def hll_sketch_store(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Current merged HLL profile — feed to ``sketch.hll_estimate``.
+    Empty store returns an empty typed frame."""
+    cur = _read_sketch(spark, store_dir, "hll")
+    if cur is None:
+        return spark.createDataFrame([], _HLL_DDL)
+    return merge_hll([cur.drop("batch_id")])
+
+
+def mg_sketch_store(
+    spark: SparkSession, store_dir: str, *, k: int = 64,
+) -> DataFrame:
+    """Current merged Misra–Gries profile (``k`` must be the store's
+    ``mg_k``). Empty store returns an empty typed frame."""
+    cur = _read_sketch(spark, store_dir, "mg")
+    if cur is None:
+        return spark.createDataFrame([], _MG_DDL)
+    return _merge_mg_union(cur.drop("batch_id"), k)
+
+
+def run_sketch_stream_on_dir(
+    spark: SparkSession,
+    input_dir: str,
+    store_dir: str,
+    checkpoint_path: str,
+    cols: list[str],
+    *,
+    p: int = 12,
+    mg_k: int = 64,
+    compact_every: int | None = None,
+    schema=None,
+    max_files_per_trigger: int = 1,
+) -> None:
+    """Drain parquet files from ``input_dir`` (availableNow) through the
+    sketch store: one ``sketch_ingest`` per micro-batch. Read results
+    with ``hll_sketch_store`` / ``mg_sketch_store`` (+
+    ``sketch.hll_estimate``)."""
+    if schema is None:
+        schema = spark.read.parquet(input_dir).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", max_files_per_trigger)
+              .parquet(input_dir))
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sketch_ingest(spark, batch_df, store_dir, cols,
+                      batch_id=batch_id, p=p, mg_k=mg_k,
+                      compact_every=compact_every)
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

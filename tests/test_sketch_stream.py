@@ -1,0 +1,91 @@
+"""Streaming sketch store: HLL stream-final state equals the one-shot
+batch profile EXACTLY (register max is associative + idempotent, with
+and without compaction); MG stream-final equals the offline merge of
+the same per-batch profiles and keeps its guarantees through
+compaction; batch sketch_ingest interoperates and replays idempotently."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import sketch
+from anomalyzer_spark.streaming import (
+    hll_sketch_store, mg_sketch_store, run_sketch_stream_on_dir,
+    sketch_ingest,
+)
+
+_COLS = ["lang", "source"]
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()),
+                  key=lambda t: tuple((x is None, x) for x in t))
+
+
+def test_stream_final_equals_batch(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(sdir)
+    store = str(tmp_path / "store")
+    run_sketch_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"), _COLS,
+        p=10, mg_k=8)
+    # HLL: exact frame equality with the one-shot whole-corpus profile
+    assert _rows(hll_sketch_store(spark, store)) \
+        == _rows(sketch.hll_profile(docs, _COLS, p=10))
+    # MG: equality with the offline merge over the same per-file splits
+    per_file = [sketch.mg_profile(spark.read.parquet(f), _COLS, k=8)
+                for f in sorted(glob.glob(f"{sdir}/part-*.parquet"))]
+    assert _rows(mg_sketch_store(spark, store, k=8)) \
+        == _rows(sketch.merge_mg(per_file, k=8))
+
+
+def test_compaction_keeps_hll_exact_and_mg_guarantees(
+        spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(sdir)
+    store = str(tmp_path / "store")
+    run_sketch_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"), _COLS,
+        p=10, mg_k=8, compact_every=2)
+    # generations were written and live dirs swept
+    assert glob.glob(f"{store}/compacted/hll/gen=*")
+    assert len(glob.glob(f"{store}/hll/batch_id=*")) == 0
+    # HLL exactness survives any fold grouping
+    assert _rows(hll_sketch_store(spark, store)) \
+        == _rows(sketch.hll_profile(docs, _COLS, p=10))
+    # MG guarantees vs exact counts (fold grouping may legally change
+    # WHICH near-threshold keys survive, not the contract)
+    rows = mg_sketch_store(spark, store, k=8).collect()
+    for c in _COLS:
+        crows = [r for r in rows if r["column"] == c]
+        off = crows[0]["off"]
+        assert all(r["off"] == off for r in crows)
+        exact = {r["k"]: r["cnt"] for r in
+                 docs.groupBy(F.col(c).alias("k"))
+                 .agg(F.count(F.lit(1)).alias("cnt")).collect()}
+        surv = {r["key"]: r["cnt"] for r in crows if r["key"] is not None}
+        assert crows[0]["n"] == sum(exact.values())
+        for key, cnt in surv.items():
+            assert cnt <= exact[key] <= cnt + off
+        for key, f in exact.items():
+            if f > off:
+                assert key in surv
+
+
+def test_batch_ingest_interop_and_replay(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "store")
+    for i in range(3):
+        sketch_ingest(spark, docs.where(F.col("doc_id") % 3 == i),
+                      store, _COLS, p=10, mg_k=8)
+    whole = _rows(sketch.hll_profile(docs, _COLS, p=10))
+    assert _rows(hll_sketch_store(spark, store)) == whole
+    before = _rows(mg_sketch_store(spark, store, k=8))
+    # at-least-once replay of the middle increment: same batch_id,
+    # overwrite — both stores unchanged
+    sketch_ingest(spark, docs.where(F.col("doc_id") % 3 == 1),
+                  store, _COLS, batch_id=1, p=10, mg_k=8)
+    assert _rows(hll_sketch_store(spark, store)) == whole
+    assert _rows(mg_sketch_store(spark, store, k=8)) == before
