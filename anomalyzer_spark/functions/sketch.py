@@ -102,17 +102,18 @@ def hll_profile(
     if not 4 <= p <= 16:
         raise ValueError("need 4 <= p <= 16")
     w = _HASH_BITS - p
-    legs = []
-    for c in cols:
-        h = _h60(F.col(c))
-        legs.append(
-            df.where(F.col(c).isNotNull()).select(
-                F.lit(c).alias("column"),
-                F.shiftright(h, w).alias("reg"),
-                _rho(h.bitwiseAND(F.lit((1 << w) - 1)), w).alias("_rho")))
-    u = legs[0]
-    for leg in legs[1:]:
-        u = u.unionByName(leg)
+    # one-scan unpivot (the drift._unpivot shape: explode of an array of
+    # cheap structs — NOT a union of per-column projections, which would
+    # scan the input once per column)
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("string").alias("v")) for c in cols]
+    long = (df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+            .where(F.col("v").isNotNull()))
+    h = _h60(F.col("v"))
+    u = long.select(
+        F.col("column"),
+        F.shiftright(h, w).alias("reg"),
+        _rho(h.bitwiseAND(F.lit((1 << w) - 1)), w).alias("_rho"))
     return (u.groupBy("column", "reg")
             .agg(F.max("_rho").alias("rho"))
             .select("column", F.lit(p).alias("p"), "reg", "rho"))
@@ -211,6 +212,7 @@ def mg_profile(
     cols: list[str],
     *,
     k: int = 64,
+    materialize: bool = True,
 ) -> DataFrame:
     """Mergeable Misra–Gries heavy-hitter summary per column: (column,
     key string, cnt, off, n) with ≤ ``k`` survivor rows per column plus
@@ -230,20 +232,26 @@ def mg_profile(
     summarize by their string form (the repo-wide portable convention);
     NULLs are skipped. Cost: the per-(column, value) count aggregate —
     map-side combined, hot values are hot KEYS, not hot partitions —
-    plus the map-side-limited ranking described in ``_mg_compress``."""
+    plus the map-side-limited ranking described in ``_mg_compress``.
+
+    The counts frame feeds THREE consumers (threshold ranking,
+    survivor subtraction, per-column totals) and Catalyst gives them no
+    ReusedExchange (the bm25/tfidf precedent), which would mean three
+    corpus scans — so ``materialize=True`` (default) eagerly
+    localCheckpoints it: one corpus scan, one count exchange, and every
+    consumer reads the (O(distinct values), distributed) checkpoint.
+    Pass ``materialize=False`` for a lazy plan-only frame."""
     if not cols:
         raise ValueError("mg_profile needs at least one column")
     if k < 1:
         raise ValueError("k must be >= 1")
-    legs = []
-    for c in cols:
-        legs.append(df.where(F.col(c).isNotNull()).select(
-            F.lit(c).alias("column"),
-            F.col(c).cast("string").alias("key")))
-    u = legs[0]
-    for leg in legs[1:]:
-        u = u.unionByName(leg)
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("string").alias("key")) for c in cols]
+    u = (df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+         .where(F.col("key").isNotNull()))
     counts = u.groupBy("column", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    if materialize:
+        counts = counts.localCheckpoint(eager=True)
     n = counts.groupBy("column").agg(F.sum("cnt").alias("n"))
     survivors, thr = _mg_compress(counts, k)
     # metadata per column (covers every profiled column, including ones
