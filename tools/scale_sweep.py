@@ -87,7 +87,7 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
     from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
                                             langid, multimodal, ngram_lm,
                                             packing, retrieval, sampling,
-                                            similarity, text)
+                                            similarity, sketch, text)
 
     # 2-class language model for the langid_score cell: the model is
     # corpus-independent (fixed feature spec), so the fit happens ONCE per
@@ -143,6 +143,25 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             d_tok = retrieval.tokenize_docs(d).localCheckpoint(eager=True)
             pretok_stats = retrieval.bm25_corpus_stats(
                 d_tok, tokens_col="tokens")
+        # round-12c: incremental dedup — the store holds 90% of the
+        # corpus (seeded OUTSIDE the timer: the corpus-index-exists
+        # shape), the timed cell ingests the remaining 10% increment.
+        # make_docs plants every-10th-doc copies, so every increment doc
+        # has a real near-dup in the store. Explicit batch_id=1 makes
+        # each repeat an idempotent replay (same work, same store
+        # state). Compare against the minhash_lsh cell at the same n:
+        # that is what re-deduping the whole corpus costs instead.
+        if not only or "minhash_inc" in only:
+            import tempfile
+
+            from anomalyzer_spark.streaming.minhash_stream import (
+                minhash_increment)
+            inc_store = tempfile.mkdtemp(prefix="mh_inc_") + "/store"
+            minhash_increment(
+                spark, d.where(F.col("doc_id") % 10 != 9), inc_store,
+                k=3, num_hashes=64, bands=16, threshold=0.7)
+            inc_docs = (d.where(F.col("doc_id") % 10 == 9)
+                        .localCheckpoint(eager=True))
         for name, build in (
             ("exact_dedup", lambda: dedup.exact_dedup(d, "text", "doc_id")),
             ("minhash_lsh", lambda: dedup.minhash_lsh_pairs(
@@ -271,6 +290,17 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             ("bm25_pretok", lambda: retrieval.bm25_topk(
                 d_tok, qdf, k=10, tokens_col="tokens",
                 corpus_stats=pretok_stats)),
+            # round-12c: 10%-increment dedup against the prebuilt store
+            # (seeded above) vs the whole-corpus minhash_lsh cell
+            ("minhash_inc", lambda: minhash_increment(
+                spark, inc_docs, inc_store, batch_id=1,
+                k=3, num_hashes=64, bands=16, threshold=0.7)),
+            # round-12c: mergeable shard sketches — the per-shard cost a
+            # landing shard pays so corpus-wide distinct counts / top
+            # values never rescan (one scan + bounded aggregates each)
+            ("hll_profile", lambda: sketch.hll_profile(
+                d, ["text"], p=12)),
+            ("mg_heavy", lambda: sketch.mg_profile(d, ["text"], k=64)),
         ):
             if only and name not in only:
                 continue
