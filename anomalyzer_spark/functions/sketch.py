@@ -46,8 +46,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hll_estimate", "hll_profile", "merge_hll", "merge_mg",
-           "mg_profile"]
+__all__ = ["hll_estimate", "hll_overlap", "hll_profile", "merge_hll",
+           "merge_mg", "mg_profile"]
 
 #: hash width in bits (15 md5 hex digits — fits BIGINT in both engines)
 _HASH_BITS = 60
@@ -175,6 +175,35 @@ def hll_estimate(profile: DataFrame) -> DataFrame:
     est = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)) \
         .otherwise(raw)
     return agg.select("column", "p", est.alias("n_est"))
+
+
+def hll_overlap(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
+    """Distinct-overlap estimate between two profiled corpora (releases,
+    snapshots, shards) from their register frames ALONE — no joins over
+    data, no rescans: (column, p, n_a, n_b, n_union, n_intersection)
+    per shared column, via inclusion–exclusion
+    (``n_intersection = n_a + n_b − n_union``, clamped at 0, with the
+    union estimated from ``merge_hll`` — registers union losslessly).
+
+    The standard HLL caveat applies and is the contract here: the
+    intersection's ABSOLUTE error scales with the UNION's size
+    (~1.04/√m of ``n_union``), so a small true overlap between two huge
+    corpora estimates noisily — use the exact/bloom ``decontam`` legs
+    when the decision needs per-item truth; this answers the corpus-
+    level "how much do these releases share?" question at profile
+    cost. Columns present in only one profile are omitted (no overlap
+    statement can be made); mixed p is rejected by the merge."""
+    est_a = hll_estimate(profile_a).withColumnRenamed("n_est", "n_a")
+    est_b = hll_estimate(profile_b).withColumnRenamed("n_est", "n_b")
+    est_u = hll_estimate(merge_hll([profile_a, profile_b])) \
+        .withColumnRenamed("n_est", "n_union")
+    return (est_a.join(est_b, ["column", "p"])
+            .join(est_u, ["column", "p"])
+            .select("column", "p", "n_a", "n_b", "n_union",
+                    F.greatest(
+                        F.lit(0.0),
+                        F.col("n_a") + F.col("n_b") - F.col("n_union"))
+                    .alias("n_intersection")))
 
 
 # ---------------------------------------------------------------------------

@@ -385,10 +385,19 @@ def minhash_increment(
     ``batch_id``: defaults to one past the highest ingested id
     (live dirs and compacted fold points both count). Re-running with
     an EXPLICIT ``batch_id`` is an idempotent replay (same overwrite
-    contract as the stream). Cost per increment: shingling of the
-    increment + one broadcast probe of the bucket store (partition-
-    pruned on the bucket prefix) + candidate-scoped verification —
-    O(increment + matches), never O(corpus).
+    contract as the stream). Cost per increment, precisely: the
+    increment's shingling/writes and the candidate-scoped verification
+    are O(increment + matches); the candidate probe additionally pays
+    ONE map-only scan of the bucket INDEX (bands rows per corpus doc —
+    a small fraction of corpus text bytes; broadcast-probed, so the
+    corpus never shuffles; pfx partition pruning helps only when an
+    increment is prefix-localized, which a random batch is not).
+    Measured (tools/scale_sweep synthetic corpus, local[32]): a fixed
+    5k-doc increment costs 5.7 s against a 45k-doc store and 10.1 s
+    against a 495k-doc store — the index-scan term — vs whole-corpus
+    re-dedup at 15 s / 31 s (and re-dedup also re-pays its own text
+    scan + corpus-wide signature shuffle, which is the asymptotic
+    difference).
 
     MinHash parameters must match across every ingest into one store
     (same spec as the stream; differing k/num_hashes/bands would make

@@ -126,6 +126,35 @@ def test_profile_parquet_round_trip(spark, sf_dir, tmp_path):
     assert round(row["n_est"]) == pytest.approx(500, abs=25)
 
 
+def test_overlap_inclusion_exclusion(spark):
+    """Two overlapping ranges: intersection estimate within the
+    documented union-relative bound; disjoint case clamps near 0;
+    small-range case resolves exactly."""
+    a = sketch.hll_profile(
+        spark.range(0, 60_000).select(F.col("id").alias("v")), ["v"])
+    b = sketch.hll_profile(
+        spark.range(40_000, 100_000).select(F.col("id").alias("v")), ["v"])
+    [row] = sketch.hll_overlap(a, b).collect()
+    # union = 100k, true intersection = 20k; 3 estimates compound, so
+    # allow ~4 sigma of the union (4 * 1.04/sqrt(4096) * 100k ~ 6.5k)
+    assert abs(row["n_intersection"] - 20_000) < 6_500
+    assert abs(row["n_union"] - 100_000) / 100_000 < 0.05
+    # disjoint: clamped to >= 0 and small relative to the union
+    c = sketch.hll_profile(
+        spark.range(200_000, 260_000).select(F.col("id").alias("v")), ["v"])
+    [rd] = sketch.hll_overlap(a, c).collect()
+    assert 0.0 <= rd["n_intersection"] < 6_500
+    # linear-counting regime: tiny sets overlap near-exactly (three
+    # linear-counting estimates compound, so the result can land one
+    # off the true 10 — deterministic, but not integral)
+    s1 = sketch.hll_profile(
+        spark.range(0, 30).select(F.col("id").alias("v")), ["v"])
+    s2 = sketch.hll_profile(
+        spark.range(20, 50).select(F.col("id").alias("v")), ["v"])
+    [rs] = sketch.hll_overlap(s1, s2).collect()
+    assert abs(rs["n_intersection"] - 10) <= 1.5
+
+
 def test_validation_and_nulls(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, None), (3, "b")], "id long, s string")
