@@ -735,7 +735,25 @@ def q_sketch_stats(spark, sf_dir):
     count plus a boolean asserting the sketch landed within 4x its
     documented rsd (0.05) — deterministic for fixed data; the GK percentile
     is run with accuracy >= group size, where the sketch returns an exact
-    data element that DuckDB's quantile_disc reproduces."""
+    data element that DuckDB's quantile_disc reproduces.
+    (functions-local import below, the house convention for slot-scoped
+    dependencies.)
+
+    Round-12c riders (the audio_subfp precedent — value-hash attest the
+    MERGEABLE sketch stack, functions/sketch.py, which unlike the
+    builtins is engine-portable BY CONSTRUCTION): ``hll_reg_fold`` /
+    ``hll_occupied`` fold the o_custkey HLL register frame (p=12,
+    md5-derived 60-bit hash, integer-exact smear rank) into an
+    order-independent integer — DuckDB recomputes every register and
+    the same fold, so one flipped bit in any register misses the hash;
+    ``mg_fold`` replays the o_orderpriority Misra–Gries summary (k=3:
+    exact counts, (k+1)-th-largest threshold with the value-asc
+    tiebreak, subtraction, survivors + off + n) as a canonical string
+    md5. Riders are constant per row; ``materialize=False`` keeps the
+    slot lazy (the checkpoint default exists for corpus-scale counts
+    frames, not a 5-key column)."""
+    from anomalyzer_spark.functions import sketch
+
     o = load_table(spark, sf_dir, "orders")
     # two aggregations joined on the tiny key, NOT one: mixing
     # count_distinct with non-distinct sketches triggers the expand-based
@@ -749,12 +767,30 @@ def q_sketch_stats(spark, sf_dir):
     )
     ex = o.groupBy("o_orderpriority").agg(
         F.count_distinct(F.col("o_custkey")).alias("n_cust_exact"))
-    return sk.join(ex, "o_orderpriority").select(
-        "o_orderpriority", "n_orders", "n_cust_exact",
-        (F.abs(F.col("_apx") - F.col("n_cust_exact"))
-         / F.col("n_cust_exact") <= 0.2).alias("hll_within_bound"),
-        "p50_totalprice",
-    )
+    hll_row = (sketch.hll_profile(o.select("o_custkey"), ["o_custkey"],
+                                  p=12)
+               .agg(F.sum(F.col("reg") * F.lit(1000003) + F.col("rho"))
+                    .cast("long").alias("hll_reg_fold"),
+                    F.count(F.lit(1)).alias("hll_occupied")))
+    mg_row = (sketch.mg_profile(o, ["o_orderpriority"], k=3,
+                                materialize=False)
+              .agg(F.md5(F.concat_ws(
+                  "|",
+                  F.concat_ws(",", F.sort_array(F.collect_list(
+                      F.when(F.col("key").isNotNull(), F.concat_ws(
+                          "=", F.col("key"), F.col("cnt")))))),
+                  F.max("off"), F.max("n")).cast("binary"))
+                  .alias("mg_fold")))
+    return (sk.join(ex, "o_orderpriority")
+            .crossJoin(F.broadcast(hll_row))
+            .crossJoin(F.broadcast(mg_row))
+            .select(
+                "o_orderpriority", "n_orders", "n_cust_exact",
+                (F.abs(F.col("_apx") - F.col("n_cust_exact"))
+                 / F.col("n_cust_exact") <= 0.2).alias("hll_within_bound"),
+                "p50_totalprice",
+                "hll_reg_fold", "hll_occupied", "mg_fold",
+            ))
 
 
 def _pq_codebooks(rows) -> list[list[list[float]]]:
@@ -3042,12 +3078,48 @@ GROUP BY event_type, k_mod"""
 SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS median_qty
 FROM lineitem GROUP BY l_returnflag"""
 
+    # the hll_reg_fold/hll_occupied/mg_fold riders replay the portable
+    # sketch stack register-for-register: p=12 -> 48 rank bits (mask
+    # 2^48-1), rho via the same integer smear; MG k=3 with the
+    # cnt-desc/key-asc tiebreak and the canonical sorted "key=cnt" fold
     sql["sketch_stats"] = """
-SELECT o_orderpriority, count(*) AS n_orders,
-  count(DISTINCT o_custkey)::BIGINT AS n_cust_exact,
-  true AS hll_within_bound,
-  quantile_disc(o_totalprice, 0.5) AS p50_totalprice
-FROM orders GROUP BY o_orderpriority"""
+WITH base AS (
+  SELECT o_orderpriority, count(*) AS n_orders,
+    count(DISTINCT o_custkey)::BIGINT AS n_cust_exact,
+    true AS hll_within_bound,
+    quantile_disc(o_totalprice, 0.5) AS p50_totalprice
+  FROM orders GROUP BY o_orderpriority),
+hraw AS (
+  SELECT ('0x' || substr(md5('hll|' || o_custkey::VARCHAR), 1, 15))::BIGINT
+         AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+hbits AS (SELECT h >> 48 AS reg, h & 281474976710655 AS s FROM hraw),
+h1 AS (SELECT reg, s | (s >> 1) AS s FROM hbits),
+h2 AS (SELECT reg, s | (s >> 2) AS s FROM h1),
+h3 AS (SELECT reg, s | (s >> 4) AS s FROM h2),
+h4 AS (SELECT reg, s | (s >> 8) AS s FROM h3),
+h5 AS (SELECT reg, s | (s >> 16) AS s FROM h4),
+h6 AS (SELECT reg, s | (s >> 32) AS s FROM h5),
+hreg AS (SELECT reg, max(49 - bit_count(s)) AS rho FROM h6 GROUP BY 1),
+hfold AS (SELECT sum(reg * 1000003 + rho)::BIGINT AS hll_reg_fold,
+                 count(*)::BIGINT AS hll_occupied FROM hreg),
+mcnt AS (SELECT o_orderpriority::VARCHAR AS key, count(*) AS cnt
+         FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1),
+mrk AS (SELECT key, cnt,
+          row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn FROM mcnt),
+mthr AS (SELECT coalesce(max(CASE WHEN rn = 4 THEN cnt END), 0) AS t
+         FROM mrk WHERE rn <= 4),
+mn AS (SELECT sum(cnt)::BIGINT AS n FROM mcnt),
+msurv AS (SELECT key, c.cnt - t.t AS cnt
+          FROM mcnt c CROSS JOIN mthr t WHERE c.cnt - t.t > 0),
+mfold AS (
+  SELECT md5(coalesce((SELECT string_agg(key || '=' || cnt, ','
+                                         ORDER BY key || '=' || cnt)
+                       FROM msurv), '')
+             || '|' || t.t || '|' || n.n) AS mg_fold
+  FROM mthr t CROSS JOIN mn n)
+SELECT b.*, hfold.hll_reg_fold, hfold.hll_occupied, mfold.mg_fold
+FROM base b CROSS JOIN hfold CROSS JOIN mfold"""
 
     sql["set_ops"] = """
 WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
