@@ -299,11 +299,34 @@ def q_bm25(spark, sf_dir):
     curation_pipeline's value hashes; md5 content identity per document
     is hashed by snapshot_diff (both sides); and the retired slot's
     per-document rendering oracle lives verbatim in
-    tests/test_functions.py::test_exact_dedup_duckdb_parity."""
+    tests/test_functions.py::test_exact_dedup_duckdb_parity.
+
+    Round-12c rider: hybrid-retrieval attestation (retrieval.rrf_fuse
+    — the weighted reciprocal-rank fusion of this slot's lexical top-k
+    with an exact-cosine vector leg whose query vectors are the
+    embeddings of vec_id = query_id). Each bm25 row carries its fused
+    (rrf_score, hybrid_rnk) via LEFT join — NULL when the document
+    fell out of the fused top-k — so both legs' RANKINGS and the
+    fusion arithmetic sit under the value hash; the DuckDB oracle
+    recomputes cosine, fusion and the join. Row count is unchanged
+    (the all-miss query 3 stays lexical-empty)."""
     from anomalyzer_spark.functions import retrieval
     d = _docs(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
-    return retrieval.bm25_topk(d, q, k=BM25_K)
+    lex = retrieval.bm25_topk(d, q, k=BM25_K)
+    e = _embs(spark, sf_dir)
+    vecq = (e.where(F.col("vec_id") < len(BM25_QUERIES))
+            .select("vec_id", "embedding"))
+    vec = (similarity.cosine_topk(
+        e, vecq, id_col="vec_id", query_id_col="vec_id", k=BM25_K)
+        .select(F.col("query_id"), F.col("neighbor_id").alias("doc_id"),
+                F.col("rnk")))
+    fused = retrieval.rrf_fuse(
+        [(lex.select("query_id", "doc_id", "rnk"), 1.0), (vec, 0.7)],
+        k=BM25_K).select(
+        "query_id", "doc_id", "rrf_score",
+        F.col("rnk").cast("long").alias("hybrid_rnk"))
+    return lex.join(fused, ["query_id", "doc_id"], "left")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -2231,8 +2254,37 @@ sc AS (
 r AS (
   SELECT *, row_number() OVER (
       PARTITION BY query_id ORDER BY score DESC, doc_id) AS rnk
-  FROM sc)
-SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_K}"""
+  FROM sc),
+lex AS (SELECT query_id, doc_id, score, rnk FROM r WHERE rnk <= {BM25_K}),
+cq AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       FROM embeddings WHERE vec_id < {len(BM25_QUERIES)}),
+cc AS (SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+       FROM embeddings),
+cs AS (SELECT query_id, doc_id,
+         list_dot_product(qv, cv)
+           / (sqrt(list_dot_product(qv, qv))
+              * sqrt(list_dot_product(cv, cv))) AS cos_sim
+       FROM cq CROSS JOIN cc),
+cr AS (SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, doc_id) AS rnk
+       FROM cs WHERE cos_sim IS NOT NULL),
+contrib AS (
+  SELECT query_id, doc_id, 1.0 / (60 + rnk) AS c FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 0.7 / (60 + rnk) AS c
+  FROM cr WHERE rnk <= {BM25_K}),
+fused AS (
+  SELECT query_id, doc_id, round(sum(c), 6) AS rrf_score
+  FROM contrib GROUP BY 1, 2),
+frk AS (
+  SELECT query_id, doc_id, rrf_score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_score DESC, doc_id) AS hybrid_rnk
+  FROM fused)
+SELECT l.query_id, l.doc_id, l.score, l.rnk, f.rrf_score, f.hybrid_rnk
+FROM lex l LEFT JOIN (SELECT * FROM frk WHERE hybrid_rnk <= {BM25_K}) f
+  USING (query_id, doc_id)"""
 
     # decontam: replays word_shingles' normalized DISTINCT 8-grams for
     # both sides (eval = every 97th document), the gram join, and the
