@@ -129,3 +129,102 @@ def score_quality(
                                    / F.lit(float(s)))
     score = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
     return feats.select(F.col(id_col), score.alias(out_col))
+
+
+def normalize_scores(
+    df: DataFrame,
+    score_col: str,
+    *,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    profile: DataFrame | None = None,
+    bounds: tuple[float, float] | None = None,
+    n_bins: int = 100,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Rank-normalize a score to [0, 1] so thresholds mean the same
+    thing everywhere — the domain-fair-filtering step: a fixed cut on a
+    raw quality score keeps whole head domains and guts tail ones,
+    because score DISTRIBUTIONS differ per domain far more than quality
+    does. Returns (``id_col``, ``group_col`` if any, ``score_col``,
+    ``<score_col>_norm``).
+
+    Two scale paths, chosen by ``group_col``:
+
+    * **within groups** (``group_col=`` a domain/source column):
+      ``percent_rank`` over a group-partitioned window — shuffles once
+      on the group key; safe when groups are many (domains, sources).
+      A single giant group degenerates to one partition — that case is
+      what the global path is for.
+    * **global** (``group_col=None``): NO unpartitioned window (the
+      ``top_share`` lesson). The score is mapped through the empirical
+      CDF of a ``drift.histogram_profile`` over the score column —
+      exact bin counts + within-bin linear interpolation, so the
+      result is deterministic, engine-replayable (DuckDB parity in
+      tests), and the ≤ ``n_bins``-row profile broadcasts as literals:
+      the normalization itself is map-only. Pass ``profile=`` (the
+      persisted CORPUS profile, built once per corpus version — and
+      mergeable across shards via ``drift.merge_profiles``) to
+      normalize an increment against the whole corpus without
+      rescanning it; otherwise one profile pass over ``df`` runs here
+      (``bounds=`` pins the bin range, the drift comparability
+      contract). Scores at/below the profile's lo map to 0, at/above
+      hi to 1, NULLs stay NULL. Resolution is 1/n_bins of the value
+      range per bin boundary — ranking WITHIN a bin is linear in value,
+      not in mass (the documented approximation vs exact percent_rank).
+    """
+    from pyspark.sql.window import Window
+
+    from anomalyzer_spark.functions import drift
+
+    out_col = out_col or f"{score_col}_norm"
+    if group_col is not None:
+        # NULL scores are EXCLUDED from the ranking (they would shift
+        # percent_rank's denominator, and engines disagree on NULL sort
+        # order inside windows) and come back with a NULL norm
+        w = (Window.partitionBy(group_col)
+             .orderBy(F.col(score_col).asc()))
+        keep = [F.col(id_col), F.col(group_col), F.col(score_col)]
+        nn = (df.where(F.col(score_col).isNotNull()).select(*keep)
+              .withColumn(out_col, F.percent_rank().over(w)))
+        nulls = (df.where(F.col(score_col).isNull()).select(*keep)
+                 .withColumn(out_col, F.lit(None).cast("double")))
+        return nn.unionByName(nulls)
+    if profile is None:
+        profile = drift.histogram_profile(
+            df, [score_col], n_bins=n_bins,
+            bounds={score_col: bounds} if bounds else None)
+    rows = sorted(
+        (r["bucket"], int(r["cnt"]), float(r["lo"]), float(r["hi"]))
+        for r in profile.where(
+            (F.col("column") == score_col) & (F.col("bucket") >= 0))
+        .collect())
+    if not rows:
+        raise ValueError(
+            f"profile holds no buckets for column {score_col!r}")
+    lo, hi = rows[0][2], rows[0][3]
+    nb = max(r[0] for r in rows) + 1
+    cnts = [0] * nb
+    for b, c, _, _ in rows:
+        cnts[b] = c
+    total = sum(cnts)
+    width = (hi - lo) / nb if hi > lo else 1.0
+    cum = [0] * nb  # rows strictly below each bucket's lower edge
+    for b in range(1, nb):
+        cum[b] = cum[b - 1] + cnts[b - 1]
+    s = F.col(score_col)
+    b_idx = F.least(F.lit(nb - 1), F.greatest(F.lit(0), F.floor(
+        (s - F.lit(lo)) / F.lit(width)).cast("int")))
+    cum_arr = F.array(*[F.lit(float(c)) for c in cum])
+    cnt_arr = F.array(*[F.lit(float(c)) for c in cnts])
+    frac = (s - (F.lit(lo) + b_idx.cast("double") * F.lit(width))) \
+        / F.lit(width)
+    frac = F.least(F.lit(1.0), F.greatest(F.lit(0.0), frac))
+    norm = (F.element_at(cum_arr, b_idx + 1)
+            + frac * F.element_at(cnt_arr, b_idx + 1)) / F.lit(float(total))
+    norm = (F.when(s.isNull(), F.lit(None).cast("double"))
+            .when(s <= F.lit(lo), F.lit(0.0))
+            .when(s >= F.lit(hi), F.lit(1.0))
+            .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(0.0), norm))))
+    return df.select(F.col(id_col), F.col(score_col)).withColumn(
+        out_col, norm)
