@@ -32,6 +32,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import re as _re
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -824,6 +825,118 @@ def simhash(
         simhash_col(F.col(text_col), bits=bits).alias("simhash"),
         F.size(words).alias("n_words"),
     )
+
+
+#: fixed-point scale for weighted-simhash term weights: tf·idf is
+#: quantized to integer MICRO-UNITS before the per-document bit sums, so
+#: the sums are exact integers — order-independent across partitionings
+#: and replayable in DuckDB (a double sum's rounding depends on
+#: aggregation order, and a near-zero bit sum would make the SIGN, i.e.
+#: the signature bit, nondeterministic)
+SIMHASH_W_SCALE = 1_000_000
+
+
+def simhash_weighted(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    corpus_stats: tuple[int, float] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """tf·idf-weighted SimHash (the Charikar/Manku production variant):
+    signature bit j = sign of Σ over DISTINCT words of
+    ``round(tf · idf · 1e6) · (±1)``, with the same md5-nibble bit spec
+    as ``simhash`` and the Lucene BM25 idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))`` (strictly positive, so a
+    stop-word can never flip its own sign; shared with the bm25 stack).
+    Unweighted SimHash lets boilerplate outvote content — two documents
+    sharing a 90% template hash together no matter what the other 10%
+    says; idf weighting makes the rare words carry the signature.
+    Returns (id, simhash bigint, n_terms = distinct words); documents
+    with no words get signature 0 (matching ``simhash``'s empty fold).
+
+    Plan shape: staged split → ``explode_outer`` (the
+    InferFiltersFromGenerate lesson) → one (doc, word) tf aggregate.
+    That postings frame feeds BOTH the document-frequency aggregate and
+    the weighted fold, with no ReusedExchange between them — so
+    ``materialize=True`` (default) eagerly localCheckpoints it (the
+    bm25 precedent; pass False for a lazy plan-only frame). df comes
+    back as a word-keyed shuffle join (vocabulary is unbounded — no
+    broadcast), the 32 bit contributions are computed ONCE per posting
+    into a staged array, and the per-document fold is 32 exact integer
+    sums over that attribute. ``corpus_stats=(n_docs, _)`` skips the
+    corpus-count scan (persisted corpus-version metadata, the
+    ``bm25_corpus_stats`` shape — only n_docs is read)."""
+    assert bits <= 32
+    tok = (df.select(F.col(id_col),
+                     F.split(normalized(F.col(text_col)), " ").alias("_w"))
+           .select(F.col(id_col), F.explode_outer("_w").alias("word"))
+           .where(F.col("word").isNotNull() & (F.col("word") != "")))
+    tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
+    if materialize:
+        tf = tf.localCheckpoint(eager=True)
+    if corpus_stats is not None:
+        n_docs = int(corpus_stats[0])
+        if n_docs < 1:
+            raise ValueError("corpus_stats needs n_docs >= 1")
+    else:
+        n_docs = df.count()
+    dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5))
+    w_int = F.round(F.col("tf") * idf * SIMHASH_W_SCALE).cast("long")
+    h = F.md5(F.col("word").cast("binary"))
+    bit_idx = F.sequence(F.lit(0), F.lit(bits - 1))
+    contrib = F.transform(
+        bit_idx,
+        lambda j: F.when(h.substr(j + 1, F.lit(1)).isin(
+            "8", "9", "a", "b", "c", "d", "e", "f"), w_int)
+        .otherwise(-w_int))
+    staged = (tf.join(dfreq, "word")
+              .select(F.col(id_col), contrib.alias("_c")))
+    sums = staged.groupBy(id_col).agg(
+        *[F.sum(F.element_at("_c", j + 1)).alias(f"_s{j}")
+          for j in range(bits)],
+        F.count(F.lit(1)).alias("n_terms"))
+    sig = reduce(
+        lambda acc, j: acc + F.when(F.col(f"_s{j}") > 0,
+                                    F.lit(1 << j).cast("long"))
+        .otherwise(F.lit(0).cast("long")),
+        range(bits), F.lit(0).cast("long"))
+    sigs = sums.select(F.col(id_col), sig.alias("simhash"),
+                       F.col("n_terms").cast("long").alias("n_terms"))
+    # wordless documents have no postings — give them the empty-fold
+    # signature 0 like the unweighted operator (left join on the id key)
+    return (df.select(F.col(id_col)).join(sigs, id_col, "left")
+            .select(F.col(id_col),
+                    F.coalesce("simhash", F.lit(0).cast("long"))
+                    .alias("simhash"),
+                    F.coalesce("n_terms", F.lit(0).cast("long"))
+                    .alias("n_terms")))
+
+
+def simhash_weighted_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    bits: int = 32,
+    max_hamming: int = 3,
+    corpus_stats: tuple[int, float] | None = None,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs by WEIGHTED SimHash Hamming distance — the
+    ``simhash_pairs`` composition over ``simhash_weighted`` signatures
+    (same pigeonhole banding, same verification; see ``hamming_pairs``).
+    Use when boilerplate/template text dominates documents and the
+    unweighted signature collapses distinct content into one bucket."""
+    sigs = simhash_weighted(df, text_col, id_col, bits=bits,
+                            corpus_stats=corpus_stats,
+                            materialize=materialize)
+    return hamming_pairs(sigs, "simhash", id_col, bits=bits,
+                         max_hamming=max_hamming, materialize=materialize)
 
 
 def simhash_pairs(
