@@ -313,6 +313,9 @@ def q_bm25(spark, sf_dir):
     from anomalyzer_spark.functions import retrieval
     d = _docs(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
+    # (measured: the rider's cost is the vector leg's fixture scan, not
+    # the lex frame's double consumption — an eager lex checkpoint was
+    # tried and bought nothing, so the slot stays lazy)
     lex = retrieval.bm25_topk(d, q, k=BM25_K)
     e = _embs(spark, sf_dir)
     vecq = (e.where(F.col("vec_id") < len(BM25_QUERIES))
