@@ -90,33 +90,52 @@ def hll_profile(
     cols: list[str],
     *,
     p: int = 12,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Sparse HLL register frame for each column: (column, p, reg,
-    rho) with one row per occupied register, ``rho`` the max rank seen.
-    ``p`` register-index bits (m = 2**p registers, 4 <= p <= 16);
-    absent registers mean rho 0. One union of per-column projections
+    """Sparse HLL register frame for each column: (*group_cols, column,
+    p, reg, rho) with one row per occupied register, ``rho`` the max
+    rank seen. ``p`` register-index bits (m = 2**p registers,
+    4 <= p <= 16); absent registers mean rho 0. One unpivot scan
     feeding ONE ``max`` aggregate — map-side combined, partial state
-    bounded by m rows per column per task."""
+    bounded by m rows per (group, column) per task.
+
+    ``group_cols=["domain"]`` keeps one sketch PER GROUP (distinct urls
+    per domain, unique users per tenant — the grouped-cardinality
+    monitor): the group keys simply become extra frame columns, and
+    ``merge_hll`` / ``hll_estimate`` / ``hll_overlap`` key on every
+    non-register column automatically, so grouped profiles persist,
+    merge and estimate exactly like global ones (pinned: a group's rows
+    equal the ungrouped profile of that group's slice). NULL group
+    keys form their own group (Spark groupBy semantics). State is
+    m rows per group — sketch many groups, but mind groups × m."""
     if not cols:
         raise ValueError("hll_profile needs at least one column")
     if not 4 <= p <= 16:
         raise ValueError("need 4 <= p <= 16")
+    group_cols = list(group_cols or [])
+    clash = set(group_cols) & {"column", "p", "reg", "rho"}
+    if clash:
+        raise ValueError(f"group_cols clash with profile schema: {clash}")
     w = _HASH_BITS - p
     # one-scan unpivot (the drift._unpivot shape: explode of an array of
     # cheap structs — NOT a union of per-column projections, which would
     # scan the input once per column)
     rows = [F.struct(F.lit(c).alias("column"),
                      F.col(c).cast("string").alias("v")) for c in cols]
-    long = (df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    long = (df.select(*[F.col(g) for g in group_cols],
+                      F.explode(F.array(*rows)).alias("r"))
+            .select(*group_cols, "r.*")
             .where(F.col("v").isNotNull()))
     h = _h60(F.col("v"))
     u = long.select(
+        *group_cols,
         F.col("column"),
         F.shiftright(h, w).alias("reg"),
         _rho(h.bitwiseAND(F.lit((1 << w) - 1)), w).alias("_rho"))
-    return (u.groupBy("column", "reg")
+    return (u.groupBy(*group_cols, "column", "reg")
             .agg(F.max("_rho").alias("rho"))
-            .select("column", F.lit(p).alias("p"), "reg", "rho"))
+            .select(*group_cols, "column", F.lit(p).alias("p"),
+                    "reg", "rho"))
 
 
 def merge_hll(profiles: list[DataFrame]) -> DataFrame:
@@ -125,22 +144,32 @@ def merge_hll(profiles: list[DataFrame]) -> DataFrame:
     re-merging a shard is a no-op, and merge order never matters.
     Mixed ``p`` for the same column is REJECTED (register indices from
     different p are incomparable; profile shards with one p). Operates
-    on the kilobyte frames only — no corpus access."""
+    on the kilobyte frames only — no corpus access. Grouped profiles
+    (``hll_profile(group_cols=...)``) merge the same way: every column
+    besides (reg, rho) is a key."""
     if not profiles:
         raise ValueError("merge_hll needs at least one profile")
     u = profiles[0]
     for prof in profiles[1:]:
         u = u.unionByName(prof)
-    bad = [r["column"] for r in
-           u.select("column", "p").distinct()
-           .groupBy("column").agg(F.count(F.lit(1)).alias("np"))
+    keys = _hll_keys(u)
+    ident = [c for c in keys if c != "p"]
+    bad = [tuple(r[c] for c in ident) for r in
+           u.select(*keys).distinct()
+           .groupBy(*ident).agg(F.count(F.lit(1)).alias("np"))
            .where(F.col("np") > 1).collect()]
     if bad:
         raise ValueError(
             f"inconsistent p across shards for columns {sorted(bad)}; "
             "re-profile with one p to make sketches mergeable")
-    return (u.groupBy("column", "p", "reg")
+    return (u.groupBy(*keys, "reg")
             .agg(F.max("rho").alias("rho")))
+
+
+def _hll_keys(profile: DataFrame) -> list[str]:
+    """Every non-register column of an HLL frame — ('column', 'p') plus
+    whatever group keys the profile carries — in frame order."""
+    return [c for c in profile.columns if c not in ("reg", "rho")]
 
 
 def hll_estimate(profile: DataFrame) -> DataFrame:
@@ -152,9 +181,11 @@ def hll_estimate(profile: DataFrame) -> DataFrame:
     decimal(38,0) — ``2^(w+1-rho)`` per occupied register — so the
     result is independent of partitioning and row order; no
     large-range correction (at 60 hash bits, collision bias is
-    negligible below ~10^16 distinct)."""
-    # one tiny aggregate per column over the (<= m)-row register frame
-    agg = (profile.groupBy("column", "p").agg(
+    negligible below ~10^16 distinct). Grouped profiles estimate per
+    group (one output row per key combination)."""
+    keys = _hll_keys(profile)
+    # one tiny aggregate per key over the (<= m)-row register frame
+    agg = (profile.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("_occ"),
         # shiftleft by a COLUMN exponent (the PySpark wrapper only takes
         # int literals; the SQL builtin takes expressions)
@@ -174,7 +205,7 @@ def hll_estimate(profile: DataFrame) -> DataFrame:
     raw = alpha * m * m / inv_sum
     est = F.when((raw <= 2.5 * m) & (v > 0), m * F.log(m / v)) \
         .otherwise(raw)
-    return agg.select("column", "p", est.alias("n_est"))
+    return agg.select(*keys, est.alias("n_est"))
 
 
 def hll_overlap(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
@@ -191,15 +222,17 @@ def hll_overlap(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
     corpora estimates noisily — use the exact/bloom ``decontam`` legs
     when the decision needs per-item truth; this answers the corpus-
     level "how much do these releases share?" question at profile
-    cost. Columns present in only one profile are omitted (no overlap
-    statement can be made); mixed p is rejected by the merge."""
+    cost. Columns (or grouped keys) present in only one profile are
+    omitted (no overlap statement can be made); mixed p is rejected by
+    the merge. Grouped profiles overlap per group."""
+    keys = _hll_keys(profile_a)
     est_a = hll_estimate(profile_a).withColumnRenamed("n_est", "n_a")
     est_b = hll_estimate(profile_b).withColumnRenamed("n_est", "n_b")
     est_u = hll_estimate(merge_hll([profile_a, profile_b])) \
         .withColumnRenamed("n_est", "n_union")
-    return (est_a.join(est_b, ["column", "p"])
-            .join(est_u, ["column", "p"])
-            .select("column", "p", "n_a", "n_b", "n_union",
+    return (est_a.join(est_b, keys)
+            .join(est_u, keys)
+            .select(*keys, "n_a", "n_b", "n_union",
                     F.greatest(
                         F.lit(0.0),
                         F.col("n_a") + F.col("n_b") - F.col("n_union"))

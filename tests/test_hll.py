@@ -126,6 +126,40 @@ def test_profile_parquet_round_trip(spark, sf_dir, tmp_path):
     assert round(row["n_est"]) == pytest.approx(500, abs=25)
 
 
+def test_grouped_profiles(spark, sf_dir):
+    """group_cols: each group's register rows equal the ungrouped
+    profile of that group's slice; grouped merge == grouped whole;
+    estimate/overlap key per group; schema clashes rejected."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = sketch.hll_profile(docs, ["doc_id"], p=10,
+                              group_cols=["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    assert sorted(r["lang"] for r in
+                  prof.select("lang").distinct().collect()) == sorted(langs)
+    for lang in langs[:2]:
+        slice_prof = sorted(map(tuple, sketch.hll_profile(
+            docs.where(F.col("lang") == lang), ["doc_id"],
+            p=10).collect()))
+        grouped = sorted(map(tuple, prof.where(F.col("lang") == lang)
+                             .drop("lang").collect()))
+        assert grouped == slice_prof
+    # grouped merge == grouped whole (frame equality)
+    shards = [sketch.hll_profile(
+        docs.where(F.col("doc_id") % 2 == i), ["doc_id"], p=10,
+        group_cols=["lang"]) for i in range(2)]
+    assert sorted(map(tuple, sketch.merge_hll(shards).collect())) \
+        == sorted(map(tuple, prof.collect()))
+    # per-group estimates sum to ~the corpus (doc_id unique per row)
+    ests = sketch.hll_estimate(prof)
+    assert set(ests.columns) == {"lang", "column", "p", "n_est"}
+    assert abs(sum(r["n_est"] for r in ests.collect()) - 500) < 25
+    # grouped overlap joins on the group key too
+    ov = sketch.hll_overlap(shards[0], shards[1])
+    assert "lang" in ov.columns and ov.count() == len(langs)
+    with pytest.raises(ValueError, match="clash"):
+        sketch.hll_profile(docs, ["doc_id"], group_cols=["reg"])
+
+
 def test_overlap_inclusion_exclusion(spark):
     """Two overlapping ranges: intersection estimate within the
     documented union-relative bound; disjoint case clamps near 0;
