@@ -1,10 +1,15 @@
 """Misra–Gries mergeable heavy hitters: single-shard profile replayed
 exactly in DuckDB SQL, the MG containment/completeness guarantees pinned
 against exact counts after merging (including a zipf-skewed synthetic
-column), merge order-independence, and the zero-survivor sentinel."""
+column and hypothesis-generated multisets), merge order-independence,
+and the zero-survivor sentinel."""
+
+from collections import Counter
 
 import duckdb
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
 
@@ -86,6 +91,36 @@ def test_mg_merge_guarantees_on_zipf(spark):
     for key, f in exact.items():
         if f > off:
             assert key in surv, (key, f, off)
+
+
+@given(
+    data=st.lists(st.integers(min_value=0, max_value=30),
+                  min_size=1, max_size=200),
+    k=st.integers(min_value=1, max_value=6),
+    nshards=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=8, deadline=None)
+def test_mg_guarantees_hypothesis(spark, data, k, nshards):
+    """For arbitrary multisets, shardings and k: containment
+    cnt <= f <= cnt + off, completeness f > off => present, <= k
+    survivors per input, exact n, constant off."""
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(data)],
+                               "i long, v int")
+    # shards may legitimately be EMPTY (no sentinel rows) — they merge
+    # as zero-contribution inputs
+    shards = [sketch.mg_profile(df.where(F.col("i") % nshards == s),
+                                ["v"], k=k) for s in range(nshards)]
+    rows = sketch.merge_mg(shards, k=k).collect()
+    exact = Counter(str(v) for v in data)
+    off = rows[0]["off"]
+    surv = {r["key"]: r["cnt"] for r in rows if r["key"] is not None}
+    assert all(r["off"] == off and r["n"] == len(data) for r in rows)
+    assert len(surv) <= k
+    for key, cnt in surv.items():
+        assert cnt <= exact[key] <= cnt + off
+    for key, f in exact.items():
+        if f > off:
+            assert key in surv
 
 
 def test_mg_merge_order_independent(spark, sf_dir):
