@@ -243,27 +243,37 @@ def hll_overlap(profile_a: DataFrame, profile_b: DataFrame) -> DataFrame:
 # Misra–Gries mergeable heavy hitters
 # ---------------------------------------------------------------------------
 
-def _mg_compress(counts: DataFrame, k: int) -> tuple[DataFrame, DataFrame]:
-    """MG compression of an exact (column, key, cnt) frame: subtract each
-    column's (k+1)-th largest count and keep the strictly-positive
-    remainder (≤ k survivors per column; ties at the threshold drop).
-    The ranking window is partitioned by ``column`` with the rnk filter
-    adjacent, so WindowGroupLimit caps every map partition's contribution
-    at k+1 rows per column BEFORE the exchange — the counts frame itself
-    never funnels through one task. Returns (survivors (column, key,
-    cnt), thresholds (column, _thr) — one row per input column)."""
+def _mg_keys(profile: DataFrame) -> list[str]:
+    """Every key column of an MG frame — 'column' plus whatever group
+    keys the profile carries — in frame order."""
+    return [c for c in profile.columns
+            if c not in ("key", "cnt", "off", "n")]
+
+
+def _mg_compress(
+    counts: DataFrame, k: int, keys: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """MG compression of an exact (*keys, key, cnt) frame: subtract each
+    key-combination's (k+1)-th largest count and keep the strictly-
+    positive remainder (≤ k survivors per combination; ties at the
+    threshold drop). The ranking window is partitioned by ``keys`` with
+    the rnk filter adjacent, so WindowGroupLimit caps every map
+    partition's contribution at k+1 rows per combination BEFORE the
+    exchange — the counts frame itself never funnels through one task.
+    Returns (survivors (*keys, key, cnt), thresholds (*keys, _thr) —
+    one row per input combination)."""
     from pyspark.sql.window import Window
 
-    w = (Window.partitionBy("column")
+    w = (Window.partitionBy(*keys)
          .orderBy(F.col("cnt").desc(), F.col("key").asc()))
     thr = (counts.withColumn("_rnk", F.row_number().over(w))
            .where(F.col("_rnk") <= k + 1)
-           .groupBy("column")
+           .groupBy(*keys)
            .agg(F.coalesce(
                F.max(F.when(F.col("_rnk") == k + 1, F.col("cnt"))),
                F.lit(0).cast("long")).alias("_thr")))
-    survivors = (counts.join(F.broadcast(thr), "column")
-                 .select("column", "key",
+    survivors = (counts.join(F.broadcast(thr), keys)
+                 .select(*keys, "key",
                          (F.col("cnt") - F.col("_thr")).alias("cnt"))
                  .where(F.col("cnt") > 0))
     return survivors, thr
@@ -274,6 +284,7 @@ def mg_profile(
     cols: list[str],
     *,
     k: int = 64,
+    group_cols: list[str] | None = None,
     materialize: bool = True,
 ) -> DataFrame:
     """Mergeable Misra–Gries heavy-hitter summary per column: (column,
@@ -302,29 +313,43 @@ def mg_profile(
     corpus scans — so ``materialize=True`` (default) eagerly
     localCheckpoints it: one corpus scan, one count exchange, and every
     consumer reads the (O(distinct values), distributed) checkpoint.
-    Pass ``materialize=False`` for a lazy plan-only frame."""
+    Pass ``materialize=False`` for a lazy plan-only frame.
+
+    ``group_cols=["domain"]`` keeps one summary PER GROUP (top urls per
+    domain — the grouped-tops monitor): group keys become frame columns
+    (one sentinel per (group, column)) and ``merge_mg`` keys on them
+    automatically (the grouped-HLL convention). The guarantee and all
+    row bounds then hold per group; state is ≤ k+1 rows per
+    (group, column)."""
     if not cols:
         raise ValueError("mg_profile needs at least one column")
     if k < 1:
         raise ValueError("k must be >= 1")
+    group_cols = list(group_cols or [])
+    clash = set(group_cols) & {"column", "key", "cnt", "off", "n"}
+    if clash:
+        raise ValueError(f"group_cols clash with profile schema: {clash}")
+    keys = group_cols + ["column"]
     rows = [F.struct(F.lit(c).alias("column"),
                      F.col(c).cast("string").alias("key")) for c in cols]
-    u = (df.select(F.explode(F.array(*rows)).alias("r")).select("r.*")
+    u = (df.select(*[F.col(g) for g in group_cols],
+                   F.explode(F.array(*rows)).alias("r"))
+         .select(*group_cols, "r.*")
          .where(F.col("key").isNotNull()))
-    counts = u.groupBy("column", "key").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = u.groupBy(*keys, "key").agg(F.count(F.lit(1)).alias("cnt"))
     if materialize:
         counts = counts.localCheckpoint(eager=True)
-    n = counts.groupBy("column").agg(F.sum("cnt").alias("n"))
-    survivors, thr = _mg_compress(counts, k)
-    # metadata per column (covers every profiled column, including ones
-    # whose values all died in compression); NULL-key sentinel keeps it
-    # in the frame
-    meta = (n.join(thr, "column")
-            .select("column", F.col("_thr").cast("long").alias("off"), "n"))
-    out = survivors.join(F.broadcast(meta), "column") \
-        .select("column", "key", "cnt", "off", "n")
+    n = counts.groupBy(*keys).agg(F.sum("cnt").alias("n"))
+    survivors, thr = _mg_compress(counts, k, keys)
+    # metadata per key combination (covers every profiled one, including
+    # those whose values all died in compression); NULL-key sentinel
+    # keeps it in the frame
+    meta = (n.join(thr, keys)
+            .select(*keys, F.col("_thr").cast("long").alias("off"), "n"))
+    out = survivors.join(F.broadcast(meta), keys) \
+        .select(*keys, "key", "cnt", "off", "n")
     sentinel = meta.select(
-        "column", F.lit(None).cast("string").alias("key"),
+        *keys, F.lit(None).cast("string").alias("key"),
         F.lit(0).cast("long").alias("cnt"), "off", "n")
     return out.unionByName(sentinel)
 
@@ -344,34 +369,37 @@ def merge_mg(profiles: list[DataFrame], *, k: int = 64) -> DataFrame:
         raise ValueError("merge_mg needs at least one profile")
     if k < 1:
         raise ValueError("k must be >= 1")
-    u = profiles[0].select("column", "key", "cnt", "off", "n")
+    u = profiles[0]
     for prof in profiles[1:]:
-        u = u.unionByName(prof.select("column", "key", "cnt", "off", "n"))
+        u = u.unionByName(prof)
     return _merge_mg_union(u, k)
 
 
 def _merge_mg_union(u: DataFrame, k: int) -> DataFrame:
     """Merge a UNION of MG profile frames: survivor rows carry
     denormalized (off, n) copies, but only the NULL-key sentinels
-    (exactly one per input per column) are authoritative — their sum is
-    the merged offset/row count. Shared by ``merge_mg`` and the
-    streaming sketch store reader, which hands the union over as one
-    batch_id-partitioned scan instead of a frame per micro-batch."""
+    (exactly one per input per key combination) are authoritative —
+    their sum is the merged offset/row count. Key columns ('column'
+    plus any group keys) come from the schema. Shared by ``merge_mg``
+    and the streaming sketch store reader, which hands the union over
+    as one batch_id-partitioned scan instead of a frame per
+    micro-batch."""
+    keys = _mg_keys(u)
     summed = (u.where(F.col("key").isNotNull())  # drop metadata sentinels
-              .groupBy("column", "key").agg(F.sum("cnt").alias("cnt")))
+              .groupBy(*keys, "key").agg(F.sum("cnt").alias("cnt")))
     meta_df = (u.where(F.col("key").isNull())
-               .groupBy("column")
+               .groupBy(*keys)
                .agg(F.sum("off").alias("_off"), F.sum("n").alias("n")))
-    survivors, thr = _mg_compress(summed, k)
+    survivors, thr = _mg_compress(summed, k, keys)
     new_meta = (meta_df.join(
-        F.broadcast(thr), "column", "left")
-        .select("column",
+        F.broadcast(thr), keys, "left")
+        .select(*keys,
                 (F.col("_off")
                  + F.coalesce(F.col("_thr"), F.lit(0))).alias("off"),
                 "n"))
-    out = survivors.join(F.broadcast(new_meta), "column") \
-        .select("column", "key", "cnt", "off", "n")
+    out = survivors.join(F.broadcast(new_meta), keys) \
+        .select(*keys, "key", "cnt", "off", "n")
     sentinel = new_meta.select(
-        "column", F.lit(None).cast("string").alias("key"),
+        *keys, F.lit(None).cast("string").alias("key"),
         F.lit(0).cast("long").alias("cnt"), "off", "n")
     return out.unionByName(sentinel)

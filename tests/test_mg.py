@@ -133,6 +133,41 @@ def test_mg_merge_order_independent(spark, sf_dir):
     assert a == b and len(a) > 0
 
 
+def test_mg_grouped_profiles(spark, sf_dir):
+    """group_cols: each group's rows equal the ungrouped profile of that
+    group's slice; grouped merge keys on the group automatically and
+    keeps the guarantees per group; clashes rejected."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = sketch.mg_profile(docs, ["source"], k=4, group_cols=["lang"])
+    langs = [r["lang"] for r in docs.select("lang").distinct().collect()]
+    for lang in langs[:2]:
+        slice_prof = _rows(sketch.mg_profile(
+            docs.where(F.col("lang") == lang), ["source"], k=4))
+        grouped = _rows(prof.where(F.col("lang") == lang).drop("lang"))
+        assert grouped == slice_prof
+    merged = sketch.merge_mg(
+        [sketch.mg_profile(docs.where(F.col("doc_id") % 2 == i),
+                           ["source"], k=4, group_cols=["lang"])
+         for i in range(2)], k=4)
+    rows = merged.collect()
+    assert set(merged.columns) == {"lang", "column", "key", "cnt",
+                                   "off", "n"}
+    for lang in langs:
+        crows = [r for r in rows if r["lang"] == lang]
+        exact = _exact_counts(docs.where(F.col("lang") == lang), "source")
+        off = crows[0]["off"]
+        assert crows[0]["n"] == sum(exact.values())
+        surv = {r["key"]: r["cnt"] for r in crows if r["key"] is not None}
+        assert len(surv) <= 4
+        for key, cnt in surv.items():
+            assert cnt <= exact[key] <= cnt + off
+        for key, f in exact.items():
+            if f > off:
+                assert key in surv
+    with pytest.raises(ValueError, match="clash"):
+        sketch.mg_profile(docs, ["source"], group_cols=["cnt"])
+
+
 def test_mg_zero_survivor_sentinel_and_validation(spark):
     # k+1 values with equal counts: threshold equals every count, all
     # survivors die — the sentinel must still carry (off, n)
