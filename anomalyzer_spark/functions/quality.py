@@ -166,9 +166,12 @@ def normalize_scores(
       persisted CORPUS profile, built once per corpus version — and
       mergeable across shards via ``drift.merge_profiles``) to
       normalize an increment against the whole corpus without
-      rescanning it; otherwise one profile pass over ``df`` runs here
-      (``bounds=`` pins the bin range, the drift comparability
-      contract). Scores at/below the profile's lo map to 0, at/above
+      rescanning it — ``n_bins`` MUST then equal the profile's
+      build-time bin count (empty trailing buckets are invisible in
+      the frame, so the count cannot be inferred; a mismatch larger
+      than the occupied range raises). Otherwise one profile pass over
+      ``df`` runs here (``bounds=`` pins the bin range, the drift
+      comparability contract). Scores at/below the profile's lo map to 0, at/above
       hi to 1, NULLs stay NULL. Resolution is 1/n_bins of the value
       range per bin boundary — ranking WITHIN a bin is linear in value,
       not in mass (the documented approximation vs exact percent_rank).
@@ -203,7 +206,19 @@ def normalize_scores(
         raise ValueError(
             f"profile holds no buckets for column {score_col!r}")
     lo, hi = rows[0][2], rows[0][3]
-    nb = max(r[0] for r in rows) + 1
+    # The true bin count CANNOT be inferred from occupied buckets: a
+    # profile built with bounds= (or a corpus profile whose upper range
+    # holds no data) leaves trailing buckets empty, and max(bucket)+1
+    # would recompute width too wide — every score then maps through
+    # misaligned buckets, silently. ``n_bins`` is the contract: it must
+    # equal the profile's build-time bin count (it does automatically on
+    # the profile-built-here path above).
+    nb = n_bins
+    top = max(r[0] for r in rows)
+    if top >= nb:
+        raise ValueError(
+            f"profile holds bucket {top} but n_bins={nb}; pass the "
+            "n_bins the profile was built with")
     cnts = [0] * nb
     for b, c, _, _ in rows:
         cnts[b] = c

@@ -367,7 +367,6 @@ def minhash_increment(
     retention_batches: int | None = None,
     compact_every: int | None = None,
     materialize_groups: bool = False,
-    id_type: str = "long",
 ) -> DataFrame:
     """Batch-mode incremental near-dup dedup: ingest ONE increment of
     documents into the persisted MinHash store and return the NEW pairs
@@ -401,8 +400,9 @@ def minhash_increment(
 
     MinHash parameters must match across every ingest into one store
     (same spec as the stream; differing k/num_hashes/bands would make
-    buckets incomparable). Returns the new pairs frame (typed via
-    ``id_type`` when empty)."""
+    buckets incomparable). The returned pair frame's id type is derived
+    from ``docs.schema[id_col]`` — the writer's actual type — so string-
+    keyed stores read back correctly without a separate declaration."""
     if materialize_groups and compact_every is None:
         raise ValueError(
             "materialize_groups=True requires compact_every (groups are "
@@ -420,10 +420,17 @@ def minhash_increment(
         id_col=id_col, k=k, num_hashes=num_hashes, bands=bands,
         threshold=threshold, retention_batches=retention_batches,
         compact_every=compact_every, materialize_groups=materialize_groups)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    pair_schema = StructType([
+        StructField("id_a", docs.schema[id_col].dataType),
+        StructField("id_b", docs.schema[id_col].dataType),
+        StructField("jaccard", DoubleType()),
+    ])
     pairs_path = f"{_store_paths(store_dir)[2]}/batch_id={batch_id}"
     if not os.path.isdir(pairs_path):  # empty increment wrote nothing
-        return spark.createDataFrame([], _pair_ddl(id_type))
-    return spark.read.schema(_pair_ddl(id_type)).parquet(pairs_path)
+        return spark.createDataFrame([], pair_schema)
+    return spark.read.schema(pair_schema).parquet(pairs_path)
 
 
 def minhash_dedup_stream(

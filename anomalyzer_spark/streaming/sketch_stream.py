@@ -47,6 +47,37 @@ _MG_DDL = "column string, key string, cnt bigint, off bigint, n bigint"
 _COMPONENTS = ("hll", "mg")
 
 
+def _load_meta(store_dir: str) -> dict | None:
+    import json
+
+    path = f"{store_dir}/_sketch_meta.json"
+    if not os.path.isfile(path):
+        return None
+    with open(path) as f:
+        return json.load(f)
+
+
+def _ensure_meta(store_dir: str, p: int, mg_k: int) -> None:
+    """Persist the store's sketch parameters on first ingest and raise
+    on any later mismatch. HLL's ``p`` is self-describing via the ``p``
+    column, but ``mg_k`` is NOT recoverable from an MG frame — a reader
+    or compactor folding with a different k would silently loosen the
+    stated (n/(k+1)) guarantee, so the store carries it."""
+    import json
+
+    meta = _load_meta(store_dir)
+    if meta is None:
+        os.makedirs(store_dir, exist_ok=True)
+        with open(f"{store_dir}/_sketch_meta.json", "w") as f:
+            json.dump({"p": p, "mg_k": mg_k}, f)
+        return
+    if meta.get("p") != p or meta.get("mg_k") != mg_k:
+        raise ValueError(
+            f"sketch store {store_dir} was created with p={meta.get('p')} "
+            f"mg_k={meta.get('mg_k')}; got p={p} mg_k={mg_k} — mixed "
+            "parameters would corrupt the store's guarantees")
+
+
 def _next_batch_id(store_dir: str) -> int:
     last = -1
     for name in _COMPONENTS:
@@ -71,10 +102,11 @@ def sketch_ingest(
     """Profile one increment (a day's shard, one micro-batch) and land
     it in the sketch store under its ``batch_id`` directory — shared by
     the stream handle and scheduled batch jobs. Explicit ``batch_id``
-    re-ingest is an idempotent replay (overwrite). ``cols``/``p``/
-    ``mg_k`` must be consistent across every ingest into one store
-    (``merge_hll`` rejects mixed p; mixed mg_k would silently loosen
-    the MG guarantee)."""
+    re-ingest is an idempotent replay (overwrite). ``p``/``mg_k`` are
+    persisted in the store's ``_sketch_meta.json`` on first ingest and
+    ENFORCED thereafter — a mismatched ingest or read raises instead of
+    silently loosening the MG guarantee / corrupting the HLL merge."""
+    _ensure_meta(store_dir, p, mg_k)
     if batch_id is None:
         batch_id = _next_batch_id(store_dir)
     (hll_profile(df, cols, p=p)
@@ -160,10 +192,21 @@ def hll_sketch_store(spark: SparkSession, store_dir: str) -> DataFrame:
 
 
 def mg_sketch_store(
-    spark: SparkSession, store_dir: str, *, k: int = 64,
+    spark: SparkSession, store_dir: str, *, k: int | None = None,
 ) -> DataFrame:
-    """Current merged Misra–Gries profile (``k`` must be the store's
-    ``mg_k``). Empty store returns an empty typed frame."""
+    """Current merged Misra–Gries profile. ``k`` defaults to the store's
+    persisted ``mg_k`` (an explicit ``k`` is validated against it —
+    re-compressing with a different k would silently change the stated
+    guarantee). Empty store returns an empty typed frame."""
+    meta = _load_meta(store_dir)
+    if meta is not None:
+        if k is not None and k != meta["mg_k"]:
+            raise ValueError(
+                f"store {store_dir} holds mg_k={meta['mg_k']} profiles; "
+                f"k={k} would change the MG guarantee")
+        k = meta["mg_k"]
+    elif k is None:
+        k = 64
     cur = _read_sketch(spark, store_dir, "mg")
     if cur is None:
         return spark.createDataFrame([], _MG_DDL)

@@ -79,3 +79,23 @@ def test_empty_increment_typed_noop(spark, sf_dir, tmp_path):
            minhash_pairs_store(spark, store).collect()}
     assert got == {(r["id_a"], r["id_b"]) for r in whole.collect()}
     assert nxt.schema["jaccard"].dataType.simpleString() == "double"
+
+
+def test_string_keyed_store_roundtrip(spark, sf_dir, tmp_path):
+    """A store keyed by STRING doc ids: the returned pair frame derives
+    its id type from the ingested frame (regression — a pinned 'long'
+    read schema used to mismatch the written strings)."""
+    d = (load_table(spark, sf_dir, "documents")
+         .select(F.concat(F.lit("doc-"), F.col("doc_id").cast("string"))
+                 .alias("doc_id"), "text"))
+    store = str(tmp_path / "store")
+    out = minhash_increment(spark, d, store, **_P)
+    assert out.schema["id_a"].dataType.simpleString() == "string"
+    rows = out.collect()
+    assert rows and all(r["id_a"].startswith("doc-") for r in rows)
+    exp = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(
+        d, "text", "doc_id", **_P).collect()}
+    assert {(r["id_a"], r["id_b"]) for r in rows} == exp
+    # empty increment on the same store still types from its frame
+    empty = minhash_increment(spark, d.where(F.lit(False)), store, **_P)
+    assert empty.schema["id_a"].dataType.simpleString() == "string"

@@ -84,10 +84,34 @@ def test_increment_against_merged_profile(spark, sf_dir):
     whole = drift.histogram_profile(docs, ["s"], n_bins=40, bounds=bounds)
     inc = docs.where(F.col("doc_id") < 100)
     a = sorted(map(tuple, quality.normalize_scores(
-        inc, "s", profile=merged).collect()))
+        inc, "s", profile=merged, n_bins=40).collect()))
     b = sorted(map(tuple, quality.normalize_scores(
-        inc, "s", profile=whole).collect()))
+        inc, "s", profile=whole, n_bins=40).collect()))
     assert a == b and len(a) == 100
+
+
+def test_profile_with_empty_upper_range(spark):
+    """A profile built over pinned bounds whose upper range holds no
+    data must NOT have its bin count inferred from occupied buckets:
+    scores have to map through the BUILD-TIME bin width. Regression for
+    the max(bucket)+1 inference bug (a score at true CDF 0.5 came back
+    ~0.25 because width doubled)."""
+    docs = spark.createDataFrame(
+        [(i, i / 200.0) for i in range(101)],  # scores 0.0 .. 0.5
+        "doc_id long, s double")
+    prof = drift.histogram_profile(
+        docs, ["s"], n_bins=100, bounds={"s": (0.0, 1.0)})
+    # only buckets 0..50 are occupied; n_bins carries the truth
+    got = {r["doc_id"]: r["s_norm"] for r in quality.normalize_scores(
+        docs, "s", profile=prof, n_bins=100).collect()}
+    fresh = {r["doc_id"]: r["s_norm"] for r in quality.normalize_scores(
+        docs, "s", bounds=(0.0, 1.0), n_bins=100).collect()}
+    assert got == fresh
+    # median score (0.25 = true CDF 0.5) normalizes near 0.5, not 0.25
+    assert got[50] == pytest.approx(0.5, abs=0.02)
+    # declared n_bins smaller than the profile's occupied range raises
+    with pytest.raises(ValueError, match="n_bins"):
+        quality.normalize_scores(docs, "s", profile=prof, n_bins=40)
 
 
 def test_null_and_degenerate_semantics(spark):

@@ -89,3 +89,23 @@ def test_batch_ingest_interop_and_replay(spark, sf_dir, tmp_path):
                   store, _COLS, batch_id=1, p=10, mg_k=8)
     assert _rows(hll_sketch_store(spark, store)) == whole
     assert _rows(mg_sketch_store(spark, store, k=8)) == before
+
+
+def test_store_persists_and_enforces_params(spark, sf_dir, tmp_path):
+    """mg_k is not recoverable from an MG frame (unlike HLL's p column),
+    so the store persists it: mismatched ingest or read raises, and a
+    reader passing no k gets the ingest-time guarantee."""
+    import pytest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    store = str(tmp_path / "store")
+    sketch_ingest(spark, docs, store, _COLS, p=10, mg_k=8)
+    # default read picks up the persisted mg_k
+    assert _rows(mg_sketch_store(spark, store)) \
+        == _rows(mg_sketch_store(spark, store, k=8))
+    with pytest.raises(ValueError, match="mg_k"):
+        mg_sketch_store(spark, store, k=64)
+    with pytest.raises(ValueError, match="mg_k"):
+        sketch_ingest(spark, docs, store, _COLS, p=10, mg_k=16)
+    with pytest.raises(ValueError, match="p="):
+        sketch_ingest(spark, docs, store, _COLS, p=12, mg_k=8)
