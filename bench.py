@@ -101,7 +101,7 @@ HEADLINE = (
 )
 
 
-def plan_fingerprint(df) -> str:
+def plan_fingerprint(df, _mask_sfdir: bool = True) -> str:
     """12-hex md5 of the physical plan with volatile ids normalized.
 
     Stable across sessions for the same code + data; changes iff Catalyst
@@ -130,6 +130,14 @@ def plan_fingerprint(df) -> str:
             else:
                 sess.conf.set(k, v)
     s = re.sub(r"#\d+", "#x", s)
+    # the scale-factor base directory is masked so the SAME code+data
+    # hashes identically whether it reads the driver's testdata or the
+    # bench-local multi-row-group re-materialization (.bench_fixtures —
+    # identical rows, different parquet layout): a fixture relocation is
+    # not a plan change. floors.json was migrated in place (round 13);
+    # _mask_sfdir=False reproduces the pre-r13 hash for that migration.
+    if _mask_sfdir:
+        s = re.sub(r"file:[^\s\]\[,]*/sf[0-9.]+/", "file:<SFDIR>/", s)
     # HOF lambda variables carry a session-global counter (x_10, y_11, …)
     s = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
@@ -254,6 +262,100 @@ def _load_floors() -> dict:
         return {}
 
 
+def update_floor(cur: dict, best: float, fp: str) -> tuple[dict, str]:
+    """Fold one run's best time into a floor entry; returns
+    ``(new_entry, action)`` with action one of ``restore`` /
+    ``re-baseline`` / ``new-floor`` / ``keep``.
+
+    The plan-rotation contract (round-12 verdict): when the plan hash
+    changes, FIRST look for the new hash in ``archived[]`` and restore
+    that honest idle measurement — only invent a floor from the current
+    observation when the hash is genuinely new. The driver's runs carry
+    hypervisor steal; adopting one as a floor on every rider rotation
+    silently ratchets floors upward (bm25: 2.613 s adopted from a
+    2.88 s-steal run while 2.279 s for the SAME hash sat in the
+    archive). A floor is "best time ever measured for this plan", so a
+    restored floor still folds in ``best`` via min."""
+    if cur.get("floor_sec") is not None and \
+            cur.get("plan_hash") not in (None, fp):
+        archived = list(cur.get("archived", []))
+        known = [a["floor_sec"] for a in archived
+                 if a.get("plan_hash") == fp
+                 and a.get("floor_sec") is not None]
+        dead = {k: cur[k] for k in ("floor_sec", "plan_hash", "source")
+                if k in cur}
+        if known:
+            floor = min(min(known), best)
+            entry = {"floor_sec": floor, "plan_hash": fp,
+                     "source": "restore", "archived": (archived + [dead])[-5:]}
+            return entry, "restore"
+        entry = {"floor_sec": best, "plan_hash": fp,
+                 "source": "re-baseline", "archived": (archived + [dead])[-5:]}
+        return entry, "re-baseline"
+    if cur.get("floor_sec") is None or best < cur["floor_sec"]:
+        return {**cur, "floor_sec": best, "plan_hash": fp,
+                "source": "bench"}, "new-floor"
+    return cur, "keep"
+
+
+def _bench_fixtures(sf_dir: str) -> str:
+    """Return a bench-local fixture dir with the driver's tables
+    re-materialized into ≥32 parquet row groups (identical rows; small
+    tables are symlinked). The driver writes every table as ONE row
+    group, so a scan-heavy query serializes its leaf stage on one task
+    regardless of cluster width — pricing_summary ran at a measured
+    1.8× its floor and bm25's vector leg single-threaded purely from
+    fixture layout (BASELINE round-12 postscript). A 100 TB corpus is
+    never one row group; benching on one measures the artifact, not the
+    engine. Rebuilt automatically when the source fixtures change
+    (driver regenerates them per round); disable with
+    SPARK_GRAFT_NO_REMAT=1. Plan hashes are unaffected — the sf base
+    dir is masked in ``plan_fingerprint``."""
+    import glob
+
+    if os.environ.get("SPARK_GRAFT_NO_REMAT"):
+        return sf_dir
+    try:
+        import pyarrow.parquet as pq
+
+        sf_dir = sf_dir.rstrip("/")
+        dst = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".bench_fixtures", os.path.basename(sf_dir))
+        marker_path = os.path.join(dst, "_remat.json")
+        srcs = sorted(glob.glob(f"{sf_dir}/*.parquet"))
+        want = {os.path.basename(p): [os.path.getmtime(p),
+                                      os.path.getsize(p)] for p in srcs}
+        marker = {"src": sf_dir, "files": want, "rg_target": 32}
+        if os.path.isfile(marker_path):
+            with open(marker_path) as f:
+                if json.load(f) == marker:
+                    return dst
+        import shutil
+
+        shutil.rmtree(dst, ignore_errors=True)
+        os.makedirs(dst)
+        for p in srcs:
+            name = os.path.basename(p)
+            f = pq.ParquetFile(p)
+            rows = f.metadata.num_rows
+            if rows < 2000:
+                os.symlink(p, os.path.join(dst, name))
+                continue
+            # one file, ~32 row groups: splittable by byte range into
+            # parallel tasks without changing paths/row order/values
+            pq.write_table(f.read(), os.path.join(dst, name),
+                           row_group_size=max(1, -(-rows // 32)))
+        with open(marker_path, "w") as f:
+            json.dump(marker, f)
+        print(f"# re-materialized bench fixtures -> {dst}",
+              file=sys.stderr)
+        return dst
+    except Exception as e:  # never let fixture prep break the bench
+        print(f"# fixture re-materialization failed ({e}); "
+              f"using {sf_dir}", file=sys.stderr)
+        return sf_dir
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -270,9 +372,12 @@ def main() -> None:
     spark = get_spark("anomalyzer-bench")
     qs = entry_mod.queries()
     sf = args.sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # queries run against the multi-row-group re-materialization of the
+    # same rows (sf label + floor gating keep keying off the source dir)
+    run_dir = _bench_fixtures(args.sf_dir)
 
     # warm the JVM + parquet footers with a trivial scan
-    spark.read.parquet(f"{args.sf_dir}/region.parquet").count()
+    spark.read.parquet(f"{run_dir}/region.parquet").count()
 
     # floors are defined at the driver scale (sf0.1) only — other scales
     # neither compare against nor update them
@@ -281,7 +386,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
     for name in names:
-        df = qs[name](spark, args.sf_dir)
+        df = qs[name](spark, run_dir)
         fp = plan_fingerprint(df)
         # one untimed warm pass first: whole-stage-codegen compilation, C2
         # JIT of the huge generated methods, and Python-worker startup are
@@ -297,7 +402,7 @@ def main() -> None:
         cpu0, gc0, st0 = tree.total, _jvm_gc_ms(spark), _steal_s()
         for _ in range(args.repeat):
             t0 = time.perf_counter()
-            qs[name](spark, args.sf_dir).write.mode("overwrite").format(
+            qs[name](spark, run_dir).write.mode("overwrite").format(
                 "noop").save()
             times.append(round(time.perf_counter() - t0, 3))
             tree.sample()
@@ -319,11 +424,25 @@ def main() -> None:
             # against it attributes nothing (round-10 verdict: the
             # text_profile rider printed a misleading 2.7x for a round
             # against a dead plan). Record the staleness; the floor block
-            # below re-baselines this entry, archiving the old floor.
+            # below restores the archived floor for this hash if one
+            # exists, else re-baselines.
             detail[name]["stale_floor_sec"] = floor
             detail[name]["stale_floor_plan"] = floors[name].get("plan_hash")
-            vs = f" floor=stale-plan (was {floor:.3f}s @" \
-                 f"{floors[name].get('plan_hash')})"
+            known = [a["floor_sec"]
+                     for a in floors[name].get("archived", [])
+                     if a.get("plan_hash") == fp
+                     and a.get("floor_sec") is not None]
+            if known:
+                # an honest idle measurement of THIS plan exists — ratio
+                # against it, and the floor block restores it below
+                arch = min(known)
+                detail[name]["floor_sec"] = arch
+                detail[name]["vs_floor"] = round(timings[name] / arch, 2)
+                vs = (f" floor={arch:.3f}s (archived, "
+                      f"{detail[name]['vs_floor']:.2f}x)")
+            else:
+                vs = f" floor=stale-plan (was {floor:.3f}s @" \
+                     f"{floors[name].get('plan_hash')})"
         elif floor:
             detail[name]["floor_sec"] = floor
             detail[name]["vs_floor"] = round(timings[name] / floor, 2)
@@ -358,27 +477,21 @@ def main() -> None:
         for name, best in timings.items():
             cur = floors.get(name, {})
             fp = detail[name]["plan_hash"]
-            if cur.get("floor_sec") is not None and \
-                    cur.get("plan_hash") not in (None, fp):
-                # plan changed since the floor was set: re-baseline to this
-                # run (even if slower — the old plan no longer exists to
-                # compare against) and archive the dead floor for audit
-                floors[name] = {
-                    "floor_sec": best, "plan_hash": fp,
-                    "source": "re-baseline",
-                    "archived": (cur.pop("archived", [])
-                                 + [{k: cur[k] for k in
-                                     ("floor_sec", "plan_hash", "source")
-                                     if k in cur}])[-5:],
-                }
-                changed = True
-                print(f"# re-baselined floor (plan change): {name} "
+            entry, action = update_floor(cur, best, fp)
+            if action == "keep":
+                continue
+            floors[name] = entry
+            changed = True
+            if action == "restore":
+                print(f"# restored archived floor (plan change): {name} "
+                      f"{entry['floor_sec']:.3f}s @{fp} (dead floor was "
+                      f"{cur.get('floor_sec'):.3f}s @{cur.get('plan_hash')})",
+                      file=sys.stderr)
+            elif action == "re-baseline":
+                print(f"# re-baselined floor (genuinely new plan): {name} "
                       f"{best:.3f}s (was {cur.get('floor_sec'):.3f}s @"
                       f"{cur.get('plan_hash')})", file=sys.stderr)
-            elif cur.get("floor_sec") is None or best < cur["floor_sec"]:
-                floors[name] = {**cur, "floor_sec": best, "plan_hash": fp,
-                                "source": "bench"}
-                changed = True
+            else:
                 print(f"# new floor: {name} {best:.3f}s", file=sys.stderr)
         if changed:
             try:

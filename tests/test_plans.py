@@ -390,3 +390,41 @@ def test_plan_fingerprint_stable_across_session_history(spark, sf_dir):
     other = bench.plan_fingerprint(
         docs.groupBy(F.length("text")).agg(F.count_distinct("doc_id")))
     assert other != h1
+
+
+def test_plan_fingerprint_masks_sf_base_dir(spark, sf_dir, tmp_path):
+    """The sf base directory is masked: the same query over the driver's
+    testdata and over a relocated copy (the bench's multi-row-group
+    re-materialization) must hash identically — a fixture relocation or
+    parquet-layout change is not a plan change. Distinct FILES under the
+    base dir must still hash differently."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import bench
+    from pyspark.sql import functions as F
+
+    # relocated copy under a /sf<digits.digits>/ base, different layout
+    alt = str(tmp_path / "sf9.9")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    import pyarrow.parquet as pq
+
+    t = pq.ParquetFile(f"{sf_dir}/documents.parquet").read()
+    import os
+
+    os.makedirs(alt)
+    pq.write_table(t, f"{alt}/documents.parquet",
+                   row_group_size=max(1, t.num_rows // 8))
+
+    def q(d):
+        return (spark.read.parquet(f"{d}/documents.parquet")
+                .groupBy("lang").agg(F.avg("n_chars").alias("a")))
+
+    assert bench.plan_fingerprint(q(sf_dir)) == bench.plan_fingerprint(q(alt))
+    # the mask hides the DIRECTORY, not the file: another table differs
+    other = (spark.read.parquet(f"{sf_dir}/events.parquet")
+             .groupBy("event_type").agg(F.avg("value").alias("a")))
+    assert bench.plan_fingerprint(other) != bench.plan_fingerprint(q(sf_dir))
+    # the unmasked variant (migration tool) sees the relocation
+    assert bench.plan_fingerprint(q(sf_dir), _mask_sfdir=False) \
+        != bench.plan_fingerprint(q(alt), _mask_sfdir=False)
