@@ -714,6 +714,7 @@ IVF_CLUSTERS = 8
 IVF_PROBE = 3
 PQ_M = 8             # product-quantization subspaces (64-dim → 8 x 8)
 PQ_K = 16            # centroids per subspace (codes fit in 4 bits)
+IVFPQ_REFINE = 10    # quantized-refine lane: re-rank top-10 ADC candidates
 
 
 def _ivf_centroids(rows) -> list[list[float]]:
@@ -886,7 +887,18 @@ def q_ivfpq_topk(spark, sf_dir):
     partition-pruned ``cell IN`` probe scan (search_ivfpq_index). The
     oracle is unchanged (cell assignment + PQ encode + ADC scoring are
     functions of models + vectors only), so a green hash attests
-    ingest → compact → search end to end, not just the math."""
+    ingest → compact → search end to end, not just the math.
+
+    Round 13: the index is now ingested WITH the int8 storage tier
+    (quantized_refine=True — absmax scale + tinyint codes of the full
+    vector ride each index row through ingest and compaction), and a
+    second lane searches it with ``refine_source="quantized"``: the
+    top-10 ADC candidates re-rank by exact cosine over vectors
+    DEQUANTIZED FROM THE PRUNED INDEX (no float-corpus access at serve
+    time). The lane full-outer-joins onto the ADC lane as
+    ``q_cos_sim``/``q_rnk``, and the oracle replays quantize →
+    dequantize → cosine → re-rank — the whole serving tier sits under
+    the driver value hash."""
     from anomalyzer_spark.functions.ann_index import (
         compact_ingested_index, ingest_ivfpq_stream, search_ivfpq_index)
     e = _embs(spark, sf_dir)
@@ -901,14 +913,26 @@ def q_ivfpq_topk(spark, sf_dir):
     cstream = (spark.readStream.schema(corpus.schema)
                .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/corpus"))
     ingest = ingest_ivfpq_stream(
-        spark, cstream, f"{tmp}/ingested", cents, books, f"{tmp}/ckpt")
+        spark, cstream, f"{tmp}/ingested", cents, books, f"{tmp}/ckpt",
+        quantized_refine=True)
     ingest.awaitTermination()
     compact_ingested_index(spark, f"{tmp}/ingested", f"{tmp}/index")
+    qset = e.where(F.col("vec_id") < 20)
     out = search_ivfpq_index(
-        spark, f"{tmp}/index", e.where(F.col("vec_id") < 20), cents, books,
+        spark, f"{tmp}/index", qset, cents, books,
         vec_col="embedding", query_id_col="vec_id", k=TOPK,
         n_probe=IVF_PROBE)
-    return _round6(out.withColumn("rnk", F.col("rnk").cast("long")), "pq_dist")
+    qlane = search_ivfpq_index(
+        spark, f"{tmp}/index", qset, cents, books,
+        vec_col="embedding", query_id_col="vec_id", k=TOPK,
+        n_probe=IVF_PROBE, refine=IVFPQ_REFINE,
+        refine_source="quantized").select(
+        "query_id", "neighbor_id",
+        F.col("cos_sim").alias("q_cos_sim"),
+        F.col("rnk").cast("long").alias("q_rnk"))
+    both = (out.withColumn("rnk", F.col("rnk").cast("long"))
+            .join(qlane, ["query_id", "neighbor_id"], "full_outer"))
+    return _round6(both, "pq_dist", "q_cos_sim")
 
 
 def q_emb_pipeline(spark, sf_dir):
@@ -1097,11 +1121,37 @@ def q_decontam(spark, sf_dir):
     detect_default / detect_multi_mc / detect_stream_mc oracles over the
     same kernel and windows — the standalone column query added no
     coverage beyond them (tests/test_columnar.py still pins ks_stat_col
-    against the NumPy oracle point-wise)."""
+    against the NumPy oracle point-wise).
+
+    Round-13 rider (the changelog -> snapshot_diff precedent): the same
+    report is computed a SECOND time through the split-block Bloom
+    prefilter path (functions/bloom.py — filter build over the eval
+    grams, broadcast block-join probe of the corpus gram stream, exact
+    confirm join) and full-outer-joined onto the plain lane as bl_*
+    columns. The two lanes are exact-equal by construction (the filter
+    only prunes; the confirm join settles false positives), so the
+    oracle simply emits its columns twice — a false NEGATIVE in the
+    filter (hash/mask bug) or a broken confirm join desyncs the lanes
+    and breaks rows/hash. num_bits is pinned (2^19) rather than sized
+    from a member count so the query builds without an eager count
+    action; at the fixture eval-gram counts that over-provisions fill,
+    which affects prefilter efficiency only, never results."""
+    from anomalyzer_spark.functions import bloom as bloom_mod
     from anomalyzer_spark.functions import decontam
+    from anomalyzer_spark.functions.decontam import _grams
     d = _docs(spark, sf_dir)
     ev = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    return decontam.contamination(d, ev, n=8)
+    plain = decontam.contamination(d, ev, n=8)
+    fl = bloom_mod.build_bloom(
+        _grams(ev, "text", "doc_id", 8, "_eval_id").select("gram"),
+        "gram", num_bits=1 << 19, num_hashes=5, persist=False)
+    bl = decontam.contamination(d, ev, n=8, eval_bloom=fl)
+    bl = bl.select(
+        "doc_id",
+        *[F.col(c).alias(f"bl_{c}")
+          for c in ("n_grams", "n_hit_grams", "n_eval_docs",
+                    "contamination")])
+    return plain.join(bl, "doc_id", "full_outer")
 
 
 def q_detect_multi_mc(spark, sf_dir):
@@ -1374,8 +1424,30 @@ def q_multimodal(spark, sf_dir):
       per-frame pixel streams the oracle rebuilds. Frame ids pack as
       doc_id*4+frame_idx (the ``video_matches`` packing, unpacked after
       signing); the pair-join composition over these signatures stays
-      pinned in tests/test_video_dedup.py / test_audio_dedup.py."""
-    from anomalyzer_spark.functions import langid, multimodal
+      pinned in tests/test_video_dedup.py / test_audio_dedup.py.
+
+    Round-13 riders put the two newest pytest-only families under the
+    driver value hash (regex/URL-parsing dialects differ across engines
+    — exactly what value hashes catch; the fixture text is verified
+    free of ``< > &``/VT/FF so the planted inputs are fully controlled):
+
+    - ``norm_url``/``url_host``/``url_domain`` + ``vis_text`` and the
+      ``markup_stats`` fields (functions/web.py): four planted URL
+      shapes per doc_id (www+default port+tracking params+fragment;
+      trailing slashes; non-default port; malformed → NULLs) through
+      normalize_url/host_of/registrable_domain, and a planted HTML
+      payload (script/style/comment/block tags/entities around the
+      document text) through extract_text/markup_stats. The oracle
+      re-parses the URLs with regexes and replays the extraction spec
+      step-by-step (two-pass script/style removal — equivalent to
+      Spark's backreference pass on the controlled payload; Java ``\\s``
+      written as its explicit ASCII class, which RE2's ``\\s`` is not).
+    - ``code_*`` (functions/code.py with_code_stats): planted code text
+      (comment header, indented line, the document text, a doc_id-length
+      token run, an @generated marker every 7th doc) through the eight
+      line-shape signals, replayed with DuckDB list/regex functions."""
+    from anomalyzer_spark.functions import code as code_mod
+    from anomalyzer_spark.functions import langid, multimodal, web
     d = _docs(spark, sf_dir)
     with_payload = multimodal.attach_payload(d, "text", "doc_id")
     prof = multimodal.payload_profile(with_payload, "content", "doc_id")
@@ -1403,8 +1475,50 @@ def q_multimodal(spark, sf_dir):
     vdh = vsig.groupBy("doc_id").agg(*[
         F.max(F.when(F.col("_fidx") == fi, F.col("dhash64")))
         .alias(f"vframe_dh{fi}") for fi in range(3)])
+    did, d23, m4 = F.col("doc_id"), F.col("doc_id") % 23, F.col("doc_id") % 4
+    url = (
+        F.when(m4 == 0, F.concat(
+            F.lit("https://WWW.News"), d23, F.lit(".Example.CO.UK:443/a/b"),
+            did, F.lit("//?utm_campaign=c&b=2&a=1#frag")))
+        .when(m4 == 1, F.concat(
+            F.lit("http://Sub.Blog"), d23, F.lit(".Example.COM:80/Path/"),
+            did, F.lit("/")))
+        .when(m4 == 2, F.concat(
+            F.lit("https://shop"), d23, F.lit(".example.com:8443/buy"),
+            F.lit("?gclid=g&q="), did))
+        .otherwise(F.lit("not a url")))
+    html = F.concat(
+        F.lit('<!DOCTYPE html><HTML><Body class="c"><h1>T'), did,
+        F.lit('</h1><script type="t">var j="</div>";</script><p> '),
+        F.substring(F.col("text"), 1, 90),
+        F.lit(' A&amp;B &lt;ok&gt;&nbsp;q</p><!-- note -->'
+              '<ul><li>i1</li><li>i2</li></ul><STYLE>.c{x}</STYLE>'
+              '<div>tail</div></Body></HTML>'))
+    ms = web.markup_stats(F.col("_html"))
+    webr = d.select("doc_id", url.alias("_url"), html.alias("_html")).select(
+        "doc_id",
+        web.normalize_url(F.col("_url")).alias("norm_url"),
+        web.host_of(F.col("_url")).alias("url_host"),
+        web.registrable_domain(F.col("_url")).alias("url_domain"),
+        web.extract_text(F.col("_html")).alias("vis_text"),
+        ms["n_tags"].alias("n_tags"),
+        ms["tag_density"].alias("tag_density"),
+        ms["visible_ratio"].alias("visible_ratio"),
+        ms["is_html"].alias("is_html"))
+    codes = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("# hdr\n\tindent = 1\n"),
+            F.substring(F.col("text"), 1, 120), F.lit("\n"),
+            F.expr("repeat('B', cast(doc_id % 40 + 5 as int))"),
+            F.when(did % 7 == 0, F.lit("\n// @generated do not edit"))
+            .otherwise(F.lit(""))).alias("code"))
+    cst = code_mod.with_code_stats(codes, "code").select(
+        "doc_id", *[F.col(c).alias(f"code_{c}")
+                    for c in code_mod.CODE_STAT_COLS])
     return _round6(prof.join(dh, "doc_id").join(lang, "doc_id")
-                   .join(afp, "doc_id").join(vdh, "doc_id"),
+                   .join(afp, "doc_id").join(vdh, "doc_id")
+                   .join(webr, "doc_id").join(cst, "doc_id"),
                    "byte_mean", "byte_std", "byte_entropy")
 
 
@@ -2309,7 +2423,10 @@ hits AS (
          count(DISTINCT eval_id) AS n_eval_docs
   FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
 SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
-       round(n_hit_grams / n_grams, 6) AS contamination
+       round(n_hit_grams / n_grams, 6) AS contamination,
+       n_grams AS bl_n_grams, n_hit_grams AS bl_n_hit_grams,
+       n_eval_docs AS bl_n_eval_docs,
+       round(n_hit_grams / n_grams, 6) AS bl_contamination
 FROM hits WHERE n_hit_grams >= 1"""
 
     # text_pipeline: replays normalize_text (strip C0/C1 + NFC over the
@@ -2883,9 +3000,36 @@ sc AS (
 r AS (SELECT query_id, neighbor_id, pq_dist,
         row_number() OVER (PARTITION BY query_id
                            ORDER BY pq_dist ASC, neighbor_id) AS rnk
-      FROM sc)
-SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk
-FROM r WHERE rnk <= {TOPK}"""
+      FROM sc),
+-- quantized-refine lane: absmax int8 quantize/dequantize of the
+-- candidate vectors (round half-away, zero-scale guard — the
+-- similarity.quantize_embeddings scheme), exact cosine re-rank of the
+-- top-{IVFPQ_REFINE} ADC candidates per query
+deq AS (
+  SELECT vec_id AS neighbor_id,
+    CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0
+         THEN list_transform(v, x -> 0.0)
+         ELSE list_transform(v, x ->
+           round(x / (list_max(list_transform(v, y -> abs(y))) / 127.0))
+           * (list_max(list_transform(v, y -> abs(y))) / 127.0)) END AS dv
+  FROM e),
+qcand AS (SELECT query_id, neighbor_id FROM r WHERE rnk <= {IVFPQ_REFINE}),
+qv AS (SELECT vec_id AS query_id, v AS qvec FROM e WHERE vec_id < 20),
+resc AS (
+  SELECT query_id, neighbor_id,
+    list_dot_product(qvec, dv) /
+    (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(dv, dv)))
+      AS q_cos_sim
+  FROM qcand JOIN deq USING (neighbor_id) JOIN qv USING (query_id)),
+rr AS (SELECT query_id, neighbor_id, q_cos_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY q_cos_sim DESC, neighbor_id) AS q_rnk
+       FROM resc)
+SELECT query_id, neighbor_id, round(pq_dist, 6) AS pq_dist, rnk,
+       round(q_cos_sim, 6) AS q_cos_sim, q_rnk
+FROM (SELECT * FROM r WHERE rnk <= {TOPK}) a
+FULL OUTER JOIN (SELECT * FROM rr WHERE q_rnk <= {TOPK}) b
+USING (query_id, neighbor_id)"""
 
     # emb_dedup_groups oracle: the LSH-bucketed pair generation mirrors
     # the Spark path exactly (same seed-7 plane literals as lsh_topk:
@@ -3333,6 +3477,163 @@ FROM (
                    i -> ('0x' || substr(h, (2*i + 1)::INT, 2))::BIGINT) AS p
   FROM (SELECT doc_id, {md5s} AS h FROM documents))"""
 
+    # web rider: the planted URLs re-parsed with regexes (scheme /
+    # authority / path / query), then the normalize_url spec (default
+    # ports, trailing slashes, tracking-param drop + byte sort, www
+    # strip) and registrable_domain's label heuristic replayed in SQL;
+    # the planted HTML runs the extract_text spec step-by-step —
+    # script/style removed in TWO passes (no backreferences in RE2;
+    # equivalent on the controlled payload), Java \s written as its
+    # explicit ASCII class (RE2's \s lacks \x0B), entities via literal
+    # replace in the same order, then the whitespace collapse chain.
+    _ws = r" \t\n\x0B\f\r"
+    _blk = ("p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote|section"
+            "|article|header|footer|pre|form|hr")
+    sql["multimodal_web"] = f"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'https://WWW.News' || (doc_id % 23) ||
+                  '.Example.CO.UK:443/a/b' || doc_id ||
+                  '//?utm_campaign=c&b=2&a=1#frag'
+      WHEN 1 THEN 'http://Sub.Blog' || (doc_id % 23) ||
+                  '.Example.COM:80/Path/' || doc_id || '/'
+      WHEN 2 THEN 'https://shop' || (doc_id % 23) ||
+                  '.example.com:8443/buy?gclid=g&q=' || doc_id
+      ELSE 'not a url' END AS url,
+    '<!DOCTYPE html><HTML><Body class="c"><h1>T' || doc_id ||
+    '</h1><script type="t">var j="</div>";</script><p> ' ||
+    substr(text, 1, 90) ||
+    ' A&amp;B &lt;ok&gt;&nbsp;q</p><!-- note --><ul><li>i1</li>' ||
+    '<li>i2</li></ul><STYLE>.c{{x}}</STYLE><div>tail</div></Body></HTML>'
+    AS h
+  FROM documents),
+parts AS (
+  SELECT doc_id, h,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+      AS scheme,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1) AS auth,
+    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)
+      AS path,
+    regexp_extract(url, '\\?([^#]*)', 1) AS query
+  FROM u),
+hostp AS (
+  SELECT doc_id, h, scheme, path, query,
+    nullif(regexp_replace(regexp_replace(
+      lower(regexp_replace(auth, ':[0-9]+$', '')),
+      '\\.+$', ''), '^www\\.', ''), '') AS host,
+    regexp_extract(auth, ':([0-9]+)$', 1) AS port
+  FROM parts),
+normed AS (
+  SELECT doc_id, h, scheme, host,
+    CASE WHEN (scheme = 'http' AND port = '80')
+           OR (scheme = 'https' AND port = '443')
+         THEN '' ELSE port END AS port2,
+    regexp_replace(path, '/+$', '') AS path2,
+    coalesce(array_to_string(
+      list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT regexp_matches(lower(split_part(x, '=', 1)),
+          '^(utm_.*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)$'))),
+      '&'), '') AS qs
+  FROM hostp),
+urlcols AS (
+  SELECT doc_id, h, host AS url_host,
+    CASE WHEN host IS NULL OR scheme = '' THEN NULL
+         ELSE scheme || '://' || host ||
+              CASE WHEN port2 = '' THEN '' ELSE ':' || port2 END ||
+              path2 || CASE WHEN qs = '' THEN '' ELSE '?' || qs END
+    END AS norm_url,
+    CASE WHEN host IS NULL THEN NULL
+         WHEN len(string_split(host, '.')) <= 2 THEN host
+         WHEN list_contains(
+                ['com','net','org','co','ac','gov','edu','mil','sch'],
+                string_split(host, '.')[-2])
+              AND length(string_split(host, '.')[-1]) = 2
+           THEN string_split(host, '.')[-3] || '.' ||
+                string_split(host, '.')[-2] || '.' ||
+                string_split(host, '.')[-1]
+         ELSE string_split(host, '.')[-2] || '.' ||
+              string_split(host, '.')[-1]
+    END AS url_domain
+  FROM normed),
+ex AS (
+  SELECT doc_id, h, url_host, norm_url, url_domain,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      h, '(?is)<script\\b[^>]*>.*?</script[{_ws}]*>', '', 'g'),
+         '(?is)<style\\b[^>]*>.*?</style[{_ws}]*>', '', 'g'),
+         '(?is)<script\\b[^>]*>.*', '', 'g'),
+         '(?is)<style\\b[^>]*>.*', '', 'g') AS v1
+  FROM urlcols),
+ex2 AS (
+  SELECT doc_id, h, url_host, norm_url, url_domain,
+    regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(v1, '(?s)<!--.*?-->', '', 'g'),
+      '(?i)</?({_blk})\\b[^>]*>', chr(10), 'g'),
+      '(?s)<[^>]*>', ' ', 'g'),
+      '&nbsp;', ' ', 'g') AS v2
+  FROM ex),
+ex3 AS (
+  SELECT doc_id, h, url_host, norm_url, url_domain,
+    replace(replace(replace(replace(replace(replace(
+      v2, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+      '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&') AS v3
+  FROM ex2),
+ex4 AS (
+  SELECT doc_id, h, url_host, norm_url, url_domain,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      v3, '[ \\t\\x0B\\f\\r]+', ' ', 'g'),
+      ' ?\\n ?', chr(10), 'g'),
+      '\\n{{2,}}', chr(10), 'g'),
+      '^[{_ws}]+|[{_ws}]+$', '', 'g') AS vis_text
+  FROM ex3),
+mstat AS (
+  SELECT doc_id, url_host, norm_url, url_domain, vis_text,
+    len(regexp_extract_all(h, '(?s)<[^>]*>')) AS n_tags,
+    round(len(regexp_extract_all(h, '(?s)<[^>]*>')) * 100.0
+          / greatest(length(h), 1), 4) AS tag_density,
+    round(length(vis_text) / greatest(length(h), 1), 4) AS visible_ratio,
+    regexp_matches(h,
+      '(?is)<!doctype[{_ws}]+html|<html[{_ws}>]|<body[{_ws}>]' ||
+      '|<div[{_ws}>]|<p[{_ws}>]') AS structural
+  FROM ex4)
+SELECT doc_id, norm_url, url_host, url_domain, vis_text,
+       n_tags, tag_density, visible_ratio,
+       (structural AND tag_density > 0.2) AS is_html
+FROM mstat"""
+
+    # code rider: with_code_stats' eight line-shape signals replayed
+    # with DuckDB list/regex functions over the same planted code text.
+    sql["multimodal_code"] = f"""
+WITH c0 AS (
+  SELECT doc_id,
+    '# hdr' || chr(10) || chr(9) || 'indent = 1' || chr(10) ||
+    substr(text, 1, 120) || chr(10) ||
+    repeat('B', (doc_id % 40 + 5)::INT) ||
+    CASE WHEN doc_id % 7 = 0
+         THEN chr(10) || '// @generated do not edit' ELSE '' END AS code
+  FROM documents),
+t AS (SELECT doc_id, code, string_split(code, chr(10)) AS lines,
+             len(string_split(code, chr(10))) AS n_lines
+      FROM c0)
+SELECT doc_id,
+  n_lines AS code_n_lines,
+  list_max(list_transform(lines, x -> length(x))) AS code_max_line_len,
+  round(list_sum(list_transform(lines, x -> length(x)))
+        / greatest(n_lines, 1), 4) AS code_avg_line_len,
+  round(length(regexp_replace(code, '[^A-Za-z0-9]', '', 'g'))
+        / greatest(length(code), 1), 4) AS code_alnum_ratio,
+  round(len(list_filter(lines,
+          x -> regexp_matches(x, '^[ \\t]*(#|//|/\\*|\\*|--|;)')))
+        / greatest(n_lines, 1), 4) AS code_comment_line_ratio,
+  round(len(list_filter(lines, x -> regexp_matches(x, '^[ \\t]')))
+        / greatest(n_lines, 1), 4) AS code_indent_ratio,
+  list_max(list_transform(
+    string_split_regex(trim(code), '[ \\t\\n\\x0B\\f\\r]+'),
+    x -> length(x))) AS code_max_token_len,
+  regexp_matches(code, '(?i)(auto[- ]?generated|do not edit|generated by'
+    || '|@generated|this file was generated)') AS code_is_autogen
+FROM t"""
+
     # the language rider's oracle is langid's own SQL twin, built from the
     # same embedded literal model the Spark side scores with
     from anomalyzer_spark.functions import langid as _langid
@@ -3347,20 +3648,31 @@ lng AS ({_langid.lang_scoring_sql(_LANG_MODEL)}),
 afp AS ({sql['multimodal_audio']}),
 vd0 AS ({_vframe_dh_sql(0)}),
 vd1 AS ({_vframe_dh_sql(1)}),
-vd2 AS ({_vframe_dh_sql(2)})
+vd2 AS ({_vframe_dh_sql(2)}),
+wb AS ({sql['multimodal_web']}),
+cd AS ({sql['multimodal_code']})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8,
        {lang_cols},
        afp.audio_subfp0, afp.audio_subfp1,
-       vd0.vframe_dh0, vd1.vframe_dh1, vd2.vframe_dh2
+       vd0.vframe_dh0, vd1.vframe_dh1, vd2.vframe_dh2,
+       wb.norm_url, wb.url_host, wb.url_domain, wb.vis_text,
+       wb.n_tags, wb.tag_density, wb.visible_ratio, wb.is_html,
+       cd.code_n_lines, cd.code_max_line_len, cd.code_avg_line_len,
+       cd.code_alnum_ratio, cd.code_comment_line_ratio,
+       cd.code_indent_ratio, cd.code_max_token_len, cd.code_is_autogen
 FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
      JOIN lng ON lng.doc_id = meta.doc_id
      JOIN afp ON afp.doc_id = meta.doc_id
      JOIN vd0 ON vd0.doc_id = meta.doc_id
      JOIN vd1 ON vd1.doc_id = meta.doc_id
-     JOIN vd2 ON vd2.doc_id = meta.doc_id"""
+     JOIN vd2 ON vd2.doc_id = meta.doc_id
+     JOIN wb ON wb.doc_id = meta.doc_id
+     JOIN cd ON cd.doc_id = meta.doc_id"""
     del sql["multimodal_dhash"]
     del sql["multimodal_audio"]
+    del sql["multimodal_web"]
+    del sql["multimodal_code"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
                     "repetition", "multimodal_meta", "multimodal_features"):
