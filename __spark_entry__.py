@@ -778,7 +778,16 @@ def q_sketch_stats(spark, sf_dir):
     tiebreak, subtraction, survivors + off + n) as a canonical string
     md5. Riders are constant per row; ``materialize=False`` keeps the
     slot lazy (the checkpoint default exists for corpus-scale counts
-    frames, not a 5-key column)."""
+    frames, not a 5-key column).
+
+    Round-13 rider: ``kll_fold`` + ``kll_p50``/``kll_p99`` attest the
+    mergeable KLL quantile profile (sketch.kll_profile, k=32, over
+    o_totalprice): the DuckDB twin replays the whole batch build —
+    distinct-value cumulative ranks, j = ceil(log2(ceil(n/k))), the
+    md5-coin stride offset, modular survivor counts — then folds the
+    survivor rows (item in exact cents) + (n, err) into a canonical
+    md5 and re-derives the p50/p99 elements from ITS replayed profile,
+    so one wrong survivor count or a drifted coin misses the hash."""
     from anomalyzer_spark.functions import sketch
 
     o = load_table(spark, sf_dir, "orders")
@@ -808,15 +817,32 @@ def q_sketch_stats(spark, sf_dir):
                           "=", F.col("key"), F.col("cnt")))))),
                   F.max("off"), F.max("n")).cast("binary"))
                   .alias("mg_fold")))
+    kprof = sketch.kll_profile(
+        o.select("o_totalprice"), ["o_totalprice"], k=32)
+    kll_row = kprof.agg(
+        F.md5(F.concat_ws(
+            "|",
+            F.concat_ws(",", F.sort_array(F.collect_list(
+                F.when(F.col("item").isNotNull(), F.concat_ws(
+                    "=", F.col("level"),
+                    F.round(F.col("item") * 100).cast("long"),
+                    F.col("cnt")))))),
+            F.max("n"), F.max("err")).cast("binary")).alias("kll_fold"))
+    kq_row = sketch.kll_quantiles(kprof, [0.5, 0.99]).agg(
+        F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("kll_p50"),
+        F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("kll_p99"))
     return (sk.join(ex, "o_orderpriority")
             .crossJoin(F.broadcast(hll_row))
             .crossJoin(F.broadcast(mg_row))
+            .crossJoin(F.broadcast(kll_row))
+            .crossJoin(F.broadcast(kq_row))
             .select(
                 "o_orderpriority", "n_orders", "n_cust_exact",
                 (F.abs(F.col("_apx") - F.col("n_cust_exact"))
                  / F.col("n_cust_exact") <= 0.2).alias("hll_within_bound"),
                 "p50_totalprice",
                 "hll_reg_fold", "hll_occupied", "mg_fold",
+                "kll_fold", "kll_p50", "kll_p99",
             ))
 
 
@@ -3316,9 +3342,54 @@ mfold AS (
                                          ORDER BY key || '=' || cnt)
                        FROM msurv), '')
              || '|' || t.t || '|' || n.n) AS mg_fold
-  FROM mthr t CROSS JOIN mn n)
-SELECT b.*, hfold.hll_reg_fold, hfold.hll_occupied, mfold.mg_fold
-FROM base b CROSS JOIN hfold CROSS JOIN mfold"""
+  FROM mthr t CROSS JOIN mn n),
+kcnt AS (SELECT o_totalprice::DOUBLE AS item, count(*) AS cnt
+         FROM orders WHERE o_totalprice IS NOT NULL GROUP BY 1),
+krk AS (SELECT item, cnt,
+          coalesce(sum(cnt) OVER (ORDER BY item
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start,
+          sum(cnt) OVER () AS n
+        FROM kcnt),
+kpar AS (
+  SELECT *, CASE WHEN (n + 31) // 32 <= 1 THEN 0
+    ELSE ceil(log2((n + 31) // 32))::INT END AS j
+  FROM krk),
+koc AS (
+  SELECT *, (1::BIGINT << j) AS m,
+    CASE WHEN j = 0 THEN 0 ELSE
+      list_sum(list_transform(range(0, j), l ->
+        (('0x' || substr(md5('kll|o_totalprice|' || l || '|0'), 1, 15))
+         ::BIGINT % 2) * (1::BIGINT << l::INT)))
+    END AS o
+  FROM kpar),
+ksurv AS (
+  SELECT * FROM (
+    SELECT j AS level, item,
+      ((start + cnt - o + m - 1) // m) - ((start - o + m - 1) // m) AS kc,
+      n, m - 1 AS err
+    FROM koc) WHERE kc > 0),
+kfold AS (
+  SELECT md5(coalesce((SELECT string_agg(
+             level || '=' || round(item * 100)::BIGINT || '=' || kc, ','
+             ORDER BY level || '=' || round(item * 100)::BIGINT
+                      || '=' || kc)
+           FROM ksurv), '')
+           || '|' || max(n) || '|' || max(err)) AS kll_fold
+  FROM ksurv),
+kcum AS (SELECT item,
+           sum(kc * (1::BIGINT << level::INT)) OVER (ORDER BY item) AS cum,
+           n
+         FROM ksurv),
+kq AS (
+  SELECT
+    (SELECT min(item) FROM kcum
+      WHERE cum >= greatest(1, ceil(0.5 * n))) AS kll_p50,
+    (SELECT min(item) FROM kcum
+      WHERE cum >= greatest(1, ceil(0.99 * n))) AS kll_p99)
+SELECT b.*, hfold.hll_reg_fold, hfold.hll_occupied, mfold.mg_fold,
+       kfold.kll_fold, kq.kll_p50, kq.kll_p99
+FROM base b CROSS JOIN hfold CROSS JOIN mfold CROSS JOIN kfold
+     CROSS JOIN kq"""
 
     sql["set_ops"] = """
 WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),

@@ -38,7 +38,7 @@ __all__ = [
     "completeness", "uniqueness", "in_range", "in_set", "matches",
     "mean_between", "min_between", "max_between", "stddev_between",
     "quantile_between", "row_count", "satisfies", "top_share",
-    "verify_checks", "verify_checks_by",
+    "verify_checks", "verify_checks_by", "verify_quantile_profile",
 ]
 
 
@@ -376,3 +376,50 @@ def verify_checks_by(df: DataFrame, keys: list[str],
                        .withColumn(f"m{i}", _ratio(F.col(f"_top{i}"),
                                                    F.col(f"_den{i}"))))
     return _report(metrics, checks, labels, list(keys))
+
+
+def verify_quantile_profile(
+    profile: DataFrame, checks: list[dict],
+) -> DataFrame:
+    """The MERGEABLE quantile gate: evaluate ``quantile_between`` checks
+    against a persisted KLL quantile profile (``sketch.kll_profile`` /
+    ``drift.quantile_profile``) instead of the data — "did p99 doc
+    length stay under 50k THIS MONTH?" answered by folding thirty
+    kilobyte shard frames (``sketch.merge_kll``), never rescanning the
+    corpus. Same long-form report as ``verify_checks`` ((check, column,
+    metric, value, threshold, passed)); ``value`` is the sketch's
+    quantile_disc-style element, whose true rank is within q·n ± the
+    profile's error bound — size ``k`` so that slack is below the
+    gate's tolerance. Only ``quantile_between`` checks are accepted
+    (other kinds need the data; run them in the landing pass)."""
+    from .sketch import kll_quantiles
+
+    if not checks:
+        raise ValueError("verify_quantile_profile needs at least one check")
+    bad = [c["kind"] for c in checks if c["kind"] != "quantile_between"]
+    if bad:
+        raise ValueError(
+            f"only quantile_between checks can run from a profile; got "
+            f"{sorted(set(bad))} — run other kinds with verify_checks "
+            "on the data")
+    qs = sorted({float(c["q"]) for c in checks})
+    vals = kll_quantiles(profile, qs)
+    # fold the (column, q, value) rows to ONE row of m{i} columns, then
+    # unpivot into the report structs (the _report single-branch shape)
+    metrics = vals.agg(*[
+        F.max(F.when((F.col("column") == c["column"])
+                     & (F.col("q") == float(c["q"])), F.col("value")))
+        .alias(f"m{i}")
+        for i, c in enumerate(checks)])
+    rows = []
+    for i, c in enumerate(checks):
+        value = F.col(f"m{i}").cast("double")
+        rows.append(F.struct(
+            F.lit(f"{i}:quantile_between").alias("check"),
+            F.lit(c["column"]).cast("string").alias("column"),
+            F.lit(f"q{c['q']}").alias("metric"),
+            value.alias("value"),
+            F.lit(None).cast("double").alias("threshold"),
+            _passed(c, value).alias("passed"),
+        ))
+    return metrics.select(F.explode(F.array(*rows)).alias("r")).select("r.*")

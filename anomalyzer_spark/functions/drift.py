@@ -202,6 +202,40 @@ def profile_quantiles(
     return out
 
 
+def quantile_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The BOUND-FREE numeric profile: a mergeable KLL quantile sketch
+    (``sketch.kll_profile``) of each column. ``histogram_profile`` needs
+    the bin range pinned up front (the drift comparability contract) and
+    clamps escapees into edge buckets; this does not — rank error is
+    bounded by the frame's ``err`` column regardless of the value range,
+    so it is the right profile when bounds are unknown or drifting
+    (exactly when you are profiling for drift). Query with
+    ``quantiles_from_profile`` / ``sketch.kll_ranks``; fold shards with
+    ``sketch.merge_kll``."""
+    from . import sketch
+
+    return sketch.kll_profile(df, cols, k=k, group_cols=group_cols)
+
+
+def quantiles_from_profile(
+    profile: DataFrame, quantiles: list[float],
+) -> DataFrame:
+    """Quantiles FROM a ``quantile_profile`` (KLL) frame — the
+    ``profile_quantiles`` twin for the bound-free profile: (keys...,
+    column, q, value), each value an actual data element whose true
+    rank is within q·n ± (err + top level weight). One tiny window over
+    the ≤ k-row frame."""
+    from . import sketch
+
+    return sketch.kll_quantiles(profile, quantiles)
+
+
 def merge_category_profiles(profiles: list[DataFrame]) -> DataFrame:
     """Fold per-shard ``category_profile`` frames (same contract as
     ``merge_profiles``; shards must share the vocabulary — enforced by

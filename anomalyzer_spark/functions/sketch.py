@@ -47,7 +47,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["hll_estimate", "hll_overlap", "hll_profile", "merge_hll",
-           "merge_mg", "mg_profile"]
+           "merge_mg", "mg_profile",
+           "kll_profile", "merge_kll", "kll_quantiles", "kll_ranks"]
 
 #: hash width in bits (15 md5 hex digits — fits BIGINT in both engines)
 _HASH_BITS = 60
@@ -403,3 +404,284 @@ def _merge_mg_union(u: DataFrame, k: int) -> DataFrame:
         *keys, F.lit(None).cast("string").alias("key"),
         F.lit(0).cast("long").alias("cnt"), "off", "n")
     return out.unionByName(sentinel)
+
+
+# ---------------------------------------------------------------------------
+# KLL-style mergeable quantile profiles
+# ---------------------------------------------------------------------------
+#
+# The rank/quantile leg of incremental corpus monitoring: answer "p99 doc
+# length this month" from persisted per-shard frames, the way hll_profile
+# answers distinct counts — no corpus rescans, no pinned bin bounds
+# (drift.histogram_profile needs bounds known up front; this does not).
+#
+# Structure (Karnin–Lang–Liberty compactor hierarchy, batch-canonical):
+# a profile is a frame of (column, level, item, cnt, n, err) rows — cnt
+# copies of value `item` at `level`, each representing 2**level input
+# rows. The BATCH build is the closed form of running every full-level
+# KLL compaction at once: compacting level l keeps every other item of
+# the level's sorted multiset (offset = a deterministic md5-derived coin
+# bit, the house portable-hash convention), so j cascaded compactions
+# keep exactly the sorted positions p with p % 2**j == o, where
+# o = sum(coin(column, l) << l). That closed form is ONE counting pass:
+#   groupBy(column, value) count  ->  cumulative rank over DISTINCT
+#   values  ->  per-value survivor count by modular interval arithmetic
+# (the skewsafe_median counting-rewrite shape: the shuffle key is
+# (column, value), so hot values are hot KEYS, never hot partitions; the
+# distinct-value window holds O(distinct) state per column, and for
+# high-cardinality columns the state is the value set, not the rows).
+#
+# Guarantees (pinned in tests/test_kll.py, hypothesis-tested):
+# * err is a DETERMINISTIC rank-error bound: for every x,
+#   |est_rank(x) - true_rank(x)| <= err, where est_rank(x) =
+#   sum(cnt * 2**level for items <= x). Batch build: err = 2**j - 1
+#   < 2n/k. Merged profiles: shard errs add, plus 2**l per merge
+#   compaction of level l (mergeable-summaries composition, the
+#   Agarwal et al. PODS'12 frame).
+# * n <= k  ->  the profile IS the exact multiset (err = 0), and
+#   merge == whole EXACTLY in the uncompacted case (the MG precedent;
+#   compaction grouping may legally move which items survive, never the
+#   guarantee).
+# * everything is engine-portable: the only nondeterminism knob (the
+#   compaction coin) is an md5 bit of "kll|<column>|<level>|<epoch>",
+#   so DuckDB replays a batch build digit-for-digit (the sketch_stats
+#   rider does exactly that).
+
+
+def _kll_keys(profile: DataFrame) -> list[str]:
+    """Key columns of a KLL frame — 'column' plus any group keys."""
+    return [c for c in profile.columns
+            if c not in ("level", "item", "cnt", "n", "err")]
+
+
+def _kll_coin(column: Column, level: Column, epoch: int) -> Column:
+    """Deterministic compaction coin in {0, 1}: bit of the md5-derived
+    60-bit integer of "kll|<column>|<level>|<epoch>" (portable: DuckDB
+    replays it as ('0x' || substr(md5(..), 1, 15))::BIGINT % 2)."""
+    s = F.concat_ws("|", F.lit("kll"), column,
+                    level.cast("string"), F.lit(str(epoch)))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15),
+                  16, 10).cast("long") % 2
+
+
+def _bit_length(x: Column) -> Column:
+    """bit_length(x) for x >= 0 as exact integer math (smear +
+    bit_count — no float log2 edge cases), 0 for x == 0."""
+    s = x
+    for shift in (1, 2, 4, 8, 16, 32):
+        s = s.bitwiseOR(F.shiftright(s, shift))
+    return F.bit_count(s)
+
+
+def kll_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Mergeable quantile profile per column: (*group_cols, column,
+    level, item, cnt, n, err) with at most ``k`` surviving weighted
+    items per column plus ONE metadata sentinel row (item NULL, cnt 0)
+    carrying (n, err) even when values die in compaction. ``n`` is the
+    non-null row count; ``err`` bounds every rank estimate (module
+    docstring). Values profile as doubles; NULLs are skipped.
+
+    Cost: one (column, value) count aggregate (map-side combined) plus
+    one cumulative window over the DISTINCT values of each column — the
+    ``skewsafe_median`` counting shape. The stride selection itself is
+    pure modular arithmetic per distinct value; no driver loop, no
+    second scan. ``group_cols`` keeps one sketch per group (p99 doc
+    length per domain), the grouped-HLL convention."""
+    if not cols:
+        raise ValueError("kll_profile needs at least one column")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql.window import Window
+
+    group_cols = list(group_cols or [])
+    clash = set(group_cols) & {"column", "level", "item", "cnt", "n", "err"}
+    if clash:
+        raise ValueError(f"group_cols clash with profile schema: {clash}")
+    keys = group_cols + ["column"]
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("double").alias("item")) for c in cols]
+    long = (df.select(*[F.col(g) for g in group_cols],
+                      F.explode(F.array(*rows)).alias("r"))
+            .select(*group_cols, "r.*")
+            .where(F.col("item").isNotNull()))
+    counts = long.groupBy(*keys, "item").agg(F.count(F.lit(1)).alias("cnt"))
+    w = (Window.partitionBy(*keys).orderBy(F.col("item").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wall = Window.partitionBy(*keys)
+    ranked = counts.select(
+        *keys, "item", "cnt",
+        (F.sum("cnt").over(w) - F.col("cnt")).alias("_start"),
+        F.sum("cnt").over(wall).alias("n"))
+    # j = ceil(log2(ceil(n / k))): the number of cascaded full-level
+    # compactions that leaves n / 2**j <= k survivors — exact int math
+    q = F.expr(f"(n + {k} - 1) div {k}")
+    j = _bit_length((q - F.lit(1)).cast("long"))
+    staged = ranked.withColumn("_j", j)
+    # SQL exprs, not the Column API: shiftleft's Python wrapper only
+    # accepts a literal shift amount (the hll_estimate precedent)
+    staged = staged.withColumn(
+        "_m", F.expr("shiftleft(cast(1 as bigint), _j)"))
+    # batch offset o = sum(coin(column, l, 0) << l for l < j); the coin
+    # is the md5 bit of "kll|<column>|<level>|0" (portable spec)
+    staged = staged.withColumn("_o", F.expr("""
+        CASE WHEN _j = 0 THEN cast(0 as bigint) ELSE
+          aggregate(sequence(0, _j - 1), cast(0 as bigint),
+            (acc, l) -> acc + shiftleft(
+              cast(conv(substring(md5(cast(concat_ws('|',
+                'kll', column, cast(l as string), '0') as binary)),
+                1, 15), 16, 10) as bigint) % 2, l))
+        END"""))
+    # survivors of value v = #positions p in [start, start+cnt) with
+    # p % m == o; f(x) = ceil((x-o)/m) via trunc div (numerator >= 0
+    # because x >= 0 and o <= m-1)
+    f_hi = F.expr("( _start + cnt - _o + _m - 1) div _m")
+    f_lo = F.expr("( _start - _o + _m - 1) div _m")
+    out = (staged
+           .select(*keys, F.col("_j").cast("int").alias("level"), "item",
+                   (f_hi - f_lo).alias("cnt"), "n",
+                   (F.col("_m") - 1).alias("err"))
+           .where(F.col("cnt") > 0))
+    sentinel = (staged.groupBy(*keys).agg(
+        F.first("n").alias("n"), (F.first("_m") - 1).alias("err"))
+        .select(*keys, F.lit(None).cast("int").alias("level"),
+                F.lit(None).cast("double").alias("item"),
+                F.lit(0).cast("long").alias("cnt"), "n", "err"))
+    return out.unionByName(sentinel)
+
+
+def merge_kll(profiles: list[DataFrame], *, k: int = 256) -> DataFrame:
+    """Fold per-shard ``kll_profile`` frames into one profile of the
+    UNION of the shards. Same-level same-item rows sum; any level that
+    then holds more than ``k`` weighted items compacts (sorted, keep
+    every other item at an md5-coin offset, promote to level+1, add
+    2**level to ``err``) until every level fits. Shard ``n``/``err``
+    fold as sums over the authoritative NULL-item sentinels (the MG
+    convention). Operates on the kilobyte frames only — the compaction
+    loop runs over bounded rows (<= shards * k per column), each pass
+    one tiny window; no corpus access.
+
+    Uncompacted case (union still <= k items per level): the merged
+    frame equals the batch profile of the union EXACTLY when levels
+    align; in general the rank-error guarantee composes (pinned)."""
+    if not profiles:
+        raise ValueError("merge_kll needs at least one profile")
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    from pyspark.sql.window import Window
+
+    u = profiles[0]
+    for prof in profiles[1:]:
+        u = u.unionByName(prof)
+    keys = _kll_keys(u)
+    meta = (u.where(F.col("item").isNull())
+            .groupBy(*keys)
+            .agg(F.sum("n").alias("n"), F.sum("err").alias("err")))
+    cur = (u.where(F.col("item").isNotNull())
+           .groupBy(*keys, "level", "item")
+           .agg(F.sum("cnt").alias("cnt")))
+    cur = cur.localCheckpoint(eager=True)
+    meta = meta.localCheckpoint(eager=True)
+    epoch = 0
+    while True:
+        over = (cur.groupBy(*keys, "level")
+                .agg(F.sum("cnt").alias("_sz"))
+                .where(F.col("_sz") > k)
+                .select(*keys, "level"))
+        if over.isEmpty():
+            break
+        tagged = cur.join(F.broadcast(over), keys + ["level"], "left_semi")
+        rest = cur.join(F.broadcast(over), keys + ["level"], "left_anti")
+        w = (Window.partitionBy(*keys, "level")
+             .orderBy(F.col("item").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        c = _kll_coin(F.col("column"), F.col("level"), epoch)
+        st = (tagged
+              .withColumn("_start", F.sum("cnt").over(w) - F.col("cnt"))
+              .withColumn("_o", c))
+        kept = (F.expr("(_start + cnt - _o + 1) div 2")
+                - F.expr("(_start - _o + 1) div 2"))
+        promoted = (st.select(*keys, (F.col("level") + 1).alias("level"),
+                              "item", kept.alias("cnt"))
+                    .where(F.col("cnt") > 0))
+        err_add = (over.groupBy(*keys).agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), level)"))
+            .alias("_add")))
+        meta = (meta.join(F.broadcast(err_add), keys, "left")
+                .select(*keys,
+                        "n",
+                        (F.col("err") + F.coalesce(F.col("_add"),
+                                                   F.lit(0))).alias("err")))
+        cur = (rest.unionByName(promoted)
+               .groupBy(*keys, "level", "item")
+               .agg(F.sum("cnt").alias("cnt")))
+        cur = cur.localCheckpoint(eager=True)
+        meta = meta.localCheckpoint(eager=True)
+        epoch += 1
+    out = cur.join(F.broadcast(meta), keys) \
+        .select(*keys, "level", "item", "cnt", "n", "err")
+    sentinel = meta.select(
+        *keys, F.lit(None).cast("int").alias("level"),
+        F.lit(None).cast("double").alias("item"),
+        F.lit(0).cast("long").alias("cnt"), "n", "err")
+    return out.unionByName(sentinel)
+
+
+def kll_ranks(profile: DataFrame, values: list[float]) -> DataFrame:
+    """(keys..., column, value, est_rank, err, n) — estimated rank
+    (number of rows <= value) for each probe value, from the profile
+    alone. |est_rank - true_rank| <= err (pinned)."""
+    spark = profile.sparkSession
+    keys = _kll_keys(profile)
+    sv = profile.where(F.col("item").isNotNull()).select(
+        *keys, "level", "item", "cnt")
+    meta = profile.where(F.col("item").isNull()).select(*keys, "n", "err")
+    probes = spark.createDataFrame([(float(v),) for v in values],
+                                   "value double")
+    est = (sv.join(F.broadcast(probes))
+           .where(F.col("item") <= F.col("value"))
+           .groupBy(*keys, "value")
+           .agg(F.sum(F.expr("cnt * shiftleft(cast(1 as bigint), level)"))
+                .alias("est_rank")))
+    grid = meta.join(F.broadcast(probes))
+    return (grid.join(est, keys + ["value"], "left")
+            .select(*keys, "value",
+                    F.coalesce("est_rank", F.lit(0)).alias("est_rank"),
+                    "err", "n"))
+
+
+def kll_quantiles(profile: DataFrame, quantiles: list[float]) -> DataFrame:
+    """(keys..., column, q, value) — the smallest profiled item whose
+    estimated rank reaches ceil(q * n) (quantile_disc semantics over the
+    sketch). The returned value is an actual data element whose TRUE
+    rank is within q*n ± (err + 2**max_level) (pinned) — precision is a
+    build-time choice (k), not a query-time rescan."""
+    from pyspark.sql.window import Window
+
+    for q in quantiles:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"quantiles must be in (0, 1], got {q}")
+    spark = profile.sparkSession
+    keys = _kll_keys(profile)
+    sv = profile.where(F.col("item").isNotNull()).select(
+        *keys, "level", "item", "cnt")
+    meta = profile.where(F.col("item").isNull()).select(*keys, "n")
+    w = (Window.partitionBy(*keys).orderBy(F.col("item").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = sv.withColumn(
+        "_cum", F.sum(F.expr(
+            "cnt * shiftleft(cast(1 as bigint), level)")).over(w))
+    qs = spark.createDataFrame([(float(q),) for q in quantiles],
+                               "q double")
+    target = F.greatest(F.lit(1).cast("long"),
+                        F.ceil(F.col("q") * F.col("n")).cast("long"))
+    return (cum.join(F.broadcast(meta), keys)
+            .join(F.broadcast(qs))
+            .where(F.col("_cum") >= target)
+            .groupBy(*keys, "q")
+            .agg(F.min("item").alias("value")))

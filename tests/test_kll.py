@@ -1,0 +1,206 @@
+"""KLL-style mergeable quantile profiles (sketch.kll_profile): the
+batch build replayed exactly in DuckDB SQL (stride selection with the
+md5-coin offset), the deterministic rank-error guarantee pinned against
+exact ranks on fixed and hypothesis-generated multisets (fresh and
+merged), exactness below k, merge == whole in the uncompacted case,
+quantile element bounds, grouped profiles, and the drift/checks wiring
+(bound-free quantile profile + the mergeable quantile gate)."""
+
+import bisect
+import random
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import checks, drift, sketch
+
+
+def _key(t):
+    return tuple((x is None, x) for x in t)
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()), key=_key)
+
+
+def _meta(profile_rows):
+    return [(r["n"], r["err"]) for r in profile_rows if r["item"] is None]
+
+
+def test_batch_build_duckdb_parity(spark, sf_dir):
+    """The closed-form batch build — cumulative distinct-value ranks,
+    j = ceil(log2(ceil(n/k))), md5-coin offset o, modular interval
+    survivor counts — recomputed digit-for-digit in DuckDB."""
+    k = 16
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = _rows(sketch.kll_profile(docs, ["n_chars"], k=k))
+    con = duckdb.connect()
+    want = sorted(map(tuple, con.execute(f"""
+WITH counts AS (
+  SELECT 'n_chars' AS col, n_chars::DOUBLE AS item, count(*) AS cnt
+  FROM read_parquet('{sf_dir}/documents.parquet')
+  WHERE n_chars IS NOT NULL GROUP BY 2),
+ranked AS (
+  SELECT col, item, cnt,
+    coalesce(sum(cnt) OVER (PARTITION BY col ORDER BY item
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start,
+    sum(cnt) OVER (PARTITION BY col) AS n
+  FROM counts),
+par AS (
+  SELECT *, CASE WHEN (n + {k} - 1) // {k} <= 1 THEN 0
+    ELSE ceil(log2((n + {k} - 1) // {k}))::INT END AS j
+  FROM ranked),
+oc AS (
+  SELECT *, (1::BIGINT << j) AS m,
+    CASE WHEN j = 0 THEN 0 ELSE
+      list_sum(list_transform(range(0, j), l ->
+        (('0x' || substr(md5('kll|' || col || '|' || l
+          || '|0'), 1, 15))::BIGINT % 2) * (1::BIGINT << l::INT)))
+    END AS o
+  FROM par),
+surv AS (
+  SELECT col, j AS level, item,
+    ((start + cnt - o + m - 1) // m) - ((start - o + m - 1) // m) AS cnt,
+    n, m - 1 AS err
+  FROM oc)
+SELECT col AS "column", level::INT AS level, item, cnt::BIGINT, n, err
+FROM surv WHERE cnt > 0
+UNION ALL
+SELECT DISTINCT col, NULL, NULL, 0, n, m - 1 FROM oc""").fetchall()),
+        key=_key)
+    assert got == want and len(got) > 1
+
+
+def test_rank_guarantee_and_exactness(spark):
+    random.seed(13)
+    vals = [random.randint(0, 500) for _ in range(3000)]
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    prof = sketch.kll_profile(df, ["a"], k=64)
+    rows = prof.collect()
+    (n, err), = _meta(rows)
+    assert n == 3000 and 0 < err < 2 * 3000 / 64
+    # survivor count bounded by k (and > k/2 for a real build)
+    surv = sum(r["cnt"] for r in rows if r["item"] is not None)
+    assert 32 < surv <= 64
+    svals = sorted(vals)
+    got = sketch.kll_ranks(prof, [0.0, 100.0, 250.0, 499.0, 500.0]).collect()
+    for r in got:
+        true = bisect.bisect_right(svals, r["value"])
+        assert abs(r["est_rank"] - true) <= r["err"], r
+    # n <= k: the profile IS the exact multiset
+    tiny = spark.createDataFrame([(i % 5,) for i in range(20)], "a long")
+    trows = sketch.kll_profile(tiny, ["a"], k=64).collect()
+    assert _meta(trows) == [(20, 0)]
+    assert sorted((r["level"], r["item"], r["cnt"]) for r in trows
+                  if r["item"] is not None) \
+        == [(0, float(v), 4) for v in range(5)]
+
+
+def test_merge_uncompacted_equals_whole_and_guarantee(spark):
+    random.seed(29)
+    vals = [random.randint(0, 2000) for _ in range(4000)]
+    df = spark.createDataFrame([(v,) for v in vals], "a long")
+    # uncompacted: tiny shards, k large enough that nothing compacts
+    small = spark.createDataFrame([(float(i),) for i in range(30)],
+                                  "a double")
+    p1 = sketch.kll_profile(small.where(F.col("a") < 15), ["a"], k=64)
+    p2 = sketch.kll_profile(small.where(F.col("a") >= 15), ["a"], k=64)
+    assert _rows(sketch.merge_kll([p1, p2], k=64)) \
+        == _rows(sketch.kll_profile(small, ["a"], k=64))
+    # compacted: guarantee composes; merge order never matters
+    shards = [sketch.kll_profile(df.where(F.col("a") % 4 == i), ["a"], k=48)
+              for i in range(4)]
+    m1 = sketch.merge_kll(shards, k=48)
+    m2 = sketch.merge_kll(list(reversed(shards)), k=48)
+    assert _rows(m1) == _rows(m2)
+    rows = m1.collect()
+    (n, err), = _meta(rows)
+    assert n == 4000
+    svals = sorted(vals)
+    for r in sketch.kll_ranks(m1, [100.0, 1000.0, 1999.0]).collect():
+        true = bisect.bisect_right(svals, r["value"])
+        assert abs(r["est_rank"] - true) <= r["err"], r
+    # every level within capacity after merge
+    per_level = {}
+    for r in rows:
+        if r["item"] is not None:
+            per_level[r["level"]] = per_level.get(r["level"], 0) + r["cnt"]
+    assert all(v <= 48 for v in per_level.values()), per_level
+
+
+@given(st.lists(st.integers(min_value=-50, max_value=50),
+                min_size=1, max_size=400))
+@settings(max_examples=8, deadline=None)
+def test_rank_guarantee_hypothesis(spark, xs):
+    df = spark.createDataFrame([(x,) for x in xs], "a long")
+    prof = sketch.kll_profile(df, ["a"], k=16)
+    rows = prof.collect()
+    (n, err), = _meta(rows)
+    assert n == len(xs)
+    sxs = sorted(xs)
+    probes = sorted({xs[0], min(xs), max(xs), 0})
+    for r in sketch.kll_ranks(prof, [float(p) for p in probes]).collect():
+        true = bisect.bisect_right(sxs, r["value"])
+        assert abs(r["est_rank"] - true) <= r["err"], (r, xs)
+    # quantile element lands within q*n ± (err + top weight)
+    top_w = max((2 ** r["level"] for r in rows if r["item"] is not None),
+                default=1)
+    for r in sketch.kll_quantiles(prof, [0.5, 0.9]).collect():
+        true = bisect.bisect_right(sxs, r["value"])
+        assert abs(true - r["q"] * n) <= err + top_w, (r, xs)
+
+
+def test_grouped_profile_matches_sliced(spark):
+    random.seed(5)
+    rows = [(i % 3, random.randint(0, 300)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "g long, a long")
+    gp = sketch.kll_profile(df, ["a"], k=32, group_cols=["g"])
+    for g in range(3):
+        sliced = sketch.kll_profile(
+            df.where(F.col("g") == g).select("a"), ["a"], k=32)
+        got = sorted(
+            ((r["column"], r["level"], r["item"], r["cnt"], r["n"], r["err"])
+             for r in gp.where(F.col("g") == g).collect()), key=_key)
+        assert got == _rows(sliced), g
+
+
+def test_drift_and_checks_wiring(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(5000)],
+                               "len double")
+    prof = drift.quantile_profile(df, ["len"], k=128)
+    q = {r["q"]: r["value"] for r in
+         drift.quantiles_from_profile(prof, [0.5, 0.99]).collect()}
+    assert abs(q[0.5] - 2500) <= 2 * 5000 / 128 + 64
+    assert abs(q[0.99] - 4950) <= 2 * 5000 / 128 + 64
+    rep = {r["check"]: r for r in checks.verify_quantile_profile(prof, [
+        checks.quantile_between("len", 0.5, 2300, 2700),
+        checks.quantile_between("len", 0.99, 0, 1000),
+    ]).collect()}
+    assert rep["0:quantile_between"]["passed"] is True
+    assert rep["1:quantile_between"]["passed"] is False
+    with pytest.raises(ValueError, match="quantile_between"):
+        checks.verify_quantile_profile(prof, [checks.row_count(1)])
+    # "p99 this month from shard profiles": merged gate equals whole gate
+    shards = [drift.quantile_profile(
+        df.where(F.col("len") % 4 == i), ["len"], k=128) for i in range(4)]
+    merged = sketch.merge_kll(shards, k=128)
+    rep2 = checks.verify_quantile_profile(
+        merged, [checks.quantile_between("len", 0.99, 4800, 5000)]).collect()
+    assert rep2[0]["passed"] is True
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1,)], "a long")
+    with pytest.raises(ValueError, match="k must be"):
+        sketch.kll_profile(df, ["a"], k=1)
+    with pytest.raises(ValueError, match="at least one column"):
+        sketch.kll_profile(df, [])
+    with pytest.raises(ValueError, match="clash"):
+        sketch.kll_profile(df.withColumn("level", F.lit(1)), ["a"],
+                           group_cols=["level"])
+    with pytest.raises(ValueError, match="quantiles must be"):
+        sketch.kll_quantiles(sketch.kll_profile(df, ["a"]), [0.0])
