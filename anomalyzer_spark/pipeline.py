@@ -2,10 +2,11 @@
 text-curation operators, in the order a production pretraining pipeline
 runs them:
 
-    normalize → profile/filter (length, quality, language) → exact dedup
+    normalize → profile/filter (length, quality, language,
+    [domain-fair-normalized] top fraction) → exact dedup
     → [near-dup removal] → [duplicate-span strip] → [decontamination]
     → [PII redaction] → [windowing] → [temperature mixture]
-    → [sequence packing]
+    → [leakage-safe train/eval split] → [sequence packing]
 
 Every stage is one of this repo's tested operators; this module adds NO
 new semantics — only the canonical wiring, a config dataclass that
@@ -38,6 +39,7 @@ from pyspark.sql import functions as F
 from .functions import decontam as _decontam
 from .functions import dedup as _dedup
 from .functions import packing as _packing
+from .functions import quality as _quality
 from .functions import sampling as _sampling
 from .functions import text as _text
 
@@ -60,6 +62,15 @@ class CurationConfig:
     #: keep only the globally best fraction by quality_score
     #: (sampling.select_top_fraction — exact threshold, no global sort)
     top_fraction: float | None = None
+    #: rank-normalize quality_score WITHIN this column's groups before
+    #: the top_fraction cut (quality.normalize_scores — the domain-fair
+    #: filter: a fixed cut on raw scores keeps whole head domains and
+    #: guts tail ones because score DISTRIBUTIONS differ per domain far
+    #: more than quality does). None = cut on the raw score. Requires
+    #: top_fraction; the absolute min_quality gate stays on the raw
+    #: score (its [0,1] threshold is defined against text_profile's
+    #: calibration, not a rank).
+    normalize_quality_by: str | None = None
     #: minimum lexical token count (None = no length gate)
     min_tokens: int | None = None
     #: keep only these predicted languages (None = all)
@@ -102,6 +113,13 @@ class CurationConfig:
     #: pack surviving docs into fixed token slots (None = return docs)
     pack_capacity: int | None = None
     pack_shards: int = 64
+    #: terminal LEAKAGE-SAFE train/eval split (sampling.split_train_eval):
+    #: every output row gains a ``split`` column, deterministic and
+    #: nesting. With dedup="minhash" the near-dup groups mined by the
+    #: dedup stage key the split hash, so a whole near-dup family lands
+    #: on ONE side (window chunks of one document always do — the split
+    #: hashes the base doc id). None skips.
+    eval_fraction: float | None = None
     seed: int = 42
 
     def __post_init__(self):
@@ -133,6 +151,19 @@ class CurationConfig:
             size, stride = self.window
             if size < 1 or stride < 1:
                 raise ValueError("window (size, stride) must be >= 1")
+        if self.normalize_quality_by is not None and self.top_fraction is None:
+            raise ValueError("normalize_quality_by needs top_fraction "
+                             "(it reshapes the relative cut, not the "
+                             "absolute min_quality gate)")
+        if self.eval_fraction is not None \
+                and not 0 < self.eval_fraction < 1:
+            raise ValueError("eval_fraction must be in (0, 1)")
+        if self.eval_fraction is not None and self.pack_capacity is not None:
+            raise ValueError(
+                "eval_fraction and pack_capacity are mutually exclusive: "
+                "packing mixes documents into slots, so a row-level split "
+                "column cannot survive it — split first, then pack each "
+                "side with its own curate()/pack_chunks call")
 
 
 @dataclass
@@ -157,7 +188,7 @@ def curate(
     (``id_col``, ``text_col``[, ``domain_col``...]). Returns every stage
     frame under its name (``normalized``, ``filtered``, ``deduped``,
     ``span_deduped``, ``decontaminated``, ``redacted``, ``windowed``,
-    ``sampled``, ``packed``) — feed
+    ``sampled``, ``split``, ``packed``) — feed
     :func:`curation_report` for retained-count accounting, or take
     ``.output`` and write it.
     """
@@ -186,12 +217,27 @@ def curate(
         if cfg.top_fraction is not None:
             # relative gate AFTER the absolute ones: the histogram walks
             # the survivors, so "best 30%" means of what's still eligible
-            keep = _sampling.select_top_fraction(
-                keep.select(icol, "quality_score"), "quality_score",
-                cfg.top_fraction, icol, seed=cfg.seed)
+            if cfg.normalize_quality_by is not None:
+                # domain-fair: rank-normalize within each group first, so
+                # the cut keeps the best X% OF EVERY group instead of the
+                # groups whose raw scores happen to run high
+                grp = cfg.normalize_quality_by
+                scored = keep.select(icol, "quality_score").join(
+                    cur.select(icol, grp), icol)
+                normed = _quality.normalize_scores(
+                    scored, "quality_score", id_col=icol, group_col=grp,
+                    out_col="_norm_q")
+                keep = _sampling.select_top_fraction(
+                    normed.select(icol, "_norm_q"), "_norm_q",
+                    cfg.top_fraction, icol, seed=cfg.seed)
+            else:
+                keep = _sampling.select_top_fraction(
+                    keep.select(icol, "quality_score"), "quality_score",
+                    cfg.top_fraction, icol, seed=cfg.seed)
         cur = cur.join(keep.select(icol), icol, "left_semi")
         res.stages["filtered"] = cur
 
+    split_groups = None
     if cfg.dedup is not None:
         first = _dedup.exact_dedup(cur, tcol, icol).where(
             ~F.col("is_duplicate")).select(icol)
@@ -200,6 +246,10 @@ def curate(
             pairs = _dedup.minhash_lsh_pairs(
                 cur, tcol, icol, threshold=cfg.dedup_threshold)
             groups = _dedup.duplicate_groups(cur, pairs, icol)
+            # the same near-dup groups key the terminal leakage-safe
+            # split (survivors of a partially-removed family must still
+            # land on one side)
+            split_groups = groups
             if cfg.dedup_keep == "best":
                 # keep the HIGHEST-quality member of every near-dup group;
                 # the score column gets a reserved name so a user frame
@@ -285,6 +335,24 @@ def curate(
             cur, cfg.temperature_alpha, cfg.domain_col, icol,
             seed=cfg.seed)
         res.stages["sampled"] = cur
+
+    if cfg.eval_fraction is not None:
+        # terminal leakage-safe split: the hash key is the BASE document
+        # id (window chunks carry "<doc_id>#<chunk_idx>" ids — all chunks
+        # of one document land on one side), group-atomic over the
+        # near-dup groups when the minhash stage mined them
+        staged = cur.withColumn(
+            "_split_id",
+            F.substring_index(F.col(icol).cast("string"), "#", 1))
+        g = None
+        if split_groups is not None:
+            g = split_groups.select(
+                F.col(icol).cast("string").alias("_split_id"),
+                F.col("group_id"))
+        cur = _sampling.split_train_eval(
+            staged, cfg.eval_fraction, "_split_id", groups=g,
+            seed=cfg.seed).drop("_split_id")
+        res.stages["split"] = cur
 
     if cfg.pack_capacity is not None:
         carry = [c for c in cur.columns if c not in (icol, tcol)]

@@ -230,3 +230,60 @@ def test_curate_source_cap_stage(spark, sf_dir):
         CurationConfig(source_cap_tokens=10, source_cap_share=0.5)
     with pytest.raises(ValueError, match="source_cap_share"):
         CurationConfig(source_cap_share=1.5)
+
+
+def test_normalize_quality_by_is_domain_fair(spark, docs):
+    """normalize_quality_by reshapes the top_fraction cut to keep the
+    best X% of EVERY group instead of the groups whose raw scores run
+    high; the absolute gates stay on the raw score."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+
+    d = docs.select("doc_id", "text", "source")
+    raw = curate(d, CurationConfig(
+        normalize_form=None, dedup=None, top_fraction=0.3)).output
+    fair = curate(d, CurationConfig(
+        normalize_form=None, dedup=None, top_fraction=0.3,
+        normalize_quality_by="source")).output
+    n = d.count()
+    assert 0 < fair.count() <= raw.count() + n * 0.1
+    # per-source retention under the fair cut is near-uniform (~30%
+    # each); the raw cut is allowed to be lopsided
+    per = {r["source"]: r["kept"] / r["tot"] for r in
+           d.groupBy("source").agg(F.count(F.lit(1)).alias("tot"))
+           .join(fair.groupBy("source").agg(
+               F.count(F.lit(1)).alias("kept")), "source").collect()}
+    assert per and max(per.values()) - min(per.values()) < 0.15, per
+    with pytest.raises(ValueError, match="normalize_quality_by"):
+        CurationConfig(normalize_quality_by="source")
+
+
+def test_eval_fraction_split_stage(spark, docs):
+    """Terminal leakage-safe split: every output row carries split, the
+    stage is deterministic, minhash near-dup groups are atomic, and
+    window chunks of one document land on one side."""
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta " * 6
+             + f"tail {i % 7}", "s") for i in range(60)]
+    d = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    cfg = CurationConfig(normalize_form=None, dedup="minhash",
+                         dedup_threshold=0.5, eval_fraction=0.3)
+    res = curate(d, cfg)
+    assert "split" in res.stages
+    out = res.output.collect()
+    assert {r["split"] for r in out} <= {"train", "eval"}
+    again = curate(d, cfg).output.collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    # window chunks: all chunks of a base doc share one side
+    cfg2 = CurationConfig(normalize_form=None, dedup=None,
+                          window=(16, 8), eval_fraction=0.3)
+    wout = curate(d, cfg2).output.select("doc_id", "split").collect()
+    sides = {}
+    for r in wout:
+        base = r["doc_id"].split("#")[0]
+        sides.setdefault(base, set()).add(r["split"])
+    assert all(len(v) == 1 for v in sides.values())
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        CurationConfig(eval_fraction=0.2, pack_capacity=128)
+    with pytest.raises(ValueError, match="eval_fraction"):
+        CurationConfig(eval_fraction=1.5)
