@@ -84,10 +84,11 @@ def make_embs(spark, n_vecs: int, dim: int = 16):
 
 
 def dedup_cells(spark, doc_counts, repeat, only=None):
-    from anomalyzer_spark.functions import (checks, decontam, dedup, drift,
-                                            langid, multimodal, ngram_lm,
-                                            packing, retrieval, sampling,
-                                            similarity, sketch, text)
+    from anomalyzer_spark.functions import (changelog, checks, code,
+                                            decontam, dedup, drift, langid,
+                                            multimodal, ngram_lm, packing,
+                                            quality, retrieval, sampling,
+                                            similarity, sketch, text, web)
 
     # 2-class language model for the langid_score cell: the model is
     # corpus-independent (fixed feature spec), so the fit happens ONCE per
@@ -301,6 +302,69 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             ("hll_profile", lambda: sketch.hll_profile(
                 d, ["text"], p=12)),
             ("mg_heavy", lambda: sketch.mg_profile(d, ["text"], k=64)),
+            # round-13 cells: the 12b/12c families that lacked sweep
+            # evidence, plus the new KLL profile. changelog: a 10%-update
+            # + 2%-delete feed against the corpus-as-snapshot (untouched
+            # rows must never shuffle — broadcast anti on changed keys);
+            # scd2: 3 versions per changed key, one lead-window pass.
+            ("changelog_apply", lambda: changelog.apply_changes(
+                d,
+                d.where(F.col("doc_id") % 10 == 3).select(
+                    "doc_id",
+                    F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+                    F.lit(1).alias("seq"), F.lit("u").alias("op"))
+                .unionByName(d.where(F.col("doc_id") % 50 == 7).select(
+                    "doc_id", "text", F.lit(2).alias("seq"),
+                    F.lit("d").alias("op"))),
+                ["doc_id"], "seq", op_col="op")),
+            ("scd2_history", lambda: changelog.scd2_history(
+                d.where(F.col("doc_id") % 5 == 0).select(
+                    "doc_id", "text",
+                    F.explode(F.sequence(F.lit(1), F.lit(3))).alias("seq"))
+                .select("doc_id", F.concat(
+                    F.col("text"), F.lit(" v"),
+                    F.col("seq").cast("string")).alias("text"), "seq"),
+                ["doc_id"], "seq")),
+            # crawl hygiene: planted URLs (the multimodal-rider shapes)
+            # through the full normalize/host/domain projection, and a
+            # planted HTML envelope through the extract_text regexp chain
+            # + markup stats — both map-only; throughput is the claim
+            ("normalize_url", lambda: d.select(
+                "doc_id",
+                web.normalize_url(F.concat(
+                    F.lit("https://WWW.Site"), F.col("doc_id") % 23,
+                    F.lit(".Example.CO.UK:443/p/"), F.col("doc_id"),
+                    F.lit("/?utm_x=1&b=2&a=1#f")).alias("_u"))
+                .alias("norm_url"),
+                web.registrable_domain(F.concat(
+                    F.lit("https://WWW.Site"), F.col("doc_id") % 23,
+                    F.lit(".Example.CO.UK/"))).alias("dom"))),
+            ("extract_text", lambda: d.select(
+                "doc_id",
+                web.extract_text(F.concat(
+                    F.lit('<html><body><script>x="</div>";</script><p>'),
+                    F.col("text"),
+                    F.lit(' &amp; more</p><!-- c --><div>t</div>'
+                          '</body></html>')).alias("vis")),
+            ).withColumn("stats", web.markup_stats(F.concat(
+                F.lit("<html><p>"), F.col("doc_id").cast("string"),
+                F.lit("</p></html>"))))),
+            ("code_stats", lambda: code.with_code_stats(d, "text")),
+            # score normalization, global path: one histogram profile
+            # pass + a broadcast-literal CDF map (no global window)
+            ("normalize_scores", lambda: quality.normalize_scores(
+                d.select("doc_id",
+                         F.length("text").cast("double").alias("s")),
+                "s", n_bins=100)),
+            # leakage-safe split: pure hash CASE, map-only
+            ("split_train_eval", lambda: sampling.split_train_eval(
+                d, 0.1)),
+            # mergeable KLL quantile profile over a high-cardinality
+            # numeric column (crc32 of the text — near-distinct values,
+            # the counting rewrite's worst case)
+            ("kll_profile", lambda: sketch.kll_profile(
+                d.select(F.crc32(F.col("text")).alias("v")), ["v"],
+                k=256)),
         ):
             if only and name not in only:
                 continue
@@ -313,6 +377,38 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
                                   "docs_per_sec": round(n / best)}
             print(f"# {name} @ {n} docs: {best:.2f}s "
                   f"({n / best:,.0f} docs/s)", file=sys.stderr)
+        # round-13 bespoke cell: small-file compaction of a fragmented
+        # shard store. The fragmented state is rebuilt OUTSIDE the timer
+        # before every repeat (compaction is destructive — a second pass
+        # over a healthy store measures the no-op path, not the rewrite):
+        # 8 shards x ~32 small files each from a deliberately
+        # over-partitioned append; the timed call lists, prunes to the
+        # affected partitions, and rewrites only those.
+        if not only or "compact_shards" in only:
+            import shutil
+            import tempfile
+
+            from anomalyzer_spark.sources import layout
+            best = float("inf")
+            compacted = 0
+            store = tempfile.mkdtemp(prefix="compact_") + "/store"
+            for _ in range(repeat):
+                shutil.rmtree(store, ignore_errors=True)
+                sharded = layout.assign_shards(d, 8)
+                layout.export_training_shards(sharded, store)
+                (sharded.repartition(32)
+                 .write.mode("append").partitionBy("shard")
+                 .parquet(f"{store}/data"))
+                t0 = time.perf_counter()
+                compacted = layout.compact_shards(spark, store, target_mb=64)
+                best = min(best, time.perf_counter() - t0)
+            assert compacted > 0, "fragmentation setup produced no work"
+            out[f"compact_shards_{n}"] = {"sec": round(best, 3),
+                                          "docs_per_sec": round(n / best)}
+            print(f"# compact_shards @ {n} docs: {best:.2f}s "
+                  f"({n / best:,.0f} docs/s, {compacted} partitions)",
+                  file=sys.stderr)
+            shutil.rmtree(store, ignore_errors=True)
         d.unpersist()
         embs.unpersist()
     return out
