@@ -1,7 +1,7 @@
-"""Streaming sketch maintenance — per-micro-batch HLL / Misra–Gries
-profiles folded into a persisted store, so "distinct urls so far" and
-"top domains so far" are a kilobyte parquet read at any point in a
-stream's life, never a corpus rescan.
+"""Streaming sketch maintenance — per-micro-batch HLL / Misra–Gries /
+KLL profiles folded into a persisted store, so "distinct urls so far",
+"top domains so far", and "p99 doc length so far" are a kilobyte
+parquet read at any point in a stream's life, never a corpus rescan.
 
 Same ``foreachBatch``-plus-store shape as ``minhash_stream`` (and the
 same live/compacted directory protocol, imported from there): each
@@ -35,16 +35,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketch import (
-    _merge_mg_union, hll_profile, merge_hll, mg_profile,
+    _merge_mg_union, hll_profile, kll_profile, merge_hll, merge_kll,
+    mg_profile,
 )
 from .minhash_stream import _latest_gen, _live_batch_ids, _sweep_live
 
-__all__ = ["hll_sketch_store", "mg_sketch_store",
+__all__ = ["hll_sketch_store", "kll_sketch_store", "mg_sketch_store",
            "run_sketch_stream_on_dir", "sketch_ingest"]
 
 _HLL_DDL = "column string, p int, reg bigint, rho int"
 _MG_DDL = "column string, key string, cnt bigint, off bigint, n bigint"
-_COMPONENTS = ("hll", "mg")
+_KLL_DDL = ("column string, level int, item double, cnt bigint, "
+            "n bigint, err bigint")
+_COMPONENTS = ("hll", "mg", "kll")
 
 
 def _load_meta(store_dir: str) -> dict | None:
@@ -57,25 +60,40 @@ def _load_meta(store_dir: str) -> dict | None:
         return json.load(f)
 
 
-def _ensure_meta(store_dir: str, p: int, mg_k: int) -> None:
+def _ensure_meta(store_dir: str, p: int, mg_k: int,
+                 kll_k: int | None = None) -> None:
     """Persist the store's sketch parameters on first ingest and raise
     on any later mismatch. HLL's ``p`` is self-describing via the ``p``
-    column, but ``mg_k`` is NOT recoverable from an MG frame — a reader
-    or compactor folding with a different k would silently loosen the
-    stated (n/(k+1)) guarantee, so the store carries it."""
+    column, but ``mg_k``/``kll_k`` are NOT recoverable from their
+    frames — a reader or compactor folding with a different k would
+    silently loosen the stated guarantee, so the store carries them.
+    A store created before its first KLL ingest gains ``kll_k`` then
+    (additive; never overwritten afterwards)."""
     import json
 
     meta = _load_meta(store_dir)
     if meta is None:
         os.makedirs(store_dir, exist_ok=True)
+        meta = {"p": p, "mg_k": mg_k}
+        if kll_k is not None:
+            meta["kll_k"] = kll_k
         with open(f"{store_dir}/_sketch_meta.json", "w") as f:
-            json.dump({"p": p, "mg_k": mg_k}, f)
+            json.dump(meta, f)
         return
     if meta.get("p") != p or meta.get("mg_k") != mg_k:
         raise ValueError(
             f"sketch store {store_dir} was created with p={meta.get('p')} "
             f"mg_k={meta.get('mg_k')}; got p={p} mg_k={mg_k} — mixed "
             "parameters would corrupt the store's guarantees")
+    if kll_k is not None:
+        if "kll_k" not in meta:
+            meta["kll_k"] = kll_k
+            with open(f"{store_dir}/_sketch_meta.json", "w") as f:
+                json.dump(meta, f)
+        elif meta["kll_k"] != kll_k:
+            raise ValueError(
+                f"sketch store {store_dir} holds kll_k={meta['kll_k']} "
+                f"profiles; got kll_k={kll_k}")
 
 
 def _next_batch_id(store_dir: str) -> int:
@@ -94,19 +112,31 @@ def sketch_ingest(
     store_dir: str,
     cols: list[str],
     *,
+    num_cols: list[str] | None = None,
     batch_id: int | None = None,
     p: int = 12,
     mg_k: int = 64,
+    kll_k: int = 256,
     compact_every: int | None = None,
 ) -> None:
     """Profile one increment (a day's shard, one micro-batch) and land
     it in the sketch store under its ``batch_id`` directory — shared by
     the stream handle and scheduled batch jobs. Explicit ``batch_id``
-    re-ingest is an idempotent replay (overwrite). ``p``/``mg_k`` are
-    persisted in the store's ``_sketch_meta.json`` on first ingest and
-    ENFORCED thereafter — a mismatched ingest or read raises instead of
-    silently loosening the MG guarantee / corrupting the HLL merge."""
-    _ensure_meta(store_dir, p, mg_k)
+    re-ingest is an idempotent replay (overwrite). ``p``/``mg_k``/
+    ``kll_k`` are persisted in the store's ``_sketch_meta.json`` on
+    first ingest and ENFORCED thereafter — a mismatched ingest or read
+    raises instead of silently loosening a guarantee / corrupting the
+    HLL merge.
+
+    ``num_cols`` adds the quantile leg: a mergeable KLL profile
+    (``sketch.kll_profile``) of each NUMERIC column per batch — "p99
+    doc length so far" from ``kll_sketch_store`` at any point in the
+    stream's life. Every ingest into one store must pass the same
+    ``num_cols`` policy (a batch without the kll component would make
+    the folded quantiles silently under-count; consistency is the
+    caller's contract, like ``cols``)."""
+    _ensure_meta(store_dir, p, mg_k,
+                 kll_k if num_cols is not None else None)
     if batch_id is None:
         batch_id = _next_batch_id(store_dir)
     (hll_profile(df, cols, p=p)
@@ -115,6 +145,10 @@ def sketch_ingest(
     (mg_profile(df, cols, k=mg_k)
      .write.mode("overwrite")
      .parquet(f"{store_dir}/mg/batch_id={batch_id}"))
+    if num_cols is not None:
+        (kll_profile(df, num_cols, k=kll_k)
+         .write.mode("overwrite")
+         .parquet(f"{store_dir}/kll/batch_id={batch_id}"))
     if compact_every is not None and (batch_id + 1) % compact_every == 0:
         # fold current state into one merged-profile generation (same
         # crash-safe gen/_folded.json protocol as the minhash store)
@@ -122,6 +156,10 @@ def sketch_ingest(
                       lambda u: merge_hll([u.drop("batch_id")]))
         _compact_fold(spark, store_dir, "mg", batch_id,
                       lambda u: _merge_mg_union(u.drop("batch_id"), mg_k))
+        if num_cols is not None:
+            _compact_fold(spark, store_dir, "kll", batch_id,
+                          lambda u: merge_kll([u.drop("batch_id")],
+                                              k=kll_k))
         _sweep_live(store_dir, 0, {
             n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
             for n in _COMPONENTS}, components=_COMPONENTS)
@@ -162,7 +200,7 @@ def _read_sketch(
     """Union of the newest complete generation and newer live batch
     dirs, with ``batch_id`` attached and the data schema pinned (the
     partition-inference lesson from the minhash store)."""
-    ddl = _HLL_DDL if name == "hll" else _MG_DDL
+    ddl = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL}[name]
     full = ddl + ", batch_id bigint"
     live_dir = f"{store_dir}/{name}"
     gen_path, folded = _latest_gen(f"{store_dir}/compacted/{name}")
@@ -213,6 +251,30 @@ def mg_sketch_store(
     return _merge_mg_union(cur.drop("batch_id"), k)
 
 
+def kll_sketch_store(
+    spark: SparkSession, store_dir: str, *, k: int | None = None,
+) -> DataFrame:
+    """Current merged KLL quantile profile — feed to
+    ``sketch.kll_quantiles`` / ``kll_ranks`` /
+    ``checks.verify_quantile_profile``. ``k`` defaults to the store's
+    persisted ``kll_k`` (an explicit ``k`` is validated against it).
+    Empty store (or one ingested without ``num_cols``) returns an
+    empty typed frame."""
+    meta = _load_meta(store_dir)
+    if meta is not None and "kll_k" in meta:
+        if k is not None and k != meta["kll_k"]:
+            raise ValueError(
+                f"store {store_dir} holds kll_k={meta['kll_k']} profiles; "
+                f"k={k} would change the rank-error guarantee")
+        k = meta["kll_k"]
+    elif k is None:
+        k = 256
+    cur = _read_sketch(spark, store_dir, "kll")
+    if cur is None:
+        return spark.createDataFrame([], _KLL_DDL)
+    return merge_kll([cur.drop("batch_id")], k=k)
+
+
 def run_sketch_stream_on_dir(
     spark: SparkSession,
     input_dir: str,
@@ -220,16 +282,19 @@ def run_sketch_stream_on_dir(
     checkpoint_path: str,
     cols: list[str],
     *,
+    num_cols: list[str] | None = None,
     p: int = 12,
     mg_k: int = 64,
+    kll_k: int = 256,
     compact_every: int | None = None,
     schema=None,
     max_files_per_trigger: int = 1,
 ) -> None:
     """Drain parquet files from ``input_dir`` (availableNow) through the
     sketch store: one ``sketch_ingest`` per micro-batch. Read results
-    with ``hll_sketch_store`` / ``mg_sketch_store`` (+
-    ``sketch.hll_estimate``)."""
+    with ``hll_sketch_store`` / ``mg_sketch_store`` /
+    ``kll_sketch_store`` (+ ``sketch.hll_estimate`` /
+    ``kll_quantiles``). ``num_cols`` adds the KLL quantile leg."""
     if schema is None:
         schema = spark.read.parquet(input_dir).schema
     stream = (spark.readStream.schema(schema)
@@ -240,7 +305,8 @@ def run_sketch_stream_on_dir(
         if batch_df.isEmpty():
             return
         sketch_ingest(spark, batch_df, store_dir, cols,
-                      batch_id=batch_id, p=p, mg_k=mg_k,
+                      num_cols=num_cols, batch_id=batch_id, p=p,
+                      mg_k=mg_k, kll_k=kll_k,
                       compact_every=compact_every)
 
     q = (stream.writeStream.foreachBatch(handle)

@@ -109,3 +109,53 @@ def test_store_persists_and_enforces_params(spark, sf_dir, tmp_path):
         sketch_ingest(spark, docs, store, _COLS, p=10, mg_k=16)
     with pytest.raises(ValueError, match="p="):
         sketch_ingest(spark, docs, store, _COLS, p=12, mg_k=8)
+
+
+def test_kll_component_stream_and_guarantees(spark, sf_dir, tmp_path):
+    """num_cols adds the quantile leg: stream-final KLL state equals
+    the offline merge of the same per-batch profiles, holds the rank
+    guarantee against exact ranks, and compaction preserves it; the
+    persisted kll_k is enforced."""
+    import bisect
+
+    import pytest
+
+    from anomalyzer_spark.streaming import kll_sketch_store, sketch_ingest
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(sdir)
+    store = str(tmp_path / "store")
+    run_sketch_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"), _COLS,
+        num_cols=["n_chars"], p=10, mg_k=8, kll_k=16)
+    got = kll_sketch_store(spark, store)
+    per_file = [sketch.kll_profile(spark.read.parquet(f), ["n_chars"], k=16)
+                for f in sorted(glob.glob(f"{sdir}/part-*.parquet"))]
+    assert _rows(got) == _rows(sketch.merge_kll(per_file, k=16))
+    # rank guarantee vs exact ranks over the whole corpus
+    vals = sorted(r["n_chars"] for r in docs.select("n_chars").collect())
+    for r in sketch.kll_ranks(got, [float(vals[len(vals) // 2])]).collect():
+        true = bisect.bisect_right(vals, r["value"])
+        assert abs(r["est_rank"] - true) <= r["err"]
+    # compacted store keeps the guarantee and the same n
+    store2 = str(tmp_path / "store2")
+    run_sketch_stream_on_dir(
+        spark, sdir, store2, str(tmp_path / "ckpt2"), _COLS,
+        num_cols=["n_chars"], p=10, mg_k=8, kll_k=16, compact_every=2)
+    assert glob.glob(f"{store2}/compacted/kll/gen=*")
+    got2 = kll_sketch_store(spark, store2)
+    meta2 = [r for r in got2.collect() if r["item"] is None]
+    assert meta2[0]["n"] == len(vals)
+    for r in sketch.kll_ranks(got2, [float(vals[-1])]).collect():
+        assert abs(r["est_rank"] - len(vals)) <= r["err"]
+    # kll_k is persisted and enforced
+    with pytest.raises(ValueError, match="kll_k"):
+        kll_sketch_store(spark, store, k=64)
+    with pytest.raises(ValueError, match="kll_k"):
+        sketch_ingest(spark, docs, store, _COLS, num_cols=["n_chars"],
+                      p=10, mg_k=8, kll_k=64)
+    # a store ingested WITHOUT num_cols reads back an empty typed frame
+    store3 = str(tmp_path / "store3")
+    sketch_ingest(spark, docs, store3, _COLS, p=10, mg_k=8)
+    assert kll_sketch_store(spark, store3).count() == 0
