@@ -48,7 +48,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_estimate", "hll_overlap", "hll_profile", "merge_hll",
            "merge_mg", "mg_profile",
-           "kll_profile", "merge_kll", "kll_quantiles", "kll_ranks"]
+           "kll_profile", "merge_kll", "kll_quantiles", "kll_ranks",
+           "bottomk_profile", "merge_bottomk", "bottomk_estimate",
+           "bottomk_jaccard"]
 
 #: hash width in bits (15 md5 hex digits — fits BIGINT in both engines)
 _HASH_BITS = 60
@@ -685,3 +687,143 @@ def kll_quantiles(profile: DataFrame, quantiles: list[float]) -> DataFrame:
             .where(F.col("_cum") >= target)
             .groupBy(*keys, "q")
             .agg(F.min("item").alias("value")))
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k (KMV) coordinated samples
+# ---------------------------------------------------------------------------
+#
+# The set-sketch leg: per column, the k DISTINCT values with the
+# smallest md5-derived hash (Bavarian "K minimum values" / bottom-k
+# sketch — Beyer et al. SIGMOD'07, Broder's min-wise hashing). Three
+# properties the HLL/MG/KLL frames don't give:
+#
+# * CANONICAL: the sketch is a pure function of the distinct-value SET,
+#   so merge(shards) == profile(whole) EXACTLY, always — not just
+#   uncompacted (min-k of a union is the min-k of the mins).
+# * COORDINATED: two corpora hash values identically, so their sketches
+#   are comparable per item — `bottomk_jaccard` estimates release
+#   overlap as |shared among the union's k smallest| / k, with relative
+#   error ~1/sqrt(J*k); the right tool where hll_overlap's
+#   inclusion-exclusion is noisy (small true overlap between big sets).
+# * INSPECTABLE: the rows ARE values — "which urls/domains does the
+#   new release share with the old one" is a join of two kilobyte
+#   frames, not a corpus pass.
+#
+# The k-th smallest hash also yields the KMV distinct estimator
+# n_est = (k - 1) * 2^60 / h_(k) — same question as hll_estimate,
+# different trade (exact below k, value samples above).
+
+
+def bottomk_profile(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 256,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """(*group_cols, column, h, key): the ``k`` distinct values of each
+    column with the smallest 60-bit md5 hash (portable: "bk|<value>"
+    through the ``_h60`` convention, DuckDB-replayable). Fewer than k
+    distinct values → the sketch IS the distinct set. NULLs skipped;
+    values sample by their string form.
+
+    One distinct aggregate (shuffles on (keys, value) — hot values are
+    hot keys) + one per-column ranking window whose rnk filter sits
+    adjacent, so WindowGroupLimit caps every map partition's
+    contribution at k rows before the exchange — the window never sees
+    the distinct set whole."""
+    from pyspark.sql.window import Window
+
+    if not cols:
+        raise ValueError("bottomk_profile needs at least one column")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    group_cols = list(group_cols or [])
+    clash = set(group_cols) & {"column", "h", "key"}
+    if clash:
+        raise ValueError(f"group_cols clash with profile schema: {clash}")
+    keys = group_cols + ["column"]
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("string").alias("key")) for c in cols]
+    long = (df.select(*[F.col(g) for g in group_cols],
+                      F.explode(F.array(*rows)).alias("r"))
+            .select(*group_cols, "r.*")
+            .where(F.col("key").isNotNull())
+            .groupBy(*keys, "key").agg(F.count(F.lit(1)).alias("_c"))
+            .drop("_c"))
+    h = F.conv(F.substring(
+        F.md5(F.concat_ws("|", F.lit("bk"), F.col("key"))
+              .cast("binary")), 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (long.withColumn("h", h)
+            .withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= k)
+            .select(*keys, "h", "key"))
+
+
+def merge_bottomk(profiles: list[DataFrame], *, k: int = 256) -> DataFrame:
+    """Union the sketches, keep each column's k smallest hashes —
+    EXACTLY the whole-corpus sketch (pinned to frame equality; the
+    canonical-merge property). Kilobyte frames only."""
+    from pyspark.sql.window import Window
+
+    if not profiles:
+        raise ValueError("merge_bottomk needs at least one profile")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = profiles[0]
+    for prof in profiles[1:]:
+        u = u.unionByName(prof)
+    keys = [c for c in u.columns if c not in ("h", "key")]
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    return (u.groupBy(*keys, "h", "key").agg(F.count(F.lit(1)).alias("_c"))
+            .drop("_c")
+            .withColumn("_rnk", F.row_number().over(w))
+            .where(F.col("_rnk") <= k)
+            .select(*keys, "h", "key"))
+
+
+def bottomk_estimate(profile: DataFrame, *, k: int = 256) -> DataFrame:
+    """(keys..., column, n_est double): KMV distinct-count estimate —
+    EXACT (the sketch row count) when fewer than k values were seen,
+    else the unbiased (k-1) * 2^60 / h_(k). ``k`` must be the build
+    k (not recoverable from an undersized frame)."""
+    keys = [c for c in profile.columns if c not in ("h", "key")]
+    agg = profile.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("_cnt"), F.max("h").alias("_hk"))
+    est = F.when(F.col("_cnt") < k, F.col("_cnt").cast("double")) \
+        .otherwise(F.lit(float(k - 1)) * F.lit(float(1 << 60))
+                   / F.col("_hk").cast("double"))
+    return agg.select(*keys, est.alias("n_est"))
+
+
+def bottomk_jaccard(
+    profile_a: DataFrame, profile_b: DataFrame, *, k: int = 256,
+) -> DataFrame:
+    """(keys..., column, j_est, k_used, n_shared): coordinated bottom-k
+    Jaccard between two profiled corpora, from the sketches alone — the
+    union's k smallest hashes form an unbiased uniform sample of the
+    union set, so the fraction present in BOTH sketches estimates
+    |A∩B| / |A∪B| with stderr ~ sqrt(J(1-J)/k). ``n_shared`` counts the
+    shared sample members (join them back for the inspectable "what do
+    these releases share" list). Columns present in only one profile
+    are omitted. Exact when both sides held < k values."""
+    from pyspark.sql.window import Window
+
+    keys = [c for c in profile_a.columns if c not in ("h", "key")]
+    both = (profile_a.select(*keys, "h").withColumn("_in_a", F.lit(1))
+            .join(profile_b.select(*keys, "h").withColumn("_in_b", F.lit(1)),
+                  keys + ["h"], "full_outer"))
+    w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
+    top = both.withColumn("_rnk", F.row_number().over(w)) \
+        .where(F.col("_rnk") <= k)
+    return (top.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum(F.when(F.col("_in_a").isNotNull()
+                     & F.col("_in_b").isNotNull(), 1).otherwise(0))
+        .alias("n_shared"))
+        .select(*keys,
+                F.round(F.col("n_shared") / F.col("k_used"), 6)
+                .alias("j_est"),
+                "k_used", "n_shared"))
