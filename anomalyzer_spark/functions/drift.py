@@ -42,7 +42,7 @@ from pyspark.sql.window import Window
 
 __all__ = ["histogram_profile", "psi_report", "psi_drift",
            "category_profile", "psi_cat_drift",
-           "merge_profiles", "merge_category_profiles",
+           "merge_profiles", "merge_category_profiles", "ks_from_profiles",
            "profile_quantiles"]
 
 #: NULL values get their own bucket id — nullness drift is drift.
@@ -419,3 +419,69 @@ def psi_drift(
     op = histogram_profile(old, cols, n_bins=n_bins, bounds=bounds)
     np_ = histogram_profile(new, cols, n_bins=n_bins, bounds=bounds)
     return psi_report(op, np_, n_bins=n_bins, alpha=alpha)
+
+
+def ks_from_profiles(
+    profile_a: DataFrame, profile_b: DataFrame,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between two corpora from
+    their KLL quantile profiles ALONE - (keys..., column, ks_stat,
+    ks_bound, n_a, n_b), no corpus access: max |ECDF_a - ECDF_b| over
+    the union of the two sketches' support points, each ECDF estimated
+    from the sketch's weighted items.
+
+    This is the distribution-drift twin of ``psi_report`` without
+    pinned bins, and the sketch-level form of the reference's own KS
+    core (algorithms.go:255-288 KsStat): "did the doc-length
+    distribution move between releases?" answered by two kilobyte
+    frames. ``ks_bound`` is the deterministic error radius -
+    (err_a + top_weight_a)/n_a + (err_b + top_weight_b)/n_b: each
+    sketch's rank-error bound plus its support resolution (ECDFs only
+    change at data points, and a sketch keeps a 2**level-strided subset
+    of them, so the true max can sit between support points).
+    |ks_stat - true KS| <= ks_bound (pinned); two err-0 profiles
+    (n <= k) give the exact statistic. Columns (or group keys) present
+    in only one profile are omitted. One window over <= 2k rows per
+    column."""
+    from .sketch import _kll_keys
+
+    keys = _kll_keys(profile_a)
+    wexpr = "cnt * shiftleft(cast(1 as bigint), level)"
+    twexpr = "shiftleft(cast(1 as bigint), level)"
+    sa = profile_a.where(F.col("item").isNotNull()).select(
+        *keys, "item",
+        F.expr(wexpr).alias("w_a"), F.lit(0).cast("long").alias("w_b"),
+        F.expr(twexpr).alias("tw_a"), F.lit(0).cast("long").alias("tw_b"))
+    sb = profile_b.where(F.col("item").isNotNull()).select(
+        *keys, "item",
+        F.lit(0).cast("long").alias("w_a"), F.expr(wexpr).alias("w_b"),
+        F.lit(0).cast("long").alias("tw_a"), F.expr(twexpr).alias("tw_b"))
+    meta = (profile_a.where(F.col("item").isNull())
+            .select(*keys, F.col("n").alias("n_a"),
+                    F.col("err").alias("err_a"))
+            .join(profile_b.where(F.col("item").isNull())
+                  .select(*keys, F.col("n").alias("n_b"),
+                          F.col("err").alias("err_b")), keys))
+    w = (Window.partitionBy(*keys).orderBy(F.col("item").asc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (sa.unionByName(sb)
+           .withColumn("ca", F.sum("w_a").over(w))
+           .withColumn("cb", F.sum("w_b").over(w)))
+    # duplicate item values across the two sides: cums are monotone and
+    # the row where both sides' contributions at that item are complete
+    # exists, so partial rows only understate |d| at points the complete
+    # row also evaluates - the max is unaffected
+    d = F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))
+    out = (cum.join(F.broadcast(meta), keys)
+           .groupBy(*keys)
+           .agg(F.round(F.max(d), 6).alias("ks_stat"),
+                F.max("tw_a").alias("_twa"),
+                F.max("tw_b").alias("_twb"),
+                F.first("n_a").alias("n_a"),
+                F.first("n_b").alias("n_b"),
+                F.first("err_a").alias("_ea"),
+                F.first("err_b").alias("_eb")))
+    bound = ((F.col("_ea") + F.col("_twa")) / F.col("n_a")
+             + (F.col("_eb") + F.col("_twb")) / F.col("n_b"))
+    return out.select(*keys, "ks_stat",
+                      F.round(bound, 6).alias("ks_bound"), "n_a", "n_b")

@@ -204,3 +204,42 @@ def test_validation_errors(spark):
                            group_cols=["level"])
     with pytest.raises(ValueError, match="quantiles must be"):
         sketch.kll_quantiles(sketch.kll_profile(df, ["a"]), [0.0])
+
+
+def test_ks_from_profiles(spark):
+    """Sketch-level two-sample KS: exact when both profiles are err-0,
+    within ks_bound of the true statistic when compacted, near-zero for
+    identical corpora, and large for a clear shift."""
+    random.seed(41)
+    xs = [random.gauss(0, 1) for _ in range(2000)]
+    ys = [random.gauss(1.0, 1) for _ in range(2000)]  # shifted by 1 sigma
+
+    def true_ks(a, b):
+        sa, sb = sorted(a), sorted(b)
+        pts = sorted(set(sa) | set(sb))
+        best = 0.0
+        for p in pts:
+            best = max(best, abs(bisect.bisect_right(sa, p) / len(sa)
+                                 - bisect.bisect_right(sb, p) / len(sb)))
+        return best
+
+    fa = spark.createDataFrame([(v,) for v in xs], "x double")
+    fb = spark.createDataFrame([(v,) for v in ys], "x double")
+    # exact regime: k >= n
+    pa = sketch.kll_profile(fa, ["x"], k=2048)
+    pb = sketch.kll_profile(fb, ["x"], k=2048)
+    r = drift.ks_from_profiles(pa, pb).collect()[0]
+    assert r["ks_stat"] == pytest.approx(true_ks(xs, ys), abs=1e-6)
+    assert r["n_a"] == r["n_b"] == 2000
+    # compacted regime: the bound holds
+    pa64 = sketch.kll_profile(fa, ["x"], k=64)
+    pb64 = sketch.kll_profile(fb, ["x"], k=64)
+    r64 = drift.ks_from_profiles(pa64, pb64).collect()[0]
+    assert abs(r64["ks_stat"] - true_ks(xs, ys)) <= r64["ks_bound"]
+    assert r64["ks_bound"] < 0.3  # k=64 on 2000 rows is still informative
+    # identical corpora: statistic within the bound of zero
+    rid = drift.ks_from_profiles(
+        pa64, sketch.kll_profile(fa, ["x"], k=64)).collect()[0]
+    assert rid["ks_stat"] <= rid["ks_bound"]
+    # the shifted pair reads clearly above the identical pair
+    assert r64["ks_stat"] > 3 * rid["ks_stat"] or rid["ks_stat"] == 0.0
