@@ -787,7 +787,12 @@ def q_sketch_stats(spark, sf_dir):
     md5-coin stride offset, modular survivor counts — then folds the
     survivor rows (item in exact cents) + (n, err) into a canonical
     md5 and re-derives the p50/p99 elements from ITS replayed profile,
-    so one wrong survivor count or a drifted coin misses the hash."""
+    so one wrong survivor count or a drifted coin misses the hash.
+
+    Round-13 second rider: ``bk_fold`` attests the bottom-k (KMV)
+    coordinated sample (sketch.bottomk_profile, k=16, over o_custkey) —
+    the DuckDB twin recomputes every member's 60-bit "bk|" hash and the
+    k-smallest cut, folded to a canonical md5 of "h=key" pairs."""
     from anomalyzer_spark.functions import sketch
 
     o = load_table(spark, sf_dir, "orders")
@@ -831,18 +836,24 @@ def q_sketch_stats(spark, sf_dir):
     kq_row = sketch.kll_quantiles(kprof, [0.5, 0.99]).agg(
         F.max(F.when(F.col("q") == 0.5, F.col("value"))).alias("kll_p50"),
         F.max(F.when(F.col("q") == 0.99, F.col("value"))).alias("kll_p99"))
+    bk_row = (sketch.bottomk_profile(o.select("o_custkey"), ["o_custkey"],
+                                     k=16)
+              .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
+                  F.concat_ws("=", F.col("h"), F.col("key")))))
+                  .cast("binary")).alias("bk_fold")))
     return (sk.join(ex, "o_orderpriority")
             .crossJoin(F.broadcast(hll_row))
             .crossJoin(F.broadcast(mg_row))
             .crossJoin(F.broadcast(kll_row))
             .crossJoin(F.broadcast(kq_row))
+            .crossJoin(F.broadcast(bk_row))
             .select(
                 "o_orderpriority", "n_orders", "n_cust_exact",
                 (F.abs(F.col("_apx") - F.col("n_cust_exact"))
                  / F.col("n_cust_exact") <= 0.2).alias("hll_within_bound"),
                 "p50_totalprice",
                 "hll_reg_fold", "hll_occupied", "mg_fold",
-                "kll_fold", "kll_p50", "kll_p99",
+                "kll_fold", "kll_p50", "kll_p99", "bk_fold",
             ))
 
 
@@ -3385,11 +3396,19 @@ kq AS (
     (SELECT min(item) FROM kcum
       WHERE cum >= greatest(1, ceil(0.5 * n))) AS kll_p50,
     (SELECT min(item) FROM kcum
-      WHERE cum >= greatest(1, ceil(0.99 * n))) AS kll_p99)
+      WHERE cum >= greatest(1, ceil(0.99 * n))) AS kll_p99),
+bkh AS (
+  SELECT DISTINCT o_custkey::VARCHAR AS key,
+    ('0x' || substr(md5('bk|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h
+  FROM orders WHERE o_custkey IS NOT NULL),
+bkr AS (SELECT h, key, row_number() OVER (ORDER BY h) AS rnk FROM bkh),
+bkf AS (
+  SELECT md5((SELECT string_agg(h || '=' || key, ',' ORDER BY h || '=' || key)
+              FROM bkr WHERE rnk <= 16)) AS bk_fold)
 SELECT b.*, hfold.hll_reg_fold, hfold.hll_occupied, mfold.mg_fold,
-       kfold.kll_fold, kq.kll_p50, kq.kll_p99
+       kfold.kll_fold, kq.kll_p50, kq.kll_p99, bkf.bk_fold
 FROM base b CROSS JOIN hfold CROSS JOIN mfold CROSS JOIN kfold
-     CROSS JOIN kq"""
+     CROSS JOIN kq CROSS JOIN bkf"""
 
     sql["set_ops"] = """
 WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
