@@ -1172,7 +1172,11 @@ def q_decontam(spark, sf_dir):
     and breaks rows/hash. num_bits is pinned (2^19) rather than sized
     from a member count so the query builds without an eager count
     action; at the fixture eval-gram counts that over-provisions fill,
-    which affects prefilter efficiency only, never results."""
+    which affects prefilter efficiency only, never results. (Sharing
+    the corpus word arrays between the lanes via an eager
+    train_words_col checkpoint was measured 5% SLOWER at fixture scale
+    — per-repeat checkpoint materialization costs more than the one
+    regex pass it saves; both lanes shingle from text.)"""
     from anomalyzer_spark.functions import bloom as bloom_mod
     from anomalyzer_spark.functions import decontam
     from anomalyzer_spark.functions.decontam import _grams
