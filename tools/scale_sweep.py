@@ -365,6 +365,21 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             ("kll_profile", lambda: sketch.kll_profile(
                 d.select(F.crc32(F.col("text")).alias("v")), ["v"],
                 k=256)),
+            # bottom-k coordinated sample over the text column (every
+            # value distinct -> the distinct agg and the map-side-capped
+            # ranking window both do full work)
+            ("bottomk_profile", lambda: sketch.bottomk_profile(
+                d, ["text"], k=512)),
+            # sketch-level two-sample KS: profile old + rewritten-new and
+            # compare — the whole cell is two KLL builds + one tiny window
+            ("ks_profiles", lambda: drift.ks_from_profiles(
+                sketch.kll_profile(
+                    d.select(F.length("text").alias("len")), ["len"],
+                    k=256),
+                sketch.kll_profile(
+                    d.select((F.length("text") + F.when(
+                        F.col("doc_id") % 3 == 0, 40).otherwise(0))
+                        .alias("len")), ["len"], k=256))),
         ):
             if only and name not in only:
                 continue
