@@ -428,3 +428,42 @@ def test_plan_fingerprint_masks_sf_base_dir(spark, sf_dir, tmp_path):
     # the unmasked variant (migration tool) sees the relocation
     assert bench.plan_fingerprint(q(sf_dir), _mask_sfdir=False) \
         != bench.plan_fingerprint(q(alt), _mask_sfdir=False)
+
+
+def test_round13_sketch_plans(spark, sf_dir):
+    """Plan shapes of the round-13 sketch operators: kll_profile is the
+    counting rewrite (one count exchange + the distinct-value window —
+    never a cartesian, never a corpus-wide unpartitioned rank over
+    ROWS); bottomk_profile's ranking window carries WindowGroupLimit
+    (map-side k-cap before the exchange); ks_from_profiles never joins
+    corpora (profile frames only)."""
+    from anomalyzer_spark.functions import drift, sketch
+    d = load_table(spark, sf_dir, "documents")
+    kll = sketch.kll_profile(d.select("n_chars"), ["n_chars"], k=32)
+    plan = assert_plan(kll, forbids=("CartesianProduct",
+                                     "BroadcastNestedLoop"))
+    assert "WindowGroupLimit" not in plan  # cumulative window, no top-k
+    bk = sketch.bottomk_profile(d, ["lang", "source"], k=8)
+    assert_plan(bk, requires=("WindowGroupLimit",),
+                forbids=("CartesianProduct",))
+    ks = drift.ks_from_profiles(
+        sketch.kll_profile(d.select("n_chars"), ["n_chars"], k=32),
+        sketch.kll_profile(d.select("n_chars"), ["n_chars"], k=32))
+    assert_plan(ks, forbids=("CartesianProduct",))
+
+
+def test_decontam_dual_lane_plan(spark, sf_dir):
+    """The decontam slot's two lanes (plain + bloom-prefiltered) must
+    both be broadcast equi-joins — no cartesian, no nested-loop, and
+    the bloom probe's block join broadcast."""
+    import sys
+
+    sys.path.insert(0, ".")
+    import __spark_entry__ as entry
+    df = entry.queries()["decontam"](spark, sf_dir)
+    plan = assert_plan(df, forbids=("CartesianProduct",
+                                    "BroadcastNestedLoop"),
+                       min_broadcasts=3)
+    # both lanes' per-document hit aggregates are present
+    assert plan.count("count(distinct") >= 2 or \
+        plan.count("count(DISTINCT") >= 2 or plan.count("gid") >= 2
