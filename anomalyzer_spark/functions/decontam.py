@@ -82,8 +82,20 @@ def contamination(
     train_words_col: str | None = None,
     eval_bloom=None,
     bloom_fpp: float | None = None,
+    eval_suite_col: str | None = None,
 ) -> DataFrame:
     """Per-contaminated-training-document overlap report.
+
+    ``eval_suite_col``: screen against MANY benchmark suites in ONE
+    corpus pass — name a column of ``eval_df`` tagging each eval
+    document's suite, and the report gains a ``suite`` column with one
+    row per (training document, suite) whose overlap reaches
+    ``min_hits`` IN THAT SUITE (``n_hit_grams``/``n_eval_docs``/
+    ``contamination`` are per-suite). The corpus-side cost is
+    UNCHANGED (one shingle pass, one broadcast join; the suite tag
+    rides the broadcast eval rows), vs one full corpus scan per suite
+    with separate calls — at 100 TB, screening against a dozen
+    benchmarks costs the same scan as screening against one.
 
     ``train_words_col``: name of a persisted ``dedup.normalized_words``
     column on ``train_df`` — the corpus-side fast path when one corpus is
@@ -134,6 +146,13 @@ def contamination(
                eval_id_col or id_col, n, "_eval_id")
         .select("_eval_id", "gram")
     )
+    if eval_suite_col is not None:
+        # the suite tag rides the (small, broadcast) eval gram rows —
+        # never the corpus side
+        suites = eval_df.select(
+            F.col(eval_id_col or id_col).alias("_eval_id"),
+            F.col(eval_suite_col).alias("suite"))
+        ev = ev.join(suites, "_eval_id")
     tr = _grams(train_df, text_col, id_col, n, id_col,
                 words_col=train_words_col)
     if eval_bloom is None and bloom_fpp is not None:
@@ -144,13 +163,14 @@ def contamination(
         from . import bloom as _bloom
         tr = _bloom.filter_maybe_contains(tr, eval_bloom, "gram")
     hits = tr.join(F.broadcast(ev) if broadcast_eval else ev, "gram")
-    out = hits.groupBy(id_col).agg(
+    keys = [id_col] + (["suite"] if eval_suite_col is not None else [])
+    out = hits.groupBy(*keys).agg(
         F.first("n_grams").alias("n_grams"),
         F.count_distinct("gram").alias("n_hit_grams"),
         F.count_distinct("_eval_id").alias("n_eval_docs"),
     )
     return out.where(F.col("n_hit_grams") >= min_hits).select(
-        id_col, "n_grams", "n_hit_grams", "n_eval_docs",
+        *keys, "n_grams", "n_hit_grams", "n_eval_docs",
         F.round(F.col("n_hit_grams") / F.col("n_grams"), 6)
         .alias("contamination"),
     )
@@ -169,20 +189,24 @@ def decontaminate(
     train_words_col: str | None = None,
     eval_bloom=None,
     bloom_fpp: float | None = None,
+    eval_suite_col: str | None = None,
 ) -> DataFrame:
     """The training corpus minus contaminated documents, schema unchanged.
 
     Clean rows never shuffle: the contaminated-id frame is bounded by the
     eval set's reach, so the removal is a broadcast LEFT ANTI join on the
     id — every other column (and the input's partitioning) passes through
-    untouched. ``train_words_col`` / ``eval_bloom`` / ``bloom_fpp``: see
-    ``contamination``."""
+    untouched. ``train_words_col`` / ``eval_bloom`` / ``bloom_fpp`` /
+    ``eval_suite_col``: see ``contamination`` (with suites, a document
+    contaminated in ANY suite is dropped — min_hits applies per
+    suite)."""
     bad = contamination(
         train_df, eval_df, text_col=text_col, id_col=id_col,
         eval_text_col=eval_text_col, eval_id_col=eval_id_col,
         n=n, min_hits=min_hits, train_words_col=train_words_col,
         eval_bloom=eval_bloom, bloom_fpp=bloom_fpp,
-    ).select(id_col)
+        eval_suite_col=eval_suite_col,
+    ).select(id_col).distinct()
     return train_df.join(F.broadcast(bad), id_col, "left_anti")
 
 

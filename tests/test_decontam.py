@@ -267,3 +267,39 @@ def test_pretokenized_corpus_parity_and_no_train_regex(spark, sf_dir):
                                    train_words_col="words")
     bad_ids = {r[0] for r in got}
     assert clean.where(F.col("doc_id").isin(list(bad_ids))).count() == 0
+
+
+def test_multi_suite_one_pass(spark, sf_dir):
+    """eval_suite_col screens K suites in one corpus pass: per-suite
+    rows equal K separate single-suite reports (DuckDB-parity-covered
+    machinery, so equality to the per-suite calls is the contract), the
+    corpus-side plan keeps ONE normalization site, and decontaminate
+    drops any-suite-contaminated docs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    ev = docs.where(F.col("doc_id") % 97 == 0).withColumn(
+        "suite", F.when(F.col("doc_id") % 2 == 0, "mmlu")
+                  .otherwise("gsm8k"))
+    multi = decontam.contamination(docs, ev, n=N, eval_suite_col="suite")
+    # plan check FIRST on the fresh frame (a finalized AQE plan
+    # re-renders broadcast-stage subtrees and double-counts — the
+    # documented caveat above): one corpus normalization site
+    # regardless of suite count is the whole point (K suites, one scan)
+    from anomalyzer_spark.plans import explain_str
+    plan = explain_str(multi)
+    assert plan.count("regexp_replace(lower(text") == 2  # corpus + eval
+    got = {(r["doc_id"], r["suite"]): (r["n_grams"], r["n_hit_grams"],
+                                       r["n_eval_docs"], r["contamination"])
+           for r in multi.collect()}
+    want = {}
+    for s in ("mmlu", "gsm8k"):
+        for r in decontam.contamination(
+                docs, ev.where(F.col("suite") == s), n=N).collect():
+            want[(r["doc_id"], s)] = (r["n_grams"], r["n_hit_grams"],
+                                      r["n_eval_docs"], r["contamination"])
+    assert got == want and len(got) > 0
+    # decontaminate drops docs contaminated in ANY suite
+    clean = decontam.decontaminate(docs, ev, n=N, eval_suite_col="suite")
+    bad = {d for d, _ in got}
+    assert clean.where(F.col("doc_id").isin(list(bad))).count() == 0
+    assert clean.count() == docs.count() - len(bad)
