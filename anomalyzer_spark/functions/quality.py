@@ -243,3 +243,103 @@ def normalize_scores(
             .otherwise(F.least(F.lit(1.0), F.greatest(F.lit(0.0), norm))))
     return df.select(F.col(id_col), F.col(score_col)).withColumn(
         out_col, norm)
+
+
+#: the 8 Gopher stop words — rule 7 requires >= 2 DISTINCT of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_words: int = 2,
+) -> DataFrame:
+    """The MassiveText/Gopher quality-filter rule set (Rae et al. 2021,
+    Appendix A1) as one map-only projection: per document, the seven
+    rule metrics, a boolean per rule, and ``gopher_pass`` (their AND).
+    Defaults are the published thresholds; every knob is exposed because
+    production corpora retune them (FineWeb, Dolma).
+
+    Rules: word count in [min_words, max_words]; mean word length in
+    [3, 10]; symbol-to-word ratio ('#' or '...' occurrences per word)
+    <= 0.1; <= 90% of lines starting with a bullet; <= 30% of lines
+    ending with an ellipsis; >= 80% of words containing an alphabetic
+    character; >= 2 distinct stop words of GOPHER_STOPWORDS. Words are
+    whitespace runs of the RAW text (the paper's tokenization), lines
+    split on newlines.
+
+    Complements ``repetition_stats`` (the paper's repetition table) and
+    ``text_profile``'s calibrated score — this is the citable rule GATE:
+    ``.where(F.col('gopher_pass'))`` or feed the booleans to
+    ``checks.satisfies``. Zero UDFs, zero shuffles (plan-pinned); the
+    word/line arrays are STAGED so higher-order lambdas bind attributes,
+    never re-split per element (the house HOF rule)."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        F.when(t.isNull(), F.array().cast("array<string>"))
+        .otherwise(F.split(F.trim(t), "[ \t\n\x0b\f\r]+")).alias("_w"),
+        F.when(t.isNull(), F.array().cast("array<string>"))
+        .otherwise(F.split(t, "\n")).alias("_l"),
+        F.coalesce(
+            F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)),
+            F.lit(0)).alias("_nsym"),
+    )
+    nw = F.size("_w")
+    nl = F.greatest(F.size("_l"), F.lit(1))
+    safe_nw = F.greatest(nw, F.lit(1))
+    mean_wl = (F.aggregate("_w", F.lit(0).cast("long"),
+                           lambda a, x: a + F.length(x)).cast("double")
+               / safe_nw)
+    alpha_ratio = (F.size(F.filter("_w", lambda x: x.rlike("[A-Za-z]")))
+                   .cast("double") / safe_nw)
+    bullet_ratio = (F.size(F.filter(
+        "_l", lambda ln: ln.rlike(r"^[ \t]*(•|\*|-)")))
+        .cast("double") / nl)
+    ellipsis_ratio = (F.size(F.filter(
+        "_l", lambda ln: ln.rlike(r"(\.\.\.|…)[ \t]*$")))
+        .cast("double") / nl)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(F.array_intersect(
+        F.transform("_w", lambda x: F.lower(x)), stop_arr))
+    m = staged.select(
+        F.col(id_col),
+        nw.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(F.col("_nsym") / safe_nw, 6).alias("symbol_word_ratio"),
+        F.round(bullet_ratio, 6).alias("bullet_line_ratio"),
+        F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("int").alias("n_stop_words"),
+    )
+    rules = {
+        "r_word_count": (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words),
+        "r_mean_word_len": (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len),
+        "r_symbol_ratio": F.col("symbol_word_ratio")
+        <= max_symbol_word_ratio,
+        "r_bullet_lines": F.col("bullet_line_ratio")
+        <= max_bullet_line_ratio,
+        "r_ellipsis_lines": F.col("ellipsis_line_ratio")
+        <= max_ellipsis_line_ratio,
+        "r_alpha_words": F.col("alpha_word_ratio")
+        >= min_alpha_word_ratio,
+        "r_stop_words": F.col("n_stop_words") >= min_stop_words,
+    }
+    out = m.select(
+        "*", *[expr.alias(name) for name, expr in rules.items()])
+    passed = F.lit(True)
+    for name in rules:
+        passed = passed & F.col(name)
+    return out.withColumn("gopher_pass", passed)
