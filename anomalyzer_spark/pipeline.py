@@ -73,6 +73,11 @@ class CurationConfig:
     normalize_quality_by: str | None = None
     #: minimum lexical token count (None = no length gate)
     min_tokens: int | None = None
+    #: apply the published Gopher/MassiveText rule gate
+    #: (quality.gopher_rules — keep only gopher_pass documents). True
+    #: uses the published thresholds; a dict passes threshold overrides
+    #: through (e.g. {"min_words": 20}).
+    gopher: bool | dict = False
     #: keep only these predicted languages (None = all)
     langs: tuple[str, ...] | None = None
     #: "exact" (hash groups) or "minhash" (exact + near-dup pairs) or None
@@ -203,6 +208,13 @@ def curate(
         cur = _text.normalize_text(
             cur, tcol, icol, form=cfg.normalize_form, carry_cols=carry)
         res.stages["normalized"] = cur
+
+    if cfg.gopher:
+        kw = cfg.gopher if isinstance(cfg.gopher, dict) else {}
+        gate = _quality.gopher_rules(cur, tcol, icol, **kw) \
+            .where(F.col("gopher_pass")).select(icol)
+        cur = cur.join(gate, icol, "left_semi")
+        res.stages["gopher_gated"] = cur
 
     if (cfg.min_quality is not None or cfg.min_tokens is not None
             or cfg.langs is not None or cfg.top_fraction is not None):

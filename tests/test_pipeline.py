@@ -287,3 +287,22 @@ def test_eval_fraction_split_stage(spark, docs):
         CurationConfig(eval_fraction=0.2, pack_capacity=128)
     with pytest.raises(ValueError, match="eval_fraction"):
         CurationConfig(eval_fraction=1.5)
+
+
+def test_gopher_gate_stage(spark, docs):
+    """cfg.gopher applies the rule gate before the profile filters; a
+    dict passes threshold overrides through."""
+    from anomalyzer_spark.functions import quality
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+
+    d = docs.select("doc_id", "text")
+    res = curate(d, CurationConfig(normalize_form=None, dedup=None,
+                                   gopher=True))
+    assert "gopher_gated" in res.stages
+    want = {r["doc_id"] for r in quality.gopher_rules(d)
+            .where("gopher_pass").collect()}
+    assert {r["doc_id"] for r in res.output.collect()} == want
+    loose = curate(d, CurationConfig(
+        normalize_form=None, dedup=None,
+        gopher={"min_words": 1, "min_stop_words": 0}))
+    assert loose.output.count() >= res.output.count()
