@@ -15,9 +15,9 @@ from .minhash_stream import (minhash_dedup_stream, minhash_groups_store,
                              minhash_increment, minhash_pairs_store,
                              run_minhash_stream_on_dir)
 from .resample_stream import resample_stream, run_resample_stream_on_dir
-from .sketch_stream import (hll_sketch_store, kll_sketch_store,
-                            mg_sketch_store, run_sketch_stream_on_dir,
-                            sketch_ingest)
+from .sketch_stream import (bottomk_sketch_store, hll_sketch_store,
+                            kll_sketch_store, mg_sketch_store,
+                            run_sketch_stream_on_dir, sketch_ingest)
 from .semantic_stream import (run_semantic_stream_on_dir,
                               semantic_dedup_stream, semantic_groups_store,
                               semantic_pairs_store)
@@ -41,7 +41,8 @@ __all__ = ["audio_dedup_stream", "audio_pairs_store",
            "run_dedup_stream_on_dir", "run_drift_stream_on_dir",
            "run_minhash_stream_on_dir", "run_resample_stream_on_dir",
            "run_semantic_stream_on_dir", "run_session_stream_on_dir",
-           "hll_sketch_store", "kll_sketch_store", "mg_sketch_store",
+           "bottomk_sketch_store", "hll_sketch_store", "kll_sketch_store",
+           "mg_sketch_store",
            "run_sketch_stream_on_dir", "sketch_ingest",
            "run_span_gram_stream_on_dir", "run_stream_on_dir",
            "semantic_dedup_stream", "semantic_groups_store",

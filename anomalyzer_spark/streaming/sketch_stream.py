@@ -1,7 +1,8 @@
 """Streaming sketch maintenance — per-micro-batch HLL / Misra–Gries /
-KLL profiles folded into a persisted store, so "distinct urls so far",
-"top domains so far", and "p99 doc length so far" are a kilobyte
-parquet read at any point in a stream's life, never a corpus rescan.
+KLL / bottom-k profiles folded into a persisted store, so "distinct
+urls so far", "top domains so far", "p99 doc length so far", and "what
+does this stream share with release N" are a kilobyte parquet read at
+any point in a stream's life, never a corpus rescan.
 
 Same ``foreachBatch``-plus-store shape as ``minhash_stream`` (and the
 same live/compacted directory protocol, imported from there): each
@@ -35,19 +36,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.sketch import (
-    _merge_mg_union, hll_profile, kll_profile, merge_hll, merge_kll,
-    mg_profile,
+    _merge_mg_union, bottomk_profile, hll_profile, kll_profile,
+    merge_bottomk, merge_hll, merge_kll, mg_profile,
 )
 from .minhash_stream import _latest_gen, _live_batch_ids, _sweep_live
 
-__all__ = ["hll_sketch_store", "kll_sketch_store", "mg_sketch_store",
+__all__ = ["bottomk_sketch_store", "hll_sketch_store",
+           "kll_sketch_store", "mg_sketch_store",
            "run_sketch_stream_on_dir", "sketch_ingest"]
 
 _HLL_DDL = "column string, p int, reg bigint, rho int"
 _MG_DDL = "column string, key string, cnt bigint, off bigint, n bigint"
 _KLL_DDL = ("column string, level int, item double, cnt bigint, "
             "n bigint, err bigint")
-_COMPONENTS = ("hll", "mg", "kll")
+_BK_DDL = "column string, h bigint, key string"
+_COMPONENTS = ("hll", "mg", "kll", "bk")
 
 
 def _load_meta(store_dir: str) -> dict | None:
@@ -61,14 +64,15 @@ def _load_meta(store_dir: str) -> dict | None:
 
 
 def _ensure_meta(store_dir: str, p: int, mg_k: int,
-                 kll_k: int | None = None) -> None:
+                 kll_k: int | None = None,
+                 bk_k: int | None = None) -> None:
     """Persist the store's sketch parameters on first ingest and raise
     on any later mismatch. HLL's ``p`` is self-describing via the ``p``
-    column, but ``mg_k``/``kll_k`` are NOT recoverable from their
-    frames — a reader or compactor folding with a different k would
-    silently loosen the stated guarantee, so the store carries them.
-    A store created before its first KLL ingest gains ``kll_k`` then
-    (additive; never overwritten afterwards)."""
+    column, but ``mg_k``/``kll_k``/``bk_k`` are NOT recoverable from
+    their frames — a reader or compactor folding with a different k
+    would silently loosen the stated guarantee, so the store carries
+    them. A store created before its first KLL/bottom-k ingest gains
+    that key then (additive; never overwritten afterwards)."""
     import json
 
     meta = _load_meta(store_dir)
@@ -77,6 +81,8 @@ def _ensure_meta(store_dir: str, p: int, mg_k: int,
         meta = {"p": p, "mg_k": mg_k}
         if kll_k is not None:
             meta["kll_k"] = kll_k
+        if bk_k is not None:
+            meta["bk_k"] = bk_k
         with open(f"{store_dir}/_sketch_meta.json", "w") as f:
             json.dump(meta, f)
         return
@@ -85,15 +91,20 @@ def _ensure_meta(store_dir: str, p: int, mg_k: int,
             f"sketch store {store_dir} was created with p={meta.get('p')} "
             f"mg_k={meta.get('mg_k')}; got p={p} mg_k={mg_k} — mixed "
             "parameters would corrupt the store's guarantees")
-    if kll_k is not None:
-        if "kll_k" not in meta:
-            meta["kll_k"] = kll_k
-            with open(f"{store_dir}/_sketch_meta.json", "w") as f:
-                json.dump(meta, f)
-        elif meta["kll_k"] != kll_k:
+    changed = False
+    for key, val in (("kll_k", kll_k), ("bk_k", bk_k)):
+        if val is None:
+            continue
+        if key not in meta:
+            meta[key] = val
+            changed = True
+        elif meta[key] != val:
             raise ValueError(
-                f"sketch store {store_dir} holds kll_k={meta['kll_k']} "
-                f"profiles; got kll_k={kll_k}")
+                f"sketch store {store_dir} holds {key}={meta[key]} "
+                f"profiles; got {key}={val}")
+    if changed:
+        with open(f"{store_dir}/_sketch_meta.json", "w") as f:
+            json.dump(meta, f)
 
 
 def _next_batch_id(store_dir: str) -> int:
@@ -113,10 +124,12 @@ def sketch_ingest(
     cols: list[str],
     *,
     num_cols: list[str] | None = None,
+    bk_cols: list[str] | None = None,
     batch_id: int | None = None,
     p: int = 12,
     mg_k: int = 64,
     kll_k: int = 256,
+    bk_k: int = 256,
     compact_every: int | None = None,
 ) -> None:
     """Profile one increment (a day's shard, one micro-batch) and land
@@ -131,12 +144,17 @@ def sketch_ingest(
     ``num_cols`` adds the quantile leg: a mergeable KLL profile
     (``sketch.kll_profile``) of each NUMERIC column per batch — "p99
     doc length so far" from ``kll_sketch_store`` at any point in the
-    stream's life. Every ingest into one store must pass the same
-    ``num_cols`` policy (a batch without the kll component would make
-    the folded quantiles silently under-count; consistency is the
-    caller's contract, like ``cols``)."""
+    stream's life. ``bk_cols`` adds the set-sample leg: a bottom-k
+    (KMV) coordinated sample per batch — release-overlap Jaccard and
+    inspectable value samples from ``bottomk_sketch_store`` (the
+    canonical merge means the stream state EQUALS the one-shot batch
+    sketch, like HLL). Every ingest into one store must pass the same
+    ``num_cols``/``bk_cols`` policy (a batch without a component would
+    silently under-count the folded state; consistency is the caller's
+    contract, like ``cols``)."""
     _ensure_meta(store_dir, p, mg_k,
-                 kll_k if num_cols is not None else None)
+                 kll_k if num_cols is not None else None,
+                 bk_k if bk_cols is not None else None)
     if batch_id is None:
         batch_id = _next_batch_id(store_dir)
     (hll_profile(df, cols, p=p)
@@ -149,6 +167,10 @@ def sketch_ingest(
         (kll_profile(df, num_cols, k=kll_k)
          .write.mode("overwrite")
          .parquet(f"{store_dir}/kll/batch_id={batch_id}"))
+    if bk_cols is not None:
+        (bottomk_profile(df, bk_cols, k=bk_k)
+         .write.mode("overwrite")
+         .parquet(f"{store_dir}/bk/batch_id={batch_id}"))
     if compact_every is not None and (batch_id + 1) % compact_every == 0:
         # fold current state into one merged-profile generation (same
         # crash-safe gen/_folded.json protocol as the minhash store)
@@ -160,6 +182,10 @@ def sketch_ingest(
             _compact_fold(spark, store_dir, "kll", batch_id,
                           lambda u: merge_kll([u.drop("batch_id")],
                                               k=kll_k))
+        if bk_cols is not None:
+            _compact_fold(spark, store_dir, "bk", batch_id,
+                          lambda u: merge_bottomk([u.drop("batch_id")],
+                                                  k=bk_k))
         _sweep_live(store_dir, 0, {
             n: _latest_gen(f"{store_dir}/compacted/{n}")[1]
             for n in _COMPONENTS}, components=_COMPONENTS)
@@ -200,7 +226,8 @@ def _read_sketch(
     """Union of the newest complete generation and newer live batch
     dirs, with ``batch_id`` attached and the data schema pinned (the
     partition-inference lesson from the minhash store)."""
-    ddl = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL}[name]
+    ddl = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL,
+           "bk": _BK_DDL}[name]
     full = ddl + ", batch_id bigint"
     live_dir = f"{store_dir}/{name}"
     gen_path, folded = _latest_gen(f"{store_dir}/compacted/{name}")
@@ -275,6 +302,30 @@ def kll_sketch_store(
     return merge_kll([cur.drop("batch_id")], k=k)
 
 
+def bottomk_sketch_store(
+    spark: SparkSession, store_dir: str, *, k: int | None = None,
+) -> DataFrame:
+    """Current merged bottom-k sample — feed to
+    ``sketch.bottomk_jaccard`` / ``bottomk_estimate``. The canonical
+    merge means this EQUALS the one-shot batch sketch of everything
+    ingested (the HLL-grade exactness pin). ``k`` defaults to the
+    store's persisted ``bk_k``. Empty store (or one ingested without
+    ``bk_cols``) returns an empty typed frame."""
+    meta = _load_meta(store_dir)
+    if meta is not None and "bk_k" in meta:
+        if k is not None and k != meta["bk_k"]:
+            raise ValueError(
+                f"store {store_dir} holds bk_k={meta['bk_k']} samples; "
+                f"k={k} would change the sample contract")
+        k = meta["bk_k"]
+    elif k is None:
+        k = 256
+    cur = _read_sketch(spark, store_dir, "bk")
+    if cur is None:
+        return spark.createDataFrame([], _BK_DDL)
+    return merge_bottomk([cur.drop("batch_id")], k=k)
+
+
 def run_sketch_stream_on_dir(
     spark: SparkSession,
     input_dir: str,
@@ -283,9 +334,11 @@ def run_sketch_stream_on_dir(
     cols: list[str],
     *,
     num_cols: list[str] | None = None,
+    bk_cols: list[str] | None = None,
     p: int = 12,
     mg_k: int = 64,
     kll_k: int = 256,
+    bk_k: int = 256,
     compact_every: int | None = None,
     schema=None,
     max_files_per_trigger: int = 1,
@@ -293,8 +346,10 @@ def run_sketch_stream_on_dir(
     """Drain parquet files from ``input_dir`` (availableNow) through the
     sketch store: one ``sketch_ingest`` per micro-batch. Read results
     with ``hll_sketch_store`` / ``mg_sketch_store`` /
-    ``kll_sketch_store`` (+ ``sketch.hll_estimate`` /
-    ``kll_quantiles``). ``num_cols`` adds the KLL quantile leg."""
+    ``kll_sketch_store`` / ``bottomk_sketch_store`` (+
+    ``sketch.hll_estimate`` / ``kll_quantiles`` / ``bottomk_jaccard``).
+    ``num_cols`` adds the KLL quantile leg; ``bk_cols`` the bottom-k
+    set-sample leg."""
     if schema is None:
         schema = spark.read.parquet(input_dir).schema
     stream = (spark.readStream.schema(schema)
@@ -305,9 +360,9 @@ def run_sketch_stream_on_dir(
         if batch_df.isEmpty():
             return
         sketch_ingest(spark, batch_df, store_dir, cols,
-                      num_cols=num_cols, batch_id=batch_id, p=p,
-                      mg_k=mg_k, kll_k=kll_k,
-                      compact_every=compact_every)
+                      num_cols=num_cols, bk_cols=bk_cols,
+                      batch_id=batch_id, p=p, mg_k=mg_k, kll_k=kll_k,
+                      bk_k=bk_k, compact_every=compact_every)
 
     q = (stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint_path)

@@ -159,3 +159,33 @@ def test_kll_component_stream_and_guarantees(spark, sf_dir, tmp_path):
     store3 = str(tmp_path / "store3")
     sketch_ingest(spark, docs, store3, _COLS, p=10, mg_k=8)
     assert kll_sketch_store(spark, store3).count() == 0
+
+
+def test_bottomk_component_exact_stream_state(spark, sf_dir, tmp_path):
+    """bk_cols adds the set-sample leg: the canonical merge makes the
+    stream-final state EQUAL the one-shot batch sketch (the HLL-grade
+    pin), with and without compaction; bk_k is persisted and enforced."""
+    import pytest
+
+    from anomalyzer_spark.streaming import (bottomk_sketch_store,
+                                            sketch_ingest)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(sdir)
+    for tag, extra in (("plain", {}), ("compacted", {"compact_every": 2})):
+        store = str(tmp_path / f"store_{tag}")
+        run_sketch_stream_on_dir(
+            spark, sdir, store, str(tmp_path / f"ckpt_{tag}"), _COLS,
+            bk_cols=["lang", "source"], p=10, mg_k=8, bk_k=16, **extra)
+        assert _rows(bottomk_sketch_store(spark, store)) \
+            == _rows(sketch.bottomk_profile(docs, _COLS, k=16)), tag
+    with pytest.raises(ValueError, match="bk_k"):
+        bottomk_sketch_store(spark, str(tmp_path / "store_plain"), k=64)
+    with pytest.raises(ValueError, match="bk_k"):
+        sketch_ingest(spark, docs, str(tmp_path / "store_plain"), _COLS,
+                      bk_cols=["lang"], p=10, mg_k=8, bk_k=64)
+    # a store ingested WITHOUT bk_cols reads back empty typed
+    store3 = str(tmp_path / "store3")
+    sketch_ingest(spark, docs, store3, _COLS, p=10, mg_k=8)
+    assert bottomk_sketch_store(spark, store3).count() == 0
