@@ -65,7 +65,8 @@ def _load_meta(store_dir: str) -> dict | None:
 
 def _ensure_meta(store_dir: str, p: int, mg_k: int,
                  kll_k: int | None = None,
-                 bk_k: int | None = None) -> None:
+                 bk_k: int | None = None,
+                 group_ddl: str = "") -> None:
     """Persist the store's sketch parameters on first ingest and raise
     on any later mismatch. HLL's ``p`` is self-describing via the ``p``
     column, but ``mg_k``/``kll_k``/``bk_k`` are NOT recoverable from
@@ -78,7 +79,7 @@ def _ensure_meta(store_dir: str, p: int, mg_k: int,
     meta = _load_meta(store_dir)
     if meta is None:
         os.makedirs(store_dir, exist_ok=True)
-        meta = {"p": p, "mg_k": mg_k}
+        meta = {"p": p, "mg_k": mg_k, "group_ddl": group_ddl}
         if kll_k is not None:
             meta["kll_k"] = kll_k
         if bk_k is not None:
@@ -91,6 +92,11 @@ def _ensure_meta(store_dir: str, p: int, mg_k: int,
             f"sketch store {store_dir} was created with p={meta.get('p')} "
             f"mg_k={meta.get('mg_k')}; got p={p} mg_k={mg_k} — mixed "
             "parameters would corrupt the store's guarantees")
+    if meta.get("group_ddl", "") != group_ddl:
+        raise ValueError(
+            f"sketch store {store_dir} was created with group columns "
+            f"[{meta.get('group_ddl', '')}]; got [{group_ddl}] — grouped "
+            "and ungrouped frames cannot share a store")
     changed = False
     for key, val in (("kll_k", kll_k), ("bk_k", bk_k)):
         if val is None:
@@ -125,6 +131,7 @@ def sketch_ingest(
     *,
     num_cols: list[str] | None = None,
     bk_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
     batch_id: int | None = None,
     p: int = 12,
     mg_k: int = 64,
@@ -151,24 +158,37 @@ def sketch_ingest(
     sketch, like HLL). Every ingest into one store must pass the same
     ``num_cols``/``bk_cols`` policy (a batch without a component would
     silently under-count the folded state; consistency is the caller's
-    contract, like ``cols``)."""
+    contract, like ``cols``).
+
+    ``group_cols`` keeps every component's sketch PER GROUP ("top urls
+    per domain so far", "p99 length per source") — the grouped-profile
+    convention of functions/sketch.py carried through the store: group
+    keys become frame columns, the folds key on them automatically, and
+    the group-column DDL is persisted in the manifest so readers pin
+    the full schema (grouped and ungrouped frames cannot share a
+    store)."""
+    group_cols = list(group_cols or [])
+    group_ddl = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}"
+        for c in group_cols)
     _ensure_meta(store_dir, p, mg_k,
                  kll_k if num_cols is not None else None,
-                 bk_k if bk_cols is not None else None)
+                 bk_k if bk_cols is not None else None,
+                 group_ddl=group_ddl)
     if batch_id is None:
         batch_id = _next_batch_id(store_dir)
-    (hll_profile(df, cols, p=p)
+    (hll_profile(df, cols, p=p, group_cols=group_cols)
      .write.mode("overwrite")
      .parquet(f"{store_dir}/hll/batch_id={batch_id}"))
-    (mg_profile(df, cols, k=mg_k)
+    (mg_profile(df, cols, k=mg_k, group_cols=group_cols)
      .write.mode("overwrite")
      .parquet(f"{store_dir}/mg/batch_id={batch_id}"))
     if num_cols is not None:
-        (kll_profile(df, num_cols, k=kll_k)
+        (kll_profile(df, num_cols, k=kll_k, group_cols=group_cols)
          .write.mode("overwrite")
          .parquet(f"{store_dir}/kll/batch_id={batch_id}"))
     if bk_cols is not None:
-        (bottomk_profile(df, bk_cols, k=bk_k)
+        (bottomk_profile(df, bk_cols, k=bk_k, group_cols=group_cols)
          .write.mode("overwrite")
          .parquet(f"{store_dir}/bk/batch_id={batch_id}"))
     if compact_every is not None and (batch_id + 1) % compact_every == 0:
@@ -220,14 +240,28 @@ def _compact_fold(spark, store_dir, name, upto, fold) -> None:
             shutil.rmtree(pth, ignore_errors=True)
 
 
+def _typed_empty(spark: SparkSession, store_dir: str,
+                 name: str) -> DataFrame:
+    """Empty frame typed with the store's FULL schema (incl. persisted
+    group columns), so empties union/join with downstream frames."""
+    base = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL,
+            "bk": _BK_DDL}[name]
+    meta = _load_meta(store_dir) or {}
+    gddl = meta.get("group_ddl", "")
+    return spark.createDataFrame([], f"{gddl}, {base}" if gddl else base)
+
+
 def _read_sketch(
     spark: SparkSession, store_dir: str, name: str,
 ) -> DataFrame | None:
     """Union of the newest complete generation and newer live batch
     dirs, with ``batch_id`` attached and the data schema pinned (the
     partition-inference lesson from the minhash store)."""
-    ddl = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL,
-           "bk": _BK_DDL}[name]
+    base = {"hll": _HLL_DDL, "mg": _MG_DDL, "kll": _KLL_DDL,
+            "bk": _BK_DDL}[name]
+    meta = _load_meta(store_dir) or {}
+    gddl = meta.get("group_ddl", "")
+    ddl = f"{gddl}, {base}" if gddl else base
     full = ddl + ", batch_id bigint"
     live_dir = f"{store_dir}/{name}"
     gen_path, folded = _latest_gen(f"{store_dir}/compacted/{name}")
@@ -252,7 +286,7 @@ def hll_sketch_store(spark: SparkSession, store_dir: str) -> DataFrame:
     Empty store returns an empty typed frame."""
     cur = _read_sketch(spark, store_dir, "hll")
     if cur is None:
-        return spark.createDataFrame([], _HLL_DDL)
+        return _typed_empty(spark, store_dir, "hll")
     return merge_hll([cur.drop("batch_id")])
 
 
@@ -274,7 +308,7 @@ def mg_sketch_store(
         k = 64
     cur = _read_sketch(spark, store_dir, "mg")
     if cur is None:
-        return spark.createDataFrame([], _MG_DDL)
+        return _typed_empty(spark, store_dir, "mg")
     return _merge_mg_union(cur.drop("batch_id"), k)
 
 
@@ -298,7 +332,7 @@ def kll_sketch_store(
         k = 256
     cur = _read_sketch(spark, store_dir, "kll")
     if cur is None:
-        return spark.createDataFrame([], _KLL_DDL)
+        return _typed_empty(spark, store_dir, "kll")
     return merge_kll([cur.drop("batch_id")], k=k)
 
 
@@ -322,7 +356,7 @@ def bottomk_sketch_store(
         k = 256
     cur = _read_sketch(spark, store_dir, "bk")
     if cur is None:
-        return spark.createDataFrame([], _BK_DDL)
+        return _typed_empty(spark, store_dir, "bk")
     return merge_bottomk([cur.drop("batch_id")], k=k)
 
 
@@ -335,6 +369,7 @@ def run_sketch_stream_on_dir(
     *,
     num_cols: list[str] | None = None,
     bk_cols: list[str] | None = None,
+    group_cols: list[str] | None = None,
     p: int = 12,
     mg_k: int = 64,
     kll_k: int = 256,
@@ -361,8 +396,9 @@ def run_sketch_stream_on_dir(
             return
         sketch_ingest(spark, batch_df, store_dir, cols,
                       num_cols=num_cols, bk_cols=bk_cols,
-                      batch_id=batch_id, p=p, mg_k=mg_k, kll_k=kll_k,
-                      bk_k=bk_k, compact_every=compact_every)
+                      group_cols=group_cols, batch_id=batch_id, p=p,
+                      mg_k=mg_k, kll_k=kll_k, bk_k=bk_k,
+                      compact_every=compact_every)
 
     q = (stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint_path)

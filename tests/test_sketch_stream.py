@@ -189,3 +189,42 @@ def test_bottomk_component_exact_stream_state(spark, sf_dir, tmp_path):
     store3 = str(tmp_path / "store3")
     sketch_ingest(spark, docs, store3, _COLS, p=10, mg_k=8)
     assert bottomk_sketch_store(spark, store3).count() == 0
+
+
+def test_grouped_store_all_components(spark, sf_dir, tmp_path):
+    """group_cols carries per-group sketches through the store: HLL and
+    bottom-k stream state equal the one-shot grouped batch profiles
+    exactly, KLL equals the offline grouped merge, and a grouped store
+    rejects ungrouped ingests (persisted group_ddl)."""
+    import pytest
+
+    from anomalyzer_spark.streaming import (bottomk_sketch_store,
+                                            kll_sketch_store, sketch_ingest)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sdir = str(tmp_path / "in")
+    docs.repartition(4).write.parquet(sdir)
+    store = str(tmp_path / "store")
+    run_sketch_stream_on_dir(
+        spark, sdir, store, str(tmp_path / "ckpt"), ["source"],
+        num_cols=["n_chars"], bk_cols=["source"], group_cols=["lang"],
+        p=10, mg_k=8, kll_k=16, bk_k=8, compact_every=2)
+    assert _rows(hll_sketch_store(spark, store)) == _rows(
+        sketch.hll_profile(docs, ["source"], p=10, group_cols=["lang"]))
+    assert _rows(bottomk_sketch_store(spark, store)) == _rows(
+        sketch.bottomk_profile(docs, ["source"], k=8,
+                               group_cols=["lang"]))
+    got_kll = kll_sketch_store(spark, store)
+    assert "lang" in got_kll.columns
+    per_file = [sketch.kll_profile(spark.read.parquet(f), ["n_chars"],
+                                   k=16, group_cols=["lang"])
+                for f in sorted(glob.glob(f"{sdir}/part-*.parquet"))]
+    # compaction reorders fold grouping legally; per-group n must match
+    want_n = {(r["lang"],): r["n"]
+              for r in sketch.merge_kll(per_file, k=16).collect()
+              if r["item"] is None}
+    got_n = {(r["lang"],): r["n"] for r in got_kll.collect()
+             if r["item"] is None}
+    assert got_n == want_n
+    with pytest.raises(ValueError, match="group columns"):
+        sketch_ingest(spark, docs, store, ["source"], p=10, mg_k=8)
