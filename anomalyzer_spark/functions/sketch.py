@@ -48,7 +48,8 @@ from pyspark.sql import functions as F
 
 __all__ = ["hll_estimate", "hll_overlap", "hll_profile", "merge_hll",
            "merge_mg", "mg_profile",
-           "kll_profile", "merge_kll", "kll_quantiles", "kll_ranks",
+           "kll_profile", "kll_profile_sharded", "merge_kll",
+           "kll_quantiles", "kll_ranks",
            "bottomk_profile", "merge_bottomk", "bottomk_estimate",
            "bottomk_jaccard"]
 
@@ -827,3 +828,63 @@ def bottomk_jaccard(
                 F.round(F.col("n_shared") / F.col("k_used"), 6)
                 .alias("j_est"),
                 "k_used", "n_shared"))
+
+
+def kll_profile_sharded(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int = 256,
+    n_shards: int = 32,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """``kll_profile`` for CONTINUOUS/near-distinct columns at corpus
+    scale: the plain build's cumulative window holds one column's
+    DISTINCT VALUES in one partition — fine for bounded-cardinality
+    columns (lengths, counts), O(n) state for continuous doubles. This
+    build salts each value by its own hash into ``n_shards`` groups,
+    profiles per (salt, keys) — every window partition now holds
+    ~distinct/n_shards values — and folds the shard profiles with
+    ``merge_kll``. Deterministic (the salt is a value hash, so the
+    result is partitioning-independent like everything in this module).
+
+    The rank-error contract is UNCHANGED in kind: per-shard errs
+    (< 2·n_shard/k each) sum to ~2n/k and the merge's own compactions
+    add their usual terms — all carried exactly in the frame's ``err``
+    column, so |est_rank − true_rank| ≤ err still holds (pinned).
+    Choose this over ``kll_profile`` when the profiled column is
+    continuous; the sweep's kll_profile cell (crc32 values) is the
+    worst case it exists for."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    group_cols = list(group_cols or [])
+    if "_kll_salt" in df.columns or "_kll_salt" in group_cols:
+        raise ValueError("'_kll_salt' is reserved by kll_profile_sharded")
+    # the salt must hash the VALUE (not the row): same values land in
+    # one shard, so per-shard distinct counts partition the column's
+    # distinct set and the result is a pure function of the multiset
+    rows = [F.struct(F.lit(c).alias("column"),
+                     F.col(c).cast("double").alias("item")) for c in cols]
+    long = (df.select(*[F.col(g) for g in group_cols],
+                      F.explode(F.array(*rows)).alias("r"))
+            .select(*group_cols, "r.*")
+            .where(F.col("item").isNotNull()))
+    salted = long.withColumn(
+        "_kll_salt",
+        F.pmod(F.crc32(F.col("item").cast("string")), F.lit(n_shards)))
+    # re-pivot to one synthetic column per original column name: feed
+    # kll_profile the long frame directly by treating (column, item) as
+    # a single profiled column under (group_cols + salt + column) keys
+    prof = kll_profile(
+        salted.withColumnRenamed("column", "_kll_col")
+              .withColumnRenamed("item", "_kll_item"),
+        ["_kll_item"],
+        k=k, group_cols=group_cols + ["_kll_salt", "_kll_col"])
+    # fold the shard profiles: drop the salt, restore the column name,
+    # and merge (the union of shard profiles IS merge_kll's input shape)
+    renamed = (prof.drop("column")  # the literal '_kll_item' label
+               .withColumnRenamed("_kll_col", "column")
+               .drop("_kll_salt")
+               .select(*group_cols, "column", "level", "item", "cnt",
+                       "n", "err"))
+    return merge_kll([renamed], k=k)

@@ -243,3 +243,34 @@ def test_ks_from_profiles(spark):
     assert rid["ks_stat"] <= rid["ks_bound"]
     # the shifted pair reads clearly above the identical pair
     assert r64["ks_stat"] > 3 * rid["ks_stat"] or rid["ks_stat"] == 0.0
+
+
+def test_sharded_build_guarantee_and_determinism(spark):
+    """kll_profile_sharded: the continuous-column scale path keeps the
+    rank guarantee (err carried exactly), is partitioning-independent,
+    and its err stays within the same order as the plain build's."""
+    random.seed(61)
+    vals = [random.random() * 1000 for _ in range(6000)]  # continuous
+    df = spark.createDataFrame([(v,) for v in vals], "a double")
+    prof = sketch.kll_profile_sharded(df, ["a"], k=64, n_shards=8)
+    rows = prof.collect()
+    (n, err), = _meta(rows)
+    assert n == 6000
+    assert err <= 8 * 2 * 6000 / 64  # shard errs sum + merge terms
+    svals = sorted(vals)
+    for r in sketch.kll_ranks(prof, [100.0, 500.0, 900.0]).collect():
+        true = bisect.bisect_right(svals, r["value"])
+        assert abs(r["est_rank"] - true) <= r["err"], r
+    # partitioning-independent (value-hash salt, not row placement)
+    again = sketch.kll_profile_sharded(
+        df.repartition(17), ["a"], k=64, n_shards=8)
+    assert _rows(again) == _rows(prof)
+    # grouped variant keys correctly
+    g = spark.createDataFrame([(i % 2, v) for i, v in enumerate(vals)],
+                              "g long, a double")
+    gp = sketch.kll_profile_sharded(g, ["a"], k=32, n_shards=4,
+                                    group_cols=["g"])
+    metas = {r["g"]: r["n"] for r in gp.collect() if r["item"] is None}
+    assert metas == {0: 3000, 1: 3000}
+    with pytest.raises(ValueError, match="n_shards"):
+        sketch.kll_profile_sharded(df, ["a"], n_shards=0)
