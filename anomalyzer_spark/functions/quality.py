@@ -343,3 +343,70 @@ def gopher_rules(
     for name in rules:
         passed = passed & F.col(name)
     return out.withColumn("gopher_pass", passed)
+
+
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+    drop_doc_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """The C4 line-level cleaning pass (Raffel et al. 2020) as one
+    map-only projection: per document, the REBUILT text containing only
+    the lines that survive the published rules, the kept/dropped line
+    counts, and ``c4_keep`` — the document-level gate. Rules:
+
+    * a line survives iff it ends in a terminal punctuation mark
+      (``. ! ? "``), has at least ``min_words_per_line`` words, and
+      contains none of ``drop_line_markers`` (case-insensitive);
+    * the document passes iff its CLEANED text holds at least
+      ``min_sentences`` sentences (terminal-mark count) and the raw
+      text contains none of ``drop_doc_markers`` (C4 drops pages with
+      "lorem ipsum" or a curly brace).
+
+    The span-level "three-sentence dedup" leg of C4 is this repo's
+    ``dedup.strip_duplicate_spans`` / ``dedup_paragraphs`` — compose
+    after this pass. Returns (id, text, n_lines_kept, n_lines_dropped,
+    n_sentences, c4_keep); filter with ``.where('c4_keep')``. Zero
+    UDFs, zero shuffles (plan-pinned); line arrays are staged (the
+    house HOF rule). DuckDB replay in tests/test_c4_clean.py."""
+    t = F.col(text_col)
+    staged = df.select(
+        F.col(id_col),
+        t.alias("_raw"),
+        F.when(t.isNull(), F.array().cast("array<string>"))
+        .otherwise(F.split(t, "\n")).alias("_l"))
+
+    def _line_ok(ln):
+        trimmed = F.trim(ln)
+        ok = trimmed.rlike(r'[.!?"]$')
+        ok = ok & (F.size(F.split(trimmed, "[ \t]+"))
+                   >= min_words_per_line)
+        for m in drop_line_markers:
+            ok = ok & ~F.lower(trimmed).contains(m.lower())
+        return ok
+
+    kept = F.filter("_l", _line_ok)
+    s2 = staged.select(
+        F.col(id_col), "_raw",
+        F.size("_l").alias("_nl"),
+        F.transform(kept, lambda ln: F.trim(ln)).alias("_k"))
+    cleaned = F.array_join("_k", "\n")
+    n_sent = F.size(F.regexp_extract_all(
+        cleaned, F.lit(r'[.!?"]'), 0))
+    doc_ok = n_sent >= min_sentences
+    for m in drop_doc_markers:
+        doc_ok = doc_ok & ~F.lower(F.coalesce(F.col("_raw"), F.lit("")))\
+            .contains(m.lower())
+    return s2.select(
+        F.col(id_col),
+        cleaned.alias(text_col),
+        F.size("_k").cast("long").alias("n_lines_kept"),
+        (F.col("_nl") - F.size("_k")).cast("long")
+        .alias("n_lines_dropped"),
+        n_sent.cast("long").alias("n_sentences"),
+        doc_ok.alias("c4_keep"))
