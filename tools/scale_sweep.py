@@ -351,6 +351,7 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
                 F.lit("</p></html>"))))),
             ("code_stats", lambda: code.with_code_stats(d, "text")),
             ("gopher_rules", lambda: quality.gopher_rules(d)),
+            ("c4_clean", lambda: quality.c4_clean(d)),
             # score normalization, global path: one histogram profile
             # pass + a broadcast-literal CDF map (no global window)
             ("normalize_scores", lambda: quality.normalize_scores(
