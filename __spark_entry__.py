@@ -3395,12 +3395,16 @@ kcum AS (SELECT item,
            sum(kc * (1::BIGINT << level::INT)) OVER (ORDER BY item) AS cum,
            n
          FROM ksurv),
+ktot AS (SELECT max(cum) AS tot FROM kcum),
 kq AS (
+  -- target capped at the survivors' total estimated weight (mirrors
+  -- kll_quantiles: compaction can leave tot < n, and an uncapped
+  -- ceil(q*n) target would silently drop near-1 quantiles)
   SELECT
-    (SELECT min(item) FROM kcum
-      WHERE cum >= greatest(1, ceil(0.5 * n))) AS kll_p50,
-    (SELECT min(item) FROM kcum
-      WHERE cum >= greatest(1, ceil(0.99 * n))) AS kll_p99),
+    (SELECT min(item) FROM kcum, ktot
+      WHERE cum >= greatest(1, least(ceil(0.5 * n), tot))) AS kll_p50,
+    (SELECT min(item) FROM kcum, ktot
+      WHERE cum >= greatest(1, least(ceil(0.99 * n), tot))) AS kll_p99),
 bkh AS (
   SELECT DISTINCT o_custkey::VARCHAR AS key,
     ('0x' || substr(md5('bk|' || o_custkey::VARCHAR), 1, 15))::BIGINT AS h

@@ -391,7 +391,11 @@ def verify_quantile_profile(
     quantile_disc-style element, whose true rank is within q·n ± the
     profile's error bound — size ``k`` so that slack is below the
     gate's tolerance. Only ``quantile_between`` checks are accepted
-    (other kinds need the data; run them in the landing pass)."""
+    (other kinds need the data; run them in the landing pass).
+    Build the profile of a CONTINUOUS column with
+    ``drift.quantile_profile(..., sharded=True)`` (the plain build
+    holds a column's whole distinct-value set in one window
+    partition); this gate consumes either build unchanged."""
     from .sketch import kll_quantiles
 
     if not checks:

@@ -43,7 +43,8 @@ from pyspark.sql.window import Window
 __all__ = ["histogram_profile", "psi_report", "psi_drift",
            "category_profile", "psi_cat_drift",
            "merge_profiles", "merge_category_profiles", "ks_from_profiles",
-           "profile_quantiles"]
+           "profile_quantiles", "quantile_profile",
+           "quantiles_from_profile"]
 
 #: NULL values get their own bucket id — nullness drift is drift.
 NULL_BUCKET = -1
@@ -102,10 +103,16 @@ def histogram_profile(
             F.greatest(F.lit(0), F.floor(
                 (F.col("value") - F.col("lo")) / width).cast("int"))))
     )
+    # the build-time bin count travels IN the frame: empty trailing
+    # buckets are invisible in the rows, so a consumer re-deriving the
+    # count from max(bucket)+1 would recompute the width too wide and
+    # silently misalign every bucket (the normalize_scores regression) —
+    # persisted profiles must carry their own binning
     return (long.withColumn("bucket", bucket)
             .groupBy("column", "bucket")
             .agg(F.count(F.lit(1)).alias("cnt"),
-                 F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+                 F.first("lo").alias("lo"), F.first("hi").alias("hi"))
+            .withColumn("n_bins", F.lit(n_bins)))
 
 
 def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
@@ -127,25 +134,31 @@ def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
     u = profiles[0]
     for p in profiles[1:]:
         u = u.unionByName(p)
+    # binning consistency check covers n_bins too when the frames carry
+    # it (current builds do; hand-built legacy frames may not)
+    has_nb = "n_bins" in u.columns
+    sel = ["column", "lo", "hi"] + (["n_bins"] if has_nb else [])
     bad = [r["column"] for r in
-           u.select("column", "lo", "hi").distinct()
+           u.select(*sel).distinct()
            .groupBy("column").agg(F.count(F.lit(1)).alias("nb"))
            .where(F.col("nb") > 1).collect()]
     if bad:
         raise ValueError(
             f"inconsistent bounds across shards for columns {sorted(bad)}; "
-            "profile shards with the same explicit bounds= to make them "
-            "mergeable")
-    return (u.groupBy("column", "bucket")
-            .agg(F.sum("cnt").alias("cnt"),
-                 F.first("lo").alias("lo"), F.first("hi").alias("hi")))
+            "profile shards with the same explicit bounds= (and n_bins=) "
+            "to make them mergeable")
+    aggs = [F.sum("cnt").alias("cnt"),
+            F.first("lo").alias("lo"), F.first("hi").alias("hi")]
+    if has_nb:
+        aggs.append(F.first("n_bins").alias("n_bins"))
+    return u.groupBy("column", "bucket").agg(*aggs)
 
 
 def profile_quantiles(
     profile: DataFrame,
     quantiles: list[float],
     *,
-    n_bins: int = 10,
+    n_bins: int | None = None,
 ) -> DataFrame:
     """Approximate quantiles FROM a ``histogram_profile`` frame —
     (column, q, value), linearly interpolated inside the containing
@@ -171,13 +184,18 @@ def profile_quantiles(
     if bad:
         raise ValueError(f"quantiles must be in [0, 1]: {bad}")
     p = profile.where(F.col("bucket") != NULL_BUCKET)
+    # the frame's own build-time bin count is authoritative when it
+    # carries one (histogram_profile persists it); n_bins= is the
+    # fallback for hand-built legacy frames (default 10)
+    nb_expr = (F.col("n_bins").cast("double")
+               if "n_bins" in profile.columns
+               else F.lit(float(n_bins if n_bins is not None else 10)))
     w = (Window.partitionBy("column").orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, 0))
     wt = Window.partitionBy("column")
     cum = (p.withColumn("cum", F.sum("cnt").over(w))
            .withColumn("total", F.sum("cnt").over(wt))
-           .withColumn("width",
-                       (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))))
+           .withColumn("width", (F.col("hi") - F.col("lo")) / nb_expr))
     outs = []
     for q in quantiles:
         target = F.col("total") * F.lit(float(q))
@@ -208,6 +226,8 @@ def quantile_profile(
     *,
     k: int = 256,
     group_cols: list[str] | None = None,
+    sharded: bool = False,
+    n_shards: int = 32,
 ) -> DataFrame:
     """The BOUND-FREE numeric profile: a mergeable KLL quantile sketch
     (``sketch.kll_profile``) of each column. ``histogram_profile`` needs
@@ -217,9 +237,24 @@ def quantile_profile(
     so it is the right profile when bounds are unknown or drifting
     (exactly when you are profiling for drift). Query with
     ``quantiles_from_profile`` / ``sketch.kll_ranks``; fold shards with
-    ``sketch.merge_kll``."""
+    ``sketch.merge_kll``.
+
+    **Scale knob**: the plain build's cumulative window holds one
+    column's ENTIRE distinct-value set in one partition — fine for
+    bounded-cardinality columns (lengths, counts), a single-task
+    serialization for a CONTINUOUS double (score drift — exactly this
+    gate's use case) at corpus scale. Pass ``sharded=True`` to route
+    through ``sketch.kll_profile_sharded``: values are salted by their
+    own hash into ``n_shards`` window partitions (~distinct/n_shards
+    state each) and the shard profiles folded with ``merge_kll`` —
+    same frame schema, same rank-error contract (the summed shard errs
+    are carried exactly in ``err``), deterministic regardless of input
+    partitioning. Profile continuous columns with ``sharded=True``."""
     from . import sketch
 
+    if sharded:
+        return sketch.kll_profile_sharded(
+            df, cols, k=k, n_shards=n_shards, group_cols=group_cols)
     return sketch.kll_profile(df, cols, k=k, group_cols=group_cols)
 
 
@@ -268,11 +303,22 @@ def psi_report(
 
     Operates purely on the tiny profiles: a full-outer join on
     (column, bucket) then one groupBy — kilobytes at any corpus scale."""
-    B = float(n_buckets if n_buckets is not None else n_bins + 1)
-    o = old_profile.select("column", "bucket",
-                           F.col("cnt").alias("old_cnt"))
-    n = new_profile.select("column", "bucket",
-                           F.col("cnt").alias("new_cnt"))
+    # Laplace denominator: explicit n_buckets wins (categorical path);
+    # else the profiles' own persisted n_bins when both carry it (a
+    # profile built with 20 bins compared under the default-10
+    # denominator would silently mis-smooth); else the n_bins param
+    has_nb = (n_buckets is None and "n_bins" in old_profile.columns
+              and "n_bins" in new_profile.columns)
+    o = old_profile.select(
+        "column", "bucket", F.col("cnt").alias("old_cnt"),
+        *([F.col("n_bins").alias("_nb_o")] if has_nb else []))
+    n = new_profile.select(
+        "column", "bucket", F.col("cnt").alias("new_cnt"),
+        *([F.col("n_bins").alias("_nb_n")] if has_nb else []))
+    if has_nb:
+        B = (F.coalesce("_nb_o", "_nb_n").cast("double") + F.lit(1.0))
+    else:
+        B = F.lit(float(n_buckets if n_buckets is not None else n_bins + 1))
     joined = (
         o.join(n, ["column", "bucket"], "full_outer")
         .fillna(0, subset=["old_cnt", "new_cnt"])
@@ -287,9 +333,9 @@ def psi_report(
          .withColumn("old_rows", F.sum("old_cnt").over(w))
          .withColumn("new_rows", F.sum("new_cnt").over(w)))
     p = (F.col("old_cnt") + F.lit(alpha)) / \
-        (F.col("old_rows") + F.lit(alpha * B))
+        (F.col("old_rows") + F.lit(alpha) * B)
     q = (F.col("new_cnt") + F.lit(alpha)) / \
-        (F.col("new_rows") + F.lit(alpha * B))
+        (F.col("new_rows") + F.lit(alpha) * B)
     contrib = (p - q) * (F.log(p) - F.log(q))
     return (j.withColumn("contrib", contrib)
             .groupBy("column")
@@ -462,15 +508,25 @@ def ks_from_profiles(
             .join(profile_b.where(F.col("item").isNull())
                   .select(*keys, F.col("n").alias("n_b"),
                           F.col("err").alias("err_b")), keys))
+    # ONE row per (keys, item) BEFORE the cumulative window: the same
+    # item can appear as multiple rows (profile_a vs profile_b sides,
+    # or the same value surviving at different levels), and a partial
+    # cumulative at a tie row would mix ECDF_a(x) with ECDF_b(x-) —
+    # OVERSTATING |d| (two identical discrete corpora with mass 0.5 at
+    # one value would read ks >= 0.5), nondeterministically by row
+    # order. Pre-aggregated, every row carries both sides' complete
+    # contribution at that support point, matching the reference's
+    # same-point ECDF evaluation (algorithms.go:255-288).
+    per_item = (sa.unionByName(sb)
+                .groupBy(*keys, "item")
+                .agg(F.sum("w_a").alias("w_a"), F.sum("w_b").alias("w_b"),
+                     F.max("tw_a").alias("tw_a"),
+                     F.max("tw_b").alias("tw_b")))
     w = (Window.partitionBy(*keys).orderBy(F.col("item").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = (sa.unionByName(sb)
+    cum = (per_item
            .withColumn("ca", F.sum("w_a").over(w))
            .withColumn("cb", F.sum("w_b").over(w)))
-    # duplicate item values across the two sides: cums are monotone and
-    # the row where both sides' contributions at that item are complete
-    # exists, so partial rows only understate |d| at points the complete
-    # row also evaluates - the max is unaffected
     d = F.abs(F.col("ca") / F.col("n_a") - F.col("cb") / F.col("n_b"))
     out = (cum.join(F.broadcast(meta), keys)
            .groupBy(*keys)

@@ -139,7 +139,7 @@ def normalize_scores(
     group_col: str | None = None,
     profile: DataFrame | None = None,
     bounds: tuple[float, float] | None = None,
-    n_bins: int = 100,
+    n_bins: int | None = None,
     out_col: str | None = None,
 ) -> DataFrame:
     """Rank-normalize a score to [0, 1] so thresholds mean the same
@@ -166,10 +166,11 @@ def normalize_scores(
       persisted CORPUS profile, built once per corpus version — and
       mergeable across shards via ``drift.merge_profiles``) to
       normalize an increment against the whole corpus without
-      rescanning it — ``n_bins`` MUST then equal the profile's
-      build-time bin count (empty trailing buckets are invisible in
-      the frame, so the count cannot be inferred; a mismatch larger
-      than the occupied range raises). Otherwise one profile pass over
+      rescanning it — the profile's persisted ``n_bins`` column is
+      read back as the build-time bin count (empty trailing buckets
+      are invisible in the rows, so it cannot be inferred; passing a
+      conflicting ``n_bins=`` raises). Only hand-built frames lacking
+      the column still need ``n_bins=``. Otherwise one profile pass over
       ``df`` runs here (``bounds=`` pins the bin range, the drift
       comparability contract). Scores at/below the profile's lo map to 0, at/above
       hi to 1, NULLs stay NULL. Resolution is 1/n_bins of the value
@@ -194,14 +195,16 @@ def normalize_scores(
                  .withColumn(out_col, F.lit(None).cast("double")))
         return nn.unionByName(nulls)
     if profile is None:
+        if n_bins is None:
+            n_bins = 100
         profile = drift.histogram_profile(
             df, [score_col], n_bins=n_bins,
             bounds={score_col: bounds} if bounds else None)
+    prows = profile.where(
+        (F.col("column") == score_col) & (F.col("bucket") >= 0)).collect()
     rows = sorted(
         (r["bucket"], int(r["cnt"]), float(r["lo"]), float(r["hi"]))
-        for r in profile.where(
-            (F.col("column") == score_col) & (F.col("bucket") >= 0))
-        .collect())
+        for r in prows)
     if not rows:
         raise ValueError(
             f"profile holds no buckets for column {score_col!r}")
@@ -210,10 +213,25 @@ def normalize_scores(
     # profile built with bounds= (or a corpus profile whose upper range
     # holds no data) leaves trailing buckets empty, and max(bucket)+1
     # would recompute width too wide — every score then maps through
-    # misaligned buckets, silently. ``n_bins`` is the contract: it must
-    # equal the profile's build-time bin count (it does automatically on
-    # the profile-built-here path above).
-    nb = n_bins
+    # misaligned buckets, silently. histogram_profile persists the
+    # build-time count in the frame; it is read back here (and a
+    # conflicting explicit n_bins= raises — BOTH directions, unlike the
+    # top >= nb guard, which cannot see a profile built with FEWER bins
+    # than the passed count). n_bins= remains the contract only for
+    # hand-built legacy frames lacking the column.
+    if "n_bins" in profile.columns:
+        built = {int(r["n_bins"]) for r in prows}
+        if len(built) != 1:
+            raise ValueError(
+                f"profile carries inconsistent n_bins values {sorted(built)} "
+                f"for column {score_col!r}")
+        nb = built.pop()
+        if n_bins is not None and n_bins != nb:
+            raise ValueError(
+                f"profile was built with n_bins={nb} but n_bins={n_bins} "
+                "was passed; drop the argument or pass the build value")
+    else:
+        nb = n_bins if n_bins is not None else 100
     top = max(r[0] for r in rows)
     if top >= nb:
         raise ValueError(

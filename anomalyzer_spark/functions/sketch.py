@@ -661,9 +661,22 @@ def kll_ranks(profile: DataFrame, values: list[float]) -> DataFrame:
 def kll_quantiles(profile: DataFrame, quantiles: list[float]) -> DataFrame:
     """(keys..., column, q, value) — the smallest profiled item whose
     estimated rank reaches ceil(q * n) (quantile_disc semantics over the
-    sketch). The returned value is an actual data element whose TRUE
-    rank is within q*n ± (err + 2**max_level) (pinned) — precision is a
-    build-time choice (k), not a query-time rescan."""
+    sketch). The returned value is an actual data element whose rank
+    INTERVAL covers q*n to within (err + 2**max_level) (pinned):
+    an element duplicated m times occupies ranks
+    [bisect_left(v)+1, bisect_right(v)], so the guarantee is
+    dist(q*n, [bisect_left(v), bisect_right(v)]) <= err + top weight —
+    NOT |bisect_right(v) - q*n| <= ..., which an exactly-correct answer
+    under duplicates can violate by up to m (e.g. the median of
+    [0, 0, 0]: bisect_right = 3 vs q*n = 1.5, yet 0.0 IS the median;
+    the r13 hypothesis falsifier, pinned in tests/test_kll.py).
+    Precision is a build-time choice (k), not a query-time rescan.
+
+    The rank target is capped at the sketch's total estimated weight:
+    compaction survivors total m*ceil((n-o)/m) which can undershoot n
+    by up to m-1, so an uncapped ceil(q*n) target at q=1.0 could exceed
+    every cumulative weight and silently drop the row — with the cap,
+    every requested quantile yields a row (q=1.0 -> the max item)."""
     from pyspark.sql.window import Window
 
     for q in quantiles:
@@ -674,16 +687,19 @@ def kll_quantiles(profile: DataFrame, quantiles: list[float]) -> DataFrame:
     sv = profile.where(F.col("item").isNotNull()).select(
         *keys, "level", "item", "cnt")
     meta = profile.where(F.col("item").isNull()).select(*keys, "n")
+    wexpr = "cnt * shiftleft(cast(1 as bigint), level)"
+    tot = sv.groupBy(*keys).agg(F.sum(F.expr(wexpr)).alias("_tot"))
     w = (Window.partitionBy(*keys).orderBy(F.col("item").asc())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    cum = sv.withColumn(
-        "_cum", F.sum(F.expr(
-            "cnt * shiftleft(cast(1 as bigint), level)")).over(w))
+    cum = sv.withColumn("_cum", F.sum(F.expr(wexpr)).over(w))
     qs = spark.createDataFrame([(float(q),) for q in quantiles],
                                "q double")
-    target = F.greatest(F.lit(1).cast("long"),
-                        F.ceil(F.col("q") * F.col("n")).cast("long"))
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.least(F.ceil(F.col("q") * F.col("n")).cast("long"),
+                F.col("_tot")))
     return (cum.join(F.broadcast(meta), keys)
+            .join(F.broadcast(tot), keys)
             .join(F.broadcast(qs))
             .where(F.col("_cum") >= target)
             .groupBy(*keys, "q")
@@ -819,11 +835,18 @@ def bottomk_jaccard(
     w = Window.partitionBy(*keys).orderBy(F.col("h").asc())
     top = both.withColumn("_rnk", F.row_number().over(w)) \
         .where(F.col("_rnk") <= k)
+    # a column profiled on only ONE side is OMITTED (docstring contract;
+    # a j_est of 0.0 would be indistinguishable from a genuinely
+    # disjoint pair and read as a false "no overlap") — the full_outer
+    # keeps its rows, so filter groups where either side never appeared
     return (top.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("k_used"),
         F.sum(F.when(F.col("_in_a").isNotNull()
                      & F.col("_in_b").isNotNull(), 1).otherwise(0))
-        .alias("n_shared"))
+        .alias("n_shared"),
+        F.max("_in_a").alias("_any_a"),
+        F.max("_in_b").alias("_any_b"))
+        .where(F.col("_any_a").isNotNull() & F.col("_any_b").isNotNull())
         .select(*keys,
                 F.round(F.col("n_shared") / F.col("k_used"), 6)
                 .alias("j_est"),
@@ -855,6 +878,25 @@ def kll_profile_sharded(
     Choose this over ``kll_profile`` when the profiled column is
     continuous; the sweep's kll_profile cell (crc32 values) is the
     worst case it exists for."""
+    return merge_kll(
+        [_kll_shard_profiles(df, cols, k=k, n_shards=n_shards,
+                             group_cols=group_cols)], k=k)
+
+
+def _kll_shard_profiles(
+    df: DataFrame,
+    cols: list[str],
+    *,
+    k: int,
+    n_shards: int,
+    group_cols: list[str] | None,
+) -> DataFrame:
+    """The pre-merge stage of ``kll_profile_sharded``: per-(salt, keys)
+    shard profiles in merge_kll's input shape (salt already folded out
+    of the key set). Exposed separately because merge_kll's eager
+    checkpoints truncate lineage — the bounded-per-task-window contract
+    (the window partition key carries the value-hash salt) is
+    plan-pinned on THIS frame (tests/test_plans.py)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
     group_cols = list(group_cols or [])
@@ -880,11 +922,10 @@ def kll_profile_sharded(
               .withColumnRenamed("item", "_kll_item"),
         ["_kll_item"],
         k=k, group_cols=group_cols + ["_kll_salt", "_kll_col"])
-    # fold the shard profiles: drop the salt, restore the column name,
-    # and merge (the union of shard profiles IS merge_kll's input shape)
-    renamed = (prof.drop("column")  # the literal '_kll_item' label
-               .withColumnRenamed("_kll_col", "column")
-               .drop("_kll_salt")
-               .select(*group_cols, "column", "level", "item", "cnt",
-                       "n", "err"))
-    return merge_kll([renamed], k=k)
+    # fold the shard profiles: drop the salt, restore the column name —
+    # the union of shard profiles IS merge_kll's input shape
+    return (prof.drop("column")  # the literal '_kll_item' label
+            .withColumnRenamed("_kll_col", "column")
+            .drop("_kll_salt")
+            .select(*group_cols, "column", "level", "item", "cnt",
+                    "n", "err"))

@@ -84,6 +84,25 @@ def test_jaccard_exact_below_k_and_estimates_above(spark):
     assert small["n_est"] == 30.0
 
 
+def test_jaccard_omits_one_sided_columns(spark):
+    """ADVICE r13 regression: a column profiled on only ONE side must be
+    OMITTED (docstring contract), not emitted as j_est=0.0 — that would
+    be indistinguishable from a genuinely disjoint pair and read as a
+    false 'no overlap' for a merely-unprofiled column."""
+    a = spark.createDataFrame([(f"x{i}", f"y{i}") for i in range(20)],
+                              "a string, b string")
+    pa = sketch.bottomk_profile(a, ["a", "b"], k=64)
+    pb = sketch.bottomk_profile(a, ["a"], k=64)  # b unprofiled on side B
+    rows = sketch.bottomk_jaccard(pa, pb, k=64).collect()
+    assert {r["column"] for r in rows} == {"a"}
+    assert rows[0]["j_est"] == pytest.approx(1.0)
+    # a genuinely disjoint shared column still reports j_est = 0.0
+    c = spark.createDataFrame([(f"z{i}",) for i in range(20)], "a string")
+    rd = sketch.bottomk_jaccard(
+        pb, sketch.bottomk_profile(c, ["a"], k=64), k=64).collect()
+    assert len(rd) == 1 and rd[0]["j_est"] == 0.0
+
+
 @given(st.sets(st.integers(min_value=0, max_value=200),
                min_size=1, max_size=120))
 @settings(max_examples=6, deadline=None)

@@ -146,12 +146,67 @@ def test_rank_guarantee_hypothesis(spark, xs):
     for r in sketch.kll_ranks(prof, [float(p) for p in probes]).collect():
         true = bisect.bisect_right(sxs, r["value"])
         assert abs(r["est_rank"] - true) <= r["err"], (r, xs)
-    # quantile element lands within q*n ± (err + top weight)
+    # quantile element's rank INTERVAL covers q*n within err + top
+    # weight — an element duplicated m times occupies ranks
+    # [bisect_left+1, bisect_right], so distance is measured to the
+    # interval, not to the strict bisect_right rank (which an
+    # exactly-correct answer can "violate" by m; see [0,0,0] below)
     top_w = max((2 ** r["level"] for r in rows if r["item"] is not None),
                 default=1)
     for r in sketch.kll_quantiles(prof, [0.5, 0.9]).collect():
-        true = bisect.bisect_right(sxs, r["value"])
-        assert abs(true - r["q"] * n) <= err + top_w, (r, xs)
+        assert _interval_dist(sxs, r["value"], r["q"] * n) \
+            <= err + top_w, (r, xs)
+
+
+def _interval_dist(sorted_xs, value, target):
+    """Distance from target to the element's rank interval
+    [bisect_left(v), bisect_right(v)] (0 when inside)."""
+    lo = bisect.bisect_left(sorted_xs, value)
+    hi = bisect.bisect_right(sorted_xs, value)
+    return max(lo - target, target - hi, 0.0)
+
+
+def test_quantile_guarantee_duplicates_regression(spark):
+    """The r13 falsifier of the old strict-rank statement: on [0,0,0]
+    the sketch's median 0.0 is EXACTLY correct, but bisect_right = 3 vs
+    q*n = 1.5 — the interval contract is the standard KLL statement
+    under duplicates. Pinned non-hypothesis so it always replays."""
+    for xs in ([0, 0, 0], [0] * 400, [0] * 399 + [7], [5] * 50 + [9] * 50):
+        df = spark.createDataFrame([(x,) for x in xs], "a long")
+        prof = sketch.kll_profile(df, ["a"], k=16)
+        rows = prof.collect()
+        (n, err), = _meta(rows)
+        top_w = max((2 ** r["level"] for r in rows
+                     if r["item"] is not None), default=1)
+        sxs = sorted(xs)
+        got = sketch.kll_quantiles(prof, [0.5, 0.9, 1.0]).collect()
+        # q=1.0 never dropped even when compaction survivors total < n
+        assert {r["q"] for r in got} == {0.5, 0.9, 1.0}, xs
+        for r in got:
+            assert _interval_dist(sxs, r["value"], r["q"] * n) \
+                <= err + top_w, (r, xs)
+
+
+def test_quantile_q1_capped_at_total_weight(spark):
+    """ADVICE r13: a compacted profile's survivors total m*ceil((n-o)/m)
+    which can undershoot n — q=1.0 (explicitly allowed) must still
+    return a row (the max item), and verify_quantile_profile must not
+    report value NULL for it."""
+    df = spark.createDataFrame([(float(i),) for i in range(5000)],
+                               "a double")
+    prof = sketch.kll_profile(df, ["a"], k=16)  # heavy compaction
+    got = {r["q"]: r["value"] for r in
+           sketch.kll_quantiles(prof, [1.0]).collect()}
+    assert 1.0 in got and got[1.0] is not None
+    # the q=1.0 element is the sketch's max item
+    mx = max(r["item"] for r in prof.collect() if r["item"] is not None)
+    assert got[1.0] == mx
+    # the same drop hits the gate for q < 1: ceil(0.999*5000) = 4995
+    # can exceed the survivors' total (as low as n - m + 1) — capped,
+    # the gate must report a real value, never NULL/failed
+    rep = checks.verify_quantile_profile(
+        prof, [checks.quantile_between("a", 0.999, 0.0, 10000.0)]).collect()
+    assert rep[0]["value"] is not None and rep[0]["passed"] is True
 
 
 def test_grouped_profile_matches_sliced(spark):
@@ -243,6 +298,51 @@ def test_ks_from_profiles(spark):
     assert rid["ks_stat"] <= rid["ks_bound"]
     # the shifted pair reads clearly above the identical pair
     assert r64["ks_stat"] > 3 * rid["ks_stat"] or rid["ks_stat"] == 0.0
+
+
+def test_ks_from_profiles_discrete_ties(spark):
+    """ADVICE r13 regression: cross-side ties. The same item value
+    appears as rows from BOTH profiles (and can survive at different
+    levels); a partial cumulative at a tie row mixed ECDF_a(x) with
+    ECDF_b(x-), overstating |d| — two IDENTICAL discrete corpora with
+    mass 0.5 at one value read ks >= 0.5. Pre-aggregated per item, the
+    exact regime is exactly 0 for identical corpora and exactly the
+    true KS for shifted discrete ones."""
+    xs = [0.0] * 500 + [1.0] * 500
+    fa = spark.createDataFrame([(v,) for v in xs], "x double")
+    pa = sketch.kll_profile(fa, ["x"], k=2048)
+    pb = sketch.kll_profile(fa, ["x"], k=2048)
+    r = drift.ks_from_profiles(pa, pb).collect()[0]
+    # stat exactly 0; the bound keeps its support-resolution term
+    # (err 0 + top weight 1)/n per side even in the exact regime
+    assert r["ks_stat"] == 0.0
+    assert r["ks_bound"] == pytest.approx(2 / 1000, abs=1e-9)
+    # shifted discrete: A = {0:500, 1:500}, B = {0:200, 1:800};
+    # true KS = |0.5 - 0.2| = 0.3 at x=0 — exact in the err-0 regime
+    ys = [0.0] * 200 + [1.0] * 800
+    fb = spark.createDataFrame([(v,) for v in ys], "x double")
+    pb2 = sketch.kll_profile(fb, ["x"], k=2048)
+    r2 = drift.ks_from_profiles(pa, pb2).collect()[0]
+    assert r2["ks_stat"] == pytest.approx(0.3, abs=1e-6)
+    # compacted regime with heavy ties: |stat - true| <= bound still
+    random.seed(43)
+    zs = [float(random.randint(0, 5)) for _ in range(2000)]
+    ws = [float(random.randint(1, 6)) for _ in range(2000)]
+    fz = spark.createDataFrame([(v,) for v in zs], "x double")
+    fw = spark.createDataFrame([(v,) for v in ws], "x double")
+    pz = sketch.kll_profile(fz, ["x"], k=16)
+    pw = sketch.kll_profile(fw, ["x"], k=16)
+    rz = drift.ks_from_profiles(pz, pw).collect()[0]
+    sz, sw = sorted(zs), sorted(ws)
+    true = max(abs(bisect.bisect_right(sz, p) / len(sz)
+                   - bisect.bisect_right(sw, p) / len(sw))
+               for p in sorted(set(sz) | set(sw)))
+    assert abs(rz["ks_stat"] - true) <= rz["ks_bound"]
+    # determinism under repartitioning (the old partial-row mix was
+    # row-order-dependent)
+    rz2 = drift.ks_from_profiles(
+        pz.repartition(13), pw.repartition(7)).collect()[0]
+    assert rz2["ks_stat"] == rz["ks_stat"]
 
 
 def test_sharded_build_guarantee_and_determinism(spark):

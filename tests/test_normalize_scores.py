@@ -114,6 +114,27 @@ def test_profile_with_empty_upper_range(spark):
         quality.normalize_scores(docs, "s", profile=prof, n_bins=40)
 
 
+def test_profile_built_with_fewer_bins_is_read_back(spark):
+    """ADVICE r13: a profile built with FEWER bins than the passed (or
+    old default 100) count used to pass the top >= nb guard and
+    silently misalign every bucket width. The persisted n_bins column
+    is now authoritative; a conflicting explicit n_bins= raises in
+    BOTH directions."""
+    docs = spark.createDataFrame(
+        [(i, i / 100.0) for i in range(101)], "doc_id long, s double")
+    prof = drift.histogram_profile(docs, ["s"], n_bins=50,
+                                   bounds={"s": (0.0, 1.0)})
+    got = {r["doc_id"]: r["s_norm"] for r in quality.normalize_scores(
+        docs, "s", profile=prof).collect()}
+    fresh = {r["doc_id"]: r["s_norm"] for r in quality.normalize_scores(
+        docs, "s", bounds=(0.0, 1.0), n_bins=50).collect()}
+    assert got == fresh
+    assert got[50] == pytest.approx(0.5, abs=0.03)
+    # larger-than-build count now raises instead of misaligning
+    with pytest.raises(ValueError, match="n_bins"):
+        quality.normalize_scores(docs, "s", profile=prof, n_bins=100)
+
+
 def test_null_and_degenerate_semantics(spark):
     df = spark.createDataFrame(
         [(1, "a", 5.0), (2, "a", 7.0), (3, "a", None),

@@ -452,6 +452,43 @@ def test_round13_sketch_plans(spark, sf_dir):
     assert_plan(ks, forbids=("CartesianProduct",))
 
 
+def test_quantile_profile_sharded_gate_plan(spark, sf_dir):
+    """r13 verdict: the drift/checks gate surface must reach the
+    continuous-column KLL scale path. quantile_profile(sharded=True)
+    routes through kll_profile_sharded — the distinct-value window is
+    partitioned by the value-hash salt (bounded ~distinct/n_shards
+    per-task state), never one partition per column."""
+    from anomalyzer_spark.functions import checks, drift, sketch
+    d = load_table(spark, sf_dir, "documents")
+    # the pre-merge stage carries the salt in the window partition key
+    # (merge_kll's eager checkpoints truncate lineage, so the pin lives
+    # on the seam frame the sharded build feeds into merge_kll)
+    shard = sketch._kll_shard_profiles(
+        d.select("n_chars"), ["n_chars"], k=64, n_shards=8,
+        group_cols=None)
+    plan = assert_plan(shard, forbids=("CartesianProduct",
+                                       "BroadcastNestedLoop"))
+    assert "_kll_salt" in plan  # the window partition key carries the salt
+    # plain build for comparison: no salt anywhere in the plan
+    plain = drift.quantile_profile(d.select("n_chars"), ["n_chars"], k=64)
+    assert "_kll_salt" not in assert_plan(plain)
+    # gate routing: quantile_profile(sharded=True) IS the sharded build
+    prof = drift.quantile_profile(d.select("n_chars"), ["n_chars"],
+                                  k=64, sharded=True, n_shards=8)
+    want = sketch.kll_profile_sharded(d.select("n_chars"), ["n_chars"],
+                                      k=64, n_shards=8)
+    def _key(t):
+        return tuple((x is None, x) for x in t)
+
+    assert sorted(map(tuple, prof.collect()), key=_key) \
+        == sorted(map(tuple, want.collect()), key=_key)
+    # composition: the mergeable quantile gate runs off the sharded
+    # profile unchanged (same frame schema and error contract)
+    rep = checks.verify_quantile_profile(prof, [
+        checks.quantile_between("n_chars", 0.5, 0.0, 1e9)]).collect()
+    assert rep[0]["passed"] is True and rep[0]["value"] is not None
+
+
 def test_decontam_dual_lane_plan(spark, sf_dir):
     """The decontam slot's two lanes (plain + bloom-prefiltered) must
     both be broadcast equi-joins — no cartesian, no nested-loop, and
