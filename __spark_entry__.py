@@ -263,15 +263,47 @@ def q_text_profile(spark, sf_dir):
     dedup.simhash_col — the map-only expression the retired ``simhash``
     slot computed; that slot's n_words output stays hashed as this
     profile's ``norm_words``, same normalized-word split) so the rotation
-    to semantic_pairs keeps the signature under a driver value hash."""
+    to semantic_pairs keeps the signature under a driver value hash.
+
+    Round-14 riders (the r13 verdict's top attestation gap — both are
+    curate() gates whose thresholds silently reshape corpora): the seven
+    Gopher/MassiveText rule metrics + the AND gate
+    (quality.gopher_rules, published defaults) ride as ``gph_*``, and
+    the C4 line-level cleaner (quality.c4_clean) rides as the cleaned
+    text's md5 + kept/dropped/sentence counts + doc gate ``c4_*`` — the
+    DuckDB oracle replays every rule (the pytest parity SQL from
+    tests/test_gopher_rules.py / test_c4_clean.py, verbatim semantics).
+    Per-rule boolean flips on planted violators stay pytest-pinned; the
+    value hash here attests the exact metric arithmetic and both gates
+    over the fixture corpus. The two extra doc_id joins exist for
+    oracle coverage, not as pipeline shape (the FFD-rider precedent)."""
     from anomalyzer_spark.functions import dedup as _dedup
+    from anomalyzer_spark.functions import quality as _quality
     d = _docs(spark, sf_dir)
     out = text.text_profile(
         d, "text", "doc_id",
         extra={"simhash32": _dedup.simhash_col(F.col("text"))})
-    return out.withColumn("norm_len", F.col("norm_len").cast("long")) \
+    out = out.withColumn("norm_len", F.col("norm_len").cast("long")) \
         .withColumn("ws_tokens", F.col("ws_tokens").cast("long")) \
         .withColumn("lex_tokens", F.col("lex_tokens").cast("long"))
+    gph = _quality.gopher_rules(d).select(
+        "doc_id",
+        F.col("n_words").alias("gph_n_words"),
+        F.col("mean_word_len").alias("gph_mean_word_len"),
+        F.col("symbol_word_ratio").alias("gph_symbol_word_ratio"),
+        F.col("bullet_line_ratio").alias("gph_bullet_line_ratio"),
+        F.col("ellipsis_line_ratio").alias("gph_ellipsis_line_ratio"),
+        F.col("alpha_word_ratio").alias("gph_alpha_word_ratio"),
+        F.col("n_stop_words").alias("gph_n_stop_words"),
+        F.col("gopher_pass").alias("gph_pass"))
+    c4 = _quality.c4_clean(d).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("c4_text_md5"),
+        F.col("n_lines_kept").alias("c4_lines_kept"),
+        F.col("n_lines_dropped").alias("c4_lines_dropped"),
+        F.col("n_sentences").alias("c4_sentences"),
+        F.col("c4_keep"))
+    return out.join(gph, "doc_id").join(c4, "doc_id")
 
 
 def q_winnow(spark, sf_dir):
@@ -687,19 +719,40 @@ def q_curation_pipeline(spark, sf_dir):
     (ffd_bin, ffd_oversize), with the oracle replaying FFD via a DuckDB
     recursive CTE carrying the per-shard bin-fill list. Production
     callers use the operators separately; the extra pass + doc_id join
-    exist for oracle coverage, not as pipeline shape."""
+    exist for oracle coverage, not as pipeline shape.
+
+    Round-14 riders (closing the r12-family attestation gap — the
+    curate() knobs that change WHICH documents survive): ``nq_lang`` is
+    quality.normalize_scores' grouped percent_rank (the
+    normalize_quality_by path — domain-fair ranking of the sampled
+    docs' redacted-text length within each lang), and ``split`` is
+    sampling.split_train_eval's hash-window label (the eval_fraction
+    path: seed 7, eval_fraction 0.25 over doc_id — the md5 _hash48
+    window). The oracle recomputes the percent_rank and the hash
+    threshold, so the survivor ranking and the split membership both
+    sit under the value hash at both sf."""
     from anomalyzer_spark.functions import packing
+    from anomalyzer_spark.functions import quality as _quality
+    from anomalyzer_spark.functions import sampling as _sampling
     out, samp = _curation_pipeline_core(spark, sf_dir)
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
                                  n_shards=CURATION_SHARDS, seed=42)
+    nq = _quality.normalize_scores(
+        samp.select("doc_id", "lang", F.length("text").alias("q")),
+        "q", id_col="doc_id", group_col="lang", out_col="nq_lang"
+    ).select("doc_id", "nq_lang")
+    spl = _sampling.split_train_eval(
+        samp.select("doc_id"), 0.25, "doc_id", seed=7)
     return out.join(
         bins.select(
             "doc_id", F.col("bin_id").alias("ffd_bin"),
             F.col("oversize").alias("ffd_oversize")),
         "doc_id",
-    ).select("shard", "chunk_id", "doc_id", "lang", "n_pii",
+    ).join(nq, "doc_id").join(spl, "doc_id") \
+     .select("shard", "chunk_id", "doc_id", "lang", "n_pii",
              "n_toks", "start_tok", "chunk_tok_start",
-             "chunk_tok_end", "ffd_bin", "ffd_oversize")
+             "chunk_tok_end", "ffd_bin", "ffd_oversize",
+             "nq_lang", "split")
 
 
 # (q_lsh_topk retired round 9 for q_quality_checks: the hyperplane-LSH
@@ -792,7 +845,16 @@ def q_sketch_stats(spark, sf_dir):
     Round-13 second rider: ``bk_fold`` attests the bottom-k (KMV)
     coordinated sample (sketch.bottomk_profile, k=16, over o_custkey) —
     the DuckDB twin recomputes every member's 60-bit "bk|" hash and the
-    k-smallest cut, folded to a canonical md5 of "h=key" pairs."""
+    k-smallest cut, folded to a canonical md5 of "h=key" pairs.
+
+    Round-14 rider: ``ks2_stat``/``ks2_bound`` attest the KS-from-
+    profiles drift comparator (drift.ks_from_profiles — two kilobyte
+    KLL profiles, never corpora): o_totalprice profiled per o_orderkey
+    parity half (k=32), the per-item pre-aggregated ECDF fold and the
+    deterministic error radius replayed end-to-end in DuckDB (two full
+    batch-build replays + the cumulative |d| max), so a tie-handling or
+    bound regression misses the hash."""
+    from anomalyzer_spark.functions import drift as _drift
     from anomalyzer_spark.functions import sketch
 
     o = load_table(spark, sf_dir, "orders")
@@ -841,12 +903,22 @@ def q_sketch_stats(spark, sf_dir):
               .agg(F.md5(F.concat_ws(",", F.sort_array(F.collect_list(
                   F.concat_ws("=", F.col("h"), F.col("key")))))
                   .cast("binary")).alias("bk_fold")))
+    pa = sketch.kll_profile(
+        o.where(F.col("o_orderkey") % 2 == 0).select("o_totalprice"),
+        ["o_totalprice"], k=32)
+    pb = sketch.kll_profile(
+        o.where(F.col("o_orderkey") % 2 == 1).select("o_totalprice"),
+        ["o_totalprice"], k=32)
+    ks_row = _drift.ks_from_profiles(pa, pb).select(
+        F.col("ks_stat").alias("ks2_stat"),
+        F.col("ks_bound").alias("ks2_bound"))
     return (sk.join(ex, "o_orderpriority")
             .crossJoin(F.broadcast(hll_row))
             .crossJoin(F.broadcast(mg_row))
             .crossJoin(F.broadcast(kll_row))
             .crossJoin(F.broadcast(kq_row))
             .crossJoin(F.broadcast(bk_row))
+            .crossJoin(F.broadcast(ks_row))
             .select(
                 "o_orderpriority", "n_orders", "n_cust_exact",
                 (F.abs(F.col("_apx") - F.col("n_cust_exact"))
@@ -854,6 +926,7 @@ def q_sketch_stats(spark, sf_dir):
                 "p50_totalprice",
                 "hll_reg_fold", "hll_occupied", "mg_fold",
                 "kll_fold", "kll_p50", "kll_p99", "bk_fold",
+                "ks2_stat", "ks2_bound",
             ))
 
 
@@ -1176,7 +1249,17 @@ def q_decontam(spark, sf_dir):
     the corpus word arrays between the lanes via an eager
     train_words_col checkpoint was measured 5% SLOWER at fixture scale
     — per-repeat checkpoint materialization costs more than the one
-    regex pass it saves; both lanes shingle from text.)"""
+    regex pass it saves; both lanes shingle from text.)
+
+    Round-14 rider: the MULTI-SUITE lane (eval_suite_col — K benchmark
+    suites screened in ONE corpus pass, the per-suite report) joins in
+    as ``ms_{a,b}_*`` columns: the eval set is split into two suites
+    by doc_id parity of the eval index (% 194 = suite A), the
+    per-(doc, suite) rows pivoted to columns, so the suite-tagged gram
+    join and per-suite aggregation sit under the value hash (pytest
+    already pins per-(doc,suite) ≡ K separate calls; this hashes it).
+    The suite lane re-shingles the corpus (third pass) — the same
+    documented attestation price class as the Bloom lane."""
     from anomalyzer_spark.functions import bloom as bloom_mod
     from anomalyzer_spark.functions import decontam
     from anomalyzer_spark.functions.decontam import _grams
@@ -1192,7 +1275,18 @@ def q_decontam(spark, sf_dir):
         *[F.col(c).alias(f"bl_{c}")
           for c in ("n_grams", "n_hit_grams", "n_eval_docs",
                     "contamination")])
-    return plain.join(bl, "doc_id", "full_outer")
+    ev2 = ev.withColumn(
+        "suite", F.when(F.col("doc_id") % 194 == 0, F.lit("sA"))
+        .otherwise(F.lit("sB")))
+    ms = decontam.contamination(d, ev2, n=8, eval_suite_col="suite")
+    ms_p = ms.groupBy("doc_id").agg(*[
+        F.max(F.when(F.col("suite") == s, F.col(c))).alias(
+            f"ms_{s[1].lower()}_{a}")
+        for s in ("sA", "sB")
+        for c, a in (("n_hit_grams", "hits"), ("n_eval_docs", "docs"),
+                     ("contamination", "cont"))])
+    return plain.join(bl, "doc_id", "full_outer") \
+        .join(ms_p, "doc_id", "full_outer")
 
 
 def q_detect_multi_mc(spark, sf_dir):
@@ -2462,13 +2556,33 @@ hits AS (
   SELECT tr.doc_id, any_value(n_grams) AS n_grams,
          count(DISTINCT gram) AS n_hit_grams,
          count(DISTINCT eval_id) AS n_eval_docs
-  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id)
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id),
+mshits AS (
+  SELECT tr.doc_id,
+         CASE WHEN eval_id % 194 = 0 THEN 'sA' ELSE 'sB' END AS suite,
+         any_value(n_grams) AS n_grams,
+         count(DISTINCT gram) AS hit,
+         count(DISTINCT eval_id) AS ed
+  FROM tr JOIN ev USING (gram) GROUP BY tr.doc_id, suite),
+msp AS (
+  SELECT doc_id,
+    max(CASE WHEN suite = 'sA' THEN hit END)::BIGINT AS ms_a_hits,
+    max(CASE WHEN suite = 'sA' THEN ed END)::BIGINT AS ms_a_docs,
+    max(CASE WHEN suite = 'sA' THEN round(hit / n_grams, 6) END)
+      AS ms_a_cont,
+    max(CASE WHEN suite = 'sB' THEN hit END)::BIGINT AS ms_b_hits,
+    max(CASE WHEN suite = 'sB' THEN ed END)::BIGINT AS ms_b_docs,
+    max(CASE WHEN suite = 'sB' THEN round(hit / n_grams, 6) END)
+      AS ms_b_cont
+  FROM mshits WHERE hit >= 1 GROUP BY doc_id)
 SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
        round(n_hit_grams / n_grams, 6) AS contamination,
        n_grams AS bl_n_grams, n_hit_grams AS bl_n_hit_grams,
        n_eval_docs AS bl_n_eval_docs,
-       round(n_hit_grams / n_grams, 6) AS bl_contamination
-FROM hits WHERE n_hit_grams >= 1"""
+       round(n_hit_grams / n_grams, 6) AS bl_contamination,
+       msp.ms_a_hits, msp.ms_a_docs, msp.ms_a_cont,
+       msp.ms_b_hits, msp.ms_b_docs, msp.ms_b_cont
+FROM hits JOIN msp USING (doc_id) WHERE n_hit_grams >= 1"""
 
     # text_pipeline: replays normalize_text (strip C0/C1 + NFC over the
     # planted decomposed accents) -> chunk_windows (size 24 / stride 12)
@@ -3204,15 +3318,29 @@ ffd(shard, rn, doc_id, bin_id, fills) AS (
            CASE WHEN i = {_ffd_fit} THEN x + o.n_toks ELSE x END)
       ELSE list_append(f.fills, o.n_toks) END
   FROM ffd f JOIN orddocs o ON o.shard = f.shard AND o.rn = f.rn + 1),
-fassign AS (SELECT doc_id, bin_id AS ffd_bin FROM ffd)
+fassign AS (SELECT doc_id, bin_id AS ffd_bin FROM ffd),
+nq AS (
+  SELECT doc_id,
+         percent_rank() OVER (PARTITION BY lang ORDER BY length(rtext))
+           AS nq_lang
+  FROM samp),
+spl AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 12))
+                   ::BIGINT < {int(0.25 * (1 << 48))}
+              THEN 'eval' ELSE 'train' END AS split
+  FROM samp)
 SELECT shard::INT AS shard, chunk_id, seg.doc_id, lang, n_pii, n_toks,
   start_tok,
   greatest(chunk_id * {CURATION_CAP}, start_tok) - start_tok
     AS chunk_tok_start,
   least((chunk_id + 1) * {CURATION_CAP}, start_tok + n_toks) - start_tok
     AS chunk_tok_end,
-  ffd_bin, n_toks > {CURATION_CAP} AS ffd_oversize
-FROM seg JOIN fassign ON seg.doc_id = fassign.doc_id"""
+  ffd_bin, n_toks > {CURATION_CAP} AS ffd_oversize,
+  nq.nq_lang, spl.split
+FROM seg JOIN fassign ON seg.doc_id = fassign.doc_id
+JOIN nq ON seg.doc_id = nq.doc_id
+JOIN spl ON seg.doc_id = spl.doc_id"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
@@ -3322,8 +3450,66 @@ FROM lineitem GROUP BY l_returnflag"""
     # sketch stack register-for-register: p=12 -> 48 rank bits (mask
     # 2^48-1), rho via the same integer smear; MG k=3 with the
     # cnt-desc/key-asc tiebreak and the canonical sorted "key=cnt" fold
-    sql["sketch_stats"] = """
-WITH base AS (
+    # ks2 rider: one KLL batch-build replay per o_orderkey parity half
+    # (the kcnt..ksurv pipeline below, parameterized by predicate), then
+    # the per-item pre-aggregated two-ECDF fold of drift.ks_from_profiles
+    def _kll_half_sql(pred: str) -> str:
+        return f"""
+  SELECT * FROM (
+    SELECT j AS level, item,
+      ((start + cnt - o + m - 1) // m) - ((start - o + m - 1) // m) AS kc,
+      n, m - 1 AS err
+    FROM (
+      SELECT *, (1::BIGINT << j) AS m,
+        CASE WHEN j = 0 THEN 0 ELSE
+          list_sum(list_transform(range(0, j), l ->
+            (('0x' || substr(md5('kll|o_totalprice|' || l || '|0'), 1, 15))
+             ::BIGINT % 2) * (1::BIGINT << l::INT)))
+        END AS o
+      FROM (
+        SELECT *, CASE WHEN (n + 31) // 32 <= 1 THEN 0
+          ELSE ceil(log2((n + 31) // 32))::INT END AS j
+        FROM (
+          SELECT item, cnt,
+            coalesce(sum(cnt) OVER (ORDER BY item
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start,
+            sum(cnt) OVER () AS n
+          FROM (SELECT o_totalprice::DOUBLE AS item, count(*) AS cnt
+                FROM orders
+                WHERE o_totalprice IS NOT NULL AND {pred}
+                GROUP BY 1))))) WHERE kc > 0"""
+
+    ks2_ctes = f"""
+ksa AS ({_kll_half_sql('o_orderkey % 2 = 0')}),
+ksb AS ({_kll_half_sql('o_orderkey % 2 = 1')}),
+ksu AS (
+  SELECT item,
+    sum(CASE WHEN side = 0 THEN kc * (1::BIGINT << level::INT)
+             ELSE 0 END) AS wa,
+    sum(CASE WHEN side = 1 THEN kc * (1::BIGINT << level::INT)
+             ELSE 0 END) AS wb
+  FROM (SELECT 0 AS side, * FROM ksa UNION ALL SELECT 1 AS side, * FROM ksb)
+  GROUP BY item),
+kscum AS (
+  SELECT sum(wa) OVER (ORDER BY item) AS ca,
+         sum(wb) OVER (ORDER BY item) AS cb
+  FROM ksu),
+ksm AS (
+  SELECT (SELECT max(n) FROM ksa) AS n_a, (SELECT max(n) FROM ksb) AS n_b,
+         (SELECT max(err) FROM ksa) AS e_a,
+         (SELECT max(err) FROM ksb) AS e_b,
+         (SELECT max(1::BIGINT << level::INT) FROM ksa) AS twa,
+         (SELECT max(1::BIGINT << level::INT) FROM ksb) AS twb),
+ksr AS (
+  SELECT round(max(abs(ca / ksm.n_a - cb / ksm.n_b)), 6) AS ks2_stat,
+         round((ksm.e_a + ksm.twa) / ksm.n_a
+               + (ksm.e_b + ksm.twb) / ksm.n_b, 6) AS ks2_bound
+  FROM kscum CROSS JOIN ksm
+  GROUP BY ksm.n_a, ksm.n_b, ksm.e_a, ksm.e_b, ksm.twa, ksm.twb)"""
+
+    sql["sketch_stats"] = f"""
+WITH {ks2_ctes.strip()},
+base AS (
   SELECT o_orderpriority, count(*) AS n_orders,
     count(DISTINCT o_custkey)::BIGINT AS n_cust_exact,
     true AS hll_within_bound,
@@ -3414,9 +3600,10 @@ bkf AS (
   SELECT md5((SELECT string_agg(h || '=' || key, ',' ORDER BY h || '=' || key)
               FROM bkr WHERE rnk <= 16)) AS bk_fold)
 SELECT b.*, hfold.hll_reg_fold, hfold.hll_occupied, mfold.mg_fold,
-       kfold.kll_fold, kq.kll_p50, kq.kll_p99, bkf.bk_fold
+       kfold.kll_fold, kq.kll_p50, kq.kll_p99, bkf.bk_fold,
+       ksr.ks2_stat, ksr.ks2_bound
 FROM base b CROSS JOIN hfold CROSS JOIN mfold CROSS JOIN kfold
-     CROSS JOIN kq CROSS JOIN bkf"""
+     CROSS JOIN kq CROSS JOIN bkf CROSS JOIN ksr"""
 
     sql["set_ops"] = """
 WITH high AS (SELECT DISTINCT user_id FROM events WHERE value > 300),
@@ -3455,6 +3642,55 @@ FROM carried WHERE tag = 1"""
     # queries): the five per-document text queries and the two multimodal
     # queries merge into text_profile / multimodal; their SQL blocks above
     # become CTE building blocks here and the standalone keys are retired.
+    # round-14 rider CTEs: the Gopher rule metrics + gate and the C4
+    # line cleaner, replayed rule-for-rule (the pytest-parity SQL from
+    # tests/test_gopher_rules.py / test_c4_clean.py over `documents`)
+    gopher_sql = r"""
+  SELECT doc_id,
+    len(w)::BIGINT AS gph_n_words,
+    round(list_sum(list_transform(w, x -> length(x)))::DOUBLE
+          / greatest(len(w), 1), 6) AS gph_mean_word_len,
+    round(nsym / greatest(len(w), 1), 6) AS gph_symbol_word_ratio,
+    round(len(list_filter(l, x -> regexp_matches(x,
+      '^[ \t]*(•|\*|-)')))::DOUBLE / greatest(len(l), 1), 6)
+      AS gph_bullet_line_ratio,
+    round(len(list_filter(l, x -> regexp_matches(x,
+      '(\.\.\.|…)[ \t]*$')))::DOUBLE / greatest(len(l), 1), 6)
+      AS gph_ellipsis_line_ratio,
+    round(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / greatest(len(w), 1), 6) AS gph_alpha_word_ratio,
+    len(list_intersect(list_transform(w, x -> lower(x)),
+        ['the','be','to','of','and','that','have','with']))::INT
+      AS gph_n_stop_words
+  FROM (
+    SELECT doc_id,
+      string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w,
+      string_split(text, chr(10)) AS l,
+      coalesce(len(regexp_extract_all(text, '#|\.\.\.')), 0) AS nsym
+    FROM documents)"""
+    c4_sql = r"""
+  SELECT doc_id,
+    md5(coalesce(array_to_string(kept, chr(10)), '')) AS c4_text_md5,
+    len(kept)::BIGINT AS c4_lines_kept,
+    (nl - len(kept))::BIGINT AS c4_lines_dropped,
+    coalesce(len(regexp_extract_all(
+      coalesce(array_to_string(kept, chr(10)), ''), '[.!?"]')), 0)::BIGINT
+      AS c4_sentences,
+    coalesce(len(regexp_extract_all(
+      coalesce(array_to_string(kept, chr(10)), ''), '[.!?"]')), 0) >= 5
+      AND NOT contains(lower(coalesce(raw, '')), 'lorem ipsum')
+      AND NOT contains(lower(coalesce(raw, '')), '{') AS c4_keep
+  FROM (
+    SELECT doc_id, text AS raw, len(l) AS nl,
+      list_transform(list_filter(l, x ->
+        regexp_matches(trim(x), '[.!?"]$')
+        AND len(string_split_regex(trim(x), '[ \t]+')) >= 3
+        AND NOT contains(lower(trim(x)), 'javascript')),
+        x -> trim(x)) AS kept
+    FROM (SELECT doc_id, text,
+            CASE WHEN text IS NULL THEN []::VARCHAR[]
+                 ELSE string_split(text, chr(10)) END AS l
+          FROM documents))"""
     sql["text_profile"] = f"""
 WITH stats AS ({sql['text_stats']}),
 langs AS ({sql['lang_id']}),
@@ -3463,15 +3699,30 @@ tok AS ({sql['token_count']}),
 rep AS (SELECT doc_id, n_words AS norm_words, n_grams AS norm_grams,
                dup_word_frac, dup_gram_frac, top_gram_share
         FROM ({sql['repetition']})),
-sh AS ({simhash32_sql})
+sh AS ({simhash32_sql}),
+gph AS ({gopher_sql}),
+c4 AS ({c4_sql})
 SELECT stats.*, langs.lang_pred, langs.score_de, langs.score_en,
        langs.score_es, langs.score_fr, langs.score_zh,
        fp.fingerprint, fp.norm_len, tok.ws_tokens, tok.lex_tokens,
        rep.norm_words, rep.norm_grams, rep.dup_word_frac,
-       rep.dup_gram_frac, rep.top_gram_share, sh.simhash32
+       rep.dup_gram_frac, rep.top_gram_share, sh.simhash32,
+       gph.gph_n_words, gph.gph_mean_word_len, gph.gph_symbol_word_ratio,
+       gph.gph_bullet_line_ratio, gph.gph_ellipsis_line_ratio,
+       gph.gph_alpha_word_ratio, gph.gph_n_stop_words,
+       gph.gph_n_words BETWEEN 50 AND 100000
+         AND gph.gph_mean_word_len BETWEEN 3.0 AND 10.0
+         AND gph.gph_symbol_word_ratio <= 0.1
+         AND gph.gph_bullet_line_ratio <= 0.9
+         AND gph.gph_ellipsis_line_ratio <= 0.3
+         AND gph.gph_alpha_word_ratio >= 0.8
+         AND gph.gph_n_stop_words >= 2 AS gph_pass,
+       c4.c4_text_md5, c4.c4_lines_kept, c4.c4_lines_dropped,
+       c4.c4_sentences, c4.c4_keep
 FROM stats
 JOIN langs USING (doc_id) JOIN fp USING (doc_id)
-JOIN tok USING (doc_id) JOIN rep USING (doc_id) JOIN sh USING (doc_id)"""
+JOIN tok USING (doc_id) JOIN rep USING (doc_id) JOIN sh USING (doc_id)
+JOIN gph USING (doc_id) JOIN c4 USING (doc_id)"""
 
     # dhash9x8 rider: rebuild the synthetic PGM pixel bytes (md5 stream,
     # pgm_payload_col spec), then the 64 dHash gradient bits. Pixel

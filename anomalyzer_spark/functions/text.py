@@ -450,9 +450,50 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "url": r"https?://[^\s]+",
     "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    # payment-card candidates: 13-19 digits with optional single
+    # space/dash separators; only LUHN-VALID candidates are redacted
+    # (the checksum runs as a pure column fold, never a UDF) — listed
+    # BEFORE phone so a card is labeled as a card, not a digit run
+    "credit_card": r"\b\d(?:[ -]?\d){12,18}\b",
+    # US-SSN-shaped national id (the C4/Dolma/FineWeb scrubber class);
+    # before phone, which would otherwise eat the same digit run
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     # heuristic: international-ish phone runs, 9+ digits with separators
     "phone": r"\+?\d[\d\- ().]{7,}\d\b",
 }
+
+
+def _luhn_valid(s: Column) -> Column:
+    """Luhn checksum over a candidate span's digits — a pure column
+    fold (reverse digits; double every second; sum the digit sums;
+    total % 10 == 0), Java/RE2-portable and DuckDB-replayable. Also
+    enforces the 13-19 digit card-length window so a separator-padded
+    short run can't sneak through the candidate regex."""
+    digits = F.reverse(F.regexp_replace(s, "[^0-9]", ""))
+    chars = F.split(digits, "")
+    vals = F.transform(
+        chars,
+        lambda c, i: F.when(
+            i % 2 == 1,
+            # doubled digit's digit sum: 2d - 9 when 2d > 9
+            (F.ascii(c) - 48) * 2
+            - F.when((F.ascii(c) - 48) * 2 > 9, F.lit(9)).otherwise(0),
+        ).otherwise(F.ascii(c) - 48))
+    total = F.aggregate(vals, F.lit(0), lambda a, x: a + x)
+    n = F.length(digits)
+    return (n >= 13) & (n <= 19) & (total % 10 == 0)
+
+
+def _redact_luhn(text: Column, pattern: str, token: str) -> Column:
+    """Replace every LUHN-VALID candidate span with ``token``: extract
+    candidates, filter by the checksum fold, then left-fold literal
+    replaces — conditional redaction without a UDF (regexp_replace
+    alone cannot gate on the checksum)."""
+    valid = F.filter(
+        F.regexp_extract_all(text, F.lit(pattern), 0),
+        _luhn_valid)
+    return F.aggregate(
+        valid, text, lambda acc, s: F.replace(acc, s, F.lit(token)))
 
 
 def redact_pii(
@@ -482,6 +523,15 @@ def redact_pii(
     curation wants over-redaction over leakage. Order is fixed and
     documented (``PII_PATTERNS``); outputs are engine-portable (same
     regex subset in Java regex and RE2, DuckDB-parity-tested).
+
+    ``credit_card`` (opt-in, the compliance-review kinds next to
+    ``ssn``) redacts only LUHN-VALID 13-19-digit candidates: the
+    checksum is a pure column fold over the span's digits and the
+    replace is a literal left-fold over the surviving spans — still
+    map-only, zero UDF, DuckDB-replayable (tests/test_pii_luhn.py).
+    A card-shaped run failing the checksum is left for the later
+    ``phone`` pattern to judge. ``n_credit_card`` counts only valid
+    candidates.
     """
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
@@ -492,11 +542,20 @@ def redact_pii(
     cols = [F.col(id_col)]
     if with_counts:
         for k in kinds:
-            cols.append(F.coalesce(_count_re(t, PII_PATTERNS[k]),
-                                   F.lit(0)).alias(f"n_{k}"))
+            if k == "credit_card":
+                cnt = F.size(F.filter(
+                    F.regexp_extract_all(t, F.lit(PII_PATTERNS[k]), 0),
+                    _luhn_valid))
+            else:
+                cnt = _count_re(t, PII_PATTERNS[k])
+            cols.append(F.coalesce(cnt, F.lit(0)).alias(f"n_{k}"))
     red = t
     for k in PII_PATTERNS:  # module order, filtered — order is the spec
-        if k in kinds:
+        if k not in kinds:
+            continue
+        if k == "credit_card":
+            red = _redact_luhn(red, PII_PATTERNS[k], "[CREDIT_CARD]")
+        else:
             red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
     carry = [F.col(c) for c in (carry_cols or [])]
     return df.select(*cols[:1], red.alias(text_col), *cols[1:], *carry)

@@ -78,6 +78,11 @@ class CurationConfig:
     #: uses the published thresholds; a dict passes threshold overrides
     #: through (e.g. {"min_words": 20}).
     gopher: bool | dict = False
+    #: code-corpus license intake gate (code.with_license_info): True
+    #: keeps only permissive-licensed, non-opted-out documents
+    #: (fail-closed — unknown licenses are dropped); the release-review
+    #: step of a StarCoder/The-Stack-style pipeline.
+    license_gate: bool = False
     #: keep only these predicted languages (None = all)
     langs: tuple[str, ...] | None = None
     #: "exact" (hash groups) or "minhash" (exact + near-dup pairs) or None
@@ -107,6 +112,10 @@ class CurationConfig:
     decontam_threshold: float = 0.5
     #: redact PII spans (map-only)
     redact: bool = False
+    #: PII kinds for the redact pass (text.PII_PATTERNS keys); add
+    #: "credit_card" (Luhn-gated) and "ssn" for the compliance-review
+    #: scrubber set (C4/Dolma/FineWeb class)
+    redact_kinds: tuple = ("email", "url", "ipv4", "phone")
     #: split long documents into stride-overlap token windows BEFORE
     #: mixture/packing (text.chunk_windows). (size, stride); None skips.
     #: NOTE: downstream ids become strings "<doc_id>#<chunk_idx>" so the
@@ -215,6 +224,14 @@ def curate(
             .where(F.col("gopher_pass")).select(icol)
         cur = cur.join(gate, icol, "left_semi")
         res.stages["gopher_gated"] = cur
+
+    if cfg.license_gate:
+        from .functions import code as _code
+        keep = _code.with_license_info(cur, tcol) \
+            .where(F.col("license_permissive")
+                   & ~F.col("license_opt_out")).select(icol)
+        cur = cur.join(keep, icol, "left_semi")
+        res.stages["license_gated"] = cur
 
     if (cfg.min_quality is not None or cfg.min_tokens is not None
             or cfg.langs is not None or cfg.top_fraction is not None):
@@ -326,7 +343,8 @@ def curate(
 
     if cfg.redact:
         carry = [c for c in cur.columns if c not in (icol, tcol)]
-        cur = _text.redact_pii(cur, tcol, icol, carry_cols=carry)
+        cur = _text.redact_pii(cur, tcol, icol, kinds=cfg.redact_kinds,
+                               carry_cols=carry)
         res.stages["redacted"] = cur
 
     if cfg.window is not None:

@@ -1,0 +1,147 @@
+"""redact_pii's compliance-review kinds (r13 verdict #6): the
+Luhn-gated credit_card redaction (pure column fold — candidates by
+regex, checksum by digit aggregate, literal replace left-fold) and the
+SSN-shaped national-id pattern, byte-parity replayed in DuckDB over
+PII-dense constructed rows, plus curate() passthrough and the map-only
+plan pin."""
+
+import duckdb
+import pytest
+
+from pyspark.sql import functions as F
+
+from anomalyzer_spark.functions import text
+from anomalyzer_spark.plans import assert_plan
+
+# card numbers: standard test PANs (Luhn-valid) + checksum-flipped twins
+VALID_VISA = "4539148803436467"
+VALID_VISA_SP = "4539 1488 0343 6467"
+VALID_AMEX = "378282246310005"           # 15 digits
+INVALID = "4539148803436468"             # last digit flipped
+
+
+def _rows():
+    return [
+        (1, f"pay {VALID_VISA} today"),
+        (2, f"pay {VALID_VISA_SP} today"),              # separator form
+        (3, f"amex {VALID_AMEX} works"),
+        (4, f"broken {INVALID} stays"),                 # fails Luhn
+        (5, f"two cards {VALID_VISA} and {VALID_AMEX}"),
+        (6, f"dup {VALID_VISA} twice {VALID_VISA}"),    # literal dup
+        (7, "ssn 123-45-6789 inline"),
+        (8, f"mixed 123-45-6789 then {VALID_VISA_SP}"),
+        (9, "phone +1 415 555 0100 only"),
+        (10, "clean document, nothing to strip."),
+        (11, None),
+        # 12 digits (below card window) and 20 digits (above): untouched
+        # by credit_card even when Luhn-coincident
+        (12, "short 123456789012 run"),
+        (13, "long 12345678901234567890 run"),
+    ]
+
+
+_LUHN_SQL_VALID = r"""
+list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'), s ->
+  length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
+  list_sum(list_transform(
+    range(0, length(regexp_replace(s, '[^0-9]', '', 'g'))), i ->
+      CASE WHEN i % 2 = 1 THEN
+        CASE WHEN 2 * (ascii(substring(reverse(
+               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
+             > 9
+        THEN 2 * (ascii(substring(reverse(
+               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
+             - 9
+        ELSE 2 * (ascii(substring(reverse(
+               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
+        END
+      ELSE ascii(substring(reverse(
+             regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48
+      END)) % 10 = 0)
+"""
+
+
+def test_duckdb_byte_parity(spark):
+    d = spark.createDataFrame(_rows(), "doc_id long, text string")
+    got = sorted(map(tuple, text.redact_pii(
+        d, kinds=("credit_card", "ssn", "phone"),
+        with_counts=True).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT * FROM (VALUES "
+        + ",".join(
+            "(%d, %s)" % (i, "NULL" if t is None
+                          else "'" + t.replace("'", "''") + "'")
+            for i, t in _rows()) + ") t(doc_id, text)")
+    want = sorted(map(tuple, con.execute(rf"""
+WITH v AS (
+  SELECT doc_id, text, {_LUHN_SQL_VALID} AS valid FROM d),
+cc AS (
+  SELECT doc_id, text, len(valid) AS n_credit_card,
+    CASE WHEN text IS NULL THEN NULL
+         ELSE list_reduce(list_prepend(text, valid),
+                          (acc, x) -> replace(acc, x, '[CREDIT_CARD]'))
+    END AS r1
+  FROM v),
+s AS (
+  SELECT cc.doc_id AS doc_id, n_credit_card,
+    coalesce(len(regexp_extract_all(d.text,
+             '\b\d{{3}}-\d{{2}}-\d{{4}}\b')), 0) AS n_ssn,
+    coalesce(len(regexp_extract_all(d.text,
+             '\+?\d[\d\- ().]{{7,}}\d\b')), 0) AS n_phone,
+    regexp_replace(
+      regexp_replace(r1, '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g'),
+      '\+?\d[\d\- ().]{{7,}}\d\b', '[PHONE]', 'g') AS text
+  FROM cc JOIN d USING (doc_id))
+SELECT doc_id, text, coalesce(n_credit_card, 0), n_ssn, n_phone
+FROM s""").fetchall()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    # valid cards redacted in all forms; checksum-flipped twin is NOT
+    assert "[CREDIT_CARD]" in by_id[1][1]
+    assert by_id[2][1] == "pay [CREDIT_CARD] today"
+    assert "[CREDIT_CARD]" in by_id[3][1]
+    assert "[CREDIT_CARD]" not in by_id[4][1]   # phone eats it instead
+    assert by_id[5][1].count("[CREDIT_CARD]") == 2 and by_id[5][2] == 2
+    assert by_id[6][1].count("[CREDIT_CARD]") == 2  # literal dup both
+    assert by_id[7][1] == "ssn [SSN] inline" and by_id[7][3] == 1
+    assert by_id[8][1] == "mixed [SSN] then [CREDIT_CARD]"
+    assert by_id[10][1] == "clean document, nothing to strip."
+    assert by_id[11][1] is None and by_id[11][2] == 0
+    assert "[CREDIT_CARD]" not in by_id[12][1]
+    assert "[CREDIT_CARD]" not in by_id[13][1]
+
+
+def test_defaults_unchanged_and_validation(spark):
+    # the new kinds are OPT-IN: default output is byte-identical to a
+    # pre-r14 call (credit_card/ssn absent from the default chain)
+    d = spark.createDataFrame(
+        [(1, f"x {VALID_VISA} and a@b.co")], "doc_id long, text string")
+    out = text.redact_pii(d).collect()[0]["text"]
+    assert "[CREDIT_CARD]" not in out and "[EMAIL]" in out
+    with pytest.raises(ValueError, match="unknown PII kind"):
+        text.redact_pii(d, kinds=("credit_card", "nope"))
+
+
+def test_curate_passthrough(spark):
+    from anomalyzer_spark.pipeline import CurationConfig, curate
+    d = spark.createDataFrame(
+        [(i, f"doc {i} card {VALID_VISA} ssn 123-45-6789 text. "
+             "More filler words here to keep it.") for i in range(8)],
+        "doc_id long, text string")
+    res = curate(d, CurationConfig(
+        redact=True,
+        redact_kinds=("email", "url", "ipv4", "credit_card", "ssn",
+                      "phone")))
+    red = {r["doc_id"]: r["text"]
+           for r in res.stages["redacted"].collect()}
+    assert all("[CREDIT_CARD]" in t and "[SSN]" in t
+               for t in red.values())
+
+
+def test_map_only_plan(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = text.redact_pii(
+        d, kinds=("email", "url", "ipv4", "credit_card", "ssn", "phone"),
+        with_counts=True)
+    assert_plan(out, max_exchanges=0, forbids=("CartesianProduct",))

@@ -338,11 +338,13 @@ def test_curation_pipeline_single_scan_no_joins(spark, sf_dir):
     plan = assert_plan(df, max_exchanges=2)
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
-    # the full slot = core + FFD rider: exactly one extra corpus read
-    # (the FFD staging) and the single attestation join — never the
-    # round-6 draft's 4-scan join-back shape
+    # the full slot = core + attestation riders, each one bounded extra
+    # corpus read: FFD staging (r10) + the nq_lang percent_rank rider
+    # and the split hash-window rider (r14) — 4 scans total, every one
+    # an oracle-coverage join on doc_id, never the round-6 draft's
+    # corpus×corpus join-back shape (the core above stays 1-scan/0-join)
     full = explain_str(entry_mod.q_curation_pipeline(spark, sf_dir))
-    assert full.count("documents.parquet") == 2
+    assert full.count("documents.parquet") == 4
 
 
 def test_range_join_registry_plan_equi_not_theta(spark, sf_dir):

@@ -350,8 +350,24 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
                 F.lit("<html><p>"), F.col("doc_id").cast("string"),
                 F.lit("</p></html>"))))),
             ("code_stats", lambda: code.with_code_stats(d, "text")),
+            # license/opt-out gate: SPDX extract + header-phrase CASE
+            # chain on a planted header + opt-out scan — map-only
+            ("license_gate", lambda: code.with_license_info(
+                d.select("doc_id", F.concat(
+                    F.lit("// SPDX-License-Identifier: MIT\n"),
+                    F.col("text")).alias("text")))),
             ("gopher_rules", lambda: quality.gopher_rules(d)),
             ("c4_clean", lambda: quality.c4_clean(d)),
+            # Luhn-gated card + ssn redaction on PII-planted text: the
+            # candidate extract + checksum fold + literal replace fold,
+            # all map-only (the compliance scrubber set)
+            ("redact_luhn", lambda: text.redact_pii(
+                d.select("doc_id", F.concat(
+                    F.col("text"),
+                    F.lit(" 4539 1488 0343 6467 and 123-45-6789"))
+                    .alias("text")),
+                kinds=("credit_card", "ssn", "phone"),
+                with_counts=True)),
             # score normalization, global path: one histogram profile
             # pass + a broadcast-literal CDF map (no global window)
             ("normalize_scores", lambda: quality.normalize_scores(
