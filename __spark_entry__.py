@@ -1577,6 +1577,16 @@ def q_multimodal(spark, sf_dir):
       step-by-step (two-pass script/style removal — equivalent to
       Spark's backreference pass on the controlled payload; Java ``\\s``
       written as its explicit ASCII class, which RE2's ``\\s`` is not).
+    Round-14 riders (same planted-input pattern): ``lic_*``
+    (code.with_license_info — five rotating license headers incl. a
+    compound SPDX expression and a no-license fail-closed row, plus a
+    %7 noai opt-out marker; the oracle replays the SPDX extract, the
+    phrase CASE and the allowlist) and ``pii_*`` (text.redact_pii's
+    Luhn-gated credit_card + ssn kinds — a constant valid card, an ssn,
+    and a doc-id-derived 16-digit run whose checksum validity varies by
+    doc; the oracle recomputes the digit fold and the literal replace
+    left-fold, hashing the redacted bytes as md5).
+
     - ``code_*`` (functions/code.py with_code_stats): planted code text
       (comment header, indented line, the document text, a doc_id-length
       token run, an @generated marker every 7th doc) through the eight
@@ -1651,9 +1661,47 @@ def q_multimodal(spark, sf_dir):
     cst = code_mod.with_code_stats(codes, "code").select(
         "doc_id", *[F.col(c).alias(f"code_{c}")
                     for c in code_mod.CODE_STAT_COLS])
+    # round-14 riders: the license/opt-out gate (code.with_license_info)
+    # and the Luhn-gated PII kinds (text.redact_pii credit_card/ssn) —
+    # this round's new pytest-only families — over planted deterministic
+    # inputs the oracle reconstructs byte-for-byte: five rotating
+    # license headers (SPDX single/compound, Apache/GPL phrases, none)
+    # + a %7 opt-out marker; a constant VALID card + ssn + a
+    # doc-id-derived 16-digit run whose Luhn validity VARIES by doc, so
+    # both checksum branches sit under the value hash.
+    m5 = did % 5
+    lic_hdr = (
+        F.when(m5 == 0, F.lit("// SPDX-License-Identifier: MIT\n"))
+        .when(m5 == 1,
+              F.lit("// SPDX-License-Identifier: MIT OR Apache-2.0\n"))
+        .when(m5 == 2, F.lit("/* Licensed under the Apache License, "
+                             "Version 2.0 */\n"))
+        .when(m5 == 3, F.lit("/* GNU General Public License */\n"))
+        .otherwise(F.lit("")))
+    lic_in = d.select("doc_id", F.concat(
+        lic_hdr, F.substring(F.col("text"), 1, 80),
+        F.when(did % 7 == 0, F.lit("\nnoai")).otherwise(F.lit("")))
+        .alias("text"))
+    lic = code_mod.with_license_info(lic_in).select(
+        "doc_id", F.col("spdx_id").alias("lic_spdx"),
+        F.col("license_detected").alias("lic_detected"),
+        F.col("license_permissive").alias("lic_permissive"),
+        F.col("license_opt_out").alias("lic_optout"))
+    dd = F.lpad((did % 10000).cast("string"), 4, "0")
+    pii_in = d.select("doc_id", F.concat(
+        F.substring(F.col("text"), 1, 60),
+        F.lit(" 4539 1488 0343 6467 ssn 123-45-6789 x "),
+        F.concat_ws(" ", dd, dd, dd, dd)).alias("text"))
+    pii = text.redact_pii(
+        pii_in, kinds=("credit_card", "ssn"), with_counts=True).select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("pii_md5"),
+        F.col("n_credit_card").alias("pii_n_card"),
+        F.col("n_ssn").alias("pii_n_ssn"))
     return _round6(prof.join(dh, "doc_id").join(lang, "doc_id")
                    .join(afp, "doc_id").join(vdh, "doc_id")
-                   .join(webr, "doc_id").join(cst, "doc_id"),
+                   .join(webr, "doc_id").join(cst, "doc_id")
+                   .join(lic, "doc_id").join(pii, "doc_id"),
                    "byte_mean", "byte_std", "byte_entropy")
 
 
@@ -3983,6 +4031,106 @@ SELECT doc_id,
     || '|@generated|this file was generated)') AS code_is_autogen
 FROM t"""
 
+    # round-14 lic_* rider: rebuild the planted rotating license header
+    # + %7 opt-out marker, then replay the SPDX extract, the
+    # header-phrase CASE (list order = priority) and the fail-closed
+    # permissive allowlist of code.with_license_info
+    _lic_perm = ", ".join(f"'{p}'" for p in (
+        "MIT", "Apache-2.0", "BSD-2-Clause", "BSD-3-Clause", "0BSD",
+        "ISC", "Unlicense", "Zlib", "CC0-1.0"))
+    sql["multimodal_lic"] = rf"""
+WITH l0 AS (
+  SELECT doc_id,
+    CASE doc_id % 5
+      WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10)
+      WHEN 1 THEN '// SPDX-License-Identifier: MIT OR Apache-2.0'
+                  || chr(10)
+      WHEN 2 THEN '/* Licensed under the Apache License, Version 2.0 */'
+                  || chr(10)
+      WHEN 3 THEN '/* GNU General Public License */' || chr(10)
+      ELSE '' END
+    || substr(text, 1, 80)
+    || CASE WHEN doc_id % 7 = 0 THEN chr(10) || 'noai' ELSE '' END AS t
+  FROM documents),
+l1 AS (
+  SELECT doc_id, t, substring(t, 1, 2048) AS head,
+    nullif(trim(regexp_extract(t,
+      'SPDX-License-Identifier:[ \t]*([A-Za-z0-9 .+()-]+)', 1)), '')
+      AS lic_spdx
+  FROM l0),
+l2 AS (
+  SELECT *, CASE
+    WHEN regexp_matches(head, '(?i)Apache License,? Version 2\.0'
+         || '|apache\.org/licenses/LICENSE-2\.0') THEN 'Apache-2.0'
+    WHEN regexp_matches(head,
+         '(?i)GNU (General|Lesser|Affero) Public License') THEN 'GPL'
+    WHEN regexp_matches(head, '(?i)Mozilla Public License')
+         THEN 'MPL-2.0'
+    WHEN regexp_matches(head, '(?i)\bMIT License\b'
+         || '|Permission is hereby granted, free of charge') THEN 'MIT'
+    WHEN regexp_matches(head,
+         '(?i)Redistribution and use in source and binary forms')
+         THEN 'BSD'
+    WHEN regexp_matches(head, '(?i)\bISC License\b') THEN 'ISC'
+    WHEN regexp_matches(head,
+         '(?i)This is free and unencumbered software') THEN 'Unlicense'
+    END AS phrase
+  FROM l1)
+SELECT doc_id, lic_spdx,
+  coalesce(lic_spdx, phrase) AS lic_detected,
+  coalesce(CASE WHEN lic_spdx IS NOT NULL THEN lic_spdx IN ({_lic_perm})
+                ELSE phrase IN ('Apache-2.0','MIT','BSD','ISC',
+                                'Unlicense') END,
+           false) AS lic_permissive,
+  coalesce(regexp_matches(t, '(?i)\b(noai|noimageai|noml)\b'
+    || '|do not (use|include)[^\n]{{0,60}}(training|dataset)'
+    || '|opt[ -]?out[^\n]{{0,30}}(ai|ml) training'), false) AS lic_optout
+FROM l2"""
+
+    # round-14 pii_* rider: rebuild the planted text (constant VALID
+    # card + ssn + a doc-id-derived 16-digit run), replay the Luhn
+    # digit fold per candidate, the literal replace left-fold, and the
+    # ssn chain — hashing the redacted bytes
+    sql["multimodal_pii"] = r"""
+WITH p0 AS (
+  SELECT doc_id,
+    substr(text, 1, 60) || ' 4539 1488 0343 6467 ssn 123-45-6789 x '
+      || dd || ' ' || dd || ' ' || dd || ' ' || dd AS t
+  FROM (SELECT doc_id, text,
+          lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dd
+        FROM documents)),
+p1 AS (
+  SELECT doc_id, t,
+    list_filter(regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b'), s ->
+      length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
+      list_sum(list_transform(
+        range(0, length(regexp_replace(s, '[^0-9]', '', 'g'))), i ->
+          CASE WHEN i % 2 = 1 THEN
+            CASE WHEN 2 * (ascii(substring(reverse(
+                   regexp_replace(s, '[^0-9]', '', 'g')),
+                   (i+1)::INT, 1)) - 48) > 9
+            THEN 2 * (ascii(substring(reverse(
+                   regexp_replace(s, '[^0-9]', '', 'g')),
+                   (i+1)::INT, 1)) - 48) - 9
+            ELSE 2 * (ascii(substring(reverse(
+                   regexp_replace(s, '[^0-9]', '', 'g')),
+                   (i+1)::INT, 1)) - 48)
+            END
+          ELSE ascii(substring(reverse(
+                 regexp_replace(s, '[^0-9]', '', 'g')),
+                 (i+1)::INT, 1)) - 48
+          END)) % 10 = 0) AS valid
+  FROM p0)
+SELECT doc_id,
+  md5(regexp_replace(
+    list_reduce(list_prepend(t, valid),
+                (acc, x) -> replace(acc, x, '[CREDIT_CARD]')),
+    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) AS pii_md5,
+  len(valid)::INT AS pii_n_card,
+  coalesce(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')), 0)::INT
+    AS pii_n_ssn
+FROM p1"""
+
     # the language rider's oracle is langid's own SQL twin, built from the
     # same embedded literal model the Spark side scores with
     from anomalyzer_spark.functions import langid as _langid
@@ -3999,7 +4147,9 @@ vd0 AS ({_vframe_dh_sql(0)}),
 vd1 AS ({_vframe_dh_sql(1)}),
 vd2 AS ({_vframe_dh_sql(2)}),
 wb AS ({sql['multimodal_web']}),
-cd AS ({sql['multimodal_code']})
+cd AS ({sql['multimodal_code']}),
+lic AS ({sql['multimodal_lic']}),
+pii AS ({sql['multimodal_pii']})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8,
        {lang_cols},
@@ -4009,7 +4159,10 @@ SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        wb.n_tags, wb.tag_density, wb.visible_ratio, wb.is_html,
        cd.code_n_lines, cd.code_max_line_len, cd.code_avg_line_len,
        cd.code_alnum_ratio, cd.code_comment_line_ratio,
-       cd.code_indent_ratio, cd.code_max_token_len, cd.code_is_autogen
+       cd.code_indent_ratio, cd.code_max_token_len, cd.code_is_autogen,
+       lic.lic_spdx, lic.lic_detected, lic.lic_permissive,
+       lic.lic_optout,
+       pii.pii_md5, pii.pii_n_card, pii.pii_n_ssn
 FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
      JOIN lng ON lng.doc_id = meta.doc_id
      JOIN afp ON afp.doc_id = meta.doc_id
@@ -4017,11 +4170,15 @@ FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
      JOIN vd1 ON vd1.doc_id = meta.doc_id
      JOIN vd2 ON vd2.doc_id = meta.doc_id
      JOIN wb ON wb.doc_id = meta.doc_id
-     JOIN cd ON cd.doc_id = meta.doc_id"""
+     JOIN cd ON cd.doc_id = meta.doc_id
+     JOIN lic ON lic.doc_id = meta.doc_id
+     JOIN pii ON pii.doc_id = meta.doc_id"""
     del sql["multimodal_dhash"]
     del sql["multimodal_audio"]
     del sql["multimodal_web"]
     del sql["multimodal_code"]
+    del sql["multimodal_lic"]
+    del sql["multimodal_pii"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
                     "repetition", "multimodal_meta", "multimodal_features"):
