@@ -450,6 +450,13 @@ PII_PATTERNS: dict[str, str] = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "url": r"https?://[^\s]+",
     "ipv4": r"\b(\d{1,3}\.){3}\d{1,3}\b",
+    # IBAN candidates: CC + 2 check digits + 11-30 alphanumerics,
+    # either COMPACT or the groups-of-4 print form (the alternation
+    # stops the span swallowing a following short word, which would
+    # fail the checksum and MISS a valid IBAN); only MOD-97-VALID
+    # candidates are redacted (ISO 13616 checksum as a pure column fold)
+    "iban": (r"\b[A-Z]{2}\d{2}(?:[A-Za-z0-9]{11,30}"
+             r"|(?: [A-Za-z0-9]{4}){2,7}(?: [A-Za-z0-9]{1,4})?)\b"),
     # payment-card candidates: 13-19 digits with optional single
     # space/dash separators; only LUHN-VALID candidates are redacted
     # (the checksum runs as a pure column fold, never a UDF) — listed
@@ -484,14 +491,40 @@ def _luhn_valid(s: Column) -> Column:
     return (n >= 13) & (n <= 19) & (total % 10 == 0)
 
 
-def _redact_luhn(text: Column, pattern: str, token: str) -> Column:
-    """Replace every LUHN-VALID candidate span with ``token``: extract
-    candidates, filter by the checksum fold, then left-fold literal
-    replaces — conditional redaction without a UDF (regexp_replace
-    alone cannot gate on the checksum)."""
+def _iban_valid(s: Column) -> Column:
+    """ISO 13616 mod-97 checksum over a candidate span — a pure column
+    fold: strip separators, move the first 4 chars to the end, map
+    letters A..Z to 10..35, and fold the resulting decimal digit stream
+    through acc -> (acc*base + v) % 97; valid iff the remainder is 1
+    (and the compact length is a legal 15..34)."""
+    t = F.upper(F.regexp_replace(s, "[^A-Za-z0-9]", ""))
+    rearranged = F.concat(F.substring(t, 5, 34), F.substring(t, 1, 4))
+    chars = F.split(rearranged, "")
+    acc = F.aggregate(
+        chars, F.lit(0),
+        lambda a, c: F.when(
+            c.rlike("[0-9]"), (a * 10 + (F.ascii(c) - 48)) % 97
+        ).otherwise((a * 100 + (F.ascii(c) - 55)) % 97))
+    n = F.length(t)
+    return (n >= 15) & (n <= 34) & (acc == 1)
+
+
+#: checksum validators for candidate-regex kinds — only candidates the
+#: validator accepts are counted/redacted (pure column folds, zero UDF)
+_PII_VALIDATORS: dict[str, object] = {
+    "credit_card": _luhn_valid,
+    "iban": _iban_valid,
+}
+
+
+def _redact_validated(text: Column, pattern: str, token: str,
+                      validator) -> Column:
+    """Replace every CHECKSUM-VALID candidate span with ``token``:
+    extract candidates, filter by the validator fold, then left-fold
+    literal replaces — conditional redaction without a UDF
+    (regexp_replace alone cannot gate on a checksum)."""
     valid = F.filter(
-        F.regexp_extract_all(text, F.lit(pattern), 0),
-        _luhn_valid)
+        F.regexp_extract_all(text, F.lit(pattern), 0), validator)
     return F.aggregate(
         valid, text, lambda acc, s: F.replace(acc, s, F.lit(token)))
 
@@ -524,14 +557,14 @@ def redact_pii(
     documented (``PII_PATTERNS``); outputs are engine-portable (same
     regex subset in Java regex and RE2, DuckDB-parity-tested).
 
-    ``credit_card`` (opt-in, the compliance-review kinds next to
-    ``ssn``) redacts only LUHN-VALID 13-19-digit candidates: the
-    checksum is a pure column fold over the span's digits and the
-    replace is a literal left-fold over the surviving spans — still
-    map-only, zero UDF, DuckDB-replayable (tests/test_pii_luhn.py).
-    A card-shaped run failing the checksum is left for the later
-    ``phone`` pattern to judge. ``n_credit_card`` counts only valid
-    candidates.
+    ``credit_card`` and ``iban`` (opt-in, the compliance-review kinds
+    next to ``ssn``) redact only CHECKSUM-VALID candidates — Luhn for
+    cards, ISO 13616 mod-97 for IBANs: each checksum is a pure column
+    fold over the span's characters and the replace is a literal
+    left-fold over the surviving spans — still map-only, zero UDF,
+    DuckDB-replayable (tests/test_pii_luhn.py). A card-shaped run
+    failing its checksum is left for the later ``phone`` pattern to
+    judge. ``n_credit_card``/``n_iban`` count only valid candidates.
     """
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
@@ -542,10 +575,10 @@ def redact_pii(
     cols = [F.col(id_col)]
     if with_counts:
         for k in kinds:
-            if k == "credit_card":
+            if k in _PII_VALIDATORS:
                 cnt = F.size(F.filter(
                     F.regexp_extract_all(t, F.lit(PII_PATTERNS[k]), 0),
-                    _luhn_valid))
+                    _PII_VALIDATORS[k]))
             else:
                 cnt = _count_re(t, PII_PATTERNS[k])
             cols.append(F.coalesce(cnt, F.lit(0)).alias(f"n_{k}"))
@@ -553,8 +586,9 @@ def redact_pii(
     for k in PII_PATTERNS:  # module order, filtered — order is the spec
         if k not in kinds:
             continue
-        if k == "credit_card":
-            red = _redact_luhn(red, PII_PATTERNS[k], "[CREDIT_CARD]")
+        if k in _PII_VALIDATORS:
+            red = _redact_validated(red, PII_PATTERNS[k],
+                                    f"[{k.upper()}]", _PII_VALIDATORS[k])
         else:
             red = F.regexp_replace(red, PII_PATTERNS[k], f"[{k.upper()}]")
     carry = [F.col(c) for c in (carry_cols or [])]

@@ -112,6 +112,72 @@ FROM s""").fetchall()))
     assert "[CREDIT_CARD]" not in by_id[13][1]
 
 
+VALID_IBAN = "DE89370400440532013000"          # ISO 13616 example
+VALID_IBAN_SP = "GB29 NWBK 6016 1331 9268 19"  # print form, valid
+INVALID_IBAN = "DE89370400440532013001"        # last digit flipped
+
+
+def test_iban_mod97_duckdb_parity(spark):
+    rows = [
+        (1, f"acct {VALID_IBAN} eur"),
+        (2, f"acct {VALID_IBAN_SP} gbp"),
+        (3, f"bad {INVALID_IBAN} stays"),
+        (4, f"two {VALID_IBAN} and {VALID_IBAN_SP}"),
+        (5, "no iban here, just words"),
+        (6, None),
+        (7, "short DE8937040044 run"),          # < 15 compact chars
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(map(tuple, text.redact_pii(
+        d, kinds=("iban",), with_counts=True).collect()))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW d AS SELECT * FROM (VALUES "
+        + ",".join(
+            "(%d, %s)" % (i, "NULL" if t is None
+                          else "'" + t.replace("'", "''") + "'")
+            for i, t in rows) + ") t(doc_id, text)")
+    want = sorted(map(tuple, con.execute(r"""
+WITH v AS (
+  SELECT doc_id, text,
+    list_filter(
+      regexp_extract_all(text,
+        '\b[A-Z]{2}\d{2}(?:[A-Za-z0-9]{11,30}'
+        || '|(?: [A-Za-z0-9]{4}){2,7}(?: [A-Za-z0-9]{1,4})?)\b'),
+      s -> (
+      length(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'))
+        BETWEEN 15 AND 34 AND
+      list_reduce(list_prepend('0', list_transform(
+          range(0, length(regexp_replace(upper(s), '[^A-Z0-9]', '',
+                                         'g'))),
+          i -> substring(
+            substring(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'),
+                      5, 34)
+            || substring(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'),
+                         1, 4),
+            (i+1)::INT, 1))),
+        (acc, c) -> CASE WHEN c BETWEEN '0' AND '9'
+          THEN ((acc::INT * 10 + (ascii(c) - 48)) % 97)::VARCHAR
+          ELSE ((acc::INT * 100 + (ascii(c) - 55)) % 97)::VARCHAR END)
+      = '1')) AS valid
+  FROM d)
+SELECT doc_id,
+  CASE WHEN text IS NULL THEN NULL
+       ELSE list_reduce(list_prepend(text, valid),
+                        (acc, x) -> replace(acc, x, '[IBAN]')) END
+    AS text,
+  coalesce(len(valid), 0) AS n_iban
+FROM v""").fetchall()))
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[1][1] == "acct [IBAN] eur"
+    assert by_id[2][1] == "acct [IBAN] gbp"      # spaced print form
+    assert "[IBAN]" not in by_id[3][1]           # checksum-flipped twin
+    assert by_id[4][2] == 2
+    assert by_id[5][2] == 0 and by_id[6][1] is None
+    assert "[IBAN]" not in by_id[7][1]           # below length window
+
+
 def test_defaults_unchanged_and_validation(spark):
     # the new kinds are OPT-IN: default output is byte-identical to a
     # pre-r14 call (credit_card/ssn absent from the default chain)

@@ -364,9 +364,10 @@ def dedup_cells(spark, doc_counts, repeat, only=None):
             ("redact_luhn", lambda: text.redact_pii(
                 d.select("doc_id", F.concat(
                     F.col("text"),
-                    F.lit(" 4539 1488 0343 6467 and 123-45-6789"))
+                    F.lit(" 4539 1488 0343 6467 and 123-45-6789 "
+                          "DE89370400440532013000"))
                     .alias("text")),
-                kinds=("credit_card", "ssn", "phone"),
+                kinds=("iban", "credit_card", "ssn", "phone"),
                 with_counts=True)),
             # score normalization, global path: one histogram profile
             # pass + a broadcast-literal CDF map (no global window)
