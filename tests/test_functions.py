@@ -1204,7 +1204,7 @@ def test_redact_pii_hand_cases(spark):
     assert got[3]["text"] is None and got[3]["n_email"] == 0 \
         and got[3]["n_phone"] == 0
     with pytest.raises(ValueError, match="unknown PII kind"):
-        text.redact_pii(df, kinds=("ssn",))
+        text.redact_pii(df, kinds=("passport",))
 
 
 def test_redact_pii_duckdb_parity(spark, sf_dir):

@@ -480,6 +480,50 @@ def test_text_profile_and_sampling_work_on_streams(spark, sf_dir, tmp_path):
     assert got == exp and len(got) > 0
 
 
+def test_round14_gates_work_on_streams(spark, sf_dir, tmp_path):
+    """The round-14 gates (checksum-gated redact_pii, c4_clean,
+    with_license_info, gopher_rules) are stateless map-only
+    projections, so the SAME functions run unchanged on streaming
+    frames — streamed output must equal the batch result."""
+    from anomalyzer_spark.functions import code, quality, text
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming._drain import drain_available_now
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("// SPDX-License-Identifier: MIT\n"),
+                 F.col("text"),
+                 F.lit(" card 4539 1488 0343 6467 iban "
+                       "DE89370400440532013000.")).alias("text"))
+    sdir = str(tmp_path / "gates_stream_in")
+    d.coalesce(2).write.mode("overwrite").parquet(sdir)
+
+    def gate(s):
+        red = text.redact_pii(
+            s, kinds=("credit_card", "iban", "ssn"), with_counts=True)
+        return code.with_license_info(red, "text")
+
+    res = drain_available_now(
+        spark, sdir, gate, "gates_stream_t", output_mode="append")
+    keep = ["text", "n_credit_card", "n_iban", "spdx_id",
+            "license_permissive"]
+    got = {r["doc_id"]: tuple(r[c] for c in keep) for r in res.collect()}
+    exp = {r["doc_id"]: tuple(r[c] for c in keep)
+           for r in gate(d).collect()}
+    assert got == exp and len(got) > 0
+    assert all(v[1] == 1 and v[2] == 1 for v in got.values())  # redacted
+    # gopher_rules / c4_clean stream too (each rebuilds its own output
+    # schema, so drained separately)
+    for name, fn in (("gates_stream_g", quality.gopher_rules),
+                     ("gates_stream_c", quality.c4_clean)):
+        res2 = drain_available_now(
+            spark, sdir, lambda s, f=fn: f(s), name,
+            output_mode="append")
+        got2 = {r["doc_id"]: tuple(r)[1:] for r in res2.collect()}
+        exp2 = {r["doc_id"]: tuple(r)[1:] for r in fn(d).collect()}
+        assert got2 == exp2 and len(got2) > 0, name
+
+
 def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
     """foreachBatch ANN serving: streamed query batches scored against the
     persisted index must equal offline search results — including ROW
