@@ -1649,7 +1649,15 @@ def q_multimodal(spark, sf_dir):
         ms["n_tags"].alias("n_tags"),
         ms["tag_density"].alias("tag_density"),
         ms["visible_ratio"].alias("visible_ratio"),
-        ms["is_html"].alias("is_html"))
+        ms["is_html"].alias("is_html"),
+        # round-14: the domain-list membership core (host_suffixes —
+        # filter_by_domains' hit test with subdomain inheritance) as a
+        # boolean lane: the m4==0 URLs' host chain contains
+        # example.co.uk, every other shape misses
+        F.arrays_overlap(
+            web.host_suffixes(F.col("_url")),
+            F.array(F.lit("example.co.uk"), F.lit("blockedhost.test")))
+        .alias("url_blocked"))
     codes = d.select(
         "doc_id",
         F.concat(
@@ -3992,11 +4000,19 @@ mstat AS (
     regexp_matches(h,
       '(?is)<!doctype[{_ws}]+html|<html[{_ws}>]|<body[{_ws}>]' ||
       '|<div[{_ws}>]|<p[{_ws}>]') AS structural
-  FROM ex4)
-SELECT doc_id, norm_url, url_host, url_domain, vis_text,
+  FROM ex4),
+ublk AS (
+  SELECT doc_id,
+    coalesce(len(list_intersect(
+      list_transform(range(1, len(string_split(host, '.')) + 1),
+        i -> array_to_string(string_split(host, '.')[i:], '.')),
+      ['example.co.uk', 'blockedhost.test'])) > 0, false) AS url_blocked
+  FROM hostp)
+SELECT m.doc_id, norm_url, url_host, url_domain, vis_text,
        n_tags, tag_density, visible_ratio,
-       (structural AND tag_density > 0.2) AS is_html
-FROM mstat"""
+       (structural AND tag_density > 0.2) AS is_html,
+       ublk.url_blocked
+FROM mstat m JOIN ublk ON m.doc_id = ublk.doc_id"""
 
     # code rider: with_code_stats' eight line-shape signals replayed
     # with DuckDB list/regex functions over the same planted code text.
@@ -4157,6 +4173,7 @@ SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        vd0.vframe_dh0, vd1.vframe_dh1, vd2.vframe_dh2,
        wb.norm_url, wb.url_host, wb.url_domain, wb.vis_text,
        wb.n_tags, wb.tag_density, wb.visible_ratio, wb.is_html,
+       wb.url_blocked,
        cd.code_n_lines, cd.code_max_line_len, cd.code_avg_line_len,
        cd.code_alnum_ratio, cd.code_comment_line_ratio,
        cd.code_indent_ratio, cd.code_max_token_len, cd.code_is_autogen,

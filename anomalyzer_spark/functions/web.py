@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["url_parts", "normalize_url", "host_of",
            "registrable_domain", "domain_stats",
+           "host_suffixes", "filter_by_domains",
            "extract_text", "markup_stats"]
 
 #: query parameters that identify a CLICK, not a PAGE
@@ -229,3 +230,62 @@ def domain_stats(
         aggs.append(F.sum(token_col).cast("long").alias("n_tokens"))
     return (df.groupBy(registrable_domain(F.col(url_col))
                        .alias(domain_col)).agg(*aggs))
+
+
+def host_suffixes(url: str | Column, *, strip_www: bool = True) -> Column:
+    """Array of the host's dot-suffix chain, most-specific first —
+    ``a.b.example.com`` → [a.b.example.com, b.example.com, example.com,
+    com]. The membership unit of domain-list policies: an entry
+    ``example.com`` must govern every subdomain (the UT1/abuse-list
+    convention), so matching is "any suffix ∈ list", not host equality.
+    Bounded by the host's label count (handfuls); empty for NULL/
+    unparseable hosts."""
+    h = host_of(url, strip_www=strip_www)
+    parts = F.split(h, r"\.")
+    n = F.size(parts)
+    return F.when(h.isNull(), F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), n),
+                    lambda i: F.array_join(F.slice(parts, i, n), ".")))
+
+
+def filter_by_domains(
+    df: DataFrame,
+    domains: DataFrame,
+    url_col: str,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "block",
+    domain_col: str = "domain",
+    strip_www: bool = True,
+) -> DataFrame:
+    """Domain-list gate with SUBDOMAIN INHERITANCE — the crawl-intake
+    step every published pipeline runs against category blocklists
+    (UT1-style: adult/malware/fraud) or source allowlists: a row hits
+    the list when ANY dot-suffix of its URL's host equals a listed
+    domain (entry ``example.com`` governs ``a.b.example.com``; a bare
+    TLD entry governs the whole TLD — list what you mean).
+
+    ``mode="block"`` drops hit rows (NULL/unparseable hosts are KEPT —
+    they're a crawl-hygiene signal, not a category hit; filter them
+    explicitly if unwanted); ``mode="allow"`` keeps ONLY hit rows
+    (fail-closed: NULL hosts are dropped).
+
+    Plan shape (the 100 TB read): one map-only suffix explode (bounded
+    by the host's label count) + ONE semi/anti equi-join against the
+    list — broadcast while the list frame is small (the usual megabyte
+    blocklist; Catalyst/AQE decide), never a cartesian; the gate itself
+    is a semi/anti join back on ``id_col``, so row multiplicity is
+    untouched. Normalize list entries like hosts: lowercase, no
+    trailing dot, no leading ``www.`` (entries are matched verbatim
+    against the suffix chain)."""
+    if mode not in ("block", "allow"):
+        raise ValueError(f"mode must be 'block' or 'allow', got {mode!r}")
+    sfx = df.select(
+        F.col(id_col),
+        F.explode(host_suffixes(F.col(url_col), strip_www=strip_www))
+        .alias("_sfx"))
+    hits = sfx.join(
+        domains.select(F.col(domain_col).alias("_sfx")), "_sfx",
+        "left_semi")
+    how = "left_anti" if mode == "block" else "left_semi"
+    return df.join(hits.select(id_col), id_col, how)

@@ -54,6 +54,11 @@ class CurationConfig:
 
     text_col: str = "text"
     id_col: str = "doc_id"
+    #: URL column for the domain-list gate (web.filter_by_domains with
+    #: subdomain inheritance); required when curate() is passed a
+    #: ``blocklist=`` frame. The gate runs FIRST — category blocks drop
+    #: documents before any text work is spent on them.
+    url_col: str | None = None
     #: Unicode normalization form for normalize_text (None skips it;
     #: control-byte stripping runs whenever normalize is on)
     normalize_form: str | None = "NFC"
@@ -197,6 +202,7 @@ def curate(
     cfg: CurationConfig = CurationConfig(),
     *,
     eval_df: DataFrame | None = None,
+    blocklist: DataFrame | None = None,
 ) -> CurationResult:
     """Compose the curation stack per ``cfg`` over ``docs``
     (``id_col``, ``text_col``[, ``domain_col``...]). Returns every stage
@@ -208,9 +214,17 @@ def curate(
     """
     if cfg.decontam_mode and eval_df is None:
         raise ValueError("decontam_mode set but no eval_df given")
+    if blocklist is not None and cfg.url_col is None:
+        raise ValueError("blocklist= needs cfg.url_col")
     tcol, icol = cfg.text_col, cfg.id_col
     res = CurationResult()
     cur = docs
+
+    if blocklist is not None:
+        from .functions import web as _web
+        cur = _web.filter_by_domains(cur, blocklist, cfg.url_col,
+                                     id_col=icol)
+        res.stages["domain_gated"] = cur
 
     carry = [c for c in cur.columns if c not in (icol, tcol)]
     if cfg.normalize_form is not None:
