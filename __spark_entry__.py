@@ -1695,10 +1695,13 @@ def q_multimodal(spark, sf_dir):
         F.col("license_detected").alias("lic_detected"),
         F.col("license_permissive").alias("lic_permissive"),
         F.col("license_opt_out").alias("lic_optout"))
+    # the " 99" tail makes the greedy candidate an 18-digit span whose
+    # valid 16-digit PREFIX must still redact (the r14 review's
+    # swallowed-token leak, now under the value hash)
     dd = F.lpad((did % 10000).cast("string"), 4, "0")
     pii_in = d.select("doc_id", F.concat(
         F.substring(F.col("text"), 1, 60),
-        F.lit(" 4539 1488 0343 6467 ssn 123-45-6789 x "),
+        F.lit(" 4539 1488 0343 6467 99 ssn 123-45-6789 x "),
         F.concat_ws(" ", dd, dd, dd, dd)).alias("text"))
     pii = text.redact_pii(
         pii_in, kinds=("credit_card", "ssn"), with_counts=True).select(
@@ -4070,7 +4073,7 @@ WITH l0 AS (
   FROM documents),
 l1 AS (
   SELECT doc_id, t, substring(t, 1, 2048) AS head,
-    nullif(trim(regexp_extract(t,
+    nullif(trim(regexp_extract(substring(t, 1, 2048),
       'SPDX-License-Identifier:[ \t]*([A-Za-z0-9 .+()-]+)', 1)), '')
       AS lic_spdx
   FROM l0),
@@ -4104,47 +4107,50 @@ SELECT doc_id, lic_spdx,
 FROM l2"""
 
     # round-14 pii_* rider: rebuild the planted text (constant VALID
-    # card + ssn + a doc-id-derived 16-digit run), replay the Luhn
-    # digit fold per candidate, the literal replace left-fold, and the
-    # ssn chain — hashing the redacted bytes
-    sql["multimodal_pii"] = r"""
+    # card + a swallowed ' 99' tail + ssn + a doc-id-derived 16-digit
+    # run), replay the Luhn prefix-window sub-span walk per candidate,
+    # the word-bounded replace left-fold, and the ssn chain — hashing
+    # the redacted bytes
+    def _pii_luhn_ok(expr: str) -> str:
+        dgt = f"regexp_replace({expr}, '[^0-9]', '', 'g')"
+        a = f"ascii(substring(reverse({dgt}), (i+1)::INT, 1)) - 48"
+        return (
+            f"(length({dgt}) BETWEEN 13 AND 19 AND "
+            f"list_sum(list_transform(range(0, length({dgt})), i -> "
+            f"CASE WHEN i % 2 = 1 THEN "
+            f"CASE WHEN 2 * ({a}) > 9 THEN 2 * ({a}) - 9 "
+            f"ELSE 2 * ({a}) END ELSE {a} END)) % 10 = 0)")
+
+    def _pii_prefix(k: int) -> str:
+        return rf"regexp_extract(s, '^\d(?:[ -]?\d){{{k - 1}}}', 0)"
+
+    _pii_sub = "CASE " + " ".join(
+        f"WHEN {_pii_prefix(k)} <> '' AND {_pii_luhn_ok(_pii_prefix(k))} "
+        f"THEN {_pii_prefix(k)}"
+        for k in range(19, 12, -1)) + " ELSE NULL END"
+    sql["multimodal_pii"] = rf"""
 WITH p0 AS (
   SELECT doc_id,
-    substr(text, 1, 60) || ' 4539 1488 0343 6467 ssn 123-45-6789 x '
+    substr(text, 1, 60) || ' 4539 1488 0343 6467 99 ssn 123-45-6789 x '
       || dd || ' ' || dd || ' ' || dd || ' ' || dd AS t
   FROM (SELECT doc_id, text,
           lpad((doc_id % 10000)::VARCHAR, 4, '0') AS dd
         FROM documents)),
 p1 AS (
   SELECT doc_id, t,
-    list_filter(regexp_extract_all(t, '\b\d(?:[ -]?\d){12,18}\b'), s ->
-      length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
-      list_sum(list_transform(
-        range(0, length(regexp_replace(s, '[^0-9]', '', 'g'))), i ->
-          CASE WHEN i % 2 = 1 THEN
-            CASE WHEN 2 * (ascii(substring(reverse(
-                   regexp_replace(s, '[^0-9]', '', 'g')),
-                   (i+1)::INT, 1)) - 48) > 9
-            THEN 2 * (ascii(substring(reverse(
-                   regexp_replace(s, '[^0-9]', '', 'g')),
-                   (i+1)::INT, 1)) - 48) - 9
-            ELSE 2 * (ascii(substring(reverse(
-                   regexp_replace(s, '[^0-9]', '', 'g')),
-                   (i+1)::INT, 1)) - 48)
-            END
-          ELSE ascii(substring(reverse(
-                 regexp_replace(s, '[^0-9]', '', 'g')),
-                 (i+1)::INT, 1)) - 48
-          END)) % 10 = 0) AS valid
+    list_filter(list_transform(
+      regexp_extract_all(t, '\b\d(?:[ -]?\d){{12,18}}\b'),
+      s -> {_pii_sub}), x -> x IS NOT NULL) AS valid
   FROM p0)
 SELECT doc_id,
   md5(regexp_replace(
     list_reduce(list_prepend(t, valid),
-                (acc, x) -> replace(acc, x, '[CREDIT_CARD]')),
-    '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g')) AS pii_md5,
+                (acc, x) -> regexp_replace(acc, '\b' || x || '\b',
+                                           '[CREDIT_CARD]', 'g')),
+    '\b\d{{3}}-\d{{2}}-\d{{4}}\b', '[SSN]', 'g')) AS pii_md5,
   len(valid)::INT AS pii_n_card,
-  coalesce(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')), 0)::INT
-    AS pii_n_ssn
+  coalesce(len(regexp_extract_all(t, '\b\d{{3}}-\d{{2}}-\d{{4}}\b')),
+           0)::INT AS pii_n_ssn
 FROM p1"""
 
     # the language rider's oracle is langid's own SQL twin, built from the

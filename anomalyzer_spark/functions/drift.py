@@ -131,17 +131,35 @@ def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
     aggregate, kilobytes at any corpus scale."""
     if not profiles:
         raise ValueError("merge_profiles needs at least one profile")
-    u = profiles[0]
-    for p in profiles[1:]:
+    # schema migration: a legacy shard (pre-n_bins persistence) may be
+    # folded with a current one — align by giving legacy frames a NULL
+    # n_bins instead of letting unionByName throw an unexplained
+    # AnalysisException; the consistency check then compares only the
+    # KNOWN bin counts (an unknown legacy count is the caller's claim,
+    # exactly as it was before the column existed)
+    has_nb = any("n_bins" in p.columns for p in profiles)
+    aligned = []
+    for p in profiles:
+        if has_nb and "n_bins" not in p.columns:
+            p = p.withColumn("n_bins", F.lit(None).cast("int"))
+        aligned.append(p)
+    u = aligned[0]
+    for p in aligned[1:]:
         u = u.unionByName(p)
-    # binning consistency check covers n_bins too when the frames carry
-    # it (current builds do; hand-built legacy frames may not)
-    has_nb = "n_bins" in u.columns
-    sel = ["column", "lo", "hi"] + (["n_bins"] if has_nb else [])
-    bad = [r["column"] for r in
-           u.select(*sel).distinct()
-           .groupBy("column").agg(F.count(F.lit(1)).alias("nb"))
-           .where(F.col("nb") > 1).collect()]
+    def _ambiguous(frame):
+        return [r["column"] for r in
+                frame.distinct()
+                .groupBy("column").agg(F.count(F.lit(1)).alias("nb"))
+                .where(F.col("nb") > 1).collect()]
+
+    # bounds must agree across ALL shards; bin counts only where KNOWN
+    # (a legacy shard's count is the caller's claim, as pre-column)
+    bad = set(_ambiguous(u.select("column", "lo", "hi")))
+    if has_nb:
+        bad |= set(_ambiguous(
+            u.where(F.col("n_bins").isNotNull())
+            .select("column", "n_bins")))
+    bad = sorted(bad)
     if bad:
         raise ValueError(
             f"inconsistent bounds across shards for columns {sorted(bad)}; "
@@ -150,7 +168,7 @@ def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
     aggs = [F.sum("cnt").alias("cnt"),
             F.first("lo").alias("lo"), F.first("hi").alias("hi")]
     if has_nb:
-        aggs.append(F.first("n_bins").alias("n_bins"))
+        aggs.append(F.first("n_bins", ignorenulls=True).alias("n_bins"))
     return u.groupBy("column", "bucket").agg(*aggs)
 
 
@@ -186,10 +204,24 @@ def profile_quantiles(
     p = profile.where(F.col("bucket") != NULL_BUCKET)
     # the frame's own build-time bin count is authoritative when it
     # carries one (histogram_profile persists it); n_bins= is the
-    # fallback for hand-built legacy frames (default 10)
-    nb_expr = (F.col("n_bins").cast("double")
-               if "n_bins" in profile.columns
-               else F.lit(float(n_bins if n_bins is not None else 10)))
+    # fallback for hand-built legacy frames (default 10). Passing an
+    # explicit n_bins that CONFLICTS with the persisted count raises
+    # (the normalize_scores contract) — the argument would otherwise be
+    # silently dead and code that "worked" by passing a wrong count
+    # would keep appearing to work for a different reason. The check
+    # collects the tiny distinct set of the kilobyte profile frame.
+    if "n_bins" in profile.columns:
+        if n_bins is not None:
+            built = sorted({int(r["n_bins"]) for r in
+                            profile.select("n_bins").distinct().collect()})
+            if built != [int(n_bins)]:
+                raise ValueError(
+                    f"profile was built with n_bins={built} but "
+                    f"n_bins={n_bins} was passed; drop the argument or "
+                    "pass the build value")
+        nb_expr = F.col("n_bins").cast("double")
+    else:
+        nb_expr = F.lit(float(n_bins if n_bins is not None else 10))
     w = (Window.partitionBy("column").orderBy("bucket")
          .rowsBetween(Window.unboundedPreceding, 0))
     wt = Window.partitionBy("column")
@@ -304,21 +336,21 @@ def psi_report(
     Operates purely on the tiny profiles: a full-outer join on
     (column, bucket) then one groupBy — kilobytes at any corpus scale."""
     # Laplace denominator: explicit n_buckets wins (categorical path);
-    # else the profiles' own persisted n_bins when both carry it (a
-    # profile built with 20 bins compared under the default-10
-    # denominator would silently mis-smooth); else the n_bins param
-    has_nb = (n_buckets is None and "n_bins" in old_profile.columns
-              and "n_bins" in new_profile.columns)
+    # else the profiles' own persisted n_bins when EITHER side carries
+    # it (a profile built with 20 bins compared under the default-10
+    # denominator would silently mis-smooth — and the primary
+    # production shape, old-persisted-baseline vs fresh-build, has the
+    # column on one side only during migration); else the n_bins param
+    has_o = n_buckets is None and "n_bins" in old_profile.columns
+    has_n = n_buckets is None and "n_bins" in new_profile.columns
     o = old_profile.select(
         "column", "bucket", F.col("cnt").alias("old_cnt"),
-        *([F.col("n_bins").alias("_nb_o")] if has_nb else []))
+        *([F.col("n_bins").alias("_nb_o")] if has_o else []))
     n = new_profile.select(
         "column", "bucket", F.col("cnt").alias("new_cnt"),
-        *([F.col("n_bins").alias("_nb_n")] if has_nb else []))
-    if has_nb:
-        B = (F.coalesce("_nb_o", "_nb_n").cast("double") + F.lit(1.0))
-    else:
-        B = F.lit(float(n_buckets if n_buckets is not None else n_bins + 1))
+        *([F.col("n_bins").alias("_nb_n")] if has_n else []))
+    nb_cols = ([F.col("_nb_o")] if has_o else []) \
+        + ([F.col("_nb_n")] if has_n else [])
     joined = (
         o.join(n, ["column", "bucket"], "full_outer")
         .fillna(0, subset=["old_cnt", "new_cnt"])
@@ -332,6 +364,17 @@ def psi_report(
     j = (joined
          .withColumn("old_rows", F.sum("old_cnt").over(w))
          .withColumn("new_rows", F.sum("new_cnt").over(w)))
+    if nb_cols:
+        # constant per column: a full-outer row missing the carrying
+        # side has a NULL n_bins — take the column-partition max so
+        # every bucket smooths under the same persisted denominator,
+        # falling back to the param only when NO side knows the count
+        B = F.coalesce(
+            F.max(F.coalesce(*nb_cols).cast("double")).over(w)
+            + F.lit(1.0),
+            F.lit(float(n_bins + 1)))
+    else:
+        B = F.lit(float(n_buckets if n_buckets is not None else n_bins + 1))
     p = (F.col("old_cnt") + F.lit(alpha)) / \
         (F.col("old_rows") + F.lit(alpha) * B)
     q = (F.col("new_cnt") + F.lit(alpha)) / \

@@ -509,24 +509,71 @@ def _iban_valid(s: Column) -> Column:
     return (n >= 15) & (n <= 34) & (acc == 1)
 
 
-#: checksum validators for candidate-regex kinds — only candidates the
-#: validator accepts are counted/redacted (pure column folds, zero UDF)
+def _luhn_subspan(s: Column) -> Column:
+    """The longest 13-19-digit PREFIX of the candidate whose digits
+    pass Luhn, else NULL. The greedy candidate regex can swallow a
+    following short digit token (" ... 6467 22" extracts as one
+    18-digit span); validating only the full span would then let the
+    contained valid card LEAK unredacted — so validation walks prefix
+    windows, longest first, and redaction targets the validated
+    sub-span. A valid window that starts mid-span (leading junk
+    digits) is still not matched — \\b anchors the candidate at a
+    digit-run start, and a run with leading extra digits fails every
+    prefix; that residue falls through to the phone pattern
+    (documented)."""
+    out = F.lit(None).cast("string")
+    for k in range(13, 20):  # ascending wrap => k=19 checked first
+        p = F.regexp_extract(s, r"^\d(?:[ -]?\d){%d}" % (k - 1), 0)
+        out = F.when((p != "") & _luhn_valid(p), p).otherwise(out)
+    return out
+
+
+def _iban_subspan(s: Column) -> Column:
+    """The candidate itself, or the candidate with up to two trailing
+    short groups trimmed, whichever first passes the mod-97 checksum
+    (else NULL). The grouped-form candidate regex can swallow a
+    following 1-4-char word as an extra group (any IBAN whose compact
+    length is a multiple of 4, followed by ' cash' etc.) — full-span
+    validation alone would leak the contained valid IBAN."""
+    t1 = F.regexp_replace(s, r" [A-Za-z0-9]{1,4}$", "")
+    t2 = F.regexp_replace(t1, r" [A-Za-z0-9]{1,4}$", "")
+    return (F.when(_iban_valid(s), s)
+            .when(_iban_valid(t1), t1)
+            .when(_iban_valid(t2), t2)
+            .otherwise(F.lit(None).cast("string")))
+
+
+#: checksum sub-span extractors for candidate-regex kinds — each maps a
+#: candidate to the VALIDATED sub-span to redact (NULL = no valid PII
+#: in this candidate); pure column folds, zero UDF
 _PII_VALIDATORS: dict[str, object] = {
-    "credit_card": _luhn_valid,
-    "iban": _iban_valid,
+    "credit_card": _luhn_subspan,
+    "iban": _iban_subspan,
 }
 
 
+def _valid_subspans(text: Column, pattern: str, subspan_fn) -> Column:
+    return F.filter(
+        F.transform(F.regexp_extract_all(text, F.lit(pattern), 0),
+                    subspan_fn),
+        lambda x: x.isNotNull())
+
+
 def _redact_validated(text: Column, pattern: str, token: str,
-                      validator) -> Column:
-    """Replace every CHECKSUM-VALID candidate span with ``token``:
-    extract candidates, filter by the validator fold, then left-fold
-    literal replaces — conditional redaction without a UDF
-    (regexp_replace alone cannot gate on a checksum)."""
-    valid = F.filter(
-        F.regexp_extract_all(text, F.lit(pattern), 0), validator)
+                      subspan_fn) -> Column:
+    """Replace every CHECKSUM-VALID (sub-)span with ``token``: extract
+    candidates, map each to its validated sub-span, then left-fold
+    WORD-BOUNDED regex replaces — conditional redaction without a UDF
+    (regexp_replace alone cannot gate on a checksum). The \\b guards
+    stop a short valid span from corrupting a longer digit run that
+    merely CONTAINS it as a substring (a 17-digit Luhn-invalid run
+    embedding a valid 16-digit card stays intact for the phone
+    pattern); candidate spans contain only [A-Za-z0-9 -], so the span
+    text is regex-metacharacter-free by construction."""
     return F.aggregate(
-        valid, text, lambda acc, s: F.replace(acc, s, F.lit(token)))
+        _valid_subspans(text, pattern, subspan_fn), text,
+        lambda acc, s: F.regexp_replace(
+            acc, F.concat(F.lit(r"\b"), s, F.lit(r"\b")), F.lit(token)))
 
 
 def redact_pii(
@@ -558,13 +605,17 @@ def redact_pii(
     regex subset in Java regex and RE2, DuckDB-parity-tested).
 
     ``credit_card`` and ``iban`` (opt-in, the compliance-review kinds
-    next to ``ssn``) redact only CHECKSUM-VALID candidates — Luhn for
+    next to ``ssn``) redact only CHECKSUM-VALID spans — Luhn for
     cards, ISO 13616 mod-97 for IBANs: each checksum is a pure column
-    fold over the span's characters and the replace is a literal
-    left-fold over the surviving spans — still map-only, zero UDF,
-    DuckDB-replayable (tests/test_pii_luhn.py). A card-shaped run
-    failing its checksum is left for the later ``phone`` pattern to
-    judge. ``n_credit_card``/``n_iban`` count only valid candidates.
+    fold over the span's characters, validation walks the candidate's
+    prefix windows / trailing-group trims (the greedy candidate regex
+    can swallow an adjacent short token — the valid PII inside must
+    still redact), and the replace is a word-bounded regex left-fold
+    over the validated sub-spans — still map-only, zero UDF,
+    DuckDB-replayable (tests/test_pii_luhn.py). A digit run with
+    LEADING junk digits fails every window and is left for the later
+    ``phone`` pattern to judge. ``n_credit_card``/``n_iban`` count
+    candidates that yielded a valid sub-span.
     """
     unknown = [k for k in kinds if k not in PII_PATTERNS]
     if unknown:
@@ -576,9 +627,8 @@ def redact_pii(
     if with_counts:
         for k in kinds:
             if k in _PII_VALIDATORS:
-                cnt = F.size(F.filter(
-                    F.regexp_extract_all(t, F.lit(PII_PATTERNS[k]), 0),
-                    _PII_VALIDATORS[k]))
+                cnt = F.size(_valid_subspans(t, PII_PATTERNS[k],
+                                             _PII_VALIDATORS[k]))
             else:
                 cnt = _count_re(t, PII_PATTERNS[k])
             cols.append(F.coalesce(cnt, F.lit(0)).alias(f"n_{k}"))

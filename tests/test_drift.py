@@ -234,6 +234,44 @@ def test_merge_profiles_equals_whole_corpus_profile(spark, sf_dir):
     assert all(r["psi"] == 0.0 for r in rep_m.collect())
 
 
+def test_r14_review_nbins_migration_regressions(spark):
+    """r14 review: (a) merging a current shard with a LEGACY shard
+    lacking the persisted n_bins column must work (the migration case
+    the docstring claims), not crash in unionByName; (b)
+    profile_quantiles raises on a conflicting explicit n_bins= like
+    normalize_scores does; (c) psi_report reads the persisted count
+    when only ONE side carries it."""
+    from anomalyzer_spark.functions.drift import (
+        histogram_profile, merge_profiles, profile_quantiles, psi_report)
+    df = spark.range(0, 200).selectExpr("id * 1.0 AS x")
+    new = histogram_profile(df, ["x"], n_bins=20,
+                            bounds={"x": (0.0, 199.0)})
+    legacy = new.drop("n_bins")
+    merged = merge_profiles([new, legacy])
+    row = merged.collect()[0]
+    assert row["n_bins"] == 20  # known count carried through the fold
+    assert merged.where(F.col("bucket") == 0).collect()[0]["cnt"] == 20
+    # conflicting bin counts ACROSS known shards still rejected
+    other = histogram_profile(df, ["x"], n_bins=10,
+                              bounds={"x": (0.0, 199.0)})
+    with pytest.raises(ValueError, match="inconsistent"):
+        merge_profiles([new, other])
+    # (b) dead-argument guard
+    with pytest.raises(ValueError, match="n_bins"):
+        profile_quantiles(new, [0.5], n_bins=37)
+    q = profile_quantiles(new, [0.5], n_bins=20).collect()  # agreeing ok
+    assert q[0]["value"] is not None
+    # (c) one-sided persisted count: B must come from the carrying side
+    # (identical data, so any mis-smoothing would still give psi 0 —
+    # compare against an asymmetric shift instead)
+    shifted = df.withColumn("x", F.col("x") + 50.0)
+    pn = histogram_profile(shifted, ["x"], n_bins=20,
+                           bounds={"x": (0.0, 199.0)})
+    both = psi_report(new, pn).collect()[0]["psi"]
+    one_sided = psi_report(legacy, pn).collect()[0]["psi"]
+    assert one_sided == both  # read-back works from either side alone
+
+
 def test_merge_profiles_rejects_inconsistent_bounds(spark):
     from anomalyzer_spark.functions.drift import merge_profiles
     a = spark.createDataFrame([("x", 0, 5, 0.0, 1.0)],

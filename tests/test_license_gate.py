@@ -34,6 +34,9 @@ def _rows():
         # phrase BEYOND the 2048-char header slice is not scanned
         (13, ("x" * 3000) + "\nMIT License\n"),
         (14, None),
+        # r14 review regression: an SPDX tag QUOTED beyond the header
+        # slice must NOT flip the fail-closed gate open
+        (15, ("y" * 3000) + "\n// SPDX-License-Identifier: MIT\n"),
     ]
 
 
@@ -53,7 +56,7 @@ def test_duckdb_parity_and_planted_headers(spark):
     want = sorted(map(tuple, con.execute(rf"""
 WITH s AS (
   SELECT doc_id, text, substring(text, 1, 2048) AS head,
-    nullif(trim(regexp_extract(text,
+    nullif(trim(regexp_extract(substring(text, 1, 2048),
       'SPDX-License-Identifier:[ \t]*([A-Za-z0-9 .+()-]+)', 1)), '')
       AS spdx_id
   FROM d),
@@ -103,6 +106,7 @@ FROM p""").fetchall()))
     assert by_id[12][2] == "GPL-2.0-only"   # SPDX beats header phrase
     assert by_id[13][2] is None             # beyond the header slice
     assert by_id[14] == (14, None, None, False, False)
+    assert by_id[15] == (15, None, None, False, False)  # quoted-tag body
 
 
 def test_curate_license_gate(spark):

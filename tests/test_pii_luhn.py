@@ -37,27 +37,46 @@ def _rows():
         # by credit_card even when Luhn-coincident
         (12, "short 123456789012 run"),
         (13, "long 12345678901234567890 run"),
+        # review regressions (r14): the greedy candidate swallowing an
+        # adjacent short token must not LEAK the contained valid card —
+        # the prefix window validates and only the card redacts
+        (14, f"card {VALID_VISA_SP} 22 euros"),
+        # a longer Luhn-invalid run CONTAINING a valid card as a
+        # substring must stay intact (word-bounded replace), and the
+        # standalone valid occurrence still redacts
+        (15, f"a {VALID_VISA} b 9{VALID_VISA} c"),
     ]
 
 
-_LUHN_SQL_VALID = r"""
-list_filter(regexp_extract_all(text, '\b\d(?:[ -]?\d){12,18}\b'), s ->
-  length(regexp_replace(s, '[^0-9]', '', 'g')) BETWEEN 13 AND 19 AND
-  list_sum(list_transform(
-    range(0, length(regexp_replace(s, '[^0-9]', '', 'g'))), i ->
-      CASE WHEN i % 2 = 1 THEN
-        CASE WHEN 2 * (ascii(substring(reverse(
-               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
-             > 9
-        THEN 2 * (ascii(substring(reverse(
-               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
-             - 9
-        ELSE 2 * (ascii(substring(reverse(
-               regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48)
-        END
-      ELSE ascii(substring(reverse(
-             regexp_replace(s, '[^0-9]', '', 'g')), (i+1)::INT, 1)) - 48
-      END)) % 10 = 0)
+def _luhn_ok_sql(expr: str) -> str:
+    """DuckDB predicate: the span expression's digits pass Luhn and the
+    13-19 length window (the Spark _luhn_valid twin)."""
+    d = f"regexp_replace({expr}, '[^0-9]', '', 'g')"
+    a = f"ascii(substring(reverse({d}), (i+1)::INT, 1)) - 48"
+    return (
+        f"(length({d}) BETWEEN 13 AND 19 AND "
+        f"list_sum(list_transform(range(0, length({d})), i -> "
+        f"CASE WHEN i % 2 = 1 THEN "
+        f"CASE WHEN 2 * ({a}) > 9 THEN 2 * ({a}) - 9 ELSE 2 * ({a}) END "
+        f"ELSE {a} END)) % 10 = 0)")
+
+
+def _card_subspan_sql() -> str:
+    """DuckDB twin of _luhn_subspan: longest valid 13-19-digit prefix
+    window of candidate `s`, else NULL."""
+    def pk(k):
+        return rf"regexp_extract(s, '^\d(?:[ -]?\d){{{k - 1}}}', 0)"
+    whens = " ".join(
+        f"WHEN {pk(k)} <> '' AND {_luhn_ok_sql(pk(k))} THEN {pk(k)}"
+        for k in range(19, 12, -1))
+    return f"CASE {whens} ELSE NULL END"
+
+
+#: validated card sub-spans of `text` (the Spark _valid_subspans twin)
+_LUHN_SQL_VALID = rf"""
+list_filter(list_transform(
+  regexp_extract_all(text, '\b\d(?:[ -]?\d){{12,18}}\b'),
+  s -> {_card_subspan_sql()}), x -> x IS NOT NULL)
 """
 
 
@@ -80,7 +99,9 @@ cc AS (
   SELECT doc_id, text, len(valid) AS n_credit_card,
     CASE WHEN text IS NULL THEN NULL
          ELSE list_reduce(list_prepend(text, valid),
-                          (acc, x) -> replace(acc, x, '[CREDIT_CARD]'))
+                          (acc, x) -> regexp_replace(
+                            acc, '\b' || x || '\b', '[CREDIT_CARD]',
+                            'g'))
     END AS r1
   FROM v),
 s AS (
@@ -110,6 +131,11 @@ FROM s""").fetchall()))
     assert by_id[11][1] is None and by_id[11][2] == 0
     assert "[CREDIT_CARD]" not in by_id[12][1]
     assert "[CREDIT_CARD]" not in by_id[13][1]
+    assert by_id[14][1] == "card [CREDIT_CARD] 22 euros"
+    # the longer Luhn-invalid run stays INTACT through the card pass
+    # (word-bounded replace — no '9[CREDIT_CARD]' corruption) and is
+    # then judged whole by the later phone pattern, as documented
+    assert by_id[15][1] == "a [CREDIT_CARD] b [PHONE] c"
 
 
 VALID_IBAN = "DE89370400440532013000"          # ISO 13616 example
@@ -126,6 +152,11 @@ def test_iban_mod97_duckdb_parity(spark):
         (5, "no iban here, just words"),
         (6, None),
         (7, "short DE8937040044 run"),          # < 15 compact chars
+        # review regression (r14): the grouped-form candidate swallows
+        # a following 1-4-char word when the compact length is ≡0 mod 4
+        # (AT = 20 chars) — the trailing-group trim must recover the
+        # valid IBAN
+        (8, "pay AT61 1904 3002 3457 3201 cash now"),
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
     got = sorted(map(tuple, text.redact_pii(
@@ -137,34 +168,38 @@ def test_iban_mod97_duckdb_parity(spark):
             "(%d, %s)" % (i, "NULL" if t is None
                           else "'" + t.replace("'", "''") + "'")
             for i, t in rows) + ") t(doc_id, text)")
-    want = sorted(map(tuple, con.execute(r"""
+    def iban_ok(expr):
+        t = f"regexp_replace(upper({expr}), '[^A-Z0-9]', '', 'g')"
+        r = f"(substring({t}, 5, 34) || substring({t}, 1, 4))"
+        return (
+            f"(length({t}) BETWEEN 15 AND 34 AND "
+            f"list_reduce(list_prepend('0', list_transform("
+            f"range(0, length({t})), i -> substring({r}, (i+1)::INT, 1))),"
+            f"(acc, c) -> CASE WHEN c BETWEEN '0' AND '9' "
+            f"THEN ((acc::INT * 10 + (ascii(c) - 48)) % 97)::VARCHAR "
+            f"ELSE ((acc::INT * 100 + (ascii(c) - 55)) % 97)::VARCHAR END)"
+            f" = '1')")
+
+    trim1 = r"regexp_replace(s, ' [A-Za-z0-9]{1,4}$', '')"
+    trim2 = (r"regexp_replace(regexp_replace(s, ' [A-Za-z0-9]{1,4}$', '')"
+             r", ' [A-Za-z0-9]{1,4}$', '')")
+    sub = (f"CASE WHEN {iban_ok('s')} THEN s "
+           f"WHEN {iban_ok(trim1)} THEN {trim1} "
+           f"WHEN {iban_ok(trim2)} THEN {trim2} ELSE NULL END")
+    want = sorted(map(tuple, con.execute(rf"""
 WITH v AS (
   SELECT doc_id, text,
-    list_filter(
+    list_filter(list_transform(
       regexp_extract_all(text,
-        '\b[A-Z]{2}\d{2}(?:[A-Za-z0-9]{11,30}'
-        || '|(?: [A-Za-z0-9]{4}){2,7}(?: [A-Za-z0-9]{1,4})?)\b'),
-      s -> (
-      length(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'))
-        BETWEEN 15 AND 34 AND
-      list_reduce(list_prepend('0', list_transform(
-          range(0, length(regexp_replace(upper(s), '[^A-Z0-9]', '',
-                                         'g'))),
-          i -> substring(
-            substring(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'),
-                      5, 34)
-            || substring(regexp_replace(upper(s), '[^A-Z0-9]', '', 'g'),
-                         1, 4),
-            (i+1)::INT, 1))),
-        (acc, c) -> CASE WHEN c BETWEEN '0' AND '9'
-          THEN ((acc::INT * 10 + (ascii(c) - 48)) % 97)::VARCHAR
-          ELSE ((acc::INT * 100 + (ascii(c) - 55)) % 97)::VARCHAR END)
-      = '1')) AS valid
+        '\b[A-Z]{{2}}\d{{2}}(?:[A-Za-z0-9]{{11,30}}'
+        || '|(?: [A-Za-z0-9]{{4}}){{2,7}}(?: [A-Za-z0-9]{{1,4}})?)\b'),
+      s -> {sub}), x -> x IS NOT NULL) AS valid
   FROM d)
 SELECT doc_id,
   CASE WHEN text IS NULL THEN NULL
        ELSE list_reduce(list_prepend(text, valid),
-                        (acc, x) -> replace(acc, x, '[IBAN]')) END
+                        (acc, x) -> regexp_replace(
+                          acc, '\b' || x || '\b', '[IBAN]', 'g')) END
     AS text,
   coalesce(len(valid), 0) AS n_iban
 FROM v""").fetchall()))
@@ -176,6 +211,7 @@ FROM v""").fetchall()))
     assert by_id[4][2] == 2
     assert by_id[5][2] == 0 and by_id[6][1] is None
     assert "[IBAN]" not in by_id[7][1]           # below length window
+    assert by_id[8][1] == "pay [IBAN] cash now"  # trim recovers it
 
 
 def test_defaults_unchanged_and_validation(spark):
