@@ -214,6 +214,34 @@ FROM v""").fetchall()))
     assert by_id[8][1] == "pay [IBAN] cash now"  # trim recovers it
 
 
+def test_redaction_idempotent_hypothesis(spark):
+    """Fixed-point property of the checksum-gated kinds: redacting an
+    already-redacted document changes nothing. This holds by
+    construction — replacement tokens carry no digits and the bracket
+    breaks \\b adjacency, so no new candidate can form; and any
+    validated sub-span of a surviving run would have been redacted in
+    the first pass (same walk) — and it is exactly the property the
+    r14 review's partial-corruption bug ('9[CREDIT_CARD]') violated."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(st.lists(
+        st.text(alphabet="0123456789 -abIBANDE", min_size=0, max_size=40),
+        min_size=1, max_size=6))
+    @settings(max_examples=8, deadline=None)
+    def run(chunks):
+        s = (" " + VALID_VISA_SP + " ").join(chunks)
+        df = spark.createDataFrame([(1, s)], "doc_id long, text string")
+        kinds = ("iban", "credit_card", "ssn")
+        once = text.redact_pii(df, kinds=kinds).collect()[0]["text"]
+        df2 = spark.createDataFrame([(1, once)],
+                                    "doc_id long, text string")
+        twice = text.redact_pii(df2, kinds=kinds).collect()[0]["text"]
+        assert twice == once, (s, once, twice)
+
+    run()
+
+
 def test_defaults_unchanged_and_validation(spark):
     # the new kinds are OPT-IN: default output is byte-identical to a
     # pre-r14 call (credit_card/ssn absent from the default chain)
