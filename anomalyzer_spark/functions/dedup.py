@@ -56,9 +56,23 @@ def exact_dedup(
     canonical = min id in the group; is_duplicate marks rows a keep-first
     policy would drop. Plan: project → hash → one groupBy shuffle on the
     digest → broadcast-friendly join back (the grouped side is tiny).
+
+    NULL-safety contract (r14 review): EVERY input row comes back.
+    NULL-text docs hash to one well-defined sentinel group (identical
+    absent content — md5(NULL) is NULL and a plain equi-join would
+    silently DELETE those rows, which through curate()'s keep-first
+    semi-join meant permanent corpus loss). And because ``normalized``
+    is an ASCII [a-z0-9] lexer, a document whose normalized form is
+    empty while its RAW text is not (non-Latin scripts) hashes its raw
+    bytes instead — two different CJK documents are NOT one duplicate
+    group.
     """
     t = F.col(text_col)
-    h = F.md5((normalized(t) if normalize else t).cast("binary")).alias("content_hash")
+    base = normalized(t) if normalize else t
+    if normalize:
+        base = F.when((base == "") & (t != ""), t).otherwise(base)
+    h = F.coalesce(F.md5(base.cast("binary")),
+                   F.lit("__null_text__")).alias("content_hash")
     hashed = df.select(F.col(id_col), h)
     groups = hashed.groupBy("content_hash").agg(
         F.count(F.lit(1)).alias("group_size"),
@@ -177,6 +191,16 @@ def ngram_jaccard_pairs(
     executor on a stop-shingle at corpus scale. Default cap 1000 bounds
     per-shingle work at ~500k pairs; pass None to disable (exact, small
     corpora only). Prefer minhash_lsh_pairs beyond ~10M docs.
+
+    Cap bias (deliberate, same calibration as ``shared_value_pairs``):
+    capped-out hot shingles are removed from ``n_common`` (post-filter)
+    but NOT from ``n_a``/``n_b`` (pre-filter set sizes), so reported
+    jaccard UNDERSTATES the true value for pairs sharing hot shingles —
+    shared stop-shingles are weak dup evidence, and keeping the true
+    set sizes in the denominator is what keeps the score conservative
+    rather than inflated. "Exact" above means exact over the KEPT
+    shingle intersection; pass ``max_shingle_freq=None`` for the
+    textbook statistic.
     """
     ex = _shingle_exploded(df, text_col, id_col, k, max_shingle_freq)
     # One shuffle on shingle; co-occurring docs collected per shingle and
@@ -246,6 +270,15 @@ def minhash_signatures(
     """
     staged = df.select(F.col(id_col),
                        normalized_words(F.col(text_col)).alias("_w"))
+    # zero-evidence docs are EXCLUDED from near-dup candidacy (r14
+    # review): NULL text, or text the [a-z0-9] lexer reduces to nothing
+    # (punctuation-only, non-Latin scripts), yields no shingles — every
+    # such doc used to share one degenerate signature, colliding in ALL
+    # band buckets and producing a quadratic candidate self-join.
+    # Identical-content grouping of contentless docs is exact_dedup's
+    # job; near-dup similarity needs shingle evidence.
+    staged = staged.where(
+        F.size(F.filter(F.col("_w"), lambda x: x != "")) > 0)
     shingles = word_shingles_from_words(F.col("_w"), k)
     pairs = F.transform(
         F.transform(shingles, lambda s: F.md5(s.cast("binary"))),
@@ -280,7 +313,8 @@ def minhash_band_buckets(
     (``minhash_lsh_pairs``) and the streaming store
     (``streaming.minhash_stream``) — any drift between them would desync
     the incremental store from the batch contract."""
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(
         df, text_col, id_col, k=k, num_hashes=num_hashes)
@@ -380,7 +414,8 @@ def minhash_lsh_pairs(
     no small bucket with it. Default None preserves the exact contract
     semantics (the correctness oracle reproduces the uncapped join).
     """
-    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    if num_hashes % bands != 0:
+        raise ValueError("bands must divide num_hashes")
 
     buckets = minhash_band_buckets(
         df, text_col, id_col, k=k, num_hashes=num_hashes, bands=bands)
@@ -717,7 +752,12 @@ def cdc_chunks(
     Python. Returns (id, chunk_idx, chunk_len, chunk_md5).
     """
     w, dv = window, divisor
-    text, n = F.col(text_col), F.length(F.col(text_col))
+    # NULL text is chunked as empty text (one zero-length chunk with a
+    # real md5) — length(NULL) is NULL and would otherwise propagate a
+    # (chunk_len NULL, chunk_md5 NULL) row that downstream chunk-level
+    # grouping buckets under the NULL key (r14 review)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(text)
     positions = F.when(n >= w, F.sequence(F.lit(1), n - w + 1)) \
         .otherwise(F.array().cast("array<int>"))
     # explode_OUTER: a plain explode's inferred size(positions)>0 scan
@@ -776,9 +816,14 @@ def simhash_col(text: Column, *, bits: int = 32) -> Column:
     """The SimHash signature of ``text`` as a pure column expression —
     usable inside any map-only projection (e.g. the ``text_profile``
     fused per-document profile attests it under a registry value hash).
-    See ``simhash`` for the bit construction spec."""
-    assert bits <= 32
-    words = F.split(normalized(text), " ")
+    See ``simhash`` for the bit construction spec. Wordless documents
+    (NULL text, or nothing survives the lexer) get signature 0 — the
+    same contract ``simhash_weighted`` documents, so the two operators
+    agree on degenerate input (r14 review; the old fold gave empty
+    text the md5-of-empty-word bit pattern and NULL text a NULL)."""
+    if bits > 32:
+        raise ValueError("bits must be <= 32")
+    words = F.filter(F.split(normalized(text), " "), lambda x: x != "")
     hashes = F.transform(words, lambda w: F.md5(w.cast("binary")))
     # ONE fold over the word hashes accumulating all 32 bit-sums at once
     # (md5 evaluated once per word; a per-bit aggregate would re-evaluate
@@ -797,7 +842,7 @@ def simhash_col(text: Column, *, bits: int = 32) -> Column:
     )
     # 2^j via a literal power table (shiftleft needs a non-Column bit count)
     powers = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
-    return F.aggregate(
+    sig = F.aggregate(
         F.zip_with(
             bit_sums,
             powers,
@@ -806,6 +851,7 @@ def simhash_col(text: Column, *, bits: int = 32) -> Column:
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
+    return F.coalesce(sig, F.lit(0).cast("long"))  # NULL text -> 0
 
 
 def simhash(
@@ -816,14 +862,18 @@ def simhash(
     Bit j of a word's hash = top bit of the j-th nibble of md5(word) — i.e.
     hex digit >= '8'. Signature bit j = sign of Σ_words (±1). This
     hex-digit construction is deliberately engine-portable (any SQL engine
-    with md5+substr reproduces it). Returns (id, simhash bigint, n_words).
+    with md5+substr reproduces it). Returns (id, simhash bigint, n_words);
+    wordless documents (NULL text included) get signature 0 / n_words 0.
     """
-    assert bits <= 32
-    words = F.split(normalized(F.col(text_col)), " ")
+    if bits > 32:
+        raise ValueError("bits must be <= 32")
+    words = F.filter(F.split(normalized(F.col(text_col)), " "),
+                     lambda x: x != "")
     return df.select(
         F.col(id_col),
         simhash_col(F.col(text_col), bits=bits).alias("simhash"),
-        F.size(words).alias("n_words"),
+        # size(NULL array) is -1 under non-ANSI semantics
+        F.greatest(F.size(words), F.lit(0)).alias("n_words"),
     )
 
 
@@ -869,19 +919,27 @@ def simhash_weighted(
     sums over that attribute. ``corpus_stats=(n_docs, _)`` skips the
     corpus-count scan (persisted corpus-version metadata, the
     ``bm25_corpus_stats`` shape — only n_docs is read)."""
-    assert bits <= 32
+    if bits > 32:
+        raise ValueError("bits must be <= 32")
     tok = (df.select(F.col(id_col),
                      F.split(normalized(F.col(text_col)), " ").alias("_w"))
            .select(F.col(id_col), F.explode_outer("_w").alias("word"))
            .where(F.col("word").isNotNull() & (F.col("word") != "")))
     tf = tok.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("tf"))
-    if materialize:
+    if materialize and not df.isStreaming:
+        # the streaming guard every sibling pair generator carries —
+        # an unconditional checkpoint raised before the downstream
+        # isStreaming guards could even run (r14 review)
         tf = tf.localCheckpoint(eager=True)
     if corpus_stats is not None:
         n_docs = int(corpus_stats[0])
         if n_docs < 1:
             raise ValueError("corpus_stats needs n_docs >= 1")
     else:
+        if df.isStreaming:
+            raise ValueError(
+                "streaming frames need corpus_stats= (a streaming "
+                "frame cannot be counted eagerly)")
         n_docs = df.count()
     dfreq = tf.groupBy("word").agg(F.count(F.lit(1)).alias("doc_freq"))
     idf = F.log(1.0 + (F.lit(float(n_docs)) - F.col("doc_freq") + 0.5)
@@ -1393,13 +1451,18 @@ def gram_occurrences(
     it ~min_len+2 times and HOF subtrees evaluate per reference, so
     inlining ran the whitespace split ~22x per document (measured 1.9x
     warm on the sf0.1 gram explode)."""
+    # posexplode_OUTER: the plain generator makes Catalyst infer a
+    # size() > 0 filter below the generate, re-running the whole
+    # O(words × min_len) _gram_hashes md5 tree once more per row — the
+    # same InferFiltersFromGenerate regression _shingle_exploded and
+    # cdc_chunks already work around (r14 review found this site missed)
     return df.select(
         F.col(id_col), _ws_exact_tokens(F.col(text_col)).alias("_t"),
     ).select(
         F.col(id_col),
-        F.posexplode(_gram_hashes(F.col("_t"), min_len))
+        F.posexplode_outer(_gram_hashes(F.col("_t"), min_len))
         .alias("pos", "gram_hash"),
-    )
+    ).where(F.col("gram_hash").isNotNull())
 
 
 def duplicate_spans_from_gram_stats(
