@@ -1451,18 +1451,18 @@ def gram_occurrences(
     it ~min_len+2 times and HOF subtrees evaluate per reference, so
     inlining ran the whitespace split ~22x per document (measured 1.9x
     warm on the sf0.1 gram explode)."""
-    # posexplode_OUTER: the plain generator makes Catalyst infer a
-    # size() > 0 filter below the generate, re-running the whole
-    # O(words × min_len) _gram_hashes md5 tree once more per row — the
-    # same InferFiltersFromGenerate regression _shingle_exploded and
-    # cdc_chunks already work around (r14 review found this site missed)
+    # plain posexplode is CORRECT here: unlike _shingle_exploded /
+    # cdc_chunks, Catalyst infers NO size() > 0 filter below this
+    # generate (verified against the optimized plan: 1 Generate,
+    # 0 Filter nodes — an r14 review candidate claimed otherwise; the
+    # outer+isNotNull variant just added a useless Filter node)
     return df.select(
         F.col(id_col), _ws_exact_tokens(F.col(text_col)).alias("_t"),
     ).select(
         F.col(id_col),
-        F.posexplode_outer(_gram_hashes(F.col("_t"), min_len))
+        F.posexplode(_gram_hashes(F.col("_t"), min_len))
         .alias("pos", "gram_hash"),
-    ).where(F.col("gram_hash").isNotNull())
+    )
 
 
 def duplicate_spans_from_gram_stats(
