@@ -219,7 +219,8 @@ def lsh_buckets(
     """(id, vec, band, bucket) rows — one row per band, bucket = the band's
     signature bits rendered as a string key (join key for candidates)."""
     n = len(planes)
-    assert n % bands == 0, "bands must divide number of hyperplanes"
+    if n % bands != 0:
+        raise ValueError("bands must divide number of hyperplanes")
     rows = n // bands
     df = checked_width(df, vec_col, len(planes[0]), "LSH hyperplanes")
     sig = lsh_signature(vec_col, planes)
@@ -295,6 +296,11 @@ def train_ivf_centroids(
     can inline the identical centroid literals. Returns centroids rounded
     to 6 decimals (the literal precision both engines compile in)."""
     x = np.asarray(sample, dtype=np.float64)
+    if len(x) < n_clusters:
+        raise ValueError(
+            f"sample ({len(x)} rows) smaller than n_clusters="
+            f"{n_clusters}; x[:n_clusters] would silently return a "
+            "smaller model and desync every cell-count assumption")
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     cents = x[:n_clusters].copy()
     for _ in range(n_iters):
@@ -326,9 +332,15 @@ def nearest_cells(vec_name: str, centroids: list[list[float]], n: int):
                 "(acc, x) -> acc + x * x))").format(
             a=", ".join(f"{float(x)!r}D" for x in arr))
 
+    # degenerate cosine (zero-norm vector or centroid) is coalesced to
+    # +Infinity so it ranks LAST: array_sort puts NULL struct fields
+    # FIRST, which made a zero-norm centroid the "nearest" cell for
+    # every vector — collapsing IVF assignment into one cell (r14
+    # review, verified against array_sort's struct ordering)
     scored = ", ".join(
-        "named_struct('neg', -(CASE WHEN {vn} > 0 AND {cn} > 0 "
-        "THEN {d} / ({vn} * {cn}) END), 'cid', {i})".format(
+        "named_struct('neg', coalesce(-(CASE WHEN {vn} > 0 AND {cn} > 0 "
+        "THEN {d} / ({vn} * {cn}) END), cast('Infinity' as double)), "
+        "'cid', {i})".format(
             vn=vnorm, cn=cnorm(c), d=dot(c), i=i)
         for i, c in enumerate(centroids)
     )
@@ -368,7 +380,11 @@ def ivf_topk(
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        train = corpus.select(
+        # NULL embeddings must be dropped BEFORE training: MLlib's
+        # array_to_vector crashes on NULL with an opaque UDF error,
+        # while the documented contract is that rows without an
+        # embedding simply don't participate (r14 review, reproduced)
+        train = corpus.where(F.col(vec_col).isNotNull()).select(
             F.col(id_col), array_to_vector(F.col(vec_col)).alias("features"))
         model = KMeans(k=n_clusters, seed=seed, featuresCol="features").fit(train)
         centroids = [c.tolist() for c in model.clusterCenters()]
@@ -458,7 +474,8 @@ def train_pq_codebooks(
     literals. Returns m codebooks of k centroids each (rounded 6)."""
     x = np.asarray(sample, dtype=np.float64)
     dim = x.shape[1]
-    assert dim % m == 0, "m must divide the embedding dimension"
+    if dim % m != 0:
+        raise ValueError("m must divide the embedding dimension")
     d = dim // m
     books = []
     for s in range(m):
@@ -566,6 +583,10 @@ def _exact_rerank(
         .join(F.broadcast(qvec), "query_id")
         .select("query_id", "neighbor_id",
                 cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim"))
+        # degenerate (zero-norm) candidates score NULL — drop them like
+        # every exact searcher does, or NULL-sim rows occupy ranks <= k
+        # and "refine >= corpus EQUALS cosine_topk" breaks (r14 review)
+        .where(F.col("cos_sim").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
@@ -888,13 +909,28 @@ def semantic_pairs(
     serializes the join into a handful of hot tasks.
     """
     if centroids is None:
+        # sanitize BEFORE sampling (r14 review, reproduced): a NULL
+        # embedding's md5(concat(seed, NULL)) is NULL and ascending
+        # orderBy is NULLS FIRST, so NULL rows filled the sample and
+        # crashed the NumPy fit with an opaque inhomogeneous-shape
+        # error — and a wrong-width row in the sample bypassed
+        # checked_width's clear diagnostic. The width filter here
+        # mirrors the post-train checked_width (first non-null row's
+        # width is the corpus claim).
+        clean = df.where(F.col(vec_col).isNotNull())
         samp = (
-            df.select(F.col(vec_col))
+            clean.select(F.col(vec_col))
             .withColumn("_h", F.md5(F.concat(
                 F.lit(str(seed)), F.col(vec_col).cast("string"))))
             .orderBy("_h").limit(sample_rows)
         )
-        vecs = np.array([r[0] for r in samp.collect()], dtype=np.float64)
+        rows = [r[0] for r in samp.collect()]
+        widths = {len(v) for v in rows}
+        if len(widths) > 1:
+            raise ValueError(
+                f"semantic_pairs sample holds mixed embedding widths "
+                f"{sorted(widths)}; fix the corpus or pass centroids=")
+        vecs = np.array(rows, dtype=np.float64)
         if len(vecs) < n_clusters:
             raise ValueError(
                 f"corpus sample ({len(vecs)} rows) smaller than "
