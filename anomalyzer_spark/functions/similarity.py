@@ -163,13 +163,20 @@ def cosine_topk(
     the tiny per-query top-k aggregation.
     """
     query_id_col = query_id_col or id_col
+    # norms staged per ROW on both sides: the |Q|×|C| cross join then
+    # runs one fold (the dot) per pair instead of three — same float
+    # ops in the same order, bit-identical scores (r14 review)
     q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qv"),
+        l2_norm(F.col(vec_col)).alias("_qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"),
+        l2_norm(F.col(vec_col)).alias("_cn"),
     )
-    sim = cosine(F.col("_qv"), F.col("_cv"))
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .select("query_id", "neighbor_id", sim.alias("cos_sim"))
@@ -800,9 +807,11 @@ def cosine_pairs(
         cand = (
             pair_ids
             .join(df.select(F.col(id_col).alias("id_a"),
-                            F.col(vec_col).alias("_va")), "id_a")
+                            F.col(vec_col).alias("_va"),
+                            l2_norm(F.col(vec_col)).alias("_na")), "id_a")
             .join(df.select(F.col(id_col).alias("id_b"),
-                            F.col(vec_col).alias("_vb")), "id_b")
+                            F.col(vec_col).alias("_vb"),
+                            l2_norm(F.col(vec_col)).alias("_nb")), "id_b")
         )
     else:
         if max_exact_rows is not None:
@@ -813,11 +822,18 @@ def cosine_pairs(
                     f"and the corpus exceeds max_exact_rows="
                     f"{max_exact_rows}; use use_lsh=True (the scale path) "
                     f"or raise max_exact_rows explicitly")
-        x = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-        y = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+        x = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                      l2_norm(F.col(vec_col)).alias("_na"))
+        y = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                      l2_norm(F.col(vec_col)).alias("_nb"))
         cand = x.crossJoin(y).where(F.col("id_a") < F.col("id_b"))
+    # norms staged per row on each join leg (one fold per pair, not
+    # three — r14 review; same float ops, bit-identical scores)
+    sim = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
     return (
-        cand.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        cand.select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
 
@@ -938,8 +954,15 @@ def semantic_pairs(
         centroids = train_ivf_centroids(vecs, n_clusters)
     dim = len(centroids[0])
     df = checked_width(df, vec_col, dim, "semantic_pairs centroids")
+    # the row's norm is STAGED once here (and materialized by the
+    # checkpoint below): the per-pair cosine then runs ONE fold (the
+    # dot) instead of three — interpreted HOFs get no subexpression
+    # elimination, so an O(n²) cell recomputed each member's norm once
+    # per PAIR (r14 review; same float ops in the same order, so the
+    # scores are bit-identical)
     assigned = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        l2_norm(F.col(vec_col)).alias("_nrm"),
         F.explode(
             nearest_cells(vec_col, centroids, n_assign)).alias("cell"),
     )
@@ -988,14 +1011,18 @@ def semantic_pairs(
     nparts = assigned.sparkSession.sparkContext.defaultParallelism
     assigned = assigned.repartition(nparts, "cell")
     a = assigned.select("cell", F.col("_id").alias("id_a"),
-                        F.col("_v").alias("_va"))
+                        F.col("_v").alias("_va"),
+                        F.col("_nrm").alias("_na"))
     b = assigned.select("cell", F.col("_id").alias("id_b"),
-                        F.col("_v").alias("_vb"))
+                        F.col("_v").alias("_vb"),
+                        F.col("_nrm").alias("_nb"))
+    sim = F.when(
+        (F.col("_na") > 0) & (F.col("_nb") > 0),
+        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
     pairs = (
         a.join(b, "cell")
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                cosine(F.col("_va"), F.col("_vb")).alias("cos_sim"))
+        .select("id_a", "id_b", sim.alias("cos_sim"))
         .where(F.col("cos_sim") >= threshold)
     )
     if n_assign > 1:
