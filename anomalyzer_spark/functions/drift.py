@@ -169,7 +169,19 @@ def merge_profiles(profiles: list[DataFrame]) -> DataFrame:
             F.first("lo").alias("lo"), F.first("hi").alias("hi")]
     if has_nb:
         aggs.append(F.first("n_bins", ignorenulls=True).alias("n_bins"))
-    return u.groupBy("column", "bucket").agg(*aggs)
+    out = u.groupBy("column", "bucket").agg(*aggs)
+    if has_nb:
+        # Backfill per COLUMN, not per bucket: first(ignorenulls) runs
+        # inside each (column, bucket) group, so a bucket present ONLY
+        # in legacy pre-n_bins shards kept a NULL count even when its
+        # sibling buckets knew it — profile_quantiles then computed a
+        # NULL width for exactly that bucket and its NULL-skipping
+        # clamp silently returned the bucket's lo (ADVICE r14). The
+        # per-column consistency check above already guarantees at most
+        # one non-NULL value per column, so the window max IS it.
+        out = out.withColumn(
+            "n_bins", F.max("n_bins").over(Window.partitionBy("column")))
+    return out
 
 
 def profile_quantiles(
@@ -212,14 +224,26 @@ def profile_quantiles(
     # collects the tiny distinct set of the kilobyte profile frame.
     if "n_bins" in profile.columns:
         if n_bins is not None:
+            # NULL-tolerant: hand-assembled legacy+current frames may
+            # carry NULL n_bins rows; int(None) raised a raw TypeError
+            # here before (ADVICE r14). NULLs are not a conflict — the
+            # known values are.
             built = sorted({int(r["n_bins"]) for r in
-                            profile.select("n_bins").distinct().collect()})
-            if built != [int(n_bins)]:
+                            profile.select("n_bins").distinct().collect()
+                            if r["n_bins"] is not None})
+            if built and built != [int(n_bins)]:
                 raise ValueError(
                     f"profile was built with n_bins={built} but "
                     f"n_bins={n_bins} was passed; drop the argument or "
                     "pass the build value")
-        nb_expr = F.col("n_bins").cast("double")
+        # per-column max backfills buckets whose n_bins is NULL (legacy
+        # shards merged by hand, bypassing merge_profiles' backfill);
+        # a column with NO known count falls back to the argument /
+        # default instead of a NULL width that poisons interpolation
+        nb_expr = F.coalesce(
+            F.max("n_bins").over(Window.partitionBy("column"))
+            .cast("double"),
+            F.lit(float(n_bins if n_bins is not None else 10)))
     else:
         nb_expr = F.lit(float(n_bins if n_bins is not None else 10))
     w = (Window.partitionBy("column").orderBy("bucket")
@@ -369,10 +393,34 @@ def psi_report(
         # side has a NULL n_bins — take the column-partition max so
         # every bucket smooths under the same persisted denominator,
         # falling back to the param only when NO side knows the count
-        B = F.coalesce(
-            F.max(F.coalesce(*nb_cols).cast("double")).over(w)
-            + F.lit(1.0),
-            F.lit(float(n_bins + 1)))
+        B_core = (F.max(F.coalesce(*nb_cols).cast("double")).over(w)
+                  + F.lit(1.0))
+        if len(nb_cols) == 2:
+            # both profiles persist a count: if they DIFFER for a
+            # column the buckets are incomparable — raise instead of
+            # silently smoothing over the max (ADVICE r14; mirrors
+            # merge_profiles' inconsistent-shards contract). Checked
+            # in-plan via raise_error so the profile subtrees are not
+            # re-evaluated by a driver-side pre-collect (the
+            # single-subtree plan shape is pinned in tests); surfaces
+            # at action time as a Spark runtime error naming the column.
+            o_nb = F.max(F.col("_nb_o")).over(w).cast("double")
+            n_nb = F.max(F.col("_nb_n")).over(w).cast("double")
+            conflict = (o_nb.isNotNull() & n_nb.isNotNull()
+                        & (o_nb != n_nb))
+            B_core = F.when(
+                conflict,
+                F.raise_error(F.concat(
+                    F.lit("psi_report: profiles persist conflicting "
+                          "n_bins for column '"),
+                    F.col("column"),
+                    F.lit("' (old="), o_nb.cast("int").cast("string"),
+                    F.lit(", new="), n_nb.cast("int").cast("string"),
+                    F.lit("); rebuild one side with matching n_bins= "
+                          "or pass n_buckets= explicitly"))
+                ).cast("double")
+            ).otherwise(B_core)
+        B = F.coalesce(B_core, F.lit(float(n_bins + 1)))
     else:
         B = F.lit(float(n_buckets if n_buckets is not None else n_bins + 1))
     p = (F.col("old_cnt") + F.lit(alpha)) / \

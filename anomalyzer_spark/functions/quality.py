@@ -220,16 +220,23 @@ def normalize_scores(
     # than the passed count). n_bins= remains the contract only for
     # hand-built legacy frames lacking the column.
     if "n_bins" in profile.columns:
-        built = {int(r["n_bins"]) for r in prows}
-        if len(built) != 1:
+        # NULL-tolerant: legacy shards merged by hand may leave NULL
+        # n_bins on some buckets (int(None) was a raw TypeError here,
+        # ADVICE r14); NULLs are ignorance, not a conflict
+        built = {int(r["n_bins"]) for r in prows
+                 if r["n_bins"] is not None}
+        if len(built) > 1:
             raise ValueError(
                 f"profile carries inconsistent n_bins values {sorted(built)} "
                 f"for column {score_col!r}")
-        nb = built.pop()
-        if n_bins is not None and n_bins != nb:
-            raise ValueError(
-                f"profile was built with n_bins={nb} but n_bins={n_bins} "
-                "was passed; drop the argument or pass the build value")
+        if built:
+            nb = built.pop()
+            if n_bins is not None and n_bins != nb:
+                raise ValueError(
+                    f"profile was built with n_bins={nb} but n_bins={n_bins} "
+                    "was passed; drop the argument or pass the build value")
+        else:
+            nb = n_bins if n_bins is not None else 100
     else:
         nb = n_bins if n_bins is not None else 100
     top = max(r[0] for r in rows)

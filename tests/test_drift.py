@@ -344,3 +344,46 @@ def test_profile_quantiles_validation_and_edges(spark):
     got = {r["q"]: r["value"] for r in
            profile_quantiles(prof, [0.5, 1.0]).collect()}
     assert 0.0 <= got[0.5] <= 1.0 and got[1.0] <= 10.0
+
+
+def test_r15_advice_nbins_null_and_conflict(spark):
+    """ADVICE r15: (a) a bucket present ONLY in legacy pre-n_bins
+    shards gets its column's known n_bins backfilled by merge_profiles
+    (previously NULL -> NULL width -> profile_quantiles silently
+    returned the bucket's lo); (b) passing an explicit agreeing n_bins=
+    over such a mixed frame works instead of TypeError-ing on
+    int(None); (c) psi_report RAISES on conflicting persisted n_bins
+    instead of smoothing over the window max."""
+    from anomalyzer_spark.functions.drift import (
+        histogram_profile, merge_profiles, profile_quantiles, psi_report)
+    lo_half = spark.range(0, 100).selectExpr("id * 1.0 AS x")
+    hi_half = spark.range(100, 200).selectExpr("id * 1.0 AS x")
+    bounds = {"x": (0.0, 199.0)}
+    cur = histogram_profile(hi_half, ["x"], n_bins=20, bounds=bounds)
+    legacy = histogram_profile(
+        lo_half, ["x"], n_bins=20, bounds=bounds).drop("n_bins")
+    merged = merge_profiles([cur, legacy])
+    # (a) every bucket knows the column's count, including legacy-only
+    assert all(r["n_bins"] == 20 for r in merged.collect())
+    q10 = profile_quantiles(merged, [0.1]).collect()[0]["value"]
+    assert abs(q10 - 19.9) < 199.0 / 20  # ~p10 of 0..199, one-bucket err
+    # (b) explicit agreeing n_bins= on a frame with NULL rows: no crash
+    mixed = cur.unionByName(
+        legacy.withColumn("n_bins", F.lit(None).cast("int")))
+    q2 = profile_quantiles(mixed, [0.1], n_bins=20).collect()[0]["value"]
+    assert abs(q2 - q10) < 1e-9
+    with pytest.raises(ValueError, match="n_bins"):
+        profile_quantiles(mixed, [0.1], n_bins=37)
+    # normalize_scores over the same mixed frame: NULL-tolerant read-back
+    from anomalyzer_spark.functions.quality import normalize_scores
+    both = lo_half.unionByName(hi_half).selectExpr(
+        "monotonically_increasing_id() AS doc_id", "x")
+    ns = normalize_scores(both, "x", profile=mixed)
+    vals = [r["x_norm"] for r in ns.collect()]
+    assert all(v is not None and 0.0 <= v <= 1.0 for v in vals)
+    # (c) conflicting PERSISTED counts across the two sides: raise
+    cur10 = histogram_profile(hi_half, ["x"], n_bins=10, bounds=bounds)
+    with pytest.raises(Exception, match="conflicting"):
+        psi_report(cur, cur10).collect()
+    # agreeing persisted counts still work
+    assert psi_report(cur, cur).collect()[0]["psi"] == 0.0
