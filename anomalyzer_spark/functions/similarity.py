@@ -264,27 +264,47 @@ def lsh_topk(
     """Approximate top-k: candidates share ≥1 LSH band bucket with the query,
     then exact cosine re-rank. Same output shape as ``cosine_topk`` (rnk may
     stop short of k when buckets are sparse — that's the approximation).
+
+    Ids-only banding (the ``cosine_pairs`` shape): the band frames carry
+    ``(id, band, bucket)`` ONLY, so the band-bucket join exchange and the
+    candidate-dedup shuffle move 8-byte ids + tiny bucket keys instead of
+    the embedding column replicated ×bands (corpus-scale vector traffic
+    through two exchanges — the r14 review item). Vectors are re-attached
+    to the already-deduplicated candidate set via one equi-join per side,
+    with L2 norms staged per row on each join leg (one fold per pair;
+    same float-op sequence as ``cosine()``, bit-identical scores).
     """
     query_id_col = query_id_col or id_col
     planes = hyperplanes(dim, n_planes, seed)
-    cb = lsh_buckets(corpus, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands)
+    q_named = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col))
+    cb = lsh_buckets(
+        corpus, id_col=id_col, vec_col=vec_col, planes=planes, bands=bands
+    ).select(id_col, "band", "bucket")
     qb = lsh_buckets(
-        queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col)),
-        id_col="query_id", vec_col=vec_col, planes=planes, bands=bands,
-    )
-    cand = (
-        cb.alias("c")
-        .join(qb.alias("q"), ["band", "bucket"])
-        .select(
-            F.col("q.query_id"),
-            F.col(f"c.{id_col}").alias("neighbor_id"),
-            F.col(f"q.{vec_col}").alias("_qv"),
-            F.col(f"c.{vec_col}").alias("_cv"),
-        )
+        q_named, id_col="query_id", vec_col=vec_col, planes=planes,
+        bands=bands,
+    ).select("query_id", "band", "bucket")
+    cand_ids = (
+        cb.join(qb, ["band", "bucket"])
+        .select("query_id", F.col(id_col).alias("neighbor_id"))
         .dropDuplicates(["query_id", "neighbor_id"])
     )
+    cand = (
+        cand_ids
+        .join(q_named.select("query_id", F.col(vec_col).alias("_qv"),
+                             l2_norm(F.col(vec_col)).alias("_qn")),
+              "query_id")
+        .join(corpus.select(F.col(id_col).alias("neighbor_id"),
+                            F.col(vec_col).alias("_cv"),
+                            l2_norm(F.col(vec_col)).alias("_cn")),
+              "neighbor_id")
+    )
+    sim = F.when(
+        (F.col("_qn") > 0) & (F.col("_cn") > 0),
+        dot(F.col("_qv"), F.col("_cv")) / (F.col("_qn") * F.col("_cn")))
     scored = cand.select(
-        "query_id", "neighbor_id", cosine(F.col("_qv"), F.col("_cv")).alias("cos_sim")
+        "query_id", "neighbor_id", sim.alias("cos_sim")
     ).where(F.col("cos_sim").isNotNull())
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc()

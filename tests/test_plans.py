@@ -506,3 +506,46 @@ def test_decontam_dual_lane_plan(spark, sf_dir):
     # both lanes' per-document hit aggregates are present
     assert plan.count("count(distinct") >= 2 or \
         plan.count("count(DISTINCT") >= 2 or plan.count("gid") >= 2
+
+
+def test_lsh_topk_ids_only_banding(spark, sf_dir):
+    """r14 review item: the band-bucket join exchange and the
+    candidate-dedup shuffle must move ids + bucket keys ONLY — the
+    embedding column replicated x bands through those two exchanges is
+    the corpus-scale anti-pattern cosine_pairs already avoids. Vectors
+    may (must) appear only in the re-attach joins downstream."""
+    import re
+
+    import pyspark.sql.functions as F
+
+    from anomalyzer_spark.functions import similarity
+    e = load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>"))
+    df = similarity.lsh_topk(
+        e, e.where(F.col("vec_id") < 8), id_col="vec_id",
+        vec_col="embedding", query_id_col="vec_id", k=5,
+        n_planes=16, bands=4, dim=64, seed=7)
+    plan = explain_str(df)
+    # formatted explain: every operator is a numbered block whose
+    # Input/Arguments lines name the columns it moves. The band join
+    # may be broadcast (small query set) or shuffled (corpus-scale
+    # queries) — police BOTH: any Exchange / BroadcastExchange / join
+    # node that touches the band/bucket keys must be vector-free.
+    blocks = re.findall(
+        r"\(\d+\) (?:Exchange|BroadcastExchange|\w*Join\w*)\n"
+        r"(?:[^\n]+\n)+", plan)
+    assert blocks, "no exchange/join blocks found — plan shape changed?"
+    band_seen = dedup_seen = False
+    for b in blocks:
+        is_band = re.search(r"\bband#\d+", b) is not None
+        is_dedup = re.search(
+            r"hashpartitioning\([^)]*query_id#[^)]*neighbor_id#", b)
+        if is_band:
+            band_seen = True
+        if is_dedup:
+            dedup_seen = True
+        if is_band or is_dedup:
+            assert "embedding#" not in b and "_qv" not in b \
+                and "_cv" not in b, f"vector column crosses exchange:\n{b}"
+    assert band_seen, "band-bucket join not found in plan"
+    assert dedup_seen, "candidate-dedup exchange not found in plan"
