@@ -23,9 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .similarity import (_codes_sql, _lut_sql, absmax_scale, checked_width,
-                         cosine, dequantize_col, nearest_cells,
-                         quantize_code_expr)
+from .similarity import (_codes_sql, _lut_sql, absmax_scale, adc_dist,
+                         adc_rank_refine, checked_width, cosine,
+                         dequantize_col, nearest_cells, quantize_code_expr)
 
 
 def _encode_rows(
@@ -172,51 +172,43 @@ def search_ivfpq_index(
         .distinct().collect())
 
     index = spark.read.parquet(path).where(F.col("cell").isin(probe_cells))
-    dist = F.aggregate(
-        F.zip_with(F.col("_lut"), F.col("codes"),
-                   lambda t, code: F.element_at(t, code + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         index.join(F.broadcast(q), "cell")
-        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+        .select("query_id", "neighbor_id", adc_dist().alias("pq_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    if refine is None:
-        return ranked.where(F.col("rnk") <= k)
-    if refine < k:
-        raise ValueError(f"refine ({refine}) must be >= k ({k})")
-    cand = ranked.where(F.col("rnk") <= refine) \
-        .select("query_id", "neighbor_id")
-    if refine_source == "corpus":
-        from .similarity import _exact_rerank
-        return _exact_rerank(cand, corpus, queries, id_col=id_col,
-                             vec_col=vec_col, query_id_col=query_id_col,
-                             k=k)
-    if "qvec" not in index.columns or "scale" not in index.columns:
-        raise ValueError(
-            f"refine_source='quantized' but the index at {path!r} has no "
-            "scale/qvec columns — rebuild it with "
-            "build_ivfpq_index(quantized_refine=True)")
-    # join the bounded candidate set into the pruned index FIRST, then
-    # dequantize: dequantizing in a projection under the join would
-    # evaluate it for every row of the probed cells, not just candidates
-    qv = queries.select(F.col(query_id_col).alias("query_id"),
-                        F.col(vec_col).alias("_qv"))
-    rescored = (
-        index.select("neighbor_id", "scale", "qvec")
-        .join(F.broadcast(cand), "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .select("query_id", "neighbor_id",
-                cosine(F.col("_qv"),
-                       dequantize_col(F.col("scale"), F.col("qvec")))
-                .alias("cos_sim"))
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
-    return rescored.withColumn("rnk", F.row_number().over(w2)).where(
-        F.col("rnk") <= k)
+
+    def _rerank(cand: DataFrame) -> DataFrame:
+        if refine_source == "corpus":
+            from .similarity import _exact_rerank
+            return _exact_rerank(cand, corpus, queries, id_col=id_col,
+                                 vec_col=vec_col, query_id_col=query_id_col,
+                                 k=k)
+        if "qvec" not in index.columns or "scale" not in index.columns:
+            raise ValueError(
+                f"refine_source='quantized' but the index at {path!r} has "
+                "no scale/qvec columns — rebuild it with "
+                "build_ivfpq_index(quantized_refine=True)")
+        # join the bounded candidate set into the pruned index FIRST,
+        # then dequantize: dequantizing in a projection under the join
+        # would evaluate it for every row of the probed cells, not just
+        # candidates
+        qv = queries.select(F.col(query_id_col).alias("query_id"),
+                            F.col(vec_col).alias("_qv"))
+        rescored = (
+            index.select("neighbor_id", "scale", "qvec")
+            .join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .select("query_id", "neighbor_id",
+                    cosine(F.col("_qv"),
+                           dequantize_col(F.col("scale"), F.col("qvec")))
+                    .alias("cos_sim"))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+        return rescored.withColumn("rnk", F.row_number().over(w2)).where(
+            F.col("rnk") <= k)
+
+    return adc_rank_refine(scored, k=k, refine=refine, rerank=_rerank)
 
 
 def serve_ivfpq_stream(

@@ -586,6 +586,46 @@ def pq_encode(
         F.col(id_col), F.expr(_codes_sql(codebooks)).alias("codes"))
 
 
+def adc_dist() -> Column:
+    """THE asymmetric-distance expression shared by every ADC scorer
+    (``pq_topk``, ``ivfpq_topk``, ``ann_index.search_ivfpq_index``):
+    a candidate's squared-L2 estimate is m array lookups — fold the
+    query's per-subspace lookup table ``_lut`` over the stored ``codes``.
+    One definition so the three searchers cannot drift on scoring
+    semantics (r14 review item)."""
+    return F.aggregate(
+        F.zip_with(F.col("_lut"), F.col("codes"),
+                   lambda t, code: F.element_at(t, code + 1)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def adc_rank_refine(
+    scored: DataFrame,
+    *,
+    k: int,
+    refine: int | None,
+    rerank,
+) -> DataFrame:
+    """Shared rank/refine tail of the ADC searchers over a
+    (query_id, neighbor_id, pq_dist) frame: row_number per query by
+    (pq_dist asc, neighbor id asc); ``refine=None`` returns the ADC
+    top-``k`` as-is, else validates ``refine >= k`` and hands the
+    bounded (query_id, neighbor_id) candidate ids to ``rerank`` (the
+    caller's exact re-scoring closure — corpus floats, quantized index
+    vectors, ...). One definition of the ranking/threshold semantics
+    for all three ADC call sites (r14 review item)."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    if refine is None:
+        return ranked.where(F.col("rnk") <= k)
+    if refine < k:
+        raise ValueError(f"refine ({refine}) must be >= k ({k})")
+    cand = ranked.where(F.col("rnk") <= refine) \
+        .select("query_id", "neighbor_id")
+    return rerank(cand)
+
+
 def _exact_rerank(
     cand: DataFrame,
     corpus: DataFrame,
@@ -661,25 +701,15 @@ def pq_topk(
     q = qstaged.select("query_id", F.expr(_lut_sql(codebooks)).alias("_lut"))
     c = pq_encode(corpus, codebooks, id_col=id_col, vec_col=vec_col) \
         .withColumnRenamed(id_col, "neighbor_id")
-    dist = F.aggregate(
-        F.zip_with(F.col("_lut"), F.col("codes"),
-                   lambda t, code: F.element_at(t, code + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         c.crossJoin(F.broadcast(q))
-        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+        .select("query_id", "neighbor_id", adc_dist().alias("pq_dist"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    if refine is None:
-        return ranked.where(F.col("rnk") <= k)
-    if refine < k:
-        raise ValueError(f"refine ({refine}) must be >= k ({k})")
-    cand = ranked.where(F.col("rnk") <= refine) \
-        .select("query_id", "neighbor_id")
-    return _exact_rerank(cand, corpus, queries, id_col=id_col,
-                         vec_col=vec_col, query_id_col=query_id_col, k=k)
+    return adc_rank_refine(
+        scored, k=k, refine=refine,
+        rerank=lambda cand: _exact_rerank(
+            cand, corpus, queries, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, k=k))
 
 
 def ivfpq_topk(
@@ -741,28 +771,18 @@ def ivfpq_topk(
         "query_id", F.expr(_lut_sql(codebooks)).alias("_lut"),
         F.explode("_cells").alias("cell"))
 
-    dist = F.aggregate(
-        F.zip_with(F.col("_lut"), F.col("codes"),
-                   lambda t, code: F.element_at(t, code + 1)),
-        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         c.join(F.broadcast(q), "cell")
-        .select("query_id", "neighbor_id", dist.alias("pq_dist"))
+        .select("query_id", "neighbor_id", adc_dist().alias("pq_dist"))
         # a (query, neighbor) pair can match through several probed cells
         # only if the corpus row changed cells — it cannot (cell is 1 per
         # row) — so no dedup is needed before ranking
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("pq_dist").asc(), F.col("neighbor_id").asc())
-    ranked = scored.withColumn("rnk", F.row_number().over(w))
-    if refine is None:
-        return ranked.where(F.col("rnk") <= k)
-    if refine < k:
-        raise ValueError(f"refine ({refine}) must be >= k ({k})")
-    cand = ranked.where(F.col("rnk") <= refine) \
-        .select("query_id", "neighbor_id")
-    return _exact_rerank(cand, corpus, queries, id_col=id_col,
-                         vec_col=vec_col, query_id_col=query_id_col, k=k)
+    return adc_rank_refine(
+        scored, k=k, refine=refine,
+        rerank=lambda cand: _exact_rerank(
+            cand, corpus, queries, id_col=id_col, vec_col=vec_col,
+            query_id_col=query_id_col, k=k))
 
 
 def cosine_pairs(
