@@ -2,11 +2,15 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata. The
 Spark-side plumbing — schemas, Arrow batch shapes, ``mapInPandas``
-signatures, partitioning behavior — is real and tested; the actual media
-decoding is STUBBED (the decode libs are not in this container): a real
-decoder raises ``NotImplementedError`` unless its library is importable,
-and a deterministic byte-level fake stands in so pipelines are testable
-end-to-end.
+signatures, partitioning behavior — is real and tested, and so is the
+decoding for the UNCOMPRESSED container formats: binary PGM (P5) /
+PPM (P6) and 24-bit BMP images, RIFF/WAVE PCM audio (8/16/24/32-bit),
+and uncompressed RGB24 AVI frames are parsed natively in NumPy (no
+external media libraries). Compressed codecs (JPEG/PNG/MP3/H.264 ...)
+are the one environment gate: pass a ``fallback_decoder`` /
+``frame_decoder`` seam (e.g. Pillow's ``Image.open`` where installed) —
+the seam only WIDENS format coverage; the native paths, feature
+extraction, and dedup logic are identical either way.
 
 At 100 TB: binary payloads dominate row size — these operators are map-only
 (no shuffle), so they scale with scan bandwidth; keep payload columns OUT of
