@@ -730,7 +730,26 @@ def q_curation_pipeline(spark, sf_dir):
     path: seed 7, eval_fraction 0.25 over doc_id — the md5 _hash48
     window). The oracle recomputes the percent_rank and the hash
     threshold, so the survivor ranking and the split membership both
-    sit under the value hash at both sf."""
+    sit under the value hash at both sf.
+
+    Round-15 riders (closing the last curate()-reachable
+    corpus-reshaping gap — the knobs that decide WHICH documents
+    survive, previously pytest-only): over the same sampled corpus
+    scored by redacted-text length, ``tf_keep`` is
+    sampling.select_top_fraction(0.35) membership (exact histogram
+    threshold + residual md5 acceptance window), ``kb_keep`` is
+    dedup.keep_best membership over deterministic synthetic duplicate
+    groups (even doc_ids share mod-50 groups, odd doc_ids are
+    singletons — so BOTH the winner-per-group window and the untouched
+    anti-join path are exercised), and ``cs_keep`` is
+    sampling.cap_stratum_share(0.3, per lang) membership (input token
+    total -> truncated budget -> per-stratum hash-order greedy
+    prefix). The oracle replays the histogram/threshold walk, the
+    group window, and the budget cumsum in SQL, so all three survivor
+    sets sit under the value hash at both sf."""
+    from pyspark.sql.window import Window
+
+    from anomalyzer_spark.functions import dedup as _dedup
     from anomalyzer_spark.functions import packing
     from anomalyzer_spark.functions import quality as _quality
     from anomalyzer_spark.functions import sampling as _sampling
@@ -743,16 +762,34 @@ def q_curation_pipeline(spark, sf_dir):
     ).select("doc_id", "nq_lang")
     spl = _sampling.split_train_eval(
         samp.select("doc_id"), 0.25, "doc_id", seed=7)
+    sc = samp.select("doc_id", "lang",
+                     F.length("text").cast("double").alias("q"))
+    tf = _sampling.select_top_fraction(sc, "q", 0.35) \
+        .select("doc_id", F.lit(True).alias("tf_keep"))
+    gid = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 50) \
+        .otherwise(F.col("doc_id") + 1000000)
+    groups = sc.select("doc_id", gid.alias("group_id")).withColumn(
+        "group_size", F.count(F.lit(1)).over(
+            Window.partitionBy("group_id")))
+    kb = _dedup.keep_best(sc, groups, "q") \
+        .select("doc_id", F.lit(True).alias("kb_keep"))
+    cs = _sampling.cap_stratum_share(sc, 0.3, "lang", "q") \
+        .select("doc_id", F.lit(True).alias("cs_keep"))
     return out.join(
         bins.select(
             "doc_id", F.col("bin_id").alias("ffd_bin"),
             F.col("oversize").alias("ffd_oversize")),
         "doc_id",
     ).join(nq, "doc_id").join(spl, "doc_id") \
+     .join(tf, "doc_id", "left").join(kb, "doc_id", "left") \
+     .join(cs, "doc_id", "left") \
      .select("shard", "chunk_id", "doc_id", "lang", "n_pii",
              "n_toks", "start_tok", "chunk_tok_start",
              "chunk_tok_end", "ffd_bin", "ffd_oversize",
-             "nq_lang", "split")
+             "nq_lang", "split",
+             F.coalesce("tf_keep", F.lit(False)).alias("tf_keep"),
+             F.coalesce("kb_keep", F.lit(False)).alias("kb_keep"),
+             F.coalesce("cs_keep", F.lit(False)).alias("cs_keep"))
 
 
 # (q_lsh_topk retired round 9 for q_quality_checks: the hyperplane-LSH
@@ -3388,7 +3425,43 @@ spl AS (
          CASE WHEN ('0x' || substr(md5('7|' || doc_id::VARCHAR), 1, 12))
                    ::BIGINT < {int(0.25 * (1 << 48))}
               THEN 'eval' ELSE 'train' END AS split
-  FROM samp)
+  FROM samp),
+sc2 AS (SELECT doc_id, lang, length(rtext)::DOUBLE AS q FROM samp),
+tfh AS (SELECT round(q, 6) AS v, count(*)::BIGINT AS c FROM sc2 GROUP BY 1),
+tft AS (SELECT sum(c)::BIGINT AS total FROM tfh),
+tfc AS (SELECT v, c,
+          (sum(c) OVER (ORDER BY v DESC ROWS UNBOUNDED PRECEDING)
+           - c)::BIGINT AS run
+        FROM tfh),
+tfthr AS (SELECT v AS thr, c AS at_thr, run FROM tfc, tft
+          WHERE run + c >= 0.35 * total ORDER BY v DESC LIMIT 1),
+tfsel AS (
+  SELECT s.doc_id FROM sc2 s, tfthr t, tft
+  WHERE round(s.q, 6) > t.thr
+     OR (round(s.q, 6) = t.thr
+         AND ('0x' || substr(md5('42|' || s.doc_id::VARCHAR), 1, 12))
+             ::BIGINT
+             < trunc(greatest(0.0, least(1.0,
+                 (0.35 * total - t.run) / t.at_thr))
+                 * 281474976710656.0)::BIGINT)),
+kbw AS (
+  SELECT doc_id,
+    count(*) OVER (PARTITION BY gid) AS gsz,
+    row_number() OVER (PARTITION BY gid ORDER BY q DESC, doc_id) AS rn
+  FROM (SELECT doc_id, q,
+          CASE WHEN doc_id % 2 = 0 THEN doc_id % 50
+               ELSE 1000000 + doc_id END AS gid
+        FROM sc2)),
+cst AS (SELECT trunc(0.3 * sum(q))::BIGINT AS budget FROM sc2),
+csr AS (
+  SELECT doc_id,
+    sum(q) OVER (PARTITION BY lang ORDER BY hk, doc_id
+                 ROWS UNBOUNDED PRECEDING) AS run
+  FROM (SELECT doc_id, lang, q,
+          ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::BIGINT
+            AS hk
+        FROM sc2 WHERE q IS NOT NULL)),
+cssel AS (SELECT doc_id FROM csr, cst WHERE run <= budget)
 SELECT shard::INT AS shard, chunk_id, seg.doc_id, lang, n_pii, n_toks,
   start_tok,
   greatest(chunk_id * {CURATION_CAP}, start_tok) - start_tok
@@ -3396,10 +3469,16 @@ SELECT shard::INT AS shard, chunk_id, seg.doc_id, lang, n_pii, n_toks,
   least((chunk_id + 1) * {CURATION_CAP}, start_tok + n_toks) - start_tok
     AS chunk_tok_end,
   ffd_bin, n_toks > {CURATION_CAP} AS ffd_oversize,
-  nq.nq_lang, spl.split
+  nq.nq_lang, spl.split,
+  tfsel.doc_id IS NOT NULL AS tf_keep,
+  (kbw.gsz = 1 OR kbw.rn = 1) AS kb_keep,
+  cssel.doc_id IS NOT NULL AS cs_keep
 FROM seg JOIN fassign ON seg.doc_id = fassign.doc_id
 JOIN nq ON seg.doc_id = nq.doc_id
-JOIN spl ON seg.doc_id = spl.doc_id"""
+JOIN spl ON seg.doc_id = spl.doc_id
+JOIN kbw ON seg.doc_id = kbw.doc_id
+LEFT JOIN tfsel ON seg.doc_id = tfsel.doc_id
+LEFT JOIN cssel ON seg.doc_id = cssel.doc_id"""
 
     sql["pricing_summary"] = """
 SELECT l_returnflag, l_linestatus,
