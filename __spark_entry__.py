@@ -1296,7 +1296,20 @@ def q_decontam(spark, sf_dir):
     join and per-suite aggregation sit under the value hash (pytest
     already pins per-(doc,suite) ≡ K separate calls; this hashes it).
     The suite lane re-shingles the corpus (third pass) — the same
-    documented attestation price class as the Bloom lane."""
+    documented attestation price class as the Bloom lane.
+
+    Round-15 rider: the FUZZY lane (decontam.fuzzy_contamination — the
+    recall layer over paraphrase/edit contamination) joins in as
+    ``fz_hits``/``fz_best`` per training document: word-3-gram MinHash
+    band buckets (32 hashes / 8 bands — the dedup-stack Carter-Wegman
+    spec), eval = the same every-97th docs, exact shingle-set Jaccard
+    over bucket-colliding candidates, threshold 0.3. The oracle
+    replays signatures, banding, the candidate join, and the Jaccard
+    verify in SQL (the minhash_lsh replay adapted to word shingles),
+    so the near-dup flag set and best-Jaccard values sit under the
+    value hash — a wrong band key or a drifting Jaccard desyncs the
+    lane. Fourth corpus shingle pass: the documented attestation
+    price class."""
     from anomalyzer_spark.functions import bloom as bloom_mod
     from anomalyzer_spark.functions import decontam
     from anomalyzer_spark.functions.decontam import _grams
@@ -1322,8 +1335,28 @@ def q_decontam(spark, sf_dir):
         for s in ("sA", "sB")
         for c, a in (("n_hit_grams", "hits"), ("n_eval_docs", "docs"),
                      ("contamination", "cont"))])
+    # fuzzy lane: the eval side is a PLANTED near-duplicate of each
+    # eval document — its first 6 + doc_id % 25 normalized words — so
+    # the exact-Jaccard verify sees a diverse sub-1.0 value spread and
+    # the 0.3 threshold genuinely filters (truncations of LONG docs
+    # fall below it). Joining normalized words is normalization-
+    # idempotent, so the oracle rebuilds the same truncated shingle
+    # sets from its norm CTE.
+    from anomalyzer_spark.functions.dedup import normalized_words
+    k_trunc = (F.lit(6) + F.pmod(F.col("doc_id"), F.lit(25))).cast("int")
+    ev_fz = d.where(F.col("doc_id") % 97 == 0).select(
+        "doc_id",
+        F.array_join(
+            F.slice(normalized_words(F.col("text")), 1, k_trunc),
+            " ").alias("text"))
+    fz = decontam.fuzzy_contamination(
+        d, ev_fz, k=3, num_hashes=32, bands=8, threshold=0.3)
+    fz_p = fz.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("fz_hits"),
+        F.max("jaccard").alias("fz_best"))
     return plain.join(bl, "doc_id", "full_outer") \
-        .join(ms_p, "doc_id", "full_outer")
+        .join(ms_p, "doc_id", "full_outer") \
+        .join(fz_p, "doc_id", "full_outer")
 
 
 def q_detect_multi_mc(spark, sf_dir):
@@ -2670,15 +2703,84 @@ msp AS (
     max(CASE WHEN suite = 'sB' THEN ed END)::BIGINT AS ms_b_docs,
     max(CASE WHEN suite = 'sB' THEN round(hit / n_grams, 6) END)
       AS ms_b_cont
-  FROM mshits WHERE hit >= 1 GROUP BY doc_id)
-SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
-       round(n_hit_grams / n_grams, 6) AS contamination,
-       n_grams AS bl_n_grams, n_hit_grams AS bl_n_hit_grams,
-       n_eval_docs AS bl_n_eval_docs,
-       round(n_hit_grams / n_grams, 6) AS bl_contamination,
-       msp.ms_a_hits, msp.ms_a_docs, msp.ms_a_cont,
-       msp.ms_b_hits, msp.ms_b_docs, msp.ms_b_cont
-FROM hits JOIN msp USING (doc_id) WHERE n_hit_grams >= 1"""
+  FROM mshits WHERE hit >= 1 GROUP BY doc_id),
+fzw AS (SELECT doc_id, w FROM w
+        WHERE len(list_filter(w, x -> x != '')) > 0),
+fzsh AS (SELECT doc_id,
+           list_distinct(list_transform(
+             range(1, greatest(len(w) - 2, 1) + 1),
+             i -> array_to_string(w[i:i+2], ' '))) AS shingles
+         FROM fzw),
+fzcw AS (SELECT doc_id, shingles,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS h2s
+  FROM fzsh),
+fzsig AS (SELECT doc_id,
+    list_transform(range(0, 32), i ->
+      list_aggregate(list_transform(range(1, len(h1s) + 1),
+                     j -> (h1s[j] + i * h2s[j]) % 4294967296), 'min'))
+      AS sig
+  FROM fzcw),
+fztb AS (SELECT doc_id,
+    unnest(list_transform(range(0, 8), b ->
+      md5(b::VARCHAR || '|' ||
+          array_to_string(list_transform(sig[b * 4 + 1 : b * 4 + 4],
+                          v -> v::VARCHAR), ',')))) AS bucket
+  FROM fzsig),
+fzesh AS (SELECT eval_id,
+    list_distinct(list_transform(
+      range(1, greatest(len(tw) - 2, 1) + 1),
+      i -> array_to_string(tw[i:i+2], ' '))) AS shingles
+  FROM (SELECT doc_id AS eval_id, w[1 : (6 + doc_id % 25)::INT] AS tw
+        FROM fzw WHERE doc_id % 97 = 0)),
+fzecw AS (SELECT eval_id, shingles,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS h1s,
+    list_transform(shingles,
+                   s -> ('0x' || substr(md5(s), 9, 8))::BIGINT) AS h2s
+  FROM fzesh),
+fzesig AS (SELECT eval_id,
+    list_transform(range(0, 32), i ->
+      list_aggregate(list_transform(range(1, len(h1s) + 1),
+                     j -> (h1s[j] + i * h2s[j]) % 4294967296), 'min'))
+      AS sig
+  FROM fzecw),
+fzeb AS (SELECT eval_id,
+    unnest(list_transform(range(0, 8), b ->
+      md5(b::VARCHAR || '|' ||
+          array_to_string(list_transform(sig[b * 4 + 1 : b * 4 + 4],
+                          v -> v::VARCHAR), ',')))) AS bucket
+  FROM fzesig),
+fzcand AS (SELECT DISTINCT t.doc_id, e.eval_id
+           FROM fztb t JOIN fzeb e USING (bucket)),
+fzver AS (SELECT c.doc_id, c.eval_id,
+    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 6) AS j
+  FROM fzcand c
+  JOIN fzsh sa ON sa.doc_id = c.doc_id
+  JOIN fzesh sb ON sb.eval_id = c.eval_id),
+fz AS (SELECT doc_id, count(*)::BIGINT AS fz_hits, max(j) AS fz_best
+       FROM fzver WHERE j >= 0.3 GROUP BY doc_id),
+exact AS (
+  SELECT doc_id, n_grams, n_hit_grams, n_eval_docs,
+         round(n_hit_grams / n_grams, 6) AS contamination,
+         n_grams AS bl_n_grams, n_hit_grams AS bl_n_hit_grams,
+         n_eval_docs AS bl_n_eval_docs,
+         round(n_hit_grams / n_grams, 6) AS bl_contamination,
+         msp.ms_a_hits, msp.ms_a_docs, msp.ms_a_cont,
+         msp.ms_b_hits, msp.ms_b_docs, msp.ms_b_cont
+  FROM hits JOIN msp USING (doc_id) WHERE n_hit_grams >= 1)
+SELECT coalesce(e.doc_id, fz.doc_id) AS doc_id,
+       e.n_grams, e.n_hit_grams, e.n_eval_docs, e.contamination,
+       e.bl_n_grams, e.bl_n_hit_grams, e.bl_n_eval_docs,
+       e.bl_contamination,
+       e.ms_a_hits, e.ms_a_docs, e.ms_a_cont,
+       e.ms_b_hits, e.ms_b_docs, e.ms_b_cont,
+       fz.fz_hits, fz.fz_best
+FROM exact e FULL JOIN fz ON e.doc_id = fz.doc_id"""
 
     # text_pipeline: replays normalize_text (strip C0/C1 + NFC over the
     # planted decomposed accents) -> chunk_windows (size 24 / stride 12)
