@@ -87,6 +87,32 @@ DUP_SPAN_LEN = 15        # duplicate_spans word-run threshold
 CURATION_CAP = 96       # tokens per packed chunk
 CURATION_SHARDS = 8     # deterministic md5 packing shards
 CURATION_ALPHA = 0.5    # temperature flattening exponent
+
+#: pinned literal quality model for the data_pipeline mq_* rider —
+#: attests score_quality's compiled sigmoid (training has its own
+#: DuckDB-parity pytest; the fit is driver-side NumPy either way).
+#: Feature order = quality.FEATURES.
+MQ_MODEL = {
+    "features": ["log_n_chars", "avg_word_len", "punct_ratio",
+                 "digit_ratio", "upper_ratio", "stopword_ratio"],
+    "mean": [4.8, 4.4, 0.03, 0.05, 0.04, 0.25],
+    "std": [0.9, 0.8, 0.03, 0.06, 0.04, 0.12],
+    "weights": [0.9, -0.6, -1.1, -0.8, -0.5, 1.3],
+    "bias": -0.2,
+}
+
+#: pinned BPE merge table for the data_pipeline pt_* rider. The rules
+#: are hierarchical plain-char pairs (plus one unit pair built from an
+#: earlier rule), chosen so the lowest-rank-first merge loop is
+#: equivalent to applying the rules in rank order everywhere — which a
+#: SQL oracle can replay as sequential sentinel replaces over each
+#: word's pre-EOW prefix (a plain-char pair can never match the final
+#: symbol: it carries the '</w>' marker).
+BPE_MERGES = [("t", "h"), ("e", "r"), ("i", "n"), ("th", "e")]
+BPE_VOCAB = (["th", "er", "in", "the"]
+             + list("abcdefghijklmnopqrstuvwxyz")
+             + [c + "</w>" for c in "aeiounrts"])
+PT_CAP = 64             # token-exact packing capacity for the rider
 RANGE_BUCKET_WIDTH = 16  # range_join quantization bucket
 
 #: per-query tmp roots with an atexit cleanup already registered
@@ -518,7 +544,18 @@ def q_data_pipeline(spark, sf_dir):
     row carries its sampled-doc count plus the corpus-level vocab summary
     (size, doc-freq mass, top token by term_freq with lexicographic
     tiebreak). One declarative plan — scan → map stages → three small
-    aggregations."""
+    aggregations.
+
+    Round-15 riders: ``mq_avg``/``mq_hi`` attest quality.score_quality's
+    compiled sigmoid over the pinned MQ_MODEL literals (per-language
+    decimal-exact mean of round-6 scores + the >= 0.5 keep count), and
+    the corpus-level ``pt_*`` columns attest the bpe_encode(BPE_MERGES)
+    -> bpe_ids(BPE_VOCAB) -> pack_token_ids(PT_CAP) lane: chunk/id/doc
+    counts, a position-weighted id checksum, the OOV count, and the
+    span-length round-trip mismatch count. The oracle replays BPE as
+    rank-ordered sentinel replaces over each word's pre-EOW prefix
+    (valid for the pinned hierarchical merge table), the vocab lookup,
+    and the full shard/cumsum/slice/assembly packing arithmetic."""
     from anomalyzer_spark.functions import sampling
 
     d = _docs(spark, sf_dir)
@@ -583,6 +620,57 @@ def q_data_pipeline(spark, sf_dir):
         F.col("domain").alias("lang_pred"),
         F.col("epochs").alias("mix_epochs"),
         F.col("planned_tokens").alias("mix_planned_tokens"))
+    # round-15 stage 1: the PINNED-literal quality model (MQ_MODEL)
+    # scored over the survivors by quality.score_quality — the compiled
+    # standardize->dot->sigmoid column expression — meaned per language
+    # (decimal-exact over round-6 scores) plus the >= 0.5 keep count,
+    # so the model-based filter's scores sit under the value hash.
+    from anomalyzer_spark.functions import quality as _quality
+    mq = _quality.score_quality(surv.select("doc_id", "text"), MQ_MODEL)
+    mq_lang = (
+        surv.select("doc_id", "lang_pred").join(mq, "doc_id")
+        .groupBy("lang_pred").agg(
+            F.round(
+                F.sum(F.round(F.col("model_score"), 6)
+                      .cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)), 6).alias("mq_avg"),
+            F.sum((F.round(F.col("model_score"), 6) >= 0.5)
+                  .cast("long")).alias("mq_hi")))
+    # round-15 stage 2: BPE tokenize (pinned BPE_MERGES) -> vocab-id map
+    # (bpe_ids over BPE_VOCAB, OOV = -1) -> TOKEN-EXACT packing
+    # (pack_token_ids, capacity PT_CAP). Corpus-level rider columns:
+    # chunk/id/doc counts, a position-weighted id checksum (order- and
+    # value-sensitive), the OOV count, and the round-trip mismatch
+    # count (docs whose packed span lengths don't sum to their encoded
+    # n_tokens — 0 unless packing drops or duplicates ids).
+    from anomalyzer_spark.functions import bpe as _bpe
+    from anomalyzer_spark.functions import packing
+    enc = _bpe.bpe_encode(samp.select("doc_id", "text"), BPE_MERGES)
+    ids = _bpe.bpe_ids(enc, BPE_VOCAB)
+    pk = packing.pack_token_ids(
+        ids.select("doc_id", "token_ids"), PT_CAP, n_shards=8, seed=42)
+    pos_sum = F.aggregate(
+        F.zip_with(F.col("input_ids"),
+                   F.sequence(F.lit(1), F.size("input_ids")),
+                   lambda v, j: v.cast("long") * j.cast("long")),
+        F.lit(0).cast("long"), lambda a, x: a + x)
+    ptstats = pk.agg(
+        F.count(F.lit(1)).alias("pt_chunks"),
+        F.sum(F.size("input_ids")).cast("long").alias("pt_ids"),
+        F.sum("n_docs").cast("long").alias("pt_docs"),
+        F.sum(pos_sum).alias("pt_pos_sum"),
+        F.sum(F.size(F.filter("input_ids", lambda x: x == -1)))
+        .cast("long").alias("pt_oov"))
+    span_len = (
+        pk.select(F.explode("doc_spans").alias("s"))
+        .select(F.col("s.doc_id").alias("doc_id"),
+                (F.col("s.end") - F.col("s.start")).alias("l"))
+        .groupBy("doc_id").agg(F.sum("l").alias("_sl")))
+    rt = (enc.select("doc_id", "n_tokens")
+          .join(span_len, "doc_id", "left")
+          .agg(F.sum((F.coalesce(F.col("_sl"), F.lit(0))
+                      != F.col("n_tokens")).cast("long"))
+               .alias("pt_rt_bad")))
     return (
         per_lang.join(samp_counts, "lang_pred", "left")
         .na.fill({"n_sample_docs": 0})
@@ -590,8 +678,11 @@ def q_data_pipeline(spark, sf_dir):
         .join(plan_cols, "lang_pred", "left")
         .join(mix_counts, "lang_pred", "left")
         .na.fill({"n_mixed_rows": 0})
+        .join(mq_lang, "lang_pred", "left")
         .crossJoin(F.broadcast(vstats))
         .crossJoin(F.broadcast(vtop))
+        .crossJoin(F.broadcast(ptstats))
+        .crossJoin(F.broadcast(rt))
     )
 
 
@@ -3002,6 +3093,19 @@ SELECT doc_id, list_sum(terms)::BIGINT AS simhash32 FROM sbits"""
     # them below.)
 
     # composed pipeline: reuse the per-operator oracle SQL as CTEs
+    # mq_* rider: the pinned literal model compiled to arithmetic —
+    # SAME literals, same accumulation order as score_quality's column
+    # expression (z = bias, then += w * ((f - mean) / std) in FEATURES
+    # order); features are the round-6 stats columns on both sides.
+    _mq_feats_sql = ["ln(1 + s.n_chars)", "s.avg_word_len",
+                     "s.punct_ratio", "s.digit_ratio", "s.upper_ratio",
+                     "s.stopword_ratio"]
+    _mq_z = repr(float(MQ_MODEL["bias"])) + "".join(
+        f" + {w!r} * (({f} - {m!r}) / {sd!r})"
+        for f, m, sd, w in zip(_mq_feats_sql, MQ_MODEL["mean"],
+                               MQ_MODEL["std"], MQ_MODEL["weights"]))
+    _bpe_vocab_sql = "[" + ", ".join(f"'{t}'" for t in BPE_VOCAB) + "]"
+
     sql["data_pipeline"] = f"""
 WITH keep AS (
   SELECT doc_id FROM (
@@ -3095,19 +3199,104 @@ mmix AS (
      OR ('0x' || substr(md5('42|' || doc_id::VARCHAR || '#' ||
            fe::VARCHAR), 1, 12))::BIGINT
         < floor((mix_epochs - fe) * 281474976710656)::BIGINT
-  GROUP BY 1)
+  GROUP BY 1),
+mqs AS (
+  SELECT s.doc_id, v.lang_pred,
+         1.0 / (1.0 + exp(-({_mq_z}))) AS msc
+  FROM stats s JOIN surv v USING (doc_id)),
+mql AS (
+  SELECT lang_pred,
+    round(sum(round(msc, 6)::DECIMAL(18,6))::DOUBLE / count(*), 6)
+      AS mq_avg,
+    sum(CASE WHEN round(msc, 6) >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+      AS mq_hi
+  FROM mqs GROUP BY lang_pred),
+btok AS (
+  SELECT doc_id,
+    flatten(list_transform(
+      regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+      w -> list_append(
+        list_transform(
+          regexp_extract_all(
+            replace(replace(replace(replace(
+              CASE WHEN length(w) > 1 THEN substr(w, 1, length(w) - 1)
+                   ELSE '' END,
+              'th', chr(17)), 'er', chr(18)), 'in', chr(19)),
+              chr(17) || 'e', chr(20)),
+            '.'),
+          c -> CASE c WHEN chr(17) THEN 'th' WHEN chr(18) THEN 'er'
+                      WHEN chr(19) THEN 'in' WHEN chr(20) THEN 'the'
+                      ELSE c END),
+        substr(w, length(w), 1) || '</w>'))) AS toks
+  FROM samp),
+bids AS (
+  SELECT doc_id,
+    list_transform(toks, t ->
+      coalesce(list_position({_bpe_vocab_sql}, t) - 1, -1)) AS ids
+  FROM btok),
+ptk AS (
+  SELECT doc_id, ids, len(ids)::BIGINT AS n_ids,
+    ('0x' || substr(md5('42|' || doc_id::VARCHAR), 1, 12))::BIGINT % 8
+      AS shard,
+    ('0x' || substr(md5('43|' || doc_id::VARCHAR), 1, 12))::BIGINT
+      AS ord
+  FROM bids WHERE len(ids) > 0),
+psp AS (
+  SELECT shard, doc_id, ids, n_ids,
+    (sum(n_ids) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                      ROWS UNBOUNDED PRECEDING) - n_ids)::BIGINT
+      AS start_tok
+  FROM ptk),
+psg AS (
+  SELECT shard, doc_id, ids, n_ids, start_tok,
+    unnest(generate_series((start_tok // {PT_CAP})::BIGINT,
+                           ((start_tok + n_ids - 1) // {PT_CAP})::BIGINT))
+      AS chunk_id
+  FROM psp),
+ppc AS (
+  SELECT shard, chunk_id, doc_id,
+    greatest(chunk_id * {PT_CAP}, start_tok) - chunk_id * {PT_CAP}
+      AS pos,
+    ids[(greatest(chunk_id * {PT_CAP}, start_tok) - start_tok + 1)::INT
+        : (least((chunk_id + 1) * {PT_CAP}, start_tok + n_ids)
+           - start_tok)::INT] AS piece
+  FROM psg),
+pch AS (
+  SELECT shard, chunk_id,
+    flatten(list(piece ORDER BY pos)) AS input_ids,
+    count(*) AS n_docs
+  FROM ppc GROUP BY shard, chunk_id),
+pts AS (
+  SELECT count(*)::BIGINT AS pt_chunks,
+    sum(len(input_ids))::BIGINT AS pt_ids,
+    sum(n_docs)::BIGINT AS pt_docs,
+    sum(list_aggregate(list_transform(range(1, len(input_ids) + 1),
+        j -> input_ids[j] * j), 'sum'))::BIGINT AS pt_pos_sum,
+    sum(len(list_filter(input_ids, x -> x = -1)))::BIGINT AS pt_oov
+  FROM pch),
+prt AS (
+  SELECT count(*)::BIGINT AS pt_rt_bad FROM (
+    SELECT t.doc_id, any_value(t.n_ids) AS n_ids,
+           sum(len(piece))::BIGINT AS sl
+    FROM ppc p JOIN ptk t USING (doc_id) GROUP BY t.doc_id)
+  WHERE n_ids != sl)
 SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
   coalesce(sc.n_sample_docs, 0)::BIGINT AS n_sample_docs,
   lp.avg_sample_ppl,
   m.mix_epochs, m.mix_planned_tokens,
   coalesce(mm.n_mixed_rows, 0)::BIGINT AS n_mixed_rows,
-  v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf
+  q.mq_avg, q.mq_hi,
+  v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf,
+  pt.pt_chunks, pt.pt_ids, pt.pt_docs, pt.pt_pos_sum, pt.pt_oov,
+  pr.pt_rt_bad
 FROM per_lang p
 LEFT JOIN samp_counts sc USING (lang_pred)
 LEFT JOIN lang_ppl lp USING (lang_pred)
 LEFT JOIN mpt m USING (lang_pred)
 LEFT JOIN mmix mm USING (lang_pred)
-CROSS JOIN vstats v CROSS JOIN vtop t""".replace(
+LEFT JOIN mql q USING (lang_pred)
+CROSS JOIN vstats v CROSS JOIN vtop t
+CROSS JOIN pts pt CROSS JOIN prt pr""".replace(
         "__STATS__", sql["text_stats"].strip()).replace(
         "__LANGS__", sql["lang_id"].strip())
 
