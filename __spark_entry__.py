@@ -1896,12 +1896,23 @@ def q_dedup_stream(spark, sf_dir):
     """Incremental exact dedup over a document stream: stateful
     groupBy(content_hash) in Update mode; the final per-hash state (count +
     min doc id) must equal the batch exact_dedup groups exactly — the
-    streaming dedup surface shares the batch oracle."""
+    streaming dedup surface shares the batch oracle.
+
+    Round 15: drains a FIXED 3-micro-batch split (repartition(3) +
+    maxFilesPerTrigger=1, the q_minhash_stream shape) instead of one
+    all-files trigger, so the cross-batch state-update path does real
+    work — and the slot doubles as the bench's streaming drill (26th
+    headline cell with its own floor): final state is split-invariant,
+    so the oracle is untouched. Cost-model note: the drain runs EAGERLY
+    at query-construction time; the returned frame is the memory-sink
+    final-state read."""
     from anomalyzer_spark.streaming import run_dedup_stream_on_dir
-    res = run_dedup_stream_on_dir(
-        spark, f"{sf_dir}/documents*.parquet", "text", "doc_id",
-        query_name="q_dedup_stream_mem")
-    return res
+    tmp = _query_tmp("dedup_stream")
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+    return run_dedup_stream_on_dir(
+        spark, f"{tmp}/in", "text", "doc_id",
+        query_name="q_dedup_stream_mem", max_files_per_trigger=1)
 
 
 #: detect_horizon cutoff: anchor - horizon. The fixtures span 2024-01; an

@@ -98,6 +98,15 @@ HEADLINE = (
     # from its first round; lineitem_cube's bench niche (grouping-sets
     # Expand) times on inside orders_rollup's parity test
     "dup_spans",
+    # round-15 streaming drill (r14 verdict #6): the 7 streaming slots
+    # were correctness-checked but never floor-tracked, so a streaming-
+    # path perf regression (the r12c file-storm class) was invisible
+    # round-over-round. dedup_stream drains a fixed 3-micro-batch split
+    # eagerly at query-construction time, so each timed lap is a full
+    # drain (input write -> 3 triggers -> final-state read); the
+    # returned frame's plan (memory-sink read + final-state window) is
+    # what the plan hash fingerprints.
+    "dedup_stream",
 )
 
 
@@ -138,6 +147,11 @@ def plan_fingerprint(df, _mask_sfdir: bool = True) -> str:
     # _mask_sfdir=False reproduces the pre-r13 hash for that migration.
     if _mask_sfdir:
         s = re.sub(r"file:[^\s\]\[,]*/sf[0-9.]+/", "file:<SFDIR>/", s)
+    # per-process query-tmp roots (streaming drills: input/store/ckpt
+    # live under anomalyzer_q_<name>_<uid>_<pid>) — the pid is session
+    # identity, not plan shape; without this mask every bench process
+    # would "re-baseline" the streaming drill's floor
+    s = re.sub(r"anomalyzer_q_(\w+)_\d+_\d+", r"anomalyzer_q_\1_U_P", s)
     # HOF lambda variables carry a session-global counter (x_10, y_11, …)
     s = re.sub(r"lambda ([a-zA-Z]+)_\d+", r"lambda \1_n", s)
     s = re.sub(r"plan_id=\d+", "plan_id=x", s)
