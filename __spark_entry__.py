@@ -845,6 +845,14 @@ def q_curation_pipeline(spark, sf_dir):
     from anomalyzer_spark.functions import quality as _quality
     from anomalyzer_spark.functions import sampling as _sampling
     out, samp = _curation_pipeline_core(spark, sf_dir)
+    # the rider legs fan out SIX reads of the sampled corpus (FFD,
+    # nq_lang, split, and the r15 tf/kb/cs knobs) — materialize samp
+    # once with an eager localCheckpoint so the full slot still scans
+    # the corpus exactly ONCE (the core pipeline, whose 1-scan/0-join
+    # plan is pinned untouched in tests/test_plans.py); without this
+    # the knob riders re-derived the redact+sample pyramid per leg
+    # (12 corpus scans — the pin caught it in-round).
+    samp = samp.localCheckpoint(eager=True)
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
                                  n_shards=CURATION_SHARDS, seed=42)
     nq = _quality.normalize_scores(

@@ -338,13 +338,15 @@ def test_curation_pipeline_single_scan_no_joins(spark, sf_dir):
     plan = assert_plan(df, max_exchanges=2)
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
-    # the full slot = core + attestation riders, each one bounded extra
-    # corpus read: FFD staging (r10) + the nq_lang percent_rank rider
-    # and the split hash-window rider (r14) — 4 scans total, every one
-    # an oracle-coverage join on doc_id, never the round-6 draft's
-    # corpus×corpus join-back shape (the core above stays 1-scan/0-join)
+    # the full slot = core + attestation riders (FFD r10, nq_lang/split
+    # r14, tf/kb/cs knobs r15). Since r15 the rider fan-out reads ONE
+    # eager localCheckpoint of the sampled corpus instead of re-deriving
+    # the redact+sample pyramid per leg (which had grown to 12 corpus
+    # scans), so the full slot scans the corpus exactly once — the core
+    # pipeline — and rider legs appear as ExistingRDD scans.
     full = explain_str(entry_mod.q_curation_pipeline(spark, sf_dir))
-    assert full.count("documents.parquet") == 4
+    assert full.count("documents.parquet") == 1
+    assert "ExistingRDD" in full
 
 
 def test_range_join_registry_plan_equi_not_theta(spark, sf_dir):
