@@ -646,9 +646,15 @@ def q_data_pipeline(spark, sf_dir):
     from anomalyzer_spark.functions import bpe as _bpe
     from anomalyzer_spark.functions import packing
     enc = _bpe.bpe_encode(samp.select("doc_id", "text"), BPE_MERGES)
-    ids = _bpe.bpe_ids(enc, BPE_VOCAB)
+    # the encode (Arrow/Python) and the packed chunks each feed TWO
+    # legs (stats + round-trip) — materialize once each, so the BPE
+    # pass and the packing assembly run once, not per leg
+    ids = _bpe.bpe_ids(enc, BPE_VOCAB) \
+        .select("doc_id", "token_ids", "n_tokens") \
+        .localCheckpoint(eager=True)
     pk = packing.pack_token_ids(
-        ids.select("doc_id", "token_ids"), PT_CAP, n_shards=8, seed=42)
+        ids.select("doc_id", "token_ids"), PT_CAP, n_shards=8, seed=42) \
+        .localCheckpoint(eager=True)
     pos_sum = F.aggregate(
         F.zip_with(F.col("input_ids"),
                    F.sequence(F.lit(1), F.size("input_ids")),
@@ -666,7 +672,7 @@ def q_data_pipeline(spark, sf_dir):
         .select(F.col("s.doc_id").alias("doc_id"),
                 (F.col("s.end") - F.col("s.start")).alias("l"))
         .groupBy("doc_id").agg(F.sum("l").alias("_sl")))
-    rt = (enc.select("doc_id", "n_tokens")
+    rt = (ids.select("doc_id", "n_tokens")
           .join(span_len, "doc_id", "left")
           .agg(F.sum((F.coalesce(F.col("_sl"), F.lit(0))
                       != F.col("n_tokens")).cast("long"))
