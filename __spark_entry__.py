@@ -333,11 +333,27 @@ def q_text_profile(spark, sf_dir):
 
 
 def q_winnow(spark, sf_dir):
-    """Winnowing (rolling-hash) fingerprints, one row per fingerprint."""
+    """Winnowing (rolling-hash) fingerprints, one row per fingerprint.
+
+    Round-15 rider: fingerprint_matches (fragment-level near-dup pairs
+    over these fingerprints via dedup.shared_value_pairs, min_shared=2)
+    collapsed per document as ``fm_pairs`` (pair count involving the
+    doc) and ``fm_best`` (max containment overlap), left-joined onto
+    the fingerprint rows — the oracle extends the winnow CTE with the
+    same self-join + per-doc fold, so the containment join and overlap
+    arithmetic sit under the value hash."""
     d = _docs(spark, sf_dir)
     out = text.winnow_fingerprints(d, "text", "doc_id", k=8, window=4)
+    fm = text.fingerprint_matches(d.select("doc_id", "text"), min_shared=2)
+    per_doc = (
+        fm.select(F.col("id_a").alias("doc_id"), "overlap")
+        .unionByName(fm.select(F.col("id_b").alias("doc_id"), "overlap"))
+        .groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("fm_pairs"),
+            F.max("overlap").alias("fm_best")))
     return out.select("doc_id", "n_grams",
-                      F.explode("fingerprints").alias("fp"))
+                      F.explode("fingerprints").alias("fp")) \
+        .join(per_doc, "doc_id", "left")
 
 
 #: bm25 slot: fixed query set over the fixture vocabulary (several shared
@@ -677,6 +693,20 @@ def q_data_pipeline(spark, sf_dir):
           .agg(F.sum((F.coalesce(F.col("_sl"), F.lit(0))
                       != F.col("n_tokens")).cast("long"))
                .alias("pt_rt_bad")))
+    # round-15 stage 3: the one-row corpus DATASHEET (text.corpus_card
+    # over the raw corpus, trusted lang column) as cc_* columns —
+    # volumes, exact-dup rate, dominant language, decimal-exact avg
+    # quality, exact percentiles all under the value hash.
+    cc = text.corpus_card(d, lang_col="lang").select(
+        F.col("n_docs").alias("cc_n_docs"),
+        F.col("n_tokens").alias("cc_n_tokens"),
+        F.col("n_chars").alias("cc_n_chars"),
+        F.col("dup_rate").alias("cc_dup_rate"),
+        F.col("top_lang").alias("cc_top_lang"),
+        F.col("top_lang_share").alias("cc_top_lang_share"),
+        F.col("avg_quality").alias("cc_avg_quality"),
+        F.col("p50_chars").alias("cc_p50_chars"),
+        F.col("p90_chars").alias("cc_p90_chars"))
     return (
         per_lang.join(samp_counts, "lang_pred", "left")
         .na.fill({"n_sample_docs": 0})
@@ -689,6 +719,7 @@ def q_data_pipeline(spark, sf_dir):
         .crossJoin(F.broadcast(vtop))
         .crossJoin(F.broadcast(ptstats))
         .crossJoin(F.broadcast(rt))
+        .crossJoin(F.broadcast(cc))
     )
 
 
@@ -1670,7 +1701,25 @@ def q_snapshot_diff(spark, sf_dir):
     lat = chlog.latest_changes(changes, ["doc_id"], "seq")
     rb = (lat.where(F.col("op") != "delete")
           .select("doc_id", F.col("h").alias("rebuilt_hash")))
-    return diff.join(F.broadcast(rb), "doc_id", "left")
+    # round-15 rider — scd2_history under the same value hash: the
+    # changelog gains a V1 upsert for every to-be-deleted doc, so the
+    # type-2 fold exercises BOTH version closure paths (a newer upsert
+    # closing the decoy at seq 2, and a DELETE closing V1 at seq 3 with
+    # no current version left). Collapsed per doc: version count, open
+    # count, last valid_from, max valid_to — the lead-window interval
+    # arithmetic and the delete-closure all sit under the hash.
+    changes2 = changes.unionAll(
+        docs.where(F.col("doc_id") % 7 == 0).select(
+            "doc_id", F.md5(F.lit("V1").cast("binary")).alias("h"),
+            F.lit(1).alias("seq"), F.lit("upsert").alias("op")))
+    scd_src = chlog.scd2_history(changes2, ["doc_id"], "seq", op_col="op")
+    scd = scd_src.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("scd2_versions"),
+        F.sum(F.col("is_current").cast("long")).alias("scd2_open"),
+        F.max("valid_from").cast("long").alias("scd2_last_from"),
+        F.max("valid_to").cast("long").alias("scd2_max_to"))
+    return diff.join(F.broadcast(rb), "doc_id", "left") \
+        .join(F.broadcast(scd), "doc_id", "left")
 
 
 def q_resample_stream(spark, sf_dir):
@@ -1884,10 +1933,36 @@ def q_multimodal(spark, sf_dir):
         F.md5(F.col("text").cast("binary")).alias("pii_md5"),
         F.col("n_credit_card").alias("pii_n_card"),
         F.col("n_ssn").alias("pii_n_ssn"))
+    # round-15 riders (closing the last text-extras attestation gaps):
+    # srp_* — strip_repeated_paragraphs over planted intra-doc
+    # repetition (the doc's first sentence appended twice; '. '
+    # separator), hashing the rebuilt bytes + both counters; he_* —
+    # hash_embeddings (dim 16, L2-normalized) collapsed to a
+    # position-weighted checksum + nonzero-bucket count, so the bucket
+    # hash, count assembly, and normalization sit under the value hash.
+    srp_in = d.select("doc_id", F.concat(
+        F.col("text"), F.lit(". "),
+        F.split(F.col("text"), r"\. ")[0], F.lit(". "),
+        F.split(F.col("text"), r"\. ")[0]).alias("text"))
+    srp = dedup.strip_repeated_paragraphs(srp_in, sep=". ").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("srp_md5"),
+        F.col("n_paragraphs").alias("srp_paras"),
+        F.col("n_repeats_dropped").alias("srp_dropped"))
+    he_chk = F.round(F.aggregate(
+        F.zip_with(F.col("embedding"),
+                   F.sequence(F.lit(1), F.lit(16)),
+                   lambda x, i: x * i.cast("double")),
+        F.lit(0.0), lambda a, x: a + x), 6)
+    he = text.hash_embeddings(d, dim=16).select(
+        "doc_id", he_chk.alias("he_chk"),
+        F.size(F.filter("embedding", lambda x: x != 0.0))
+        .cast("long").alias("he_nnz"))
     return _round6(prof.join(dh, "doc_id").join(lang, "doc_id")
                    .join(afp, "doc_id").join(vdh, "doc_id")
                    .join(webr, "doc_id").join(cst, "doc_id")
-                   .join(lic, "doc_id").join(pii, "doc_id"),
+                   .join(lic, "doc_id").join(pii, "doc_id")
+                   .join(srp, "doc_id").join(he, "doc_id"),
                    "byte_mean", "byte_std", "byte_entropy")
 
 
@@ -2555,10 +2630,31 @@ changes AS (
 latest AS (
   SELECT doc_id, h, op FROM (
     SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) rn
-    FROM changes) WHERE rn = 1)
-SELECT cls.doc_id, status, old_hash, new_hash, r.rebuilt_hash
+    FROM changes) WHERE rn = 1),
+changes2 AS (
+  SELECT * FROM changes
+  UNION ALL SELECT doc_id, md5('V1') AS h, 1 AS seq, 'upsert' AS op
+            FROM documents WHERE doc_id % 7 = 0),
+scd AS (
+  SELECT doc_id, count(*)::BIGINT AS scd2_versions,
+         sum(is_current::INT)::BIGINT AS scd2_open,
+         max(valid_from)::BIGINT AS scd2_last_from,
+         max(valid_to)::BIGINT AS scd2_max_to
+  FROM (
+    SELECT * FROM (
+      SELECT doc_id, op, seq AS valid_from,
+             lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) AS valid_to,
+             (lead(seq) OVER (PARTITION BY doc_id ORDER BY seq) IS NULL
+              AND op <> 'delete') AS is_current
+      FROM changes2)
+    WHERE op <> 'delete')
+  GROUP BY doc_id)
+SELECT cls.doc_id, status, old_hash, new_hash, r.rebuilt_hash,
+       scd.scd2_versions, scd.scd2_open, scd.scd2_last_from,
+       scd.scd2_max_to
 FROM cls LEFT JOIN (SELECT doc_id, h AS rebuilt_hash FROM latest
                     WHERE op <> 'delete') r ON cls.doc_id = r.doc_id
+LEFT JOIN scd ON cls.doc_id = scd.doc_id
 WHERE status <> 'unchanged'"""
 
     # streaming watermarked resample: emitted = batch buckets whose window
@@ -2712,8 +2808,23 @@ m AS (SELECT doc_id, len(hashes) AS n_grams,
   CASE WHEN len(hashes) > 0 THEN
     list_transform(range(1, greatest(len(hashes) - 3, 1) + 1), i ->
       list_aggregate(hashes[i : i + 3], 'min'))
-  ELSE [] END AS mins FROM h)
-SELECT doc_id, n_grams, unnest(list_distinct(mins)) AS fp FROM m"""
+  ELSE [] END AS mins FROM h),
+fmex AS (SELECT doc_id, len(list_distinct(mins)) AS nfp,
+         unnest(list_distinct(mins)) AS fp2 FROM m),
+fmp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          count(*)::BIGINT AS shared,
+          round(count(*)::DOUBLE / least(min(a.nfp), min(b.nfp)), 6)
+            AS overlap
+        FROM fmex a JOIN fmex b ON a.fp2 = b.fp2 AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+fmd AS (SELECT doc_id, count(*)::BIGINT AS fm_pairs,
+          max(overlap) AS fm_best
+        FROM (SELECT id_a AS doc_id, overlap FROM fmp
+              UNION ALL SELECT id_b AS doc_id, overlap FROM fmp)
+        GROUP BY doc_id)
+SELECT m.doc_id, n_grams, unnest(list_distinct(mins)) AS fp,
+       fmd.fm_pairs, fmd.fm_best
+FROM m LEFT JOIN fmd ON m.doc_id = fmd.doc_id"""
 
     # bm25: full replay — word_tokens lexical spec, distinct query terms,
     # Lucene idf, tf/length normalization, per-query top-k with the
@@ -3304,7 +3415,26 @@ prt AS (
     SELECT t.doc_id, any_value(t.n_ids) AS n_ids,
            sum(len(piece))::BIGINT AS sl
     FROM ppc p JOIN ptk t USING (doc_id) GROUP BY t.doc_id)
-  WHERE n_ids != sl)
+  WHERE n_ids != sl),
+cctop AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang
+          ORDER BY n DESC, lang ASC LIMIT 1),
+ccdup AS (
+  SELECT round(avg((doc_id <> mn)::INT::DOUBLE), 6) AS cc_dup_rate
+  FROM (SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS mn
+        FROM (SELECT doc_id, md5({_NORM}) AS h FROM documents))),
+cc AS (
+  SELECT count(*)::BIGINT AS cc_n_docs,
+    sum(n_tokens)::BIGINT AS cc_n_tokens,
+    sum(n_chars)::BIGINT AS cc_n_chars,
+    (SELECT cc_dup_rate FROM ccdup) AS cc_dup_rate,
+    (SELECT lang FROM cctop) AS cc_top_lang,
+    round((SELECT n FROM cctop) / count(*)::DOUBLE, 6)
+      AS cc_top_lang_share,
+    round(sum(quality_score::DECIMAL(10,6))::DOUBLE / count(*), 6)
+      AS cc_avg_quality,
+    quantile_cont(n_chars, 0.5) AS cc_p50_chars,
+    quantile_cont(n_chars, 0.9) AS cc_p90_chars
+  FROM stats)
 SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
   coalesce(sc.n_sample_docs, 0)::BIGINT AS n_sample_docs,
   lp.avg_sample_ppl,
@@ -3313,7 +3443,10 @@ SELECT p.lang_pred, p.n_docs, p.total_tokens, p.avg_quality,
   q.mq_avg, q.mq_hi,
   v.sample_vocab_size, v.sample_df_sum, t.sample_top_token, t.sample_top_tf,
   pt.pt_chunks, pt.pt_ids, pt.pt_docs, pt.pt_pos_sum, pt.pt_oov,
-  pr.pt_rt_bad
+  pr.pt_rt_bad,
+  cc.cc_n_docs, cc.cc_n_tokens, cc.cc_n_chars, cc.cc_dup_rate,
+  cc.cc_top_lang, cc.cc_top_lang_share, cc.cc_avg_quality,
+  cc.cc_p50_chars, cc.cc_p90_chars
 FROM per_lang p
 LEFT JOIN samp_counts sc USING (lang_pred)
 LEFT JOIN lang_ppl lp USING (lang_pred)
@@ -3321,7 +3454,7 @@ LEFT JOIN mpt m USING (lang_pred)
 LEFT JOIN mmix mm USING (lang_pred)
 LEFT JOIN mql q USING (lang_pred)
 CROSS JOIN vstats v CROSS JOIN vtop t
-CROSS JOIN pts pt CROSS JOIN prt pr""".replace(
+CROSS JOIN pts pt CROSS JOIN prt pr CROSS JOIN cc""".replace(
         "__STATS__", sql["text_stats"].strip()).replace(
         "__LANGS__", sql["lang_id"].strip())
 
@@ -4554,6 +4687,66 @@ FROM p1"""
     lang_cols = ", ".join(
         ["lng.lang_pred_model"]
         + [f"lng.prob_{lg}" for lg in _LANG_MODEL["langs"]])
+    # r15: strip_repeated_paragraphs over the planted first-sentence
+    # repetition (tests/test_text_extras.py replay, collapsed to md5 of
+    # the rebuilt bytes + the two counters)
+    sql["multimodal_srp"] = """
+WITH srpd AS (SELECT doc_id,
+             text || '. ' || regexp_split_to_array(text, '\\. ')[1]
+                  || '. ' || regexp_split_to_array(text, '\\. ')[1] AS text
+           FROM documents),
+srpex AS (
+  SELECT doc_id, u.pos, u.para,
+         CASE WHEN u.para <> '' THEN md5(u.para) END AS h
+  FROM (SELECT doc_id, string_split(text, '. ') AS ps FROM srpd),
+       unnest(list_transform(range(1, len(ps) + 1),
+              i -> struct_pack(pos := i, para := ps[i]))) AS t(u)),
+srpm AS (SELECT *, CASE WHEN h IS NOT NULL THEN
+        row_number() OVER (PARTITION BY doc_id, h ORDER BY pos) END AS occ
+      FROM srpex)
+SELECT doc_id,
+  md5(coalesce(array_to_string(list_transform(
+    list_sort(list(struct_pack(pos := pos, para := para))
+              FILTER (WHERE h IS NULL OR occ = 1)),
+    s -> s.para), '. '), '')) AS srp_md5,
+  (count(*) FILTER (WHERE h IS NOT NULL))::BIGINT AS srp_paras,
+  (count(*) FILTER (WHERE occ > 1))::BIGINT AS srp_dropped
+FROM srpm GROUP BY doc_id"""
+
+    # r15: hash_embeddings (dim 16, L2-normalized) — the
+    # tests/test_text_extras.py replay collapsed to the
+    # position-weighted checksum + nonzero-bucket count
+    sql["multimodal_he"] = """
+WITH hetok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+         '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS t
+  FROM documents),
+heb AS (SELECT doc_id,
+        ('0x' || substr(md5(t), 1, 8))::BIGINT % 16 AS b
+      FROM hetok),
+hec AS (SELECT doc_id, b, count(*)::DOUBLE AS c FROM heb GROUP BY 1, 2),
+hem AS (SELECT doc_id, map_from_entries(list(struct_pack(k := b, v := c)))
+        AS m FROM hec GROUP BY doc_id),
+hev AS (SELECT d.doc_id,
+        list_transform(range(0, 16),
+                       i -> coalesce(hem.m[i][1], 0.0::DOUBLE)) AS raw
+      FROM (SELECT doc_id FROM documents) d LEFT JOIN hem USING (doc_id)),
+hen AS (SELECT doc_id,
+        CASE WHEN raw IS NULL
+             THEN list_transform(range(0, 16), i -> 0.0::DOUBLE)
+             ELSE raw END AS raw FROM hev),
+hef AS (SELECT doc_id, raw,
+        sqrt(list_sum(list_transform(raw, x -> x * x))) AS nrm FROM hen),
+hee AS (SELECT doc_id,
+  CASE WHEN nrm > 0 THEN list_transform(raw, x -> round(x / nrm, 6))
+       ELSE raw END AS emb
+  FROM hef)
+SELECT doc_id,
+  round(list_sum(list_transform(range(1, 17), i -> emb[i] * i)), 6)
+    AS he_chk,
+  len(list_filter(emb, x -> x != 0.0))::BIGINT AS he_nnz
+FROM hee"""
+
     sql["multimodal"] = f"""
 WITH meta AS ({sql['multimodal_meta']}),
 feat AS ({sql['multimodal_features']}),
@@ -4566,7 +4759,9 @@ vd2 AS ({_vframe_dh_sql(2)}),
 wb AS ({sql['multimodal_web']}),
 cd AS ({sql['multimodal_code']}),
 lic AS ({sql['multimodal_lic']}),
-pii AS ({sql['multimodal_pii']})
+pii AS ({sql['multimodal_pii']}),
+srp AS ({sql['multimodal_srp']}),
+he AS ({sql['multimodal_he']})
 SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        feat.byte_mean, feat.byte_std, feat.byte_entropy, dh.dhash9x8,
        {lang_cols},
@@ -4580,7 +4775,9 @@ SELECT meta.doc_id, meta.n_bytes, meta.content_md5, meta.format,
        cd.code_indent_ratio, cd.code_max_token_len, cd.code_is_autogen,
        lic.lic_spdx, lic.lic_detected, lic.lic_permissive,
        lic.lic_optout,
-       pii.pii_md5, pii.pii_n_card, pii.pii_n_ssn
+       pii.pii_md5, pii.pii_n_card, pii.pii_n_ssn,
+       srp.srp_md5, srp.srp_paras, srp.srp_dropped,
+       he.he_chk, he.he_nnz
 FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
      JOIN lng ON lng.doc_id = meta.doc_id
      JOIN afp ON afp.doc_id = meta.doc_id
@@ -4590,13 +4787,17 @@ FROM meta JOIN feat USING (doc_id) JOIN dh USING (doc_id)
      JOIN wb ON wb.doc_id = meta.doc_id
      JOIN cd ON cd.doc_id = meta.doc_id
      JOIN lic ON lic.doc_id = meta.doc_id
-     JOIN pii ON pii.doc_id = meta.doc_id"""
+     JOIN pii ON pii.doc_id = meta.doc_id
+     JOIN srp ON srp.doc_id = meta.doc_id
+     JOIN he ON he.doc_id = meta.doc_id"""
     del sql["multimodal_dhash"]
     del sql["multimodal_audio"]
     del sql["multimodal_web"]
     del sql["multimodal_code"]
     del sql["multimodal_lic"]
     del sql["multimodal_pii"]
+    del sql["multimodal_srp"]
+    del sql["multimodal_he"]
 
     for retired in ("text_stats", "lang_id", "fingerprint", "token_count",
                     "repetition", "multimodal_meta", "multimodal_features"):
