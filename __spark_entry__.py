@@ -306,14 +306,16 @@ def q_text_profile(spark, sf_dir):
     from anomalyzer_spark.functions import dedup as _dedup
     from anomalyzer_spark.functions import quality as _quality
     d = _docs(spark, sf_dir)
-    out = text.text_profile(
-        d, "text", "doc_id",
-        extra={"simhash32": _dedup.simhash_col(F.col("text"))})
-    out = out.withColumn("norm_len", F.col("norm_len").cast("long")) \
-        .withColumn("ws_tokens", F.col("ws_tokens").cast("long")) \
-        .withColumn("lex_tokens", F.col("lex_tokens").cast("long"))
-    gph = _quality.gopher_rules(d).select(
-        "doc_id",
+    # round-15 optimization: the r14 rider shape computed gopher_rules
+    # and c4_clean as separate map-only frames joined back on doc_id —
+    # three corpus scans, a duplicated newline split, and two join
+    # exchanges for what is one map-only projection chain. The fused
+    # gopher_c4_rules frame carries the raw text through, so the
+    # profile itself rides the SAME scan via carry_cols: one scan,
+    # zero joins, identical values (the rider expressions are the
+    # exact standalone builders).
+    gc = _quality.gopher_c4_rules(d).select(
+        "doc_id", "text",
         F.col("n_words").alias("gph_n_words"),
         F.col("mean_word_len").alias("gph_mean_word_len"),
         F.col("symbol_word_ratio").alias("gph_symbol_word_ratio"),
@@ -321,15 +323,20 @@ def q_text_profile(spark, sf_dir):
         F.col("ellipsis_line_ratio").alias("gph_ellipsis_line_ratio"),
         F.col("alpha_word_ratio").alias("gph_alpha_word_ratio"),
         F.col("n_stop_words").alias("gph_n_stop_words"),
-        F.col("gopher_pass").alias("gph_pass"))
-    c4 = _quality.c4_clean(d).select(
-        "doc_id",
-        F.md5(F.col("text").cast("binary")).alias("c4_text_md5"),
+        F.col("gopher_pass").alias("gph_pass"),
+        F.md5(F.col("c4_text").cast("binary")).alias("c4_text_md5"),
         F.col("n_lines_kept").alias("c4_lines_kept"),
         F.col("n_lines_dropped").alias("c4_lines_dropped"),
         F.col("n_sentences").alias("c4_sentences"),
         F.col("c4_keep"))
-    return out.join(gph, "doc_id").join(c4, "doc_id")
+    rider_cols = [c for c in gc.columns if c not in ("doc_id", "text")]
+    out = text.text_profile(
+        gc, "text", "doc_id",
+        extra={"simhash32": _dedup.simhash_col(F.col("text"))},
+        carry_cols=rider_cols)
+    return out.withColumn("norm_len", F.col("norm_len").cast("long")) \
+        .withColumn("ws_tokens", F.col("ws_tokens").cast("long")) \
+        .withColumn("lex_tokens", F.col("lex_tokens").cast("long"))
 
 
 def q_winnow(spark, sf_dir):
@@ -468,7 +475,9 @@ def q_minhash_stream(spark, sf_dir):
     from anomalyzer_spark.streaming import run_minhash_stream_on_dir
 
     tmp = _query_tmp("minhash_stream")
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # single-exchange 3-file split (see q_dedup_stream — pair state is
+    # batch-split-invariant, so the oracle is untouched)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
     return run_minhash_stream_on_dir(
         spark, f"{tmp}/in", f"{tmp}/store", f"{tmp}/ckpt",
@@ -829,12 +838,22 @@ def _curation_pipeline_core(spark, sf_dir):
         (F.col("n_email") + F.col("n_url") + F.col("n_ipv4")
          + F.col("n_phone")).cast("long"))
     samp = sampling.temperature_sample(cur, CURATION_ALPHA, "lang")
+    return _curation_pack(samp), samp
+
+
+def _curation_pack(samp):
+    """The pack stage of the curation pipeline over a sampled frame —
+    split out (r15) so the registry slot can re-run it over the eager
+    checkpoint of ``samp`` instead of re-deriving the redact+sample
+    pyramid a second time (the core keeps its lazy one-scan shape for
+    the plan pin; values are identical either way)."""
+    from anomalyzer_spark.functions import packing
     out = packing.pack_chunks(samp, CURATION_CAP,
                               n_shards=CURATION_SHARDS, seed=42,
                               carry_cols=["lang", "n_pii"])
     return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
                       "n_toks", "start_tok", "chunk_tok_start",
-                      "chunk_tok_end"), samp
+                      "chunk_tok_end")
 
 
 def q_curation_pipeline(spark, sf_dir):
@@ -881,23 +900,26 @@ def q_curation_pipeline(spark, sf_dir):
     from anomalyzer_spark.functions import packing
     from anomalyzer_spark.functions import quality as _quality
     from anomalyzer_spark.functions import sampling as _sampling
-    out, samp = _curation_pipeline_core(spark, sf_dir)
+    _, samp = _curation_pipeline_core(spark, sf_dir)
     # the rider legs fan out SIX reads of the sampled corpus (FFD,
     # nq_lang, split, and the r15 tf/kb/cs knobs) — materialize samp
     # once with an eager localCheckpoint so the full slot still scans
-    # the corpus exactly ONCE (the core pipeline, whose 1-scan/0-join
-    # plan is pinned untouched in tests/test_plans.py); without this
-    # the knob riders re-derived the redact+sample pyramid per leg
-    # (12 corpus scans — the pin caught it in-round).
+    # the corpus exactly ONCE; without this the knob riders re-derived
+    # the redact+sample pyramid per leg (12 corpus scans — the pin
+    # caught it in-round). r15 optimization: the pack stage ALSO runs
+    # over the checkpoint now — the previous shape scanned the corpus
+    # once in the final plan AND once in the eager checkpoint
+    # materialization, i.e. the redact regex pyramid ran twice per
+    # invocation. The core keeps its lazy one-scan plan for the pin;
+    # this slot's plan reads only ExistingRDD.
     samp = samp.localCheckpoint(eager=True)
+    out = _curation_pack(samp)
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
                                  n_shards=CURATION_SHARDS, seed=42)
     nq = _quality.normalize_scores(
         samp.select("doc_id", "lang", F.length("text").alias("q")),
         "q", id_col="doc_id", group_col="lang", out_col="nq_lang"
     ).select("doc_id", "nq_lang")
-    spl = _sampling.split_train_eval(
-        samp.select("doc_id"), 0.25, "doc_id", seed=7)
     sc = samp.select("doc_id", "lang",
                      F.length("text").cast("double").alias("q"))
     tf = _sampling.select_top_fraction(sc, "q", 0.35) \
@@ -911,14 +933,21 @@ def q_curation_pipeline(spark, sf_dir):
         .select("doc_id", F.lit(True).alias("kb_keep"))
     cs = _sampling.cap_stratum_share(sc, 0.3, "lang", "q") \
         .select("doc_id", F.lit(True).alias("cs_keep"))
-    return out.join(
+    acc = out.join(
         bins.select(
             "doc_id", F.col("bin_id").alias("ffd_bin"),
             F.col("oversize").alias("ffd_oversize")),
         "doc_id",
-    ).join(nq, "doc_id").join(spl, "doc_id") \
+    ).join(nq, "doc_id") \
      .join(tf, "doc_id", "left").join(kb, "doc_id", "left") \
-     .join(cs, "doc_id", "left") \
+     .join(cs, "doc_id", "left")
+    # the split label is a pure function of doc_id (md5 _hash48 window),
+    # so the r14 rider's separate (doc_id, split) frame + inner join was
+    # a join for a map-only column — apply the SAME library call to the
+    # joined frame instead (r15; values identical, one exchange fewer).
+    # The dropped inner join filtered nothing: every packed chunk's
+    # doc_id comes from samp.
+    return _sampling.split_train_eval(acc, 0.25, "doc_id", seed=7) \
      .select("shard", "chunk_id", "doc_id", "lang", "n_pii",
              "n_toks", "start_tok", "chunk_tok_start",
              "chunk_tok_end", "ffd_bin", "ffd_oversize",
@@ -1449,13 +1478,28 @@ def q_decontam(spark, sf_dir):
     from anomalyzer_spark.functions import bloom as bloom_mod
     from anomalyzer_spark.functions import decontam
     from anomalyzer_spark.functions.decontam import _grams
+    from anomalyzer_spark.functions.dedup import normalized_words
     d = _docs(spark, sf_dir)
-    ev = d.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    plain = decontam.contamination(d, ev, n=8)
+    # round-15 optimization: the four lanes used to re-run the regex
+    # normalization over the corpus independently (plain / bloom / multi-
+    # suite 8-gram shingles + the fuzzy lane's 3-gram signatures AND its
+    # candidate re-shingle — five normalization passes in one plan).
+    # Materialize (doc_id, text, words) ONCE per lap (eager
+    # localCheckpoint, inside the timed region) and feed every lane the
+    # persisted word arrays via the train_words_col fast path — identical
+    # output by construction (parity-pinned); sharing TWO lanes' words
+    # was measured 5% slower in r13, but at five passes the trade flips
+    # (measured: see OPTIMIZATION_r15.md).
+    dw = d.select("doc_id", "text",
+                  normalized_words(F.col("text")).alias("words")) \
+        .localCheckpoint(eager=True)
+    ev = dw.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    plain = decontam.contamination(dw, ev, n=8, train_words_col="words")
     fl = bloom_mod.build_bloom(
         _grams(ev, "text", "doc_id", 8, "_eval_id").select("gram"),
         "gram", num_bits=1 << 19, num_hashes=5, persist=False)
-    bl = decontam.contamination(d, ev, n=8, eval_bloom=fl)
+    bl = decontam.contamination(dw, ev, n=8, eval_bloom=fl,
+                                train_words_col="words")
     bl = bl.select(
         "doc_id",
         *[F.col(c).alias(f"bl_{c}")
@@ -1464,7 +1508,8 @@ def q_decontam(spark, sf_dir):
     ev2 = ev.withColumn(
         "suite", F.when(F.col("doc_id") % 194 == 0, F.lit("sA"))
         .otherwise(F.lit("sB")))
-    ms = decontam.contamination(d, ev2, n=8, eval_suite_col="suite")
+    ms = decontam.contamination(dw, ev2, n=8, eval_suite_col="suite",
+                                train_words_col="words")
     ms_p = ms.groupBy("doc_id").agg(*[
         F.max(F.when(F.col("suite") == s, F.col(c))).alias(
             f"ms_{s[1].lower()}_{a}")
@@ -1477,16 +1522,17 @@ def q_decontam(spark, sf_dir):
     # the 0.3 threshold genuinely filters (truncations of LONG docs
     # fall below it). Joining normalized words is normalization-
     # idempotent, so the oracle rebuilds the same truncated shingle
-    # sets from its norm CTE.
-    from anomalyzer_spark.functions.dedup import normalized_words
+    # sets from its norm CTE. The slice reads the persisted word arrays
+    # (same expression input as normalized_words(text) — identical).
     k_trunc = (F.lit(6) + F.pmod(F.col("doc_id"), F.lit(25))).cast("int")
-    ev_fz = d.where(F.col("doc_id") % 97 == 0).select(
+    ev_fz = dw.where(F.col("doc_id") % 97 == 0).select(
         "doc_id",
         F.array_join(
-            F.slice(normalized_words(F.col("text")), 1, k_trunc),
+            F.slice(F.col("words"), 1, k_trunc),
             " ").alias("text"))
     fz = decontam.fuzzy_contamination(
-        d, ev_fz, k=3, num_hashes=32, bands=8, threshold=0.3)
+        dw, ev_fz, k=3, num_hashes=32, bands=8, threshold=0.3,
+        train_words_col="words")
     fz_p = fz.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("fz_hits"),
         F.max("jaccard").alias("fz_best"))
@@ -1997,7 +2043,16 @@ def q_dedup_stream(spark, sf_dir):
     final-state read."""
     from anomalyzer_spark.streaming import run_dedup_stream_on_dir
     tmp = _query_tmp("dedup_stream")
-    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # r15 optimization: the input split used to be
+    # _docs(...).repartition(3) — TWO keyless round-robin exchanges
+    # (each paying sortBeforeRepartition's local sort of full text
+    # rows) just to land three files. One repartition(3) over the plain
+    # table read writes the same rows through a single exchange while
+    # still guaranteeing exactly three non-empty balanced files at
+    # every sf (a coalesce would collapse to the scan's split count on
+    # single-row-group fixtures); the final state is split-invariant,
+    # so the result (and the oracle) is untouched.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
     return run_dedup_stream_on_dir(
         spark, f"{tmp}/in", "text", "doc_id",

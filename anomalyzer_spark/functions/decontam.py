@@ -222,6 +222,7 @@ def fuzzy_contamination(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.5,
+    train_words_col: str | None = None,
 ) -> DataFrame:
     """NEAR-duplicate decontamination — the recall layer above
     ``contamination``: exact word-n-gram overlap misses an eval document
@@ -246,6 +247,12 @@ def fuzzy_contamination(
     at the defaults a 0.9-Jaccard copy is found with probability
     ~1-3e-15 — and deterministically so (md5 signatures), the same
     corpus always yields the same report.
+
+    ``train_words_col``: name of a persisted ``dedup.normalized_words``
+    column on ``train_df`` — the corpus-side fast path shared with
+    ``contamination``: the signature fold AND the exact-Jaccard verify
+    both shingle the stored word arrays instead of re-running the
+    normalization regexes (identical output by construction).
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError("threshold must be in (0, 1]")
@@ -255,7 +262,8 @@ def fuzzy_contamination(
     eid = eval_id_col or id_col
     tb = minhash_band_buckets(
         train_df, text_col, id_col,
-        k=k, num_hashes=num_hashes, bands=bands)
+        k=k, num_hashes=num_hashes, bands=bands,
+        words_col=train_words_col)
     eb = minhash_band_buckets(
         eval_df, etext, eid,
         k=k, num_hashes=num_hashes, bands=bands,
@@ -267,7 +275,8 @@ def fuzzy_contamination(
     tsh = (
         train_df.join(cand.select(id_col).distinct(), id_col, "left_semi")
         .select(F.col(id_col),
-                normalized_words(F.col(text_col)).alias("_w"))
+                (F.col(train_words_col) if train_words_col
+                 else normalized_words(F.col(text_col))).alias("_w"))
         .select(F.col(id_col),
                 word_shingles_from_words(F.col("_w"), k).alias("_sa"))
     )

@@ -251,6 +251,7 @@ def minhash_signatures(
     *,
     k: int = 3,
     num_hashes: int = 128,
+    words_col: str | None = None,
 ) -> DataFrame:
     """MinHash signatures over word-k-gram shingles (Carter-Wegman family).
 
@@ -266,10 +267,14 @@ def minhash_signatures(
 
     The word array is staged as its own projection (one regex pass per
     row — the shingle chain references it ~k+2 times and HOF subtrees
-    evaluate per reference; see decontam._grams).
+    evaluate per reference; see decontam._grams). ``words_col``: shingle a
+    persisted ``normalized_words`` column instead of re-normalizing the
+    text (the decontam._grams fast path — identical output by
+    construction).
     """
     staged = df.select(F.col(id_col),
-                       normalized_words(F.col(text_col)).alias("_w"))
+                       (F.col(words_col) if words_col
+                        else normalized_words(F.col(text_col))).alias("_w"))
     # zero-evidence docs are EXCLUDED from near-dup candidacy (r14
     # review): NULL text, or text the [a-z0-9] lexer reduces to nothing
     # (punctuation-only, non-Latin scripts), yields no shingles — every
@@ -306,18 +311,21 @@ def minhash_band_buckets(
     k: int = 3,
     num_hashes: int = 128,
     bands: int = 32,
+    words_col: str | None = None,
 ) -> DataFrame:
     """(id, bucket) rows — ``bands`` band-bucket keys per document, bucket
     = md5(band index || that band's minhash rows). THE single definition of
     the LSH bucket key, shared by the batch pair generator
     (``minhash_lsh_pairs``) and the streaming store
     (``streaming.minhash_stream``) — any drift between them would desync
-    the incremental store from the batch contract."""
+    the incremental store from the batch contract. ``words_col``: see
+    ``minhash_signatures``."""
     if num_hashes % bands != 0:
         raise ValueError("bands must divide num_hashes")
     rows_per_band = num_hashes // bands
     with_sig = minhash_signatures(
-        df, text_col, id_col, k=k, num_hashes=num_hashes)
+        df, text_col, id_col, k=k, num_hashes=num_hashes,
+        words_col=words_col)
     return with_sig.select(
         F.col(id_col),
         F.explode(

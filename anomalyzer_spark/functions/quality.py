@@ -309,9 +309,26 @@ def gopher_rules(
     ``checks.satisfies``. Zero UDFs, zero shuffles (plan-pinned); the
     word/line arrays are STAGED so higher-order lambdas bind attributes,
     never re-split per element (the house HOF rule)."""
-    t = F.col(text_col)
     staged = df.select(
-        F.col(id_col),
+        F.col(id_col), *_gopher_staged_cols(text_col))
+    return _gopher_finish(
+        staged, id_col,
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_ratio=max_bullet_line_ratio,
+        max_ellipsis_line_ratio=max_ellipsis_line_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stop_words=min_stop_words)
+
+
+def _gopher_staged_cols(text_col: str) -> list[Column]:
+    """The staged inputs of the Gopher rules (word array, line array,
+    symbol count) as column expressions — shared by ``gopher_rules`` and
+    the fused ``gopher_c4_rules`` so the two cannot drift."""
+    t = F.col(text_col)
+    return [
         F.when(t.isNull(), F.array().cast("array<string>"))
         .otherwise(F.split(F.trim(t), "[ \t\n\x0b\f\r]+")).alias("_w"),
         F.when(t.isNull(), F.array().cast("array<string>"))
@@ -319,7 +336,26 @@ def gopher_rules(
         F.coalesce(
             F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\."), 0)),
             F.lit(0)).alias("_nsym"),
-    )
+    ]
+
+
+def _gopher_finish(
+    staged: DataFrame,
+    id_col: str,
+    *,
+    min_words: int,
+    max_words: int,
+    min_mean_word_len: float,
+    max_mean_word_len: float,
+    max_symbol_word_ratio: float,
+    max_bullet_line_ratio: float,
+    max_ellipsis_line_ratio: float,
+    min_alpha_word_ratio: float,
+    min_stop_words: int,
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Metrics + rule booleans + gate over a ``_gopher_staged_cols``
+    frame; ``carry_cols`` pass through untouched (the fused path)."""
     nw = F.size("_w")
     nl = F.greatest(F.size("_l"), F.lit(1))
     safe_nw = F.greatest(nw, F.lit(1))
@@ -346,6 +382,7 @@ def gopher_rules(
         F.round(ellipsis_ratio, 6).alias("ellipsis_line_ratio"),
         F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
         n_stop.cast("int").alias("n_stop_words"),
+        *carry_cols,
     )
     rules = {
         "r_word_count": (F.col("n_words") >= min_words)
@@ -405,6 +442,33 @@ def c4_clean(
         t.alias("_raw"),
         F.when(t.isNull(), F.array().cast("array<string>"))
         .otherwise(F.split(t, "\n")).alias("_l"))
+    return _c4_finish(
+        staged, text_col, id_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        drop_line_markers=drop_line_markers,
+        drop_doc_markers=drop_doc_markers)
+
+
+def _c4_finish(
+    staged: DataFrame,
+    text_col: str,
+    id_col: str,
+    *,
+    min_words_per_line: int,
+    min_sentences: int,
+    drop_line_markers: tuple[str, ...],
+    drop_doc_markers: tuple[str, ...],
+    carry_cols: tuple[str, ...] = (),
+    out_text_col: str | None = None,
+    raw_out: str | None = None,
+) -> DataFrame:
+    """The line filter + rebuild + gate over a staged (``_raw``, ``_l``)
+    frame — shared by ``c4_clean`` and the fused ``gopher_c4_rules`` so
+    the two cannot drift. ``carry_cols`` pass through; ``out_text_col``
+    renames the cleaned text (default ``text_col``); ``raw_out``
+    additionally emits the raw text under that name (the fused path
+    feeds a profile pass downstream on the same scan)."""
 
     def _line_ok(ln):
         trimmed = F.trim(ln)
@@ -419,7 +483,8 @@ def c4_clean(
     s2 = staged.select(
         F.col(id_col), "_raw",
         F.size("_l").alias("_nl"),
-        F.transform(kept, lambda ln: F.trim(ln)).alias("_k"))
+        F.transform(kept, lambda ln: F.trim(ln)).alias("_k"),
+        *carry_cols)
     cleaned = F.array_join("_k", "\n")
     n_sent = F.size(F.regexp_extract_all(
         cleaned, F.lit(r'[.!?"]'), 0))
@@ -429,9 +494,67 @@ def c4_clean(
             .contains(m.lower())
     return s2.select(
         F.col(id_col),
-        cleaned.alias(text_col),
+        cleaned.alias(out_text_col or text_col),
         F.size("_k").cast("long").alias("n_lines_kept"),
         (F.col("_nl") - F.size("_k")).cast("long")
         .alias("n_lines_dropped"),
         n_sent.cast("long").alias("n_sentences"),
-        doc_ok.alias("c4_keep"))
+        doc_ok.alias("c4_keep"),
+        *([F.col("_raw").alias(raw_out)] if raw_out else []),
+        *carry_cols)
+
+
+def gopher_c4_rules(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_ratio: float = 0.9,
+    max_ellipsis_line_ratio: float = 0.3,
+    min_alpha_word_ratio: float = 0.8,
+    min_stop_words: int = 2,
+    min_words_per_line: int = 3,
+    min_sentences: int = 5,
+    drop_line_markers: tuple[str, ...] = ("javascript",),
+    drop_doc_markers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """``gopher_rules`` + ``c4_clean`` fused over ONE scan (r15 bench
+    optimization): both gates stage the same newline split, so computing
+    them as separate frames joined on the id paid two corpus scans, a
+    duplicate line split, and a join exchange for what is one map-only
+    projection chain. Output = gopher_rules' columns + c4_clean's (the
+    cleaned text under ``c4_text``) + the RAW text under ``text_col``
+    (so a downstream profile pass can ride the same scan). Expressions
+    are the exact builders the standalone operators call — identical
+    values by construction."""
+    staged = df.select(
+        F.col(id_col),
+        *_gopher_staged_cols(text_col),
+        F.col(text_col).alias("_raw"))
+    g = _gopher_finish(
+        staged, id_col,
+        min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        max_bullet_line_ratio=max_bullet_line_ratio,
+        max_ellipsis_line_ratio=max_ellipsis_line_ratio,
+        min_alpha_word_ratio=min_alpha_word_ratio,
+        min_stop_words=min_stop_words,
+        carry_cols=("_raw", "_l"))
+    gopher_cols = tuple(c for c in g.columns
+                        if c not in (id_col, "_raw", "_l"))
+    return _c4_finish(
+        g, text_col, id_col,
+        min_words_per_line=min_words_per_line,
+        min_sentences=min_sentences,
+        drop_line_markers=drop_line_markers,
+        drop_doc_markers=drop_doc_markers,
+        carry_cols=gopher_cols,
+        out_text_col="c4_text",
+        raw_out=text_col)

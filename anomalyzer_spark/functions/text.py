@@ -198,6 +198,7 @@ def token_count(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def text_profile(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", *,
     extra: dict[str, Column] | None = None,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """The full per-document text profile — stats, language-ID, fingerprint,
     token counts, and repetition signals — in ONE map-only projection.
@@ -214,6 +215,10 @@ def text_profile(
     the SAME fused projection (name → Column over the text column) — the
     extension point for riding another map-only text operator on this
     one scan (e.g. ``dedup.simhash_col``) instead of a second pass.
+    ``carry_cols`` names input columns that pass through untouched — the
+    extension point for riding this profile on the OUTPUT of another
+    map-only pass (e.g. ``quality.gopher_c4_rules``) so the combined
+    operator chain stays one scan, zero joins.
     """
     base = df.select(
         F.col(id_col),
@@ -222,6 +227,7 @@ def text_profile(
         *_fp_exprs(text_col),
         *_token_exprs(text_col),
         *[c.alias(n) for n, c in (extra or {}).items()],
+        *[F.col(c) for c in (carry_cols or [])],
         F.col(text_col),
     )
     carry = [c for c in base.columns if c != text_col]

@@ -19,7 +19,23 @@ def test_embedded_model_equals_refit(spark):
         for lg, pool in entry._LANG_POOLS.items()
     }
     refit = langid.train_lang_model(labeled, sample_rows=64, iters=100)
-    assert refit == entry._LANG_MODEL
+    # the trainer's softmax step runs through BLAS (``xs @ w.T``), whose
+    # reduction order varies across BLAS builds/hosts — observed (r15): a
+    # refit on a different sandbox image reproduces the literal only to
+    # the last ULP (~1e-16 relative). The guarantee this test pins is
+    # "the literal does not DRIFT from the trainer's behavior", not
+    # cross-BLAS bit-equality — so float fields compare at 1e-9 (any
+    # real spec/pool/hyperparameter drift is orders of magnitude above
+    # that; tests below pin the spec exactly), non-float fields exactly.
+    import numpy as np
+
+    assert sorted(refit) == sorted(entry._LANG_MODEL)
+    for key, want in entry._LANG_MODEL.items():
+        got = refit[key]
+        if key in ("weights", "bias", "mean", "std"):
+            assert np.allclose(got, want, rtol=1e-9, atol=1e-12), key
+        else:
+            assert got == want, key
 
 
 def test_embedded_model_spec_is_current():

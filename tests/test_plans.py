@@ -339,13 +339,15 @@ def test_curation_pipeline_single_scan_no_joins(spark, sf_dir):
     assert "Join" not in plan
     assert plan.count("documents.parquet") == 1
     # the full slot = core + attestation riders (FFD r10, nq_lang/split
-    # r14, tf/kb/cs knobs r15). Since r15 the rider fan-out reads ONE
-    # eager localCheckpoint of the sampled corpus instead of re-deriving
-    # the redact+sample pyramid per leg (which had grown to 12 corpus
-    # scans), so the full slot scans the corpus exactly once — the core
-    # pipeline — and rider legs appear as ExistingRDD scans.
+    # r14, tf/kb/cs knobs r15). Since r15 the rider fan-out AND the pack
+    # stage read ONE eager localCheckpoint of the sampled corpus instead
+    # of re-deriving the redact+sample pyramid per leg (which had grown
+    # to 12 corpus scans, and still re-ran the redact pyramid twice per
+    # invocation — once for the checkpoint, once in the final plan). The
+    # corpus parquet scan happens exactly once per invocation, at
+    # checkpoint materialization; the final plan reads only ExistingRDD.
     full = explain_str(entry_mod.q_curation_pipeline(spark, sf_dir))
-    assert full.count("documents.parquet") == 1
+    assert full.count("documents.parquet") == 0
     assert "ExistingRDD" in full
 
 
