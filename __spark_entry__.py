@@ -183,13 +183,21 @@ def q_text_pipeline(spark, sf_dir):
     # the normalized frame feeds THREE scan legs (chunking + tfidf's two
     # frequency aggregates) — materialize the Arrow NFC stage once
     # (eager localCheckpoint, the dedup-LSH pattern; measured 2.5→2.0 s
-    # warm at sf0.1, 3× cold, values unchanged)
-    norm = text.normalize_text(planted).localCheckpoint(eager=True)
-    ch = text.chunk_windows(norm, size=24, stride=12)
+    # warm at sf0.1, 3× cold, values unchanged). r15 optimization: the
+    # checkpoint stores the TOKENIZED form — the three legs consumed
+    # only the word_tokens stream, so each used to re-run the tokenizer
+    # regex over the normalized text; now the regex runs once at
+    # materialization and the legs window/explode the persisted arrays
+    # (tokens_col fast path — identical values by construction).
+    from anomalyzer_spark.functions.text import word_tokens as _wt
+    norm = text.normalize_text(planted).select(
+        "doc_id", _wt(F.col("text")).alias("tokens")) \
+        .localCheckpoint(eager=True)
+    ch = text.chunk_windows(norm, size=24, stride=12, tokens_col="tokens")
     chstats = ch.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum("n_chunk_toks").alias("sum_chunk_toks"))
-    tf = text.tfidf_terms(norm, k=3, min_doc_freq=2)
+    tf = text.tfidf_terms(norm, k=3, min_doc_freq=2, tokens_col="tokens")
     top = tf.groupBy("doc_id").agg(
         F.array_join(
             F.transform(
@@ -395,9 +403,19 @@ def q_bm25(spark, sf_dir):
     d = _docs(spark, sf_dir)
     q = spark.createDataFrame(BM25_QUERIES, "query_id long, query string")
     # (measured: the rider's cost is the vector leg's fixture scan, not
-    # the lex frame's double consumption — an eager lex checkpoint was
-    # tried and bought nothing, so the slot stays lazy)
-    lex = retrieval.bm25_topk(d, q, k=BM25_K)
+    # the lex frame's double consumption — an eager lex checkpoint of the
+    # RESULT was tried and bought nothing, so the result stays lazy)
+    # r15 optimization: the from-text path ran the tokenizer regex over
+    # the corpus TWICE per lap (the staged postings projection + the
+    # N/avgdl stats scan). Tokenize once into an eager checkpoint and
+    # feed both the scorer (tokens_col) and the stats aggregate from it
+    # — the documented persist-once recipe (tokenize_docs /
+    # bm25_corpus_stats), parity-pinned identical to the from-text path.
+    tk = retrieval.tokenize_docs(d.select("doc_id", "text")) \
+        .select("doc_id", "tokens").localCheckpoint(eager=True)
+    lex = retrieval.bm25_topk(
+        tk, q, k=BM25_K, tokens_col="tokens",
+        corpus_stats=retrieval.bm25_corpus_stats(tk, tokens_col="tokens"))
     e = _embs(spark, sf_dir)
     vecq = (e.where(F.col("vec_id") < len(BM25_QUERIES))
             .select("vec_id", "embedding"))
@@ -841,14 +859,17 @@ def _curation_pipeline_core(spark, sf_dir):
     return _curation_pack(samp), samp
 
 
-def _curation_pack(samp):
+def _curation_pack(samp, length_col=None):
     """The pack stage of the curation pipeline over a sampled frame —
     split out (r15) so the registry slot can re-run it over the eager
     checkpoint of ``samp`` instead of re-deriving the redact+sample
     pyramid a second time (the core keeps its lazy one-scan shape for
-    the plan pin; values are identical either way)."""
+    the plan pin; values are identical either way). ``length_col``: a
+    pre-computed ``size(word_tokens(text))`` column — the slot's
+    text-free checkpoint path."""
     from anomalyzer_spark.functions import packing
     out = packing.pack_chunks(samp, CURATION_CAP,
+                              length_col=length_col,
                               n_shards=CURATION_SHARDS, seed=42,
                               carry_cols=["lang", "n_pii"])
     return out.select("shard", "chunk_id", "doc_id", "lang", "n_pii",
@@ -900,28 +921,39 @@ def q_curation_pipeline(spark, sf_dir):
     from anomalyzer_spark.functions import packing
     from anomalyzer_spark.functions import quality as _quality
     from anomalyzer_spark.functions import sampling as _sampling
-    _, samp = _curation_pipeline_core(spark, sf_dir)
+    from anomalyzer_spark.functions.text import word_tokens
+    _, samp_full = _curation_pipeline_core(spark, sf_dir)
     # the rider legs fan out SIX reads of the sampled corpus (FFD,
     # nq_lang, split, and the r15 tf/kb/cs knobs) — materialize samp
     # once with an eager localCheckpoint so the full slot still scans
     # the corpus exactly ONCE; without this the knob riders re-derived
     # the redact+sample pyramid per leg (12 corpus scans — the pin
-    # caught it in-round). r15 optimization: the pack stage ALSO runs
-    # over the checkpoint now — the previous shape scanned the corpus
-    # once in the final plan AND once in the eager checkpoint
+    # caught it in-round). r15 optimizations: (a) the pack stage ALSO
+    # runs over the checkpoint now — the previous shape scanned the
+    # corpus once in the final plan AND once in the eager checkpoint
     # materialization, i.e. the redact regex pyramid ran twice per
-    # invocation. The core keeps its lazy one-scan plan for the pin;
-    # this slot's plan reads only ExistingRDD.
-    samp = samp.localCheckpoint(eager=True)
-    out = _curation_pack(samp)
+    # invocation; (b) the checkpoint is TEXT-FREE — every downstream
+    # consumer needs only scalars (the packers' token count, the score
+    # legs' byte length), so those are computed once in the checkpoint
+    # projection (the packers' exact n_toks expression via length_col,
+    # identical values) instead of shipping the full redacted text to
+    # seven consumers. The core keeps its lazy one-scan plan for the
+    # pin; this slot's plan reads only ExistingRDD.
+    samp = samp_full.select(
+        "doc_id", "lang", "n_pii",
+        F.size(word_tokens(F.col("text"))).cast("long").alias("_n_toks"),
+        F.length("text").alias("_q"),
+    ).localCheckpoint(eager=True)
+    out = _curation_pack(samp, length_col="_n_toks")
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
+                                 length_col="_n_toks",
                                  n_shards=CURATION_SHARDS, seed=42)
     nq = _quality.normalize_scores(
-        samp.select("doc_id", "lang", F.length("text").alias("q")),
+        samp.select("doc_id", "lang", F.col("_q").alias("q")),
         "q", id_col="doc_id", group_col="lang", out_col="nq_lang"
     ).select("doc_id", "nq_lang")
     sc = samp.select("doc_id", "lang",
-                     F.length("text").cast("double").alias("q"))
+                     F.col("_q").cast("double").alias("q"))
     tf = _sampling.select_top_fraction(sc, "q", 0.35) \
         .select("doc_id", F.lit(True).alias("tf_keep"))
     gid = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 50) \

@@ -658,6 +658,7 @@ def tfidf_terms(
     *,
     k: int = 5,
     min_doc_freq: int = 1,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Per-document top-``k`` keywords by TF-IDF (the classic extraction
     pass: corpus-aware salient terms per document, for labeling, topical
@@ -684,7 +685,10 @@ def tfidf_terms(
     per-document top-k is one window exchange on the id with map-side
     WindowGroupLimit, so no document ships more than ``k`` candidate
     rows per input split. Tokens are ``word_tokens`` (same lexical spec
-    as ``vocab``/``text_profile``). DuckDB value parity in
+    as ``vocab``/``text_profile``); ``tokens_col`` names a persisted
+    ``word_tokens`` array instead (the tokenize-once recipe shared with
+    ``retrieval.bm25_topk`` — identical output by construction, and the
+    two scan legs skip the regex). DuckDB value parity in
     tests/test_text_extras.py.
     """
     if k < 1:
@@ -694,7 +698,8 @@ def tfidf_terms(
     # explode_outer + isNotNull: see vocab (inferred generate-filter)
     tok = df.select(
         F.col(id_col),
-        F.explode_outer(word_tokens(F.col(text_col))).alias("token")) \
+        F.explode_outer(F.col(tokens_col) if tokens_col
+                        else word_tokens(F.col(text_col))).alias("token")) \
         .where(F.col("token").isNotNull())
     tf = tok.groupBy(id_col, "token").agg(
         F.count(F.lit(1)).alias("tf"))
@@ -736,6 +741,7 @@ def chunk_windows(
     size: int,
     stride: int | None = None,
     carry_cols: list[str] | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Sliding-window chunking with overlap — the per-document context-
     window splitter (long-document training prep, retrieval chunking):
@@ -757,7 +763,9 @@ def chunk_windows(
     Plan shape: pure map — tokenize, build the start-offset sequence,
     posexplode, slice. NO shuffle anywhere (plan-pinned); at 100 TB this
     runs at scan speed and the output inherits input partitioning.
-    ``carry_cols`` rides the projection for free. DuckDB value parity in
+    ``carry_cols`` rides the projection for free. ``tokens_col`` names a
+    persisted ``word_tokens`` array to window instead of re-tokenizing
+    the text (identical output by construction). DuckDB value parity in
     tests/test_text_extras.py.
     """
     if size < 1:
@@ -765,7 +773,8 @@ def chunk_windows(
     stride = size if stride is None else stride
     if stride < 1:
         raise ValueError("stride must be >= 1")
-    toks = word_tokens(F.col(text_col))
+    toks = (F.col(tokens_col) if tokens_col
+            else word_tokens(F.col(text_col)))
     carry = [F.col(c) for c in (carry_cols or [])]
     base = df.select(
         F.col(id_col), toks.alias("_toks"),
