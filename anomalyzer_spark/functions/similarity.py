@@ -1043,31 +1043,109 @@ def semantic_pairs(
                 .where(F.col("_rnk") <= max_cell_rows)
                 .drop("_rnk", "_cent")
             )
-    # EXPLICIT partition count for the pair join: AQE sizes the exchange
-    # from the tiny pre-join signature rows and would coalesce it blind
-    # to the quadratic fan-out (measured: a 50k×64-cell sweep ran its
-    # 19.5M candidate pairs in 4 AQE-coalesced tasks). An explicit count
-    # is exempt from AQE coalescing — the r2 MC-kernel precedent.
-    nparts = assigned.sparkSession.sparkContext.defaultParallelism
-    assigned = assigned.repartition(nparts, "cell")
-    a = assigned.select("cell", F.col("_id").alias("id_a"),
-                        F.col("_v").alias("_va"),
-                        F.col("_nrm").alias("_na"))
-    b = assigned.select("cell", F.col("_id").alias("id_b"),
-                        F.col("_v").alias("_vb"),
-                        F.col("_nrm").alias("_nb"))
-    sim = F.when(
-        (F.col("_na") > 0) & (F.col("_nb") > 0),
-        dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")))
-    pairs = (
-        a.join(b, "cell")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", sim.alias("cos_sim"))
-        .where(F.col("cos_sim") >= threshold)
-    )
+    if not df.isStreaming:
+        pairs = _cell_pairs_kernel(assigned, id_col, threshold, dim)
+    else:
+        # streaming frames keep the join formulation (groupBy.
+        # applyInPandas is a batch-only operator); values are identical
+        # by construction — the kernel reproduces the fold's float-op
+        # order bit-exactly (see _cell_pairs_kernel).
+        # EXPLICIT partition count for the pair join: AQE sizes the
+        # exchange from the tiny pre-join signature rows and would
+        # coalesce it blind to the quadratic fan-out (measured: a
+        # 50k×64-cell sweep ran its 19.5M candidate pairs in 4
+        # AQE-coalesced tasks). An explicit count is exempt from AQE
+        # coalescing — the r2 MC-kernel precedent.
+        nparts = assigned.sparkSession.sparkContext.defaultParallelism
+        assigned = assigned.repartition(nparts, "cell")
+        a = assigned.select("cell", F.col("_id").alias("id_a"),
+                            F.col("_v").alias("_va"),
+                            F.col("_nrm").alias("_na"))
+        b = assigned.select("cell", F.col("_id").alias("id_b"),
+                            F.col("_v").alias("_vb"),
+                            F.col("_nrm").alias("_nb"))
+        sim = F.when(
+            (F.col("_na") > 0) & (F.col("_nb") > 0),
+            dot(F.col("_va"), F.col("_vb"))
+            / (F.col("_na") * F.col("_nb")))
+        pairs = (
+            a.join(b, "cell")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", sim.alias("cos_sim"))
+            .where(F.col("cos_sim") >= threshold)
+        )
     if n_assign > 1:
         pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return pairs
+
+
+def _cell_pairs_kernel(assigned: DataFrame, id_col: str,
+                       threshold: float, dim: int) -> DataFrame:
+    """Within-cell pair cosines as a per-cell vectorized NumPy kernel
+    (r15, guide §4.2): the join formulation hashes each cell's rows to
+    ONE task anyway (the cell id is the join key), where every candidate
+    pair paid an interpreted 64-element fold; the kernel does the same
+    arithmetic on whole cells at NumPy speed.
+
+    BIT-EXACT contract with the join path (what lets the DuckDB oracle
+    and the pytest brute-force parity stay untouched): the dot runs as a
+    dim-loop of vectorized multiply-adds — per pair, the same
+    ``((0.0 + a0·b0) + a1·b1) + …`` left-fold order as ``dot()``, in
+    IEEE float64 with no FMA, so every cos_sim bit matches. Spark's
+    NaN-ordering semantics are reproduced explicitly: a NaN norm passes
+    the ``> 0`` guard and a NaN cosine passes the ``>= threshold``
+    filter (Spark orders NaN above every value), while NULL vectors and
+    zero norms drop — the join path's exact behavior.
+    """
+    import pandas as pd
+
+    id_dtype = dict(assigned.dtypes)["_id"]
+    out_schema = f"id_a {id_dtype}, id_b {id_dtype}, cos_sim double"
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "id_a": pd.Series([], dtype=pdf["_id"].dtype),
+            "id_b": pd.Series([], dtype=pdf["_id"].dtype),
+            "cos_sim": pd.Series([], dtype="float64")})
+        pdf = pdf[pdf["_v"].notna()]
+        nrm_all = pdf["_nrm"].to_numpy(dtype=np.float64)
+        # Spark: NaN > 0 is TRUE (NaN sorts above everything)
+        keep = (nrm_all > 0) | np.isnan(nrm_all)
+        pdf = pdf[keep]
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("_id", ignore_index=True)
+        ids = pdf["_id"].to_numpy()
+        nrm = pdf["_nrm"].to_numpy(dtype=np.float64)
+        V = np.array([np.asarray(v, dtype=np.float64)
+                      for v in pdf["_v"]])
+        j_idx = np.arange(n)
+        out_a, out_b, out_s = [], [], []
+        chunk = max(1, min(512, (1 << 24) // max(n, 1)))
+        for i0 in range(0, n - 1, chunk):
+            i1 = min(i0 + chunk, n - 1)
+            A = V[i0:i1]
+            acc = np.zeros((i1 - i0, n))
+            for d in range(dim):
+                acc += A[:, d, None] * V[None, :, d]
+            sims = acc / (nrm[i0:i1, None] * nrm[None, :])
+            # Spark: NaN >= threshold is TRUE (NaN ordering)
+            hit = (sims >= threshold) | np.isnan(sims)
+            hit &= j_idx[None, :] > (i0 + np.arange(i1 - i0))[:, None]
+            ii, jj = np.nonzero(hit)
+            if len(ii):
+                out_a.append(ids[ii + i0])
+                out_b.append(ids[jj])
+                out_s.append(sims[ii, jj])
+        if not out_a:
+            return empty
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "cos_sim": np.concatenate(out_s)})
+
+    return assigned.groupBy("cell").applyInPandas(kern, out_schema)
 
 
 def semantic_dedup_groups(
