@@ -26,10 +26,14 @@ def get_spark(app: str = "anomalyzer-spark", shuffle_partitions: int | None = No
         # code cache, C2 shuts off, and LATE queries silently fall back
         # to the interpreter (observed: simhash at 26x CPU, identical
         # plan hash, as query #12 of a 19-query session — back at its
-        # floor run alone or with 512m).
+        # floor run alone or with 512m; r15: the grown 26-query session
+        # with the attestation riders overflowed 512m the same way —
+        # dedup_paragraphs at 9x CPU as query #19, identical plan hash,
+        # back at its floor alone — so the reserve is 1g now. Cost is
+        # virtual address space, not resident memory).
         os.environ["SPARK_SUBMIT_OPTS"] = (
             opts + " -XX:-DontCompileHugeMethods"
-            " -XX:ReservedCodeCacheSize=512m").strip()
+            " -XX:ReservedCodeCacheSize=1g").strip()
     spark = _build(app, cpus, shuffle_partitions)
     # Warm Spark 4's ICU-backed Unicode casing ONCE, single-threaded: the
     # first non-ASCII lower()/upper() triggers CollationAwareUTF8String's
@@ -105,7 +109,7 @@ def _build(app: str, cpus: str, shuffle_partitions: int | None):
         # clusters where executors are separate JVMs.
         .config("spark.executor.extraJavaOptions",
                 "-XX:-DontCompileHugeMethods "
-                "-XX:ReservedCodeCacheSize=512m")
+                "-XX:ReservedCodeCacheSize=1g")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
