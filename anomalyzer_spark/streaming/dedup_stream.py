@@ -104,6 +104,7 @@ def run_dedup_stream_on_dir(
     id_col: str = "doc_id",
     query_name: str = "dedup_stream_result",
     max_files_per_trigger: int | None = None,
+    state_partitions: int | str | None = "auto",
 ) -> DataFrame:
     """Drain a parquet file/dir through ``dedup_stream`` (availableNow,
     Update mode) and return the FINAL per-hash state as a batch DataFrame.
@@ -111,14 +112,25 @@ def run_dedup_stream_on_dir(
     The memory sink keeps every update; the final state of a hash is its
     row with the largest ``group_size`` (strictly increasing), tie-broken
     by smallest ``canonical_id`` (monotonically non-increasing).
-    """
-    from ._drain import drain_available_now
 
+    ``state_partitions="auto"`` (default) derives the state-store
+    partition count from the input's byte size instead of inheriting the
+    session's shuffle constant (see ``adaptive_state_partitions`` — a
+    keyed stateful aggregation's final state is partition-count
+    invariant, so results are identical by construction; only the number
+    of per-batch state commits changes). Pass an int to pin it, or
+    ``None`` to keep the session default.
+    """
+    from ._drain import adaptive_state_partitions, drain_available_now
+
+    if state_partitions == "auto":
+        state_partitions = adaptive_state_partitions(spark, input_path)
     res = drain_available_now(
         spark, input_path,
         lambda s: dedup_stream(s, text_col, id_col),
         query_name, output_mode="update",
-        max_files_per_trigger=max_files_per_trigger)
+        max_files_per_trigger=max_files_per_trigger,
+        state_partitions=state_partitions)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("content_hash").orderBy(

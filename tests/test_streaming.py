@@ -1223,3 +1223,50 @@ def test_curation_stream_cross_batch_strip_spans(spark, sf_dir, tmp_path):
     assert gset == eset and len(gset) > 0
     by_id = dict(gset)
     assert _SPAN_PASSAGE in by_id[5] and _SPAN_PASSAGE not in by_id[700]
+
+
+def test_adaptive_state_partitions_derivation(spark, tmp_path):
+    """ceil(bytes / divisor) clamped to [1, session shuffle partitions]:
+    kilobyte inputs get ONE state partition, the session conf is the
+    production upper bound, and the divisor is conf-parameterised."""
+    from anomalyzer_spark.streaming._drain import adaptive_state_partitions
+
+    sdir = str(tmp_path / "tiny_in")
+    spark.range(10).write.mode("overwrite").parquet(sdir)
+    assert adaptive_state_partitions(spark, sdir) == 1
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert adaptive_state_partitions(
+        spark, sdir, bytes_per_partition=1) == cap
+    spark.conf.set("anomalyzer.streaming.bytesPerStatePartition", "1")
+    try:
+        assert adaptive_state_partitions(spark, sdir) == cap
+    finally:
+        spark.conf.unset("anomalyzer.streaming.bytesPerStatePartition")
+    with pytest.raises(ValueError, match="positive"):
+        adaptive_state_partitions(spark, sdir, bytes_per_partition=0)
+
+
+def test_dedup_stream_state_partitions_invariant(spark, sf_dir, tmp_path):
+    """The final dedup state is state-partition-count invariant (keyed
+    aggregation), and the scoped shuffle override restores the session
+    conf — the downstream batch plans must keep their partitioning."""
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming import run_dedup_stream_on_dir
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "dedup_sp_in")
+    d.repartition(3).write.mode("overwrite").parquet(sdir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    auto = run_dedup_stream_on_dir(
+        spark, sdir, "text", "doc_id", query_name="dedup_sp_auto",
+        max_files_per_trigger=1)
+    pinned = run_dedup_stream_on_dir(
+        spark, sdir, "text", "doc_id", query_name="dedup_sp_pin",
+        max_files_per_trigger=1, state_partitions=5)
+
+    def key(r):
+        return (r["content_hash"], r["group_size"], r["canonical_id"])
+
+    assert sorted(map(key, auto.collect())) == \
+        sorted(map(key, pinned.collect()))
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
