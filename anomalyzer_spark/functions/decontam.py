@@ -35,7 +35,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import normalized_words, word_shingles_from_words
+from .dedup import (_stage_word_shingles, normalized_words,
+                    word_shingles_from_words)
 
 
 def _grams(df: DataFrame, text_col: str, id_col: str, n: int,
@@ -45,10 +46,12 @@ def _grams(df: DataFrame, text_col: str, id_col: str, n: int,
     instead of re-normalizing the text (the corpus-side fast path).
 
     The word array is STAGED as its own projection before the shingle
-    expression: word_shingles' zip_with chain references its input ~n+2
-    times, and HOF subtrees evaluate per reference — staging makes the
-    regex normalization run once per row (CollapseProject keeps the
-    stage because the alias is multiply-referenced and non-cheap) — and
+    expression (HOF subtrees evaluate per reference — staging makes the
+    regex normalization run once per row; CollapseProject keeps the
+    stage because the alias is multiply-referenced and non-cheap), the
+    shingle chain itself is the r15 staged binary-doubling build
+    (``_stage_word_shingles`` — 3 once-per-row zip_with levels at n=8
+    instead of the left fold's 7 chained ones), and
     explode_OUTER stops InferFiltersFromGenerate from pushing a
     size(grams)>0 filter into the scan that re-runs the whole shingle
     tree per row (the bm25 lesson; together measured ~2.5x warm at n=8
@@ -56,11 +59,11 @@ def _grams(df: DataFrame, text_col: str, id_col: str, n: int,
     is dropped by the callers' inner join on gram."""
     w = (F.col(words_col) if words_col
          else normalized_words(F.col(text_col)))
-    return df.select(
-        F.col(id_col).alias(out_id), w.alias("_w"),
-    ).select(
+    staged, sh = _stage_word_shingles(
+        df.select(F.col(id_col).alias(out_id), w.alias("_w")), "_w", n)
+    return staged.select(
         F.col(out_id),
-        word_shingles_from_words(F.col("_w"), n).alias("_g"),
+        sh.alias("_g"),
     ).select(
         F.col(out_id),
         F.size("_g").alias("n_grams"),

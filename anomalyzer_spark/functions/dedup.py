@@ -112,20 +112,94 @@ def word_shingles_from_words(words: Column, k: int = 3) -> Column:
     """``word_shingles`` over an already-normalized word array (a
     ``normalized_words`` column, usually persisted).
 
-    Built as k-1 chained zip_withs over shifted slices of the word array
-    (O(k) array allocations per doc) rather than one slice+join per
-    position (O(n·k)) — higher-order functions run interpreted (outside
-    whole-stage codegen), so per-element allocation dominates their cost.
+    Built by BINARY DOUBLING over shifted slices: acc_m[i] = the m words
+    starting at i space-joined, with acc_2m = zip_with(acc_m,
+    shift(acc_m, m)) and the set bits of k combined largest-first —
+    ceil(log2 k)+popcount(k)-1 zip_withs instead of the k-1 of the
+    word-at-a-time left fold (r15: higher-order functions run
+    interpreted, so per-element evaluation count dominates; the doubling
+    also copies ~2x fewer total chars at k=8 because accumulator strings
+    stop being re-copied once per appended word). String concatenation
+    is associative, zip_with pads the shorter (shifted) side with NULL
+    and concat null-propagates, so element values AND the trailing-NULL
+    pattern are bit-identical to the left fold; for k <= 3 the emitted
+    expression tree IS the old one (same plan hashes). Parity pinned in
+    tests/test_functions.py::test_word_shingles_doubling_parity.
     """
     n = F.size(words)
-    acc = words
-    for j in range(1, k):
-        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, F.lit(" "), b))
-    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
+
+    def shift(col: Column, c: int) -> Column:
+        return F.slice(col, c + 1, F.greatest(n - c, F.lit(0)))
+
+    def cat(a: Column, b: Column) -> Column:
+        return F.concat(a, F.lit(" "), b)
+
+    # power-of-two accumulators by doubling: acc_1=words, acc_2, acc_4, ...
+    pows = [(1, words)]
+    m, acc = 1, words
+    while m * 2 <= k:
+        acc = F.zip_with(acc, shift(acc, m), cat)
+        m *= 2
+        pows.append((m, acc))
+    # combine the remaining set bits of k, largest first (binary rep)
+    c, cur = m, acc
+    for pm, pacc in reversed(pows[:-1]):
+        if c + pm <= k:
+            cur = F.zip_with(cur, shift(pacc, c), cat)
+            c += pm
+    full = F.slice(cur, 1, F.greatest(n - (k - 1), F.lit(1)))
     return F.array_distinct(
         F.when(n >= k, full).otherwise(F.array(F.array_join(words, " ")))
     )
+
+
+def _stage_word_shingles(df: DataFrame, words_col: str, k: int
+                         ) -> tuple[DataFrame, Column]:
+    """``word_shingles_from_words`` with the binary-doubling accumulator
+    LEVELS staged as projection columns (``_shg2``, ``_shg4``, ...) —
+    returns ``(staged_df, shingle_col)``.
+
+    A Column expression is a TREE, not a DAG: the doubling build's
+    acc_2m references acc_m twice, so inside ONE column the shared level
+    is duplicated and re-evaluated per reference (the whole-tree zip
+    count is back to ~k-1). Staging each level as its own projection
+    alias evaluates it once per row — CollapseProject keeps a stage
+    whose alias is multiply-referenced and non-cheap (the house _grams
+    idiom) — for the true ceil(log2 k) evaluation count. Measured 2.3x
+    over the left fold at k=8 on the sf0.1 corpus (vs 1.25x for the
+    unstaged doubling column). For k <= 3 no level is shared: returns
+    ``df`` unchanged and the plain column (identical expression tree,
+    same plan hashes for the k=3 consumers). Values are bit-identical
+    to ``word_shingles_from_words`` (parity + plan-level zip_with
+    counts pinned in tests/test_functions.py)."""
+    w = F.col(words_col)
+    if k <= 3:
+        return df, word_shingles_from_words(w, k)
+    n = F.size(w)
+
+    def shift(col: Column, c: int) -> Column:
+        return F.slice(col, c + 1, F.greatest(n - c, F.lit(0)))
+
+    def cat(a: Column, b: Column) -> Column:
+        return F.concat(a, F.lit(" "), b)
+
+    names = {1: words_col}
+    m = 1
+    while m * 2 <= k:
+        nxt = f"_shg{m * 2}"
+        df = df.withColumn(nxt, F.zip_with(
+            F.col(names[m]), shift(F.col(names[m]), m), cat))
+        m *= 2
+        names[m] = nxt
+    c, cur = m, F.col(names[m])
+    for pm in sorted((p for p in names if p < m), reverse=True):
+        if c + pm <= k:
+            cur = F.zip_with(cur, shift(F.col(names[pm]), c), cat)
+            c += pm
+    full = F.slice(cur, 1, F.greatest(n - (k - 1), F.lit(1)))
+    sh = F.array_distinct(
+        F.when(n >= k, full).otherwise(F.array(F.array_join(w, " "))))
+    return df, sh
 
 
 def _shingle_exploded(
@@ -1298,25 +1372,112 @@ def _gram_hashes(toks: Column, k: int) -> Column:
     gram does not (a passage at document start matches the same passage
     mid-document).
 
-    Built as k-1 chained zip_withs over shifted slices (the word_shingles
-    allocation argument — higher-order functions run interpreted, so per-
-    element allocation dominates): measured 12% faster on the sf0.1 gram
-    explode than one slice+array_join per position, bit-identical output."""
+    Built by BINARY DOUBLING (the word_shingles_from_words r15 scheme)
+    with TWO accumulator families — ``lt_m`` (first word ltrimmed, the
+    gram prefix) and ``raw_m`` (separator-attached raw tokens, the
+    appended suffix): lt_2m = zip_with(lt_m, shift(raw_m, m)), raw_2m =
+    zip_with(raw_m, shift(raw_m, m)), set bits of k combined largest-
+    first. ~2·log2(k) zip_withs instead of the k-1 left fold (8 vs 14
+    at the dup_spans k=15) — higher-order functions run interpreted, so
+    per-element evaluation count dominates, and the doubling stops
+    re-copying the whole accumulator string once per appended word.
+    Concat is associative and null-propagating over zip_with's NULL
+    padding, so gram bytes and the trailing-NULL pattern are
+    bit-identical to the left fold; for k <= 3 the emitted tree IS the
+    old one. Parity pinned in tests/test_functions.py::
+    test_gram_hashes_doubling_parity."""
     n = F.size(toks)
     # a trailing pure-whitespace element carries no word: exclude it from
     # the gram universe (it would otherwise corrupt the last k-1 grams)
     m = n - F.when(F.trim(F.element_at(toks, -1)) == "", 1).otherwise(0)
+
+    def shift(col: Column, c: int) -> Column:
+        return F.slice(col, c + 1, F.greatest(n - c, F.lit(0)))
+
     # ltrim applies ONLY to each gram's first word, so strip leading
-    # whitespace up front and append the raw (separator-attached) tokens
-    acc = F.transform(toks, lambda t: F.regexp_replace(t, r"^\s+", ""))
-    for j in range(1, k):
-        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
-        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, b))
+    # whitespace up front (the lt_1 basis) and append raw tokens
+    lt = F.transform(toks, lambda t: F.regexp_replace(t, r"^\s+", ""))
+    p = 1
+    while p * 2 <= k:
+        p *= 2
+    # raw power accumulators: every set bit below the top bit of k is
+    # <= p/2, so powers 1..p/2 cover both the doubling and the combine
+    raw_pows = [(1, toks)]
+    rm, racc = 1, toks
+    while rm * 2 <= p // 2:
+        racc = F.zip_with(racc, shift(racc, rm), lambda a, b: F.concat(a, b))
+        rm *= 2
+        raw_pows.append((rm, racc))
+    for pm, pacc in raw_pows:  # lt_1 -> lt_2 -> ... -> lt_p
+        if pm * 2 <= p:
+            lt = F.zip_with(lt, shift(pacc, pm),
+                            lambda a, b: F.concat(a, b))
+    c = p
+    for pm, pacc in reversed(raw_pows):  # combine k's remaining set bits
+        if c + pm <= k:
+            lt = F.zip_with(lt, shift(pacc, c), lambda a, b: F.concat(a, b))
+            c += pm
     grams = F.transform(
-        F.slice(acc, 1, F.greatest(m - (k - 1), F.lit(0))),
+        F.slice(lt, 1, F.greatest(m - (k - 1), F.lit(0))),
         lambda g: F.md5(g.cast("binary")),
     )
     return F.when(m >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+def _stage_gram_hashes(df: DataFrame, toks_col: str, k: int
+                       ) -> tuple[DataFrame, Column]:
+    """``_gram_hashes`` with the RAW power accumulators staged as
+    projection columns (``_gmr2``, ``_gmr4``, ...) — returns
+    ``(staged_df, grams_col)``.
+
+    The _stage_word_shingles argument (a Column is a tree, not a DAG —
+    shared doubling levels re-evaluate per reference unless staged as
+    projections). Only the raw family needs staging: raw_m is referenced
+    by raw_2m (twice), by the lt doubling, and by the combine, while
+    each lt level is referenced exactly once by its successor, so the lt
+    chain + combine + md5 stay one column expression over the staged raw
+    attributes. For k <= 3 returns the plain column (identical tree).
+    Values bit-identical to ``_gram_hashes`` (parity + plan zip_with
+    counts pinned in tests/test_functions.py)."""
+    t = F.col(toks_col)
+    if k <= 3:
+        return df, _gram_hashes(t, k)
+    n = F.size(t)
+    eff = n - F.when(F.trim(F.element_at(t, -1)) == "", 1).otherwise(0)
+
+    def shift(col: Column, c: int) -> Column:
+        return F.slice(col, c + 1, F.greatest(n - c, F.lit(0)))
+
+    p = 1
+    while p * 2 <= k:
+        p *= 2
+    raw = {1: toks_col}
+    rm = 1
+    while rm * 2 <= p // 2:
+        nxt = f"_gmr{rm * 2}"
+        df = df.withColumn(nxt, F.zip_with(
+            F.col(raw[rm]), shift(F.col(raw[rm]), rm),
+            lambda a, b: F.concat(a, b)))
+        rm *= 2
+        raw[rm] = nxt
+    lt = F.transform(t, lambda x: F.regexp_replace(x, r"^\s+", ""))
+    lm = 1
+    while lm * 2 <= p:
+        lt = F.zip_with(lt, shift(F.col(raw[lm]), lm),
+                        lambda a, b: F.concat(a, b))
+        lm *= 2
+    c = p
+    for pm in sorted(raw, reverse=True):
+        if c + pm <= k:
+            lt = F.zip_with(lt, shift(F.col(raw[pm]), c),
+                            lambda a, b: F.concat(a, b))
+            c += pm
+    grams = F.transform(
+        F.slice(lt, 1, F.greatest(eff - (k - 1), F.lit(0))),
+        lambda g: F.md5(g.cast("binary")),
+    )
+    return df, F.when(eff >= k, grams).otherwise(
+        F.array().cast("array<string>"))
 
 
 def duplicate_spans(
@@ -1455,21 +1616,24 @@ def gram_occurrences(
     ``duplicate_spans`` window pass and the streaming gram store
     aggregate over. One scan, zero exchanges; O(words × min_len) byte
     hashing per document (the documented suffix-array trade). The token
-    array is STAGED as its own projection: ``_gram_hashes`` references
-    it ~min_len+2 times and HOF subtrees evaluate per reference, so
-    inlining ran the whitespace split ~22x per document (measured 1.9x
-    warm on the sf0.1 gram explode)."""
+    array is STAGED as its own projection (HOF subtrees evaluate per
+    reference, so inlining ran the whitespace split once per reference —
+    measured 1.9x warm on the sf0.1 gram explode) and the gram chain is
+    the r15 staged binary-doubling build (``_stage_gram_hashes`` — the
+    raw power accumulators evaluate once per row as projection levels;
+    ~2·log2(k) zip_with evaluations instead of the left fold's k-1)."""
     # plain posexplode is CORRECT here: unlike _shingle_exploded /
     # cdc_chunks, Catalyst infers NO size() > 0 filter below this
     # generate (verified against the optimized plan: 1 Generate,
     # 0 Filter nodes — an r14 review candidate claimed otherwise; the
     # outer+isNotNull variant just added a useless Filter node)
-    return df.select(
-        F.col(id_col), _ws_exact_tokens(F.col(text_col)).alias("_t"),
-    ).select(
+    staged, grams = _stage_gram_hashes(
+        df.select(F.col(id_col),
+                  _ws_exact_tokens(F.col(text_col)).alias("_t")),
+        "_t", min_len)
+    return staged.select(
         F.col(id_col),
-        F.posexplode(_gram_hashes(F.col("_t"), min_len))
-        .alias("pos", "gram_hash"),
+        F.posexplode(grams).alias("pos", "gram_hash"),
     )
 
 

@@ -1635,3 +1635,221 @@ def test_cap_stratum_tokens_segment_invariance(spark, sf_dir):
             n_segments=n_seg).collect())
         assert alt == base, n_seg
     assert len(base) > 0
+
+
+# --- r15: binary-doubling shingle/gram chains (bit-parity vs the left fold)
+
+
+def _old_word_shingles_from_words(words, k):
+    """The pre-r15 word-at-a-time left fold, verbatim — the doubling
+    build must be bit-identical to it on every input."""
+    n = F.size(words)
+    acc = words
+    for j in range(1, k):
+        shifted = F.slice(words, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted,
+                         lambda a, b: F.concat(a, F.lit(" "), b))
+    full = F.slice(acc, 1, F.greatest(n - (k - 1), F.lit(1)))
+    return F.array_distinct(
+        F.when(n >= k, full).otherwise(F.array(F.array_join(words, " ")))
+    )
+
+
+def _old_gram_hashes(toks, k):
+    """The pre-r15 _gram_hashes left fold, verbatim."""
+    n = F.size(toks)
+    m = n - F.when(F.trim(F.element_at(toks, -1)) == "", 1).otherwise(0)
+    acc = F.transform(toks, lambda t: F.regexp_replace(t, r"^\s+", ""))
+    for j in range(1, k):
+        shifted = F.slice(toks, j + 1, F.greatest(n - j, F.lit(0)))
+        acc = F.zip_with(acc, shifted, lambda a, b: F.concat(a, b))
+    grams = F.transform(
+        F.slice(acc, 1, F.greatest(m - (k - 1), F.lit(0))),
+        lambda g: F.md5(g.cast("binary")),
+    )
+    return F.when(m >= k, grams).otherwise(F.array().cast("array<string>"))
+
+
+@pytest.fixture(scope="module")
+def shingle_edge_frame(spark):
+    rows = [
+        (0, []),                                        # empty
+        (1, ["a"]),                                     # single word
+        (2, ["a", "b"]),
+        (3, ["w%d" % i for i in range(7)]),             # n = k-1 at k=8
+        (4, ["w%d" % i for i in range(8)]),             # n = k
+        (5, ["w%d" % i for i in range(9)]),             # n = k+1
+        (6, ["x"] * 12),                                # all-duplicate grams
+        (7, ["alpha", "beta"] * 10),                    # period-2 repeats
+        (8, ["w%d" % (i % 5) for i in range(23)]),      # distinct-collapse
+        (9, None),                                      # NULL array
+        (10, ["word%03d" % i for i in range(40)]),      # long doc
+    ]
+    return spark.createDataFrame(rows, "doc_id long, ws array<string>")
+
+
+def test_word_shingles_doubling_parity(spark, shingle_edge_frame):
+    """r15: word_shingles_from_words' binary-doubling build is
+    bit-identical to the old k-1 left fold on every edge input, for
+    every k class (power of two, binary-combine, k <= 3 degenerate)."""
+    for k in (1, 2, 3, 4, 5, 6, 7, 8, 12, 15):
+        got = shingle_edge_frame.select(
+            "doc_id",
+            dedup.word_shingles_from_words(F.col("ws"), k).alias("new"),
+            _old_word_shingles_from_words(F.col("ws"), k).alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (k, r["doc_id"])
+
+
+def _distinct_zip_levels(tree):
+    """Count structurally-distinct zip_with subtrees in a printed Column
+    (lambda variable ids are fresh per occurrence — normalize them so
+    duplicated shared levels compare equal)."""
+    import re
+    norm = re.sub(r"[xy]_\d+", "v", tree)
+    subs = set()
+    for i in range(len(norm)):
+        if not norm.startswith("zip_with(", i):
+            continue
+        depth, j = 0, i + len("zip_with")
+        while True:
+            if norm[j] == "(":
+                depth += 1
+            elif norm[j] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        subs.add(norm[i:j + 1])
+    return len(subs)
+
+
+def test_word_shingles_doubling_pass_count(spark):
+    """For k <= 3 the doubling build emits the EXACT old expression tree
+    (same plan hashes for the k=3 consumers). For k > 3 a printed
+    Column duplicates shared doubling levels (a tree, not a DAG), so
+    the per-row evaluation count is pinned on the STAGED variant's
+    optimized plan instead (test_stage_word_shingles_parity_and_plan);
+    here pin the level structure: ceil(log2 k)+popcount(k)-1 DISTINCT
+    zip_with subtrees (3 at the decontam k=8 vs the left fold's 7)."""
+    ws = F.col("ws")
+    for k, n_levels in ((2, 1), (3, 2), (8, 3), (15, 6)):
+        n = _distinct_zip_levels(str(dedup.word_shingles_from_words(ws, k)._jc))
+        assert n == n_levels, (k, n)
+    import re
+    for k in (1, 2, 3):
+        # fresh lambda variable ids differ per build — normalize them;
+        # everything else must match byte-for-byte (same plan hashes)
+        a, b = (re.sub(r"[xy]_\d+", "v", str(c._jc)) for c in (
+            dedup.word_shingles_from_words(ws, k),
+            _old_word_shingles_from_words(ws, k)))
+        assert a == b, k
+
+
+@pytest.fixture(scope="module")
+def gram_edge_frame(spark):
+    # no empty-array row: _ws_exact_tokens (the only production feeder)
+    # never yields [] — split of the coalesced empty string is [""] —
+    # and element_at(toks, -1) throws on [] under ANSI (out of contract)
+    rows = [
+        (1, ["  a"]),
+        (2, ["  a", " b", "c  "]),
+        (3, ["t%d " % i for i in range(14)]),           # n = k-1 at k=15
+        (4, ["t%d " % i for i in range(15)]),           # n = k
+        (5, ["t%d " % i for i in range(16)]),           # n = k+1
+        (6, ["  lead", "mid  dle", "trail  "] * 7),     # interior whitespace
+        (7, ["t%d" % i for i in range(20)] + ["   "]),  # trailing ws element
+        (8, ["   "]),                                   # only-whitespace
+        (9, None),
+        (10, ["x y", " x y", "x  y"] * 9),              # separator-sensitive
+    ]
+    return spark.createDataFrame(rows, "doc_id long, ts array<string>")
+
+
+def test_gram_hashes_doubling_parity(spark, gram_edge_frame):
+    """r15: _gram_hashes' dual-accumulator doubling build is
+    bit-identical to the old k-1 left fold (gram md5s AND positions)
+    on every edge input, for every k class."""
+    from anomalyzer_spark.functions.dedup import _gram_hashes
+
+    for k in (1, 2, 3, 4, 5, 7, 8, 14, 15, 20):
+        got = gram_edge_frame.select(
+            "doc_id",
+            _gram_hashes(F.col("ts"), k).alias("new"),
+            _old_gram_hashes(F.col("ts"), k).alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (k, r["doc_id"])
+
+
+def test_gram_hashes_doubling_pass_count(spark):
+    """The k <= 3 trees are EXACTLY the old ones; for k > 3 the
+    per-row evaluation count (8 at the dup_spans k=15 vs the left
+    fold's 14) is pinned on the staged variant's optimized plan
+    (test_stage_gram_hashes_parity_and_plan — printed Columns
+    duplicate shared levels); here pin the level structure: the
+    DISTINCT zip_with subtree count stays at/below the dual-family
+    doubling bound ~2 log2 k, well under the left fold's k-1."""
+    from anomalyzer_spark.functions.dedup import _gram_hashes
+
+    ts = F.col("ts")
+    for k, max_levels in ((2, 1), (3, 2), (8, 5), (15, 8), (20, 8)):
+        n = _distinct_zip_levels(str(_gram_hashes(ts, k)._jc))
+        assert n <= max_levels, (k, n)
+    import re
+    for k in (1, 2, 3):
+        a, b = (re.sub(r"[xy]_\d+", "v", str(c._jc)) for c in (
+            _gram_hashes(ts, k), _old_gram_hashes(ts, k)))
+        assert a == b, k
+
+
+def test_stage_word_shingles_parity_and_plan(spark, shingle_edge_frame):
+    """r15: _stage_word_shingles (the projection-staged doubling used by
+    decontam._grams at n=8) is bit-identical to the column build, and
+    the OPTIMIZED plan keeps the staged levels: exactly ceil(log2 k)+
+    popcount(k)-1 zip_with evaluations survive CollapseProject (3 at
+    k=8 vs the left fold's 7 — a Column is a tree, not a DAG, so the
+    unstaged doubling re-evaluates shared levels per reference)."""
+    from anomalyzer_spark.functions.dedup import _stage_word_shingles
+
+    for k in (4, 5, 6, 7, 8, 12, 15):
+        staged, sh = _stage_word_shingles(shingle_edge_frame, "ws", k)
+        got = staged.select(
+            "doc_id", sh.alias("new"),
+            dedup.word_shingles_from_words(F.col("ws"), k).alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (k, r["doc_id"])
+    staged, sh = _stage_word_shingles(shingle_edge_frame, "ws", 8)
+    plan = staged.select("doc_id", sh.alias("g")) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") == 3, plan
+    # k <= 3: no shared level -> frame unchanged, plain column returned
+    st, _ = _stage_word_shingles(shingle_edge_frame, "ws", 3)
+    assert st is shingle_edge_frame
+
+
+def test_stage_gram_hashes_parity_and_plan(spark, gram_edge_frame):
+    """r15: _stage_gram_hashes (used by gram_occurrences — the
+    dup_spans/span-stream gram feeder at min_len=15) is bit-identical
+    to the column build; the optimized plan keeps the staged raw power
+    accumulators (8 zip_with evaluations at k=15 vs the left fold's
+    14)."""
+    from anomalyzer_spark.functions.dedup import (_gram_hashes,
+                                                  _stage_gram_hashes)
+
+    for k in (4, 5, 7, 8, 14, 15, 20):
+        staged, gr = _stage_gram_hashes(gram_edge_frame, "ts", k)
+        got = staged.select(
+            "doc_id", gr.alias("new"),
+            _gram_hashes(F.col("ts"), k).alias("old"),
+        ).collect()
+        for r in got:
+            assert r["new"] == r["old"], (k, r["doc_id"])
+    staged, gr = _stage_gram_hashes(gram_edge_frame, "ts", 15)
+    plan = staged.select("doc_id", gr.alias("g")) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("zip_with") == 8, plan
+    st, _ = _stage_gram_hashes(gram_edge_frame, "ts", 3)
+    assert st is gram_edge_frame
