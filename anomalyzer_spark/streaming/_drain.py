@@ -47,7 +47,14 @@ def adaptive_state_partitions(
     jvm = spark._jvm
     jpath = jvm.org.apache.hadoop.fs.Path(input_path)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    nbytes = fs.getContentSummary(jpath).getLength()
+    # file-stream sources accept GLOB paths (e.g. out/batch_id=*) but
+    # getContentSummary does not — expand through globStatus first (a
+    # plain existing path resolves to itself, so non-glob callers sum
+    # the same bytes as before); no matches -> 0 bytes -> 1 partition
+    matches = fs.globStatus(jpath)
+    nbytes = 0
+    for st in (matches or []):
+        nbytes += fs.getContentSummary(st.getPath()).getLength()
     cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
     return max(1, min(cap, -(-int(nbytes) // bytes_per_partition)))
 

@@ -1244,6 +1244,18 @@ def test_adaptive_state_partitions_derivation(spark, tmp_path):
         spark.conf.unset("anomalyzer.streaming.bytesPerStatePartition")
     with pytest.raises(ValueError, match="positive"):
         adaptive_state_partitions(spark, sdir, bytes_per_partition=0)
+    # GLOB inputs (file-stream sources accept them; getContentSummary
+    # does not — r15 regression: curate_stream drains out/batch_id=*):
+    # glob bytes == the summed per-dir bytes, and no matches -> 1
+    for b in (0, 1):
+        spark.range(5).write.mode("overwrite").parquet(
+            str(tmp_path / f"batch_id={b}"))
+    glob = str(tmp_path / "batch_id=*")
+    assert adaptive_state_partitions(spark, glob) == 1
+    assert adaptive_state_partitions(spark, glob, bytes_per_partition=1) \
+        == cap
+    assert adaptive_state_partitions(
+        spark, str(tmp_path / "nothing=*")) == 1
 
 
 def test_dedup_stream_state_partitions_invariant(spark, sf_dir, tmp_path):
