@@ -290,6 +290,29 @@ def _load_floors() -> dict:
         return {}
 
 
+def floors_active(sf: str, cpus_env: str | None, machine_cpus: int) -> bool:
+    """Floors are defined at the driver scale (sf0.1) AND the full-core
+    session only.
+
+    The driver also runs this bench at a REDUCED core count
+    ($SPARK_GRAFT_CPUS) to measure per-query scaling; folding those runs
+    into floors.json would ratchet in bests measured under a different
+    parallelism — and, for queries whose plans embed core-derived
+    partition counts, re-baseline the floor onto a plan hash the
+    full-core run can never reproduce (observed: an 8-core sf0.1 run
+    rotated bm25's floor hash and lowered four floors). Such runs still
+    time, print detail, and emit the headline JSON — they just neither
+    compare against nor update the floor record."""
+    if sf != "0.1":
+        return False
+    if not cpus_env or cpus_env == "*":
+        return True
+    try:
+        return int(cpus_env) >= machine_cpus
+    except ValueError:
+        return True  # non-numeric master spec: treat as full-core
+
+
 def update_floor(cur: dict, best: float, fp: str) -> tuple[dict, str]:
     """Fold one run's best time into a floor entry; returns
     ``(new_entry, action)`` with action one of ``restore`` /
@@ -407,9 +430,12 @@ def main() -> None:
     # warm the JVM + parquet footers with a trivial scan
     spark.read.parquet(f"{run_dir}/region.parquet").count()
 
-    # floors are defined at the driver scale (sf0.1) only — other scales
-    # neither compare against nor update them
-    floors = _load_floors() if sf == "0.1" else {}
+    # floors are defined at the driver scale (sf0.1) on the full-core
+    # session only — other scales and reduced-core scaling legs neither
+    # compare against nor update them (see floors_active)
+    floors_on = floors_active(sf, os.environ.get("SPARK_GRAFT_CPUS"),
+                              os.cpu_count() or 1)
+    floors = _load_floors() if floors_on else {}
 
     timings: dict[str, float] = {}
     detail: dict[str, dict] = {}
@@ -487,9 +513,15 @@ def main() -> None:
     # went unparsed — so detail now lands in BENCH_DETAIL.json next to this
     # script, keeping every attribution field without touching the contract.
     # a positional-subset run must not clobber the committed full-headline
-    # attribution record — divert it to a scratch file
-    detail_name = ("BENCH_DETAIL.json" if not args.queries
-                   else "BENCH_DETAIL_partial.json")
+    # attribution record — divert it to a scratch file; same for off-scale
+    # runs (other sf, reduced-core scaling legs), whose detail is useful
+    # but not comparable to the committed full-core sf0.1 capture
+    if args.queries:
+        detail_name = "BENCH_DETAIL_partial.json"
+    elif not floors_on:
+        detail_name = "BENCH_DETAIL_offscale.json"
+    else:
+        detail_name = "BENCH_DETAIL.json"
     detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                detail_name)
     try:
@@ -498,9 +530,9 @@ def main() -> None:
         print(f"# detail -> {detail_path}", file=sys.stderr)
     except OSError as e:  # never let attribution break the headline
         print(f"# detail write failed: {e}", file=sys.stderr)
-    # record any new floors (sf0.1 only): floor = best time ever measured,
-    # stamped with the plan hash that achieved it
-    if sf == "0.1":
+    # record any new floors (sf0.1, full cores only): floor = best time
+    # ever measured, stamped with the plan hash that achieved it
+    if floors_on:
         changed = False
         for name, best in timings.items():
             cur = floors.get(name, {})

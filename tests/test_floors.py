@@ -71,3 +71,25 @@ def test_floors_json_never_worse_than_own_archive():
             assert cur["floor_sec"] <= min(known), (
                 f"{name}: floor {cur['floor_sec']} worse than archived "
                 f"{min(known)} for the same plan hash")
+
+
+def test_floors_active_gates_scale_and_cores():
+    """Reduced-core scaling legs (the driver benches at a lower
+    $SPARK_GRAFT_CPUS too) must neither compare against nor fold the
+    full-core sf0.1 floors: an 8-core run rotated bm25's floor hash and
+    lowered four floors before the gate existed."""
+    from bench import floors_active
+    # canonical: sf0.1 at full cores (env unset / local[*] / == machine)
+    assert floors_active("0.1", None, 32)
+    assert floors_active("0.1", "*", 32)
+    assert floors_active("0.1", "32", 32)
+    # reduced-core scaling leg: same sf, fewer cores -> inactive
+    assert not floors_active("0.1", "8", 32)
+    assert not floors_active("0.1", "1", 32)
+    # other scales never touch floors regardless of cores
+    assert not floors_active("0.01", None, 32)
+    assert not floors_active("0.001", "32", 32)
+    # oversubscribed/equal explicit counts still count as full-core
+    assert floors_active("0.1", "64", 32)
+    # unparseable core spec behaves like local[*]
+    assert floors_active("0.1", "not-a-number", 32)
