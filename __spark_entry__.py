@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from anomalyzer_spark import AnomalyzerConf, detect, detect_by_test
 from anomalyzer_spark.functions import dedup, similarity, text
 from anomalyzer_spark.operators.asof import asof_join
+from anomalyzer_spark.session import compact_checkpoint
 from anomalyzer_spark.sources import load_table
 
 # ---------------------------------------------------------------------------
@@ -939,11 +940,19 @@ def q_curation_pipeline(spark, sf_dir):
     # identical values) instead of shipping the full redacted text to
     # seven consumers. The core keeps its lazy one-scan plan for the
     # pin; this slot's plan reads only ExistingRDD.
-    samp = samp_full.select(
+    # r16: compact_checkpoint — the scalars-only checkpoint inherits the
+    # corpus scan's split count (32 partitions for a few thousand rows),
+    # so every rider leg paid a stage of 32 near-empty tasks per
+    # exchange; the partition count now derives from the checkpoint's
+    # measured bytes (guide §2.5 scale-adaptive partitioning; measured
+    # kb 0.83→0.50 s, cs 1.12→0.33 s isolated). Consumers are joins/
+    # windows/aggregates over scalars — exactly compact_checkpoint's
+    # light-per-row contract.
+    samp = compact_checkpoint(samp_full.select(
         "doc_id", "lang", "n_pii",
         F.size(word_tokens(F.col("text"))).cast("long").alias("_n_toks"),
         F.length("text").alias("_q"),
-    ).localCheckpoint(eager=True)
+    ))
     out = _curation_pack(samp, length_col="_n_toks")
     bins = packing.pack_bins_ffd(samp, CURATION_CAP,
                                  length_col="_n_toks",
@@ -1517,21 +1526,37 @@ def q_decontam(spark, sf_dir):
     # suite 8-gram shingles + the fuzzy lane's 3-gram signatures AND its
     # candidate re-shingle — five normalization passes in one plan).
     # Materialize (doc_id, text, words) ONCE per lap (eager
-    # localCheckpoint, inside the timed region) and feed every lane the
-    # persisted word arrays via the train_words_col fast path — identical
-    # output by construction (parity-pinned); sharing TWO lanes' words
-    # was measured 5% slower in r13, but at five passes the trade flips
-    # (measured: see OPTIMIZATION_r15.md).
+    # localCheckpoint, inside the timed region); the word arrays feed
+    # the fuzzy lane (train_words_col) and the shared gram frame below
+    # — identical output by construction (parity-pinned); sharing TWO
+    # lanes' words was measured 5% slower in r13, but at five passes
+    # the trade flips (measured: see OPTIMIZATION_r15.md).
     dw = d.select("doc_id", "text",
                   normalized_words(F.col("text")).alias("words")) \
         .localCheckpoint(eager=True)
+    # round-16 optimization (guide §1.2 — don't compute things twice):
+    # the three exact-gram lanes each re-derived the corpus 8-gram frame
+    # from the word arrays (three staged zip_with shingle trees + three
+    # explodes per lap — the derivation, not the joins, was the lanes'
+    # CPU: isolated, deriving+materializing the gram frame costs 0.32 s
+    # while the plain lane alone spent 1.21 s). Materialize _grams ONCE
+    # per lap (eager compact checkpoint, inside the timed region) and
+    # feed all three lanes the SAME frame via train_grams= — identical
+    # by construction (the frame IS each lane's derivation), and each
+    # lane keeps its own prefilter/join/aggregate, so the oracle still
+    # attests them independently. compact_checkpoint: the gram frame is
+    # join/agg fodder (light per-row work downstream), so its partition
+    # count derives from its measured bytes, not the corpus scan's
+    # split count (VERDICT r15 item 5).
+    tg = compact_checkpoint(
+        _grams(dw, "text", "doc_id", 8, "doc_id", words_col="words"))
     ev = dw.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
-    plain = decontam.contamination(dw, ev, n=8, train_words_col="words")
+    plain = decontam.contamination(dw, ev, n=8, train_grams=tg)
     fl = bloom_mod.build_bloom(
         _grams(ev, "text", "doc_id", 8, "_eval_id").select("gram"),
         "gram", num_bits=1 << 19, num_hashes=5, persist=False)
     bl = decontam.contamination(dw, ev, n=8, eval_bloom=fl,
-                                train_words_col="words")
+                                train_grams=tg)
     bl = bl.select(
         "doc_id",
         *[F.col(c).alias(f"bl_{c}")
@@ -1541,7 +1566,7 @@ def q_decontam(spark, sf_dir):
         "suite", F.when(F.col("doc_id") % 194 == 0, F.lit("sA"))
         .otherwise(F.lit("sB")))
     ms = decontam.contamination(dw, ev2, n=8, eval_suite_col="suite",
-                                train_words_col="words")
+                                train_grams=tg)
     ms_p = ms.groupBy("doc_id").agg(*[
         F.max(F.when(F.col("suite") == s, F.col(c))).alias(
             f"ms_{s[1].lower()}_{a}")

@@ -83,11 +83,25 @@ def contamination(
     min_hits: int = 1,
     broadcast_eval: bool = True,
     train_words_col: str | None = None,
+    train_grams: DataFrame | None = None,
     eval_bloom=None,
     bloom_fpp: float | None = None,
     eval_suite_col: str | None = None,
 ) -> DataFrame:
     """Per-contaminated-training-document overlap report.
+
+    ``train_grams``: a PRE-MATERIALIZED corpus gram frame — the exact
+    output of ``_grams(train_df, text_col, id_col, n, id_col)``
+    (``(<id_col>, n_grams, gram)``), usually an eager checkpoint shared
+    by several screening lanes over the same corpus. One corpus shingle
+    derivation then feeds every lane (plain / Bloom-prefiltered /
+    multi-suite) instead of each lane re-deriving it — the
+    ``train_words_col`` precedent one level further down the same
+    pipeline (r16). Results are identical by construction: the frame IS
+    the derivation this function would build, evaluated once. When set,
+    ``train_df``/``text_col``/``train_words_col`` are not consulted for
+    the corpus side (the eval side always shingles from text). The
+    caller owns spec agreement (same ``n``, same normalization).
 
     ``eval_suite_col``: screen against MANY benchmark suites in ONE
     corpus pass — name a column of ``eval_df`` tagging each eval
@@ -156,8 +170,9 @@ def contamination(
             F.col(eval_id_col or id_col).alias("_eval_id"),
             F.col(eval_suite_col).alias("suite"))
         ev = ev.join(suites, "_eval_id")
-    tr = _grams(train_df, text_col, id_col, n, id_col,
-                words_col=train_words_col)
+    tr = (train_grams if train_grams is not None
+          else _grams(train_df, text_col, id_col, n, id_col,
+                      words_col=train_words_col))
     if eval_bloom is None and bloom_fpp is not None:
         from . import bloom as _bloom
         eval_bloom = _bloom.build_bloom(
@@ -190,6 +205,7 @@ def decontaminate(
     n: int = 8,
     min_hits: int = 1,
     train_words_col: str | None = None,
+    train_grams: DataFrame | None = None,
     eval_bloom=None,
     bloom_fpp: float | None = None,
     eval_suite_col: str | None = None,
@@ -207,8 +223,8 @@ def decontaminate(
         train_df, eval_df, text_col=text_col, id_col=id_col,
         eval_text_col=eval_text_col, eval_id_col=eval_id_col,
         n=n, min_hits=min_hits, train_words_col=train_words_col,
-        eval_bloom=eval_bloom, bloom_fpp=bloom_fpp,
-        eval_suite_col=eval_suite_col,
+        train_grams=train_grams, eval_bloom=eval_bloom,
+        bloom_fpp=bloom_fpp, eval_suite_col=eval_suite_col,
     ).select(id_col).distinct()
     return train_df.join(F.broadcast(bad), id_col, "left_anti")
 

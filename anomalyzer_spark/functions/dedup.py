@@ -1252,16 +1252,28 @@ def keep_best(
     ``df`` must carry ``score_col`` (e.g. ``quality_score`` from
     ``text_profile`` or ``model_score`` from ``quality.score_quality``);
     ``groups`` is ``duplicate_groups``' (id, group_id, group_size)
-    frame. Returns the KEPT rows of ``df`` — one winner per group
-    (highest score, smallest id on ties: deterministic), plus every
-    document not in any group. Schema and columns pass through.
+    frame — ONE row per id (``duplicate_groups``' output invariant; an
+    id listed under two groups is off-contract, see below). Returns the
+    KEPT rows of ``df`` — one winner per group (highest score, smallest
+    id on ties: deterministic), plus every document not in any group.
+    Schema and columns pass through.
 
-    Plan shape: the winner-per-group rank is a window over ``groups``
-    joined to the scores — both frames scoped to edge-touched documents
-    (the near-dup fraction), never the corpus; survivors come back via
-    one id-keyed semi-join and clean rows via one anti-join, so at
-    100 TB the corpus shuffles zero times and the window partitions are
-    duplicate GROUPS (bounded by the dedup clusters themselves).
+    Plan shape (r16): a kept row is exactly a row that is NOT a ranked
+    LOSER of a duplicate group, so the selection is ONE broadcast
+    anti-join of ``df`` against the loser ids (rank > 1 in the
+    winner-per-group window). The r15 form computed the same set as
+    semi-join(winners) ∪ anti-join(group members) — two corpus-side
+    joins, a union, and a second evaluation of the ``groups`` subtree
+    (Catalyst plans each reference separately); under the one-row-per-id
+    contract the two are row-identical (multiplicity included: every
+    ``df`` row is kept iff its id has no loser row — parity-pinned in
+    tests/test_functions.py). At 100 TB the corpus still shuffles zero
+    times — the loser frame is bounded by duplicate COPIES (the cluster
+    sizes), strictly smaller than the old anti-join's group-member
+    frame, and the window partitions remain duplicate groups. The
+    off-contract case (one id in two groups, winning one and losing the
+    other) would now be dropped where the old form kept it — that input
+    violates the documented groups contract either way.
     """
     from pyspark.sql.window import Window
 
@@ -1273,12 +1285,11 @@ def keep_best(
         df.select(F.col(id_col), F.col(score_col).alias("_s")), id_col)
     w = Window.partitionBy("group_id").orderBy(
         F.col("_s").desc_nulls_last(), F.col(id_col).asc())
-    winners = (
+    losers = (
         scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1).select(id_col)
+        .where(F.col("_rn") > 1).select(id_col)
     )
-    untouched = df.join(dups.select(id_col), id_col, "left_anti")
-    return df.join(winners, id_col, "left_semi").unionByName(untouched)
+    return df.join(losers, id_col, "left_anti")
 
 
 def strip_repeated_paragraphs(

@@ -1095,7 +1095,12 @@ def _cell_pairs_kernel(assigned: DataFrame, id_col: str,
     NaN-ordering semantics are reproduced explicitly: a NaN norm passes
     the ``> 0`` guard and a NaN cosine passes the ``>= threshold``
     filter (Spark orders NaN above every value), while NULL vectors and
-    zero norms drop — the join path's exact behavior.
+    zero norms drop — the join path's exact behavior. Duplicate ids
+    within a cell follow the join path too (r16): the pair predicate is
+    ``id_a < id_b`` — two rows sharing an id emit no pair with each
+    other (each still pairs with every other row), exactly like the
+    join's strict-inequality filter; parity with a duplicated id is
+    pinned in tests/test_semantic_dedup.py.
     """
     import pandas as pd
 
@@ -1133,6 +1138,12 @@ def _cell_pairs_kernel(assigned: DataFrame, id_col: str,
             # Spark: NaN >= threshold is TRUE (NaN ordering)
             hit = (sims >= threshold) | np.isnan(sims)
             hit &= j_idx[None, :] > (i0 + np.arange(i1 - i0))[:, None]
+            # the join path's predicate is id_a < id_b, not row index:
+            # with DUPLICATE ids in one cell, index inequality alone
+            # would emit an (x, x) self-pair the join path excludes —
+            # ids are sorted, so index > plus id != is exactly id <
+            # (r15 verdict item 6: pin the duplicate-id contract)
+            hit &= ids[None, :] != ids[i0:i1, None]
             ii, jj = np.nonzero(hit)
             if len(ii):
                 out_a.append(ids[ii + i0])

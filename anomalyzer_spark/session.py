@@ -49,6 +49,60 @@ def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {int(k) for k in jmap.keySet().toArray()}
 
 
+#: conf key for compact_checkpoint's bytes-per-partition divisor (the
+#: batch sibling of anomalyzer.streaming.bytesPerStatePartition)
+COMPACT_BYTES_CONF = "anomalyzer.batch.bytesPerCheckpointPartition"
+_COMPACT_BYTES_DEFAULT = 64 * 1024 * 1024
+
+
+def compact_checkpoint(df, *, bytes_per_partition: int | None = None):
+    """Eager ``localCheckpoint`` whose DOWNSTREAM partition count derives
+    from the checkpoint's MEASURED size instead of the input's split
+    count — the batch sibling of ``streaming.adaptive_state_partitions``.
+
+    A checkpointed intermediate inherits its parent's partitioning, which
+    is sized for the SOURCE scan, not for the (usually far smaller)
+    checkpoint: a few thousand scalar rows spread over 32 splits make
+    every downstream stage pay 32 tasks of scheduling for microseconds of
+    work each — and at 100 TB the same constant under-partitions. After
+    materializing, this reads the persisted blocks' size from the block
+    manager and coalesces to ``ceil(bytes / bytes_per_partition)``
+    clamped to [1, current partitions] (``coalesce`` is a narrow
+    dependency — no shuffle; when the derived count is not smaller, the
+    frame is returned unchanged). The divisor is conf-parameterised
+    (``anomalyzer.batch.bytesPerCheckpointPartition``, default 64 MiB —
+    the AQE advisory-size class), so production tunes it per cluster.
+
+    Use it for checkpoints whose consumers do LIGHT per-row work (joins,
+    aggregates, filters over scalars) — for a checkpoint feeding
+    CPU-heavy per-row expressions, fewer partitions also means fewer
+    cores on that work, so keep the plain ``localCheckpoint`` there.
+    Values/schema are untouched: ``coalesce`` only merges partitions.
+    (Classic-session only: reads the block manager through private py4j
+    handles, like the streaming sibling.)"""
+    spark = df.sparkSession
+    if bytes_per_partition is None:
+        try:
+            bytes_per_partition = int(
+                spark.conf.get(COMPACT_BYTES_CONF, None)
+                or _COMPACT_BYTES_DEFAULT)
+        except ValueError:
+            bytes_per_partition = _COMPACT_BYTES_DEFAULT
+    before = _persistent_rdd_ids(spark)
+    out = df.localCheckpoint(eager=True)
+    new_ids = _persistent_rdd_ids(spark) - before
+    size = 0
+    try:
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo():
+            if int(info.id()) in new_ids:
+                size += int(info.memSize()) + int(info.diskSize())
+    except Exception:  # never let sizing break the query path
+        return out
+    cur = out.rdd.getNumPartitions()
+    n = max(1, min(cur, -(-size // max(1, bytes_per_partition))))
+    return out.coalesce(n) if n < cur else out
+
+
 @contextlib.contextmanager
 def checkpoint_scope(spark: SparkSession):
     """Bound the storage of eager ``localCheckpoint`` frames to a scope.

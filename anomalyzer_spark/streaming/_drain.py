@@ -37,6 +37,14 @@ def adaptive_state_partitions(
     thousands of shuffle partitions caps there, and the knob is
     parameterised via ``anomalyzer.streaming.bytesPerStatePartition``
     (default 64 MiB of input per state partition).
+
+    Caveats (r15 advice): classic sessions only — the filesystem handle
+    comes through private py4j internals (``spark._jvm``/``spark._jsc``)
+    that do not exist under Spark Connect. And the summary measures
+    COMPRESSED on-disk bytes, so heavily compressed text carries more
+    decompressed state per partition than the divisor suggests — lower
+    ``bytesPerStatePartition`` (or raise the session cap) if state-store
+    commit sizes matter at scale.
     """
     if bytes_per_partition is None:
         bytes_per_partition = int(spark.conf.get(
@@ -84,6 +92,15 @@ def drain_available_now(
     column-pruned read of the first row groups, never a full-input
     aggregation (an abs()/max() probe would defeat parquet stats and scan
     everything per runner invocation).
+
+    Concurrency caveat (r15 advice): ``state_partitions`` is scoped by
+    temporarily setting the SESSION-wide ``spark.sql.shuffle.partitions``
+    for the duration of the drain (restored in a finally). Any query
+    planned CONCURRENTLY on the same SparkSession during the drain
+    silently inherits the override — fine for this repo's
+    single-threaded drills/benches/tests; a shared production session
+    running concurrent batch work should drain on a dedicated session
+    (``spark.newSession()``) instead.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(input_path)

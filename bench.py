@@ -310,7 +310,11 @@ def floors_active(sf: str, cpus_env: str | None, machine_cpus: int) -> bool:
     try:
         return int(cpus_env) >= machine_cpus
     except ValueError:
-        return True  # non-numeric master spec: treat as full-core
+        # fail CLOSED (r15 advice): an unparseable core spec must not
+        # fold floors — that's exactly the contamination class this gate
+        # exists to prevent. The known full-core spelling '*' is handled
+        # above; anything else unrecognized just skips floor bookkeeping.
+        return False
 
 
 def update_floor(cur: dict, best: float, fp: str) -> tuple[dict, str]:

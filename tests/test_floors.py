@@ -91,5 +91,7 @@ def test_floors_active_gates_scale_and_cores():
     assert not floors_active("0.001", "32", 32)
     # oversubscribed/equal explicit counts still count as full-core
     assert floors_active("0.1", "64", 32)
-    # unparseable core spec behaves like local[*]
-    assert floors_active("0.1", "not-a-number", 32)
+    # unparseable core spec fails CLOSED (r15 advice): only the known
+    # '*' spelling counts as full-core — a malformed spec must not
+    # compare/fold floors (the contamination class this gate prevents)
+    assert not floors_active("0.1", "not-a-number", 32)

@@ -794,6 +794,28 @@ def test_checkpoint_scope_bounds_serving_loop_storage(spark):
     keep.unpersist()
 
 
+def test_compact_checkpoint_derives_partitions_from_bytes(spark):
+    """session.compact_checkpoint (r16): a small checkpointed frame
+    coalesces to a byte-derived partition count (1 here) regardless of
+    the input's split count, with values and schema untouched; a divisor
+    small enough that the measured size spans it keeps >1 partition."""
+    from anomalyzer_spark.session import compact_checkpoint
+
+    df = spark.range(0, 4000, 1, 16).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v"))
+    assert df.rdd.getNumPartitions() == 16
+    out = compact_checkpoint(df)
+    assert out.rdd.getNumPartitions() == 1
+    assert out.columns == df.columns
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, df.collect()))
+    # a tiny divisor: derived count > 1 but never above the input's
+    out2 = compact_checkpoint(df, bytes_per_partition=1024)
+    n2 = out2.rdd.getNumPartitions()
+    assert 1 < n2 <= 16
+    assert out2.count() == 4000
+
+
 def test_lsh_params_math():
     """collision_prob at the threshold must meet the stated recall for the
     parameters lsh_params returns, and be monotone in similarity."""
@@ -1280,6 +1302,43 @@ def test_keep_best_vs_keep_first_same_group_count(spark, sf_dir):
     n_grouped = groups.where(F.col("group_size") >= 2).count()
     best = dedup.keep_best(docs, groups, "score").count()
     assert best == docs.count() - n_grouped + n_groups
+
+
+def test_keep_best_anti_join_form_matches_semi_union_form(spark):
+    """r16 plan change: keep_best now selects via ONE anti-join against
+    the ranked losers. Under the documented one-row-per-id groups
+    contract that is row-identical (multiplicity included) to the r15
+    semi-join(winners) ∪ anti-join(members) form — pinned here by
+    replaying the old formulation inline over inputs that exercise
+    ties, NULL scores, singletons, and docs absent from any group."""
+    from pyspark.sql.window import Window
+
+    rows = [(i, f"t{i}",
+             None if i % 7 == 3 else float((i * 37) % 11) / 10.0)
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, q double")
+    # synthetic one-row-per-id groups: evens share mod-10 groups (size
+    # >= 2), odds are singletons (the curation slot's shape)
+    gid = F.when(F.col("doc_id") % 2 == 0, F.col("doc_id") % 10) \
+        .otherwise(F.col("doc_id") + 10**6)
+    groups = df.select("doc_id", gid.alias("group_id")).withColumn(
+        "group_size", F.count(F.lit(1)).over(
+            Window.partitionBy("group_id")))
+    got = sorted(map(tuple, dedup.keep_best(df, groups, "q").collect()))
+
+    # the r15 formulation, replayed inline
+    dups = groups.where(F.col("group_size") >= 2)
+    scored = dups.join(df.select("doc_id", F.col("q").alias("_s")),
+                       "doc_id")
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("_s").desc_nulls_last(), F.col("doc_id").asc())
+    winners = (scored.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).select("doc_id"))
+    untouched = df.join(dups.select("doc_id"), "doc_id", "left_anti")
+    want = sorted(map(tuple,
+                      df.join(winners, "doc_id", "left_semi")
+                      .unionByName(untouched).collect()))
+    assert got == want and len(got) > 0
 
 
 def test_select_top_fraction_duckdb_parity(spark, sf_dir):

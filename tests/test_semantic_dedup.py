@@ -44,6 +44,34 @@ def test_semantic_pairs_match_brute_force_on_separated_clusters(spark):
     assert got == want
 
 
+def test_semantic_pairs_duplicate_ids_match_join_predicate(spark):
+    """r15 verdict item 6: the batch kernel's pair predicate is
+    ``id_a < id_b`` like the join path — two rows SHARING an id in one
+    cell emit no pair with each other (no (x, x) self-pair), while each
+    copy still pairs with every other row. Near-identical vectors under
+    one duplicated id make the self-pair the would-be top hit, so a
+    regression to index-inequality semantics fails loudly."""
+    rng = np.random.default_rng(3)
+    center = rng.standard_normal(8) * 10
+    # ids 0/1/2 distinct + id 5 DUPLICATED (two near-identical rows)
+    rows = [(0, center + rng.standard_normal(8) * 1e-3),
+            (1, center + rng.standard_normal(8) * 1e-3),
+            (2, center + rng.standard_normal(8) * 1e-3),
+            (5, center + rng.standard_normal(8) * 1e-3),
+            (5, center + rng.standard_normal(8) * 1e-3)]
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in rows],
+        "vec_id long, embedding array<double>")
+    cents = [center.tolist()]  # one cell: everything is a candidate
+    got = [(r["id_a"], r["id_b"]) for r in S.semantic_pairs(
+        df, threshold=0.999, centroids=cents, n_clusters=1).collect()]
+    assert (5, 5) not in got
+    # both copies of id 5 still pair with the distinct ids
+    assert got.count((0, 5)) == 2 and got.count((2, 5)) == 2
+    assert sorted(set(got)) == [(0, 1), (0, 2), (0, 5),
+                                (1, 2), (1, 5), (2, 5)]
+
+
 def test_semantic_dedup_groups_contract(spark):
     df, cents, base = _clustered(spark)
     groups = S.semantic_dedup_groups(
