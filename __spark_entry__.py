@@ -2090,27 +2090,37 @@ def q_dedup_stream(spark, sf_dir):
     min doc id) must equal the batch exact_dedup groups exactly — the
     streaming dedup surface shares the batch oracle.
 
-    Round 15: drains a FIXED 3-micro-batch split (repartition(3) +
+    Round 15: drains a FIXED multi-micro-batch split (repartition +
     maxFilesPerTrigger=1, the q_minhash_stream shape) instead of one
     all-files trigger, so the cross-batch state-update path does real
     work — and the slot doubles as the bench's streaming drill (26th
     headline cell with its own floor): final state is split-invariant,
     so the oracle is untouched. Cost-model note: the drain runs EAGERLY
     at query-construction time; the returned frame is the memory-sink
-    final-state read."""
+    final-state read.
+
+    Round 16 (r15 verdict item 4): the split is TWO batches, not three —
+    each data micro-batch past the first costs a full trigger of fixed
+    overhead (measured ~0.5 s: addBatch job + offset/WAL commits) while
+    attesting the same thing (state created in batch 1, updated across
+    the batch boundary in batch 2); the drill also skips the trailing
+    no-data micro-batch (Update mode, no watermark — it emits nothing;
+    see drain_available_now(no_data_batch=)). Final state — and the
+    oracle — identical by split invariance."""
     from anomalyzer_spark.streaming import run_dedup_stream_on_dir
     tmp = _query_tmp("dedup_stream")
     # r15 optimization: the input split used to be
-    # _docs(...).repartition(3) — TWO keyless round-robin exchanges
+    # _docs(...).repartition(N) — TWO keyless round-robin exchanges
     # (each paying sortBeforeRepartition's local sort of full text
-    # rows) just to land three files. One repartition(3) over the plain
-    # table read writes the same rows through a single exchange while
-    # still guaranteeing exactly three non-empty balanced files at
-    # every sf (a coalesce would collapse to the scan's split count on
+    # rows) just to land the split files. One repartition over the
+    # plain table read writes the same rows through a single exchange
+    # while still guaranteeing non-empty balanced files at every sf (a
+    # coalesce would collapse to the scan's split count on
     # single-row-group fixtures); the final state is split-invariant,
-    # so the result (and the oracle) is untouched.
+    # so the result (and the oracle) is untouched. r16: N=2 (see
+    # docstring).
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    d.repartition(3).write.mode("overwrite").parquet(f"{tmp}/in")
+    d.repartition(2).write.mode("overwrite").parquet(f"{tmp}/in")
     return run_dedup_stream_on_dir(
         spark, f"{tmp}/in", "text", "doc_id",
         query_name="q_dedup_stream_mem", max_files_per_trigger=1)

@@ -77,6 +77,7 @@ def drain_available_now(
     max_files_per_trigger: int | None = None,
     ns_ts_cols: tuple[str, ...] = (),
     state_partitions: int | None = None,
+    no_data_batch: bool | None = None,
 ) -> DataFrame:
     """Stream ``input_path`` (parquet) through ``build`` and drain with
     availableNow into a memory sink; returns the sink table (every emitted
@@ -92,6 +93,16 @@ def drain_available_now(
     column-pruned read of the first row groups, never a full-input
     aggregation (an abs()/max() probe would defeat parquet stats and scan
     everything per runner invocation).
+
+    ``no_data_batch=False`` disables the trailing NO-DATA micro-batch
+    for this drain (r16; scoped exactly like ``state_partitions``): after
+    the last data trigger, availableNow fires one extra empty batch so
+    watermark-driven operators can emit final results — pure fixed
+    overhead (a full trigger's planning + offset/commit I/O) for a keyed
+    aggregation in Update mode with NO watermark, which emits nothing in
+    it. Leave it ``None`` (Spark default, on) for any watermarked/
+    append-mode drain — those NEED the extra batch to flush final
+    windows.
 
     Concurrency caveat (r15 advice): ``state_partitions`` is scoped by
     temporarily setting the SESSION-wide ``spark.sql.shuffle.partitions``
@@ -135,6 +146,10 @@ def drain_available_now(
     if state_partitions is not None:
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(int(state_partitions)))
+    _nodata_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev_nodata = spark.conf.get(_nodata_key, None)
+    if no_data_batch is not None:
+        spark.conf.set(_nodata_key, "true" if no_data_batch else "false")
     try:
         q = (
             build(stream).writeStream.format("memory")
@@ -147,4 +162,9 @@ def drain_available_now(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if no_data_batch is not None:
+            if prev_nodata is None:
+                spark.conf.unset(_nodata_key)
+            else:
+                spark.conf.set(_nodata_key, prev_nodata)
     return spark.table(query_name)

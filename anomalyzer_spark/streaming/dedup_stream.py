@@ -130,7 +130,12 @@ def run_dedup_stream_on_dir(
         lambda s: dedup_stream(s, text_col, id_col),
         query_name, output_mode="update",
         max_files_per_trigger=max_files_per_trigger,
-        state_partitions=state_partitions)
+        state_partitions=state_partitions,
+        # keyed agg, Update mode, no watermark: the trailing no-data
+        # micro-batch emits nothing here and costs a full trigger's
+        # fixed overhead — final state is identical without it (r16;
+        # measured per-batch breakdown in OPTIMIZATION_r16.md)
+        no_data_batch=False)
     from pyspark.sql.window import Window
 
     w = Window.partitionBy("content_hash").orderBy(

@@ -1282,3 +1282,44 @@ def test_dedup_stream_state_partitions_invariant(spark, sf_dir, tmp_path):
     assert sorted(map(key, auto.collect())) == \
         sorted(map(key, pinned.collect()))
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_dedup_stream_no_data_batch_off_same_state(spark, sf_dir,
+                                                   tmp_path):
+    """r16: the dedup drill drains with the trailing no-data micro-batch
+    disabled (Update-mode keyed agg, no watermark — it emits nothing).
+    Final state must equal a drain WITH the extra batch, and the scoped
+    conf must restore (the session may run watermarked drains next)."""
+    from anomalyzer_spark.sources import load_table
+    from anomalyzer_spark.streaming._drain import drain_available_now
+    from anomalyzer_spark.streaming.dedup_stream import (
+        dedup_stream, run_dedup_stream_on_dir)
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sdir = str(tmp_path / "dedup_nd_in")
+    d.repartition(2).write.mode("overwrite").parquet(sdir)
+    key_ = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(key_, None)
+    # the runner's default path (no_data_batch=False inside)
+    off = run_dedup_stream_on_dir(
+        spark, sdir, "text", "doc_id", query_name="dedup_nd_off",
+        max_files_per_trigger=1)
+    assert spark.conf.get(key_, None) == prev  # scoped, restored
+    # explicit drain WITH the no-data batch (Spark default)
+    res = drain_available_now(
+        spark, sdir, lambda s: dedup_stream(s, "text", "doc_id"),
+        "dedup_nd_on", output_mode="update", max_files_per_trigger=1,
+        no_data_batch=True)
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("content_hash").orderBy(
+        F.col("group_size").desc(), F.col("canonical_id").asc())
+    on = (res.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1).drop("_rn"))
+
+    def key(r):
+        return (r["content_hash"], r["group_size"], r["canonical_id"])
+
+    assert sorted(map(key, off.collect())) == \
+        sorted(map(key, on.collect()))
+    assert spark.conf.get(key_, None) == prev
