@@ -57,6 +57,7 @@ def _snapshot(spark, path):
         for r in spark.read.parquet(path).collect())
 
 
+@pytest.mark.slow
 def test_apply_diff_equals_fresh_build(spark, models, tmp_path):
     e, cents, books = models
     old_path = str(tmp_path / "idx")
@@ -81,6 +82,7 @@ def test_apply_diff_equals_fresh_build(spark, models, tmp_path):
     assert _snapshot(spark, old_path) == _snapshot(spark, fresh_path)
 
 
+@pytest.mark.slow
 def test_updated_index_serves_identical_searches(spark, models, tmp_path):
     e, cents, books = models
     path = str(tmp_path / "idx2")
@@ -97,6 +99,7 @@ def test_updated_index_serves_identical_searches(spark, models, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_include_unchanged_diff_equals_fresh_build(spark, models, tmp_path):
     """snapshot_diff(include_unchanged=True) output must be safe: the
     'unchanged' rows are no-ops, NOT victims — the round-8 ADVICE bug

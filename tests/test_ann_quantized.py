@@ -66,6 +66,7 @@ def test_quantized_index_schema(spark, grid_corpus, tmp_path):
         "neighbor_id", "codes", "cell"}
 
 
+@pytest.mark.slow
 def test_lossless_grid_quantized_equals_float_refine(
         spark, grid_corpus, tmp_path):
     df, cents, books = grid_corpus
@@ -86,6 +87,7 @@ def test_lossless_grid_quantized_equals_float_refine(
     assert fs == qs and len(fs) == 10 * 5
 
 
+@pytest.mark.slow
 def test_quantized_refine_recall_close_on_real_embeddings(
         spark, real_models, tmp_path):
     e, cents, books = real_models
@@ -143,6 +145,7 @@ def _qsnapshot(spark, path):
         for r in spark.read.parquet(path).collect())
 
 
+@pytest.mark.slow
 def test_apply_diff_preserves_quantized_tier(spark, real_models, tmp_path):
     e, cents, books = real_models
     path = str(tmp_path / "qidx4")
@@ -194,6 +197,7 @@ def test_compact_preserves_quantized_columns(spark, grid_corpus, tmp_path):
     assert _qsnapshot(spark, out) == _qsnapshot(spark, direct)
 
 
+@pytest.mark.slow
 def test_streaming_serve_with_quantized_refine(spark, grid_corpus, tmp_path):
     """serve_ivfpq_stream(refine_source='quantized') must emit exactly the
     offline quantized-refine results per micro-batch, with no corpus."""

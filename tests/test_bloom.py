@@ -78,6 +78,7 @@ def test_save_load_empty_store_keeps_params(spark, tmp_path):
     assert (bl.num_bits, bl.num_hashes, bl.seed) == (1280, 4, 3)
 
 
+@pytest.mark.slow
 def test_contamination_bloom_parity(spark, sf_dir):
     """The headline guarantee: Bloom prefiltering changes the PLAN, not
     the ANSWER — exact equality with the plain path, under both the

@@ -39,6 +39,7 @@ SELECT col, h, key FROM r WHERE rnk <= {k}""").fetchall()))
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_merge_equals_whole_exactly(spark):
     random.seed(3)
     vals = [f"v{random.randint(0, 5000)}" for _ in range(8000)]
@@ -106,6 +107,7 @@ def test_jaccard_omits_one_sided_columns(spark):
 @given(st.sets(st.integers(min_value=0, max_value=200),
                min_size=1, max_size=120))
 @settings(max_examples=6, deadline=None)
+@pytest.mark.slow
 def test_canonical_merge_hypothesis(spark, xs):
     df = spark.createDataFrame([(str(x),) for x in xs], "a string")
     whole = _rows(sketch.bottomk_profile(df, ["a"], k=16))

@@ -10,6 +10,8 @@ retained and hidden, init_snapshot seeds a base the stream builds on.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -61,6 +63,7 @@ def _run(spark, tmp_path, tag, batches, n_buckets=8):
     return sorted(map(tuple, snap.select("k", "v", "seq").collect()))
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_any_split_any_order(spark, tmp_path):
     rows = _feed()
     want = _want(spark, rows)
@@ -82,6 +85,7 @@ def test_stream_equals_batch_any_split_any_order(spark, tmp_path):
     assert got_s == want
 
 
+@pytest.mark.slow
 def test_replay_is_idempotent(spark, tmp_path):
     """Re-draining the same feed into the SAME store (fresh checkpoint =
     every batch replays) leaves the snapshot unchanged."""
@@ -98,6 +102,7 @@ def test_replay_is_idempotent(spark, tmp_path):
                           .collect())) == want
 
 
+@pytest.mark.slow
 def test_tombstones_retained_and_hidden(spark, tmp_path):
     rows = [(1, "a", 1, "upsert"), (2, "b", 1, "upsert"),
             (1, "x", 2, "delete")]
@@ -121,6 +126,7 @@ def test_tombstones_retained_and_hidden(spark, tmp_path):
         == [(2, "b")]
 
 
+@pytest.mark.slow
 def test_untouched_buckets_not_rewritten(spark, tmp_path):
     """A batch touching one key rewrites only that key's bucket
     partition; every other partition keeps its files (names + mtimes)."""
@@ -155,6 +161,7 @@ def test_untouched_buckets_not_rewritten(spark, tmp_path):
     assert touched == 1 and same == len(stamp) - 1
 
 
+@pytest.mark.slow
 def test_init_snapshot_seeds_base(spark, tmp_path):
     base = spark.createDataFrame(
         [(k, f"base-{k}", 0) for k in range(10)], "k long, v string, seq long")
@@ -170,6 +177,7 @@ def test_init_snapshot_seeds_base(spark, tmp_path):
     assert len(got) == 9
 
 
+@pytest.mark.slow
 def test_vacuum_tombstones(spark, tmp_path):
     """Vacuum drops tombstones at/below the watermark (affected buckets
     only — others keep byte-identical files), keeps newer tombstones,

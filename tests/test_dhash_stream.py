@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from anomalyzer_spark.functions import multimodal
 from anomalyzer_spark.streaming.dhash_stream import run_dhash_stream_on_dir
+import pytest
 
 
 def _corpus(rng, n=24):
@@ -47,6 +48,7 @@ def _batch_pairs(spark, rows):
                   multimodal.dhash_pairs(df, max_hamming=3).collect())
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_both_orders(spark, tmp_path):
     rng = np.random.default_rng(31)
     rows = _corpus(rng)
@@ -67,6 +69,7 @@ def test_stream_equals_batch_both_orders(spark, tmp_path):
         assert sorted(tuple(r) for r in got.collect()) == want, name
 
 
+@pytest.mark.slow
 def test_stream_single_batch_and_compaction(spark, tmp_path):
     rng = np.random.default_rng(7)
     rows = _corpus(rng, n=12)
@@ -87,6 +90,7 @@ def test_stream_single_batch_and_compaction(spark, tmp_path):
     assert sorted(tuple(r) for r in got2.collect()) == want
 
 
+@pytest.mark.slow
 def test_retention_evicts_block_dirs(spark, tmp_path):
     import glob
     rng = np.random.default_rng(13)

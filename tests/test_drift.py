@@ -213,6 +213,7 @@ def test_psi_report_single_profile_subtree(spark, sf_dir):
     assert plan.count("SortMergeJoin") == 1     # one full-outer, no totals join
 
 
+@pytest.mark.slow
 def test_merge_profiles_equals_whole_corpus_profile(spark, sf_dir):
     """Shard-wise profiles (shared explicit bounds) merged == the
     profile of the whole frame: exact, including NULL buckets — and a
@@ -234,6 +235,7 @@ def test_merge_profiles_equals_whole_corpus_profile(spark, sf_dir):
     assert all(r["psi"] == 0.0 for r in rep_m.collect())
 
 
+@pytest.mark.slow
 def test_r14_review_nbins_migration_regressions(spark):
     """r14 review: (a) merging a current shard with a LEGACY shard
     lacking the persisted n_bins column must work (the migration case
@@ -300,6 +302,7 @@ def test_merge_category_profiles(spark):
         == sorted(map(tuple, whole.collect()))
 
 
+@pytest.mark.slow
 def test_profile_quantiles_within_bucket_width(spark, sf_dir):
     """Quantiles interpolated from a profile land within one bucket
     width of the exact percentile, and merged-shard profiles give the
@@ -346,6 +349,7 @@ def test_profile_quantiles_validation_and_edges(spark):
     assert 0.0 <= got[0.5] <= 1.0 and got[1.0] <= 10.0
 
 
+@pytest.mark.slow
 def test_r15_advice_nbins_null_and_conflict(spark):
     """ADVICE r15: (a) a bucket present ONLY in legacy pre-n_bins
     shards gets its column's known n_bins backfilled by merge_profiles

@@ -13,6 +13,7 @@ import __spark_entry__ as entry
 from anomalyzer_spark.functions import langid
 
 
+@pytest.mark.slow
 def test_embedded_model_equals_refit(spark):
     labeled = {
         lg: spark.createDataFrame([(s,) for s in pool], "text string")

@@ -312,6 +312,7 @@ def test_duplicate_groups_nonconvergence_warns(spark):
         assert any("did not converge" in str(x.message) for x in w)
 
 
+@pytest.mark.slow
 def test_duplicate_groups_driver_path_equals_loop(spark):
     """The small-graph union-find shortcut and the distributed
     label-propagation loop resolve IDENTICAL (id, group_id, group_size)
@@ -733,6 +734,7 @@ def test_asof_join_null_payload_row_atomic(spark):
     assert got[3] == (None, None, None)  # no qualifying right row at all
 
 
+@pytest.mark.slow
 def test_cosine_pairs_exact_guard_trips(spark):
     """The exact all-pairs path must refuse corpora larger than
     max_exact_rows so a real corpus can never be cartesian-joined by
@@ -830,6 +832,7 @@ def test_lsh_params_math():
         similarity.lsh_params(0.2, 0.999, max_planes=2)
 
 
+@pytest.mark.slow
 def test_cosine_pairs_target_recall_achieved(spark, sf01_dir):
     """Recall-tunable LSH: cosine_pairs with a stated target_recall must
     achieve at least that recall vs the exact all-pairs baseline — on the
@@ -854,6 +857,7 @@ def test_cosine_pairs_target_recall_achieved(spark, sf01_dir):
         assert recall >= 0.9, f"recall {recall:.3f} < 0.9 at thr={thr}"
 
 
+@pytest.mark.slow
 def test_cosine_pairs_target_recall_high_sim_planted(spark):
     """The high-similarity regime (0.7/0.9 thresholds): planted near-dup
     pairs (base vector + small noise) must be recovered at the stated
@@ -979,6 +983,7 @@ def test_pq_topk_null_query_excluded_not_ranked_first(spark):
     assert all(r["pq_dist"] is not None for r in out)
 
 
+@pytest.mark.slow
 def test_ivf_probe_params_recall_achieved(spark, sf01_dir):
     """The n_probe calculator (IVF mirror of lsh_params): callers state a
     recall target; ivf_topk run with the computed n_probe must achieve at
@@ -1132,6 +1137,7 @@ def test_temperature_sample_rejects_streaming_frame(spark, tmp_path):
         sampling.temperature_sample(stream, 0.5, "lang")
 
 
+@pytest.mark.slow
 def test_embedding_dedup_groups_finds_semantic_clusters(spark):
     """Planted clusters of nearly-identical vectors resolve to groups;
     isolated noise vectors stay out. LSH path and exact path agree."""
@@ -1266,6 +1272,7 @@ def test_redact_pii_duckdb_parity(spark, sf_dir):
 
 
 
+@pytest.mark.slow
 def test_keep_best_prefers_high_score(spark):
     """Two near-dup groups + one singleton: the winner is the best score
     (smallest id on ties), clean docs pass through untouched."""
@@ -1291,6 +1298,7 @@ def test_keep_best_prefers_high_score(spark):
     assert out.columns == df.columns
 
 
+@pytest.mark.slow
 def test_keep_best_vs_keep_first_same_group_count(spark, sf_dir):
     """Both policies keep exactly one doc per group + all singletons."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -1556,6 +1564,7 @@ def test_pq_refine_equals_exact_when_refine_covers_corpus(spark):
         similarity.pq_topk(df, q, books, k=5, refine=3)
 
 
+@pytest.mark.slow
 def test_ivfpq_refine_recovers_recall_on_clustered_data(spark):
     """The production refine lever: on clustered data where raw ADC
     ordering is quantization-noise-bound, exact re-rank of the top-10k
@@ -1826,6 +1835,7 @@ def gram_edge_frame(spark):
     return spark.createDataFrame(rows, "doc_id long, ts array<string>")
 
 
+@pytest.mark.slow
 def test_gram_hashes_doubling_parity(spark, gram_edge_frame):
     """r15: _gram_hashes' dual-accumulator doubling build is
     bit-identical to the old k-1 left fold (gram md5s AND positions)

@@ -160,6 +160,7 @@ def test_grouped_profiles(spark, sf_dir):
         sketch.hll_profile(docs, ["doc_id"], group_cols=["reg"])
 
 
+@pytest.mark.slow
 def test_overlap_inclusion_exclusion(spark):
     """Two overlapping ranges: intersection estimate within the
     documented union-relative bound; disjoint case clamps near 0;

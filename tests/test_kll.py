@@ -100,6 +100,7 @@ def test_rank_guarantee_and_exactness(spark):
         == [(0, float(v), 4) for v in range(5)]
 
 
+@pytest.mark.slow
 def test_merge_uncompacted_equals_whole_and_guarantee(spark):
     random.seed(29)
     vals = [random.randint(0, 2000) for _ in range(4000)]
@@ -135,6 +136,7 @@ def test_merge_uncompacted_equals_whole_and_guarantee(spark):
 @given(st.lists(st.integers(min_value=-50, max_value=50),
                 min_size=1, max_size=400))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_rank_guarantee_hypothesis(spark, xs):
     df = spark.createDataFrame([(x,) for x in xs], "a long")
     prof = sketch.kll_profile(df, ["a"], k=16)
@@ -166,6 +168,7 @@ def _interval_dist(sorted_xs, value, target):
     return max(lo - target, target - hi, 0.0)
 
 
+@pytest.mark.slow
 def test_quantile_guarantee_duplicates_regression(spark):
     """The r13 falsifier of the old strict-rank statement: on [0,0,0]
     the sketch's median 0.0 is EXACTLY correct, but bisect_right = 3 vs
@@ -187,6 +190,7 @@ def test_quantile_guarantee_duplicates_regression(spark):
                 <= err + top_w, (r, xs)
 
 
+@pytest.mark.slow
 def test_quantile_q1_capped_at_total_weight(spark):
     """ADVICE r13: a compacted profile's survivors total m*ceil((n-o)/m)
     which can undershoot n — q=1.0 (explicitly allowed) must still
@@ -209,6 +213,7 @@ def test_quantile_q1_capped_at_total_weight(spark):
     assert rep[0]["value"] is not None and rep[0]["passed"] is True
 
 
+@pytest.mark.slow
 def test_grouped_profile_matches_sliced(spark):
     random.seed(5)
     rows = [(i % 3, random.randint(0, 300)) for i in range(2000)]
@@ -223,6 +228,7 @@ def test_grouped_profile_matches_sliced(spark):
         assert got == _rows(sliced), g
 
 
+@pytest.mark.slow
 def test_drift_and_checks_wiring(spark):
     df = spark.createDataFrame([(float(i),) for i in range(5000)],
                                "len double")
@@ -261,6 +267,7 @@ def test_validation_errors(spark):
         sketch.kll_quantiles(sketch.kll_profile(df, ["a"]), [0.0])
 
 
+@pytest.mark.slow
 def test_ks_from_profiles(spark):
     """Sketch-level two-sample KS: exact when both profiles are err-0,
     within ks_bound of the true statistic when compacted, near-zero for
@@ -300,6 +307,7 @@ def test_ks_from_profiles(spark):
     assert r64["ks_stat"] > 3 * rid["ks_stat"] or rid["ks_stat"] == 0.0
 
 
+@pytest.mark.slow
 def test_ks_from_profiles_discrete_ties(spark):
     """ADVICE r13 regression: cross-side ties. The same item value
     appears as rows from BOTH profiles (and can survive at different
@@ -345,6 +353,7 @@ def test_ks_from_profiles_discrete_ties(spark):
     assert rz2["ks_stat"] == rz["ks_stat"]
 
 
+@pytest.mark.slow
 def test_sharded_build_guarantee_and_determinism(spark):
     """kll_profile_sharded: the continuous-column scale path keeps the
     rank guarantee (err carried exactly), is partitioning-independent,

@@ -9,6 +9,8 @@ dedup modalities)."""
 
 from __future__ import annotations
 
+import pytest
+
 import struct
 
 import numpy as np
@@ -97,6 +99,7 @@ def _rt(rows):
                   for r in rows)
 
 
+@pytest.mark.slow
 def test_audio_stream_equals_batch_both_orders(spark, tmp_path):
     rows = _audio_rows()
     df = spark.createDataFrame(rows, "doc_id long, content binary")
@@ -117,6 +120,7 @@ def test_audio_stream_equals_batch_both_orders(spark, tmp_path):
         assert _rt(got.collect()) == want, name
 
 
+@pytest.mark.slow
 def test_video_stream_equals_batch_both_orders(spark, tmp_path):
     rows = _video_rows()
     df = spark.createDataFrame(rows, "doc_id long, content binary")
@@ -138,6 +142,7 @@ def test_video_stream_equals_batch_both_orders(spark, tmp_path):
         assert _rt(got.collect()) == want, name
 
 
+@pytest.mark.slow
 def test_audio_stream_compaction_and_replay(spark, tmp_path):
     rows = _audio_rows()
     df = spark.createDataFrame(rows, "doc_id long, content binary")
@@ -157,6 +162,7 @@ def test_audio_stream_compaction_and_replay(spark, tmp_path):
     assert _rt(got2.collect()) == want
 
 
+@pytest.mark.slow
 def test_video_retention_evicts_dirs(spark, tmp_path):
     import glob
     rows = _video_rows()

@@ -100,6 +100,7 @@ def test_mg_merge_guarantees_on_zipf(spark):
     nshards=st.integers(min_value=1, max_value=3),
 )
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_mg_guarantees_hypothesis(spark, data, k, nshards):
     """For arbitrary multisets, shardings and k: containment
     cnt <= f <= cnt + off, completeness f > off => present, <= k

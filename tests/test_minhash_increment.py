@@ -4,6 +4,7 @@ minhash_lsh_pairs over the union (shared _ingest_batch with the stream),
 explicit-batch_id replay is idempotent, and empty increments are no-ops
 with a typed empty result."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from anomalyzer_spark.functions import dedup
@@ -15,6 +16,7 @@ from anomalyzer_spark.streaming.minhash_stream import (
 _P = dict(k=3, num_hashes=128, bands=32, threshold=0.5)
 
 
+@pytest.mark.slow
 def test_increments_accumulate_to_batch(spark, sf_dir, tmp_path):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = str(tmp_path / "store")
@@ -41,6 +43,7 @@ def test_increments_accumulate_to_batch(spark, sf_dir, tmp_path):
     assert merged == exp
 
 
+@pytest.mark.slow
 def test_increment_replay_idempotent(spark, sf_dir, tmp_path):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = str(tmp_path / "store")
@@ -58,6 +61,7 @@ def test_increment_replay_idempotent(spark, sf_dir, tmp_path):
     assert minhash_pairs_store(spark, store).count() == n_before
 
 
+@pytest.mark.slow
 def test_empty_increment_typed_noop(spark, sf_dir, tmp_path):
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     store = str(tmp_path / "store")
@@ -81,6 +85,7 @@ def test_empty_increment_typed_noop(spark, sf_dir, tmp_path):
     assert nxt.schema["jaccard"].dataType.simpleString() == "double"
 
 
+@pytest.mark.slow
 def test_string_keyed_store_roundtrip(spark, sf_dir, tmp_path):
     """A store keyed by STRING doc ids: the returned pair frame derives
     its id type from the ingested frame (regression — a pinned 'long'

@@ -20,6 +20,11 @@ from pyspark.sql import types as T
 import __spark_entry__ as entry_mod
 from tools.check_correctness import TABLES
 
+#: slow tier (r16): the streaming slots' sf0.001 drains in the module
+#: fixtures cost ~60 s; the dtype-kind class is also caught by
+#: test_entry_oracle (default tier) and the driver's value hashes
+pytestmark = pytest.mark.slow
+
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 _FLOATING = (T.FloatType, T.DoubleType)
 

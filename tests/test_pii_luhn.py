@@ -214,6 +214,7 @@ FROM v""").fetchall()))
     assert by_id[8][1] == "pay [IBAN] cash now"  # trim recovers it
 
 
+@pytest.mark.slow
 def test_redaction_idempotent_hypothesis(spark):
     """Fixed-point property of the checksum-gated kinds: redacting an
     already-redacted document changes nothing. This holds by

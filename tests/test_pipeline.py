@@ -14,6 +14,7 @@ def docs(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+@pytest.mark.slow
 def test_full_pipeline_monotone_and_packed(spark, docs):
     ev = docs.where(F.col("doc_id") % 97 == 0).select("doc_id", "text")
     cfg = CurationConfig(
@@ -49,6 +50,7 @@ def test_minhash_dedup_keep_first(spark):
     assert kept == {1, 3}          # near-dup pair keeps the smaller id
 
 
+@pytest.mark.slow
 def test_determinism_same_config_same_output(spark, docs):
     cfg = CurationConfig(min_tokens=3, temperature_alpha=0.5,
                          pack_capacity=128, pack_shards=4)
@@ -74,6 +76,7 @@ def test_noop_config_passes_through(spark, docs):
     assert list(res.stages) == ["input"]
 
 
+@pytest.mark.slow
 def test_minhash_dedup_keep_best(spark):
     """dedup_keep='best' retains the higher-quality member of a near-dup
     pair even when it has the larger id (keep-first would pick id 1)."""
@@ -97,6 +100,7 @@ def test_minhash_dedup_keep_best(spark):
         CurationConfig(dedup_keep="bogus")
 
 
+@pytest.mark.slow
 def test_minhash_dedup_keep_best_with_user_quality_score(spark):
     """A user frame that already carries a `quality_score` column must
     survive dedup_keep='best' — the internal score uses a reserved name,
@@ -199,6 +203,7 @@ def test_strip_spans_validation():
         CurationConfig(strip_spans=1)
 
 
+@pytest.mark.slow
 def test_curate_source_cap_stage(spark, sf_dir):
     """source_cap_tokens composes after dedup: per-source lexical-token
     totals respect the budget, the stage is recorded, and the share form
@@ -257,6 +262,7 @@ def test_normalize_quality_by_is_domain_fair(spark, docs):
         CurationConfig(normalize_quality_by="source")
 
 
+@pytest.mark.slow
 def test_eval_fraction_split_stage(spark, docs):
     """Terminal leakage-safe split: every output row carries split, the
     stage is deterministic, minhash near-dup groups are atomic, and

@@ -458,6 +458,7 @@ def test_round13_sketch_plans(spark, sf_dir):
     assert_plan(ks, forbids=("CartesianProduct",))
 
 
+@pytest.mark.slow
 def test_quantile_profile_sharded_gate_plan(spark, sf_dir):
     """r13 verdict: the drift/checks gate surface must reach the
     continuous-column KLL scale path. quantile_profile(sharded=True)

@@ -54,6 +54,7 @@ def test_train_pca_reconstruction_improves_with_k(sf_dir):
     assert errs[2] == pytest.approx(0.0, abs=1e-3)  # k=d is a rotation
 
 
+@pytest.mark.slow
 def test_project_embeddings_duckdb_parity(spark, sf_dir):
     x = _sample(sf_dir)
     m = projection.train_pca(x, K)

@@ -196,6 +196,7 @@ def test_psi_partitioning_invariance_and_identity(spark):
     assert psi_drift(old, old, ["x"]).collect()[0]["psi"] == 0.0
 
 
+@pytest.mark.slow
 def test_semantic_pairs_partitioning_invariance(spark):
     from anomalyzer_spark.functions import similarity as S
     rng = np.random.default_rng(5)
@@ -211,6 +212,7 @@ def test_semantic_pairs_partitioning_invariance(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_bm25_partitioning_invariance(spark):
     from anomalyzer_spark.functions import retrieval
     rows = [(i, f"w{i % 7} w{i % 3} common term") for i in range(90)]
@@ -224,6 +226,7 @@ def test_bm25_partitioning_invariance(spark):
     assert a == b and len(a) > 0
 
 
+@pytest.mark.slow
 def test_mixture_partitioning_invariance(spark):
     from anomalyzer_spark.functions import sampling
     df = spark.createDataFrame(

@@ -211,6 +211,7 @@ def test_bm25_corpus_stats_helper(spark, corpus, queries):
     assert retrieval.bm25_corpus_stats(empty) == (0, 0.0)
 
 
+@pytest.mark.slow
 def test_bm25_pretokenized_parity_and_no_corpus_regex(spark, corpus,
                                                       queries):
     """tokens_col= (the persist-once recipe) must reproduce the from-text

@@ -24,6 +24,7 @@ docs_strategy = st.lists(
 
 @given(docs_strategy)
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_gram_stats_path_equals_window_path_random(spark, word_docs):
     rows = [(i, " ".join(ws)) for i, ws in enumerate(word_docs)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
@@ -50,6 +51,7 @@ weights_strategy = st.lists(
 
 @given(weights_strategy, st.integers(min_value=0, max_value=120))
 @settings(max_examples=8, deadline=None)
+@pytest.mark.slow
 def test_cap_stratum_tokens_equals_python_reference(spark, rows, budget):
     data = [(i, s, w) for i, (s, w) in enumerate(rows)]
     df = spark.createDataFrame(data, "doc_id long, src string, w long")

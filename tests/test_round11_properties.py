@@ -69,6 +69,7 @@ def test_hamming_pairs_equals_bruteforce_random(spark):
        st.sampled_from([1, 3, 8, 64]))
 @settings(max_examples=12, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow
 def test_pack_token_ids_conserves_every_token(spark, docs, capacity):
     rows = [(i, toks) for i, toks in enumerate(docs)]
     df = spark.createDataFrame(rows, "doc_id long, token_ids array<bigint>")

@@ -32,6 +32,7 @@ def _clustered(spark, *, n_clusters=4, per=30, dim=16, dup_pairs=6,
     return df, cents, base
 
 
+@pytest.mark.slow
 def test_semantic_pairs_match_brute_force_on_separated_clusters(spark):
     df, cents, _ = _clustered(spark)
     got = sorted((r["id_a"], r["id_b"]) for r in S.semantic_pairs(

@@ -42,6 +42,7 @@ def _want_pairs(e, cents, n_assign=1):
             max_cell_rows=None).collect())
 
 
+@pytest.mark.slow
 def test_stream_equals_batch_both_orders(spark, fixture, tmp_path):
     from anomalyzer_spark.streaming import run_semantic_stream_on_dir
 
@@ -62,6 +63,7 @@ def test_stream_equals_batch_both_orders(spark, fixture, tmp_path):
         assert got == want, f"arrival order {name} diverged from batch"
 
 
+@pytest.mark.slow
 def test_stream_groups_equal_batch_groups(spark, fixture, tmp_path):
     from anomalyzer_spark.streaming import (run_semantic_stream_on_dir,
                                             semantic_groups_store)
@@ -83,6 +85,7 @@ def test_stream_groups_equal_batch_groups(spark, fixture, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_multi_assign_and_empty_store(spark, fixture, tmp_path):
     from anomalyzer_spark.streaming import (run_semantic_stream_on_dir,
                                             semantic_pairs_store)
@@ -107,6 +110,7 @@ def test_multi_assign_and_empty_store(spark, fixture, tmp_path):
     assert len(got) >= len(_want_pairs(e, cents))
 
 
+@pytest.mark.slow
 def test_semantic_stream_retention_and_compaction(spark, fixture, tmp_path):
     """The shared store protocol bounds semantic state too: no live dirs
     older than the horizon, one complete compacted generation, and the

@@ -4,6 +4,7 @@ and without compaction); MG stream-final equals the offline merge of
 the same per-batch profiles and keeps its guarantees through
 compaction; batch sketch_ingest interoperates and replays idempotently."""
 
+import pytest
 import glob
 
 from pyspark.sql import functions as F
@@ -22,6 +23,7 @@ def _rows(df):
                   key=lambda t: tuple((x is None, x) for x in t))
 
 
+@pytest.mark.slow
 def test_stream_final_equals_batch(spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     sdir = str(tmp_path / "in")
@@ -40,6 +42,7 @@ def test_stream_final_equals_batch(spark, sf_dir, tmp_path):
         == _rows(sketch.merge_mg(per_file, k=8))
 
 
+@pytest.mark.slow
 def test_compaction_keeps_hll_exact_and_mg_guarantees(
         spark, sf_dir, tmp_path):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -111,6 +114,7 @@ def test_store_persists_and_enforces_params(spark, sf_dir, tmp_path):
         sketch_ingest(spark, docs, store, _COLS, p=12, mg_k=8)
 
 
+@pytest.mark.slow
 def test_kll_component_stream_and_guarantees(spark, sf_dir, tmp_path):
     """num_cols adds the quantile leg: stream-final KLL state equals
     the offline merge of the same per-batch profiles, holds the rank
@@ -161,6 +165,7 @@ def test_kll_component_stream_and_guarantees(spark, sf_dir, tmp_path):
     assert kll_sketch_store(spark, store3).count() == 0
 
 
+@pytest.mark.slow
 def test_bottomk_component_exact_stream_state(spark, sf_dir, tmp_path):
     """bk_cols adds the set-sample leg: the canonical merge makes the
     stream-final state EQUAL the one-shot batch sketch (the HLL-grade
@@ -191,6 +196,7 @@ def test_bottomk_component_exact_stream_state(spark, sf_dir, tmp_path):
     assert bottomk_sketch_store(spark, store3).count() == 0
 
 
+@pytest.mark.slow
 def test_grouped_store_all_components(spark, sf_dir, tmp_path):
     """group_cols carries per-group sketches through the store: HLL and
     bottom-k stream state equal the one-shot grouped batch profiles

@@ -42,6 +42,7 @@ def test_fraction_determinism_and_nesting(spark):
     assert want == e10
 
 
+@pytest.mark.slow
 def test_group_atomicity_with_real_near_dup_groups(spark):
     # planted dup families: every 10th doc is copied twice with new ids
     base = _docs(spark, 120)

@@ -26,6 +26,7 @@ MC_FAST_CONF = AnomalyzerConf(active_size=2, perm_count=100, perm_spec="fast")
 
 @pytest.mark.parametrize("conf", [DET_CONF, MC_CONF, MC_FAST_CONF],
                          ids=["deterministic", "mc", "mc-fast"])
+@pytest.mark.slow
 def test_stream_equals_batch_multi_batch(spark, sf_dir, tmp_path, conf):
     ev = load_table(spark, sf_dir, "events")
     cols = ev.select("event_type", "ts_ns", "event_id", "value")
@@ -108,6 +109,7 @@ def test_resample_stream_matches_batch(spark, sf_dir, tmp_path):
         assert val == exp[key], key
 
 
+@pytest.mark.slow
 def test_stream_state_ttl_drops_idle_keys(spark, tmp_path):
     """state_ttl_ms: idle keys are evicted — a fresh point after eviction
     sees an EMPTY window (n_points resets), not the old history."""
@@ -576,6 +578,7 @@ def test_serve_ivfpq_stream_foreachbatch(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == offline.count()
 
 
+@pytest.mark.slow
 def test_minhash_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
     """Streaming near-dup (MinHash) dedup: documents drained through the
     foreachBatch store pipeline in MULTIPLE micro-batches must end with
@@ -614,6 +617,7 @@ def test_minhash_stream_final_state_equals_batch(spark, sf_dir, tmp_path):
             == {tuple(r) for r in exp_groups.collect()})
 
 
+@pytest.mark.slow
 def test_minhash_stream_replay_idempotent(spark, sf_dir, tmp_path):
     """foreachBatch is at-least-once: a batch whose store writes landed but
     whose checkpoint commit did NOT (the crash window) is replayed with the
@@ -653,6 +657,7 @@ def test_minhash_stream_replay_idempotent(spark, sf_dir, tmp_path):
     assert minhash_pairs_store(spark, store).count() == len(before)
 
 
+@pytest.mark.slow
 def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
     """Long-running-stream state bounds (SURVEY §2.7 streaming at scale):
     with ``retention_batches=H`` and ``compact_every=C`` the store must
@@ -722,6 +727,7 @@ def test_minhash_stream_retention_and_compaction(spark, sf_dir, tmp_path):
     assert _os.path.isdir(f"{store}/compacted/groups/gen={K-1}")
 
 
+@pytest.mark.slow
 def test_ingest_ivfpq_stream_equals_batch_build(spark, sf_dir, tmp_path):
     """Incremental corpus ingest: vectors streamed through
     ingest_ivfpq_stream (frozen models, per-batch cell-partitioned
@@ -857,6 +863,7 @@ def test_curation_stream_foreachbatch(spark, sf_dir, tmp_path):
     assert got == exp and 0 < len(got) < d.count()
 
 
+@pytest.mark.slow
 def test_curation_stream_incremental_restart(spark, sf_dir, tmp_path):
     """Restart semantics: a second run over the SAME checkpoint processes
     only files that arrived since, earlier batch outputs stay untouched,
@@ -897,6 +904,7 @@ def test_curation_stream_incremental_restart(spark, sf_dir, tmp_path):
     assert got == exp
 
 
+@pytest.mark.slow
 def test_curation_stream_cross_batch_dedup_exact(spark, sf_dir, tmp_path):
     """Composed streaming curation + cross-batch EXACT dedup: duplicates
     planted so their group spans micro-batches IN BOTH directions (copy
@@ -938,6 +946,7 @@ def test_curation_stream_cross_batch_dedup_exact(spark, sf_dir, tmp_path):
     assert not any(i >= 100_000 for i in kept)
 
 
+@pytest.mark.slow
 def test_curation_stream_cross_batch_dedup_minhash(spark, sf_dir, tmp_path):
     """Composed streaming curation + cross-batch NEAR-dup dedup: the
     band-bucket store accumulated over 3 micro-batches must resolve the
@@ -1001,6 +1010,7 @@ def test_curation_stream_with_dedup_rejects_unsupported(spark, tmp_path):
 # streaming drift monitor
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_drift_stream_per_batch_equals_offline(spark, sf_dir, tmp_path):
     # 3 single-file micro-batches; every emitted (batch, column) PSI must
     # equal the offline psi_report of the baseline vs that file alone —
@@ -1161,6 +1171,7 @@ def _span_planted_corpus(spark, sf_dir):
     return spark.createDataFrame(planted, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_span_gram_store_equals_batch_both_orders(spark, sf_dir, tmp_path):
     """The drained gram store's final state drives a strip identical to
     the offline one-call operator, for BOTH arrival orders of a 3-batch
@@ -1194,6 +1205,7 @@ def test_span_gram_store_equals_batch_both_orders(spark, sf_dir, tmp_path):
     assert _SPAN_PASSAGE in by_id[5]
 
 
+@pytest.mark.slow
 def test_curation_stream_cross_batch_strip_spans(spark, sf_dir, tmp_path):
     """Composed streaming curation + cross-batch exact dedup + cross-batch
     SPAN dedup: the doc holding the global-min canonical occurrence
@@ -1284,6 +1296,7 @@ def test_dedup_stream_state_partitions_invariant(spark, sf_dir, tmp_path):
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
 
 
+@pytest.mark.slow
 def test_dedup_stream_no_data_batch_off_same_state(spark, sf_dir,
                                                    tmp_path):
     """r16: the dedup drill drains with the trailing no-data micro-batch

@@ -306,6 +306,7 @@ def test_chunk_windows_property_coverage(spark, words, size, stride):
 @given(texts=st.lists(
     st.one_of(st.none(), st.text(alphabet="ab x", max_size=8)),
     min_size=1, max_size=6))
+@pytest.mark.slow
 def test_snapshot_diff_identity_property(spark, texts):
     """diff(x, x) is empty without include_unchanged and all-unchanged
     with it — regardless of NULLs and duplicated contents."""
