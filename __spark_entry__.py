@@ -34,7 +34,7 @@ from anomalyzer_spark import AnomalyzerConf, detect, detect_by_test
 from anomalyzer_spark.functions import dedup, similarity, text
 from anomalyzer_spark.operators.asof import asof_join
 from anomalyzer_spark.session import compact_checkpoint
-from anomalyzer_spark.sources import load_table
+from anomalyzer_spark.sources import load_table, spread_partitions
 
 # ---------------------------------------------------------------------------
 # shared configs
@@ -1210,8 +1210,17 @@ def q_dedup_paragraphs(spark, sf_dir):
     codebook fit, map-only encode, ADC lookup-table scoring — is hashed
     end-to-end inside ivfpq_topk's composed oracle, and the exact-scan
     baseline it differed by is cosine_topk; only the 'PQ without IVF
-    pruning' plan shape was unique, which tests/test_plans.py still pins."""
-    d = _docs(spark, sf_dir)
+    pruning' plan shape was unique, which tests/test_plans.py still pins.
+
+    r16: the doc spread is input-size-derived (sources.spread_partitions)
+    instead of the core count — this slot's per-byte map work (explode +
+    md5) is cheap, and 32 micro-tasks over 0.7 MB measured 40 cpu_s/lap
+    of concurrency overhead vs 8 on byte-sized partitions, identical
+    results (the CPU-heavy doc consumers keep the core-count spread —
+    fewer partitions would idle cores on real kernel work)."""
+    d = load_table(spark, sf_dir, "documents",
+                   repartition=spread_partitions(
+                       spark, f"{sf_dir}/documents.parquet"))
     planted = d.select(
         "doc_id",
         F.concat(F.col("text"), F.lit(". footer for "), F.col("source"),

@@ -35,6 +35,56 @@ NANO_TS_COLS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: conf key for spread_partitions' bytes-per-partition divisor (the
+#: scan-spread sibling of anomalyzer.batch.bytesPerCheckpointPartition)
+SPREAD_BYTES_CONF = "anomalyzer.batch.bytesPerSpreadPartition"
+_SPREAD_BYTES_DEFAULT = 256 * 1024
+
+
+def spread_partitions(
+    spark: SparkSession, path: str, bytes_per_partition: int | None = None
+) -> int:
+    """Input-size-derived ``repartition`` count for CHEAP-per-byte
+    consumers of a small local fixture: ``ceil(on-disk bytes /
+    bytes_per_partition)`` clamped to [1, defaultParallelism].
+
+    ``load_table(repartition=N)`` exists to spread a one-file fixture
+    across cores; a constant N (the core count) is right when the
+    per-byte work is CPU-heavy (shingling, hashing, profile
+    expressions — fewer partitions would idle cores on real kernel
+    work) but WRONG when it is cheap (explode/aggregate): measured at
+    sf0.1, dedup_paragraphs' two 32-task map stages burn ~150 ms CPU
+    per task on ~20 KB of input each — 40 cpu_s/lap of pure micro-task
+    overhead vs 8 cpu_s (and -0.4 s wall) on 8 byte-sized partitions,
+    identical results. Deriving the count from input bytes instead of
+    the core count is the scale-adaptive rule: tiny input → few tasks;
+    as the input grows the count rises until the core-count cap — and
+    on a real multi-file dataset callers pass no repartition at all
+    (the scan parallelizes naturally; see load_table).
+
+    The divisor is conf-parameterised (``SPREAD_BYTES_CONF``, default
+    256 KiB of COMPRESSED parquet ≈ ~1 MiB of rows — micro-task
+    overhead amortized while tiny fixtures still spread); production
+    tunes it per cluster alongside the checkpoint divisor."""
+    if bytes_per_partition is None:
+        try:
+            bytes_per_partition = int(
+                spark.conf.get(SPREAD_BYTES_CONF, None)
+                or _SPREAD_BYTES_DEFAULT)
+        except ValueError:
+            bytes_per_partition = _SPREAD_BYTES_DEFAULT
+    try:
+        import glob as _glob
+        import os as _os
+
+        size = sum(_os.path.getsize(p) for p in _glob.glob(f"{path}/*")
+                   ) if _os.path.isdir(path) else _os.path.getsize(path)
+    except OSError:
+        return spark.sparkContext.defaultParallelism
+    n = -(-size // max(1, bytes_per_partition))
+    return max(1, min(spark.sparkContext.defaultParallelism, int(n)))
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, repartition: int | None = None
 ) -> DataFrame:
