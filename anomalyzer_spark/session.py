@@ -164,6 +164,13 @@ def _build(app: str, cpus: str, shuffle_partitions: int | None):
         .config("spark.executor.extraJavaOptions",
                 "-XX:-DontCompileHugeMethods "
                 "-XX:ReservedCodeCacheSize=1g")
+        # Python workers: guard the per-task importlib.invalidate_caches
+        # against re-parsing pyspark.zip's central directory every task
+        # (~0.65 s wall / ~0.24 s CPU per task on distribution installs —
+        # see _daemon.py). The package is importable wherever the UDF
+        # kernels already run (they reference anomalyzer_spark.oracle by
+        # module name), so this adds no deployment constraint.
+        .config("spark.python.daemon.module", "anomalyzer_spark._daemon")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
